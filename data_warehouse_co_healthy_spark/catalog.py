@@ -1,0 +1,54 @@
+"""Fixture catalog: load the driver's parquet tables and register views.
+
+Replaces the reference's per-call psycopg2 full scans
+(``execute_query("SELECT * FROM t")`` with driver-side fetchall,
+reference conection.py:55-63) with lazy Spark parquet scans — filters and
+column pruning reach the scan (Catalyst pushdown), nothing is collected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Schema comes from the parquet footer (already
+    explicit); we deliberately do NOT force a cast here so the driver's
+    DuckDB oracle sees identical types.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]); it is read via the
+    nanosAsLong legacy conf and truncated to microseconds — exactly what
+    DuckDB's µs-resolution timestamps do, so oracle comparison still
+    value-matches.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view for the SQL surface."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,183 @@
+"""Aggregation operators (SURVEY §2.5 — absent in the reference, required
+by the engine's query surface and the t2 harness).
+
+The reference has zero groupBy/agg (grep-verified, SURVEY §2.5); its facts
+carry measures (valor_pagado payment_process.py:161, Precio dimension.py:69)
+for downstream BI, so the engine ships the full standard agg surface:
+groupBy().agg(), distinct aggregates, HAVING, rollup/cube, pivot.
+
+Scale posture: all of these hash-aggregate with map-side partial
+aggregation (ObjectHashAggregate/HashAggregate partial → final), so the
+shuffle carries only group cardinality, not row cardinality. countDistinct
+expands to a two-phase aggregate; approx_count_distinct (HLL) is the
+100 TB-friendly variant and is exposed alongside.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: the canonical wide-agg scan (8 aggregates, 2 group cols).
+    Whole-stage-codegen'd single-pass partial agg → tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def count_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — expand-based two-phase distinct aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("spent"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals; NULL grouping slots coalesced to 'ALL' so
+    the oracle hash is unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping-set combinations."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+        )
+    )
+
+
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (explicit value list → single-pass, no extra distinct job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .select(
+            "l_returnflag",
+            F.coalesce("O", F.lit(0.0)).alias("qty_open"),
+            F.coalesce("F", F.lit(0.0)).alias("qty_filled"),
+        )
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the scale path for distinct counts.
+    Not DuckDB-hash-comparable (different sketch), so the query surface
+    exposes it with an exact-count side channel used as its oracle check
+    at small SF via rows-only comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    )
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "count_distinct_agg": count_distinct_agg,
+    "agg_having": agg_having,
+    "rollup_sales": rollup_sales,
+    "cube_sales": cube_sales,
+    "pivot_status": pivot_status,
+    "approx_distinct": approx_distinct,
+}
+
+ORACLES = {
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               avg(l_extendedprice) AS avg_price,
+               avg(l_discount) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "count_distinct_agg": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_supps,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_having": """
+        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spent
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+    """,
+    "rollup_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "pivot_status": """
+        SELECT l_returnflag,
+               coalesce(sum(CASE WHEN l_linestatus = 'O'
+                                 THEN l_quantity END), 0.0) AS qty_open,
+               coalesce(sum(CASE WHEN l_linestatus = 'F'
+                                 THEN l_quantity END), 0.0) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # approx_distinct: intentionally no oracle (sketch-dependent values) —
+    # driver records the weaker rows-only check (SURVEY §5.3 note).
+}

@@ -1,0 +1,215 @@
+"""Join operators (SURVEY §2.4, J1-J15).
+
+The reference's joins are all equi inner/left star joins
+(medical_formula_process.py:116-119, payment_process.py:149-159,
+retreat_process.py:159-163, service_process.py:142-153), including a
+multi-column attribute-match join (J5, payment_process.py:136) and
+role-playing dims joined twice under renames (J14,
+service_process.py:148-151). Semi/anti come free with the same API.
+
+Scale posture: dimension sides (region/nation/customer-derived attribute
+dims) are broadcast — explicitly hinted where the dim is provably small,
+otherwise left to Catalyst/AQE. Fact-fact joins (lineitem⋈orders)
+sort-merge on the join key; at 100 TB both sides shuffle-partition on
+o_orderkey/l_orderkey, which is the natural co-partitioning for bucketed
+storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join fact→dims (J1-J4 pattern): revenue by region/nation.
+
+    lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region — the TPC-H analog of
+    the 4-dim star join at reference medical_formula_process.py:116-119.
+    nation/region are broadcast (tiny dims); lineitem⋈orders is the only
+    real shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column named-key join (J5, reference payment_process.py:136):
+    recover a surrogate id by matching ALL attribute columns.
+
+    Builds an attribute dim from distinct (c_nationkey, c_mktsegment)
+    pairs with a deterministic surrogate key, then joins it back to
+    customer on both columns — the Spark-native version of the
+    demografica_id recovery round-trip (SURVEY §1.1).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dim = (
+        c.select("c_nationkey", "c_mktsegment")
+        .dropDuplicates()
+        .withColumn(
+            "demo_id",
+            F.row_number()
+            .over(Window.orderBy("c_nationkey", "c_mktsegment"))
+            .cast("long"),
+        )
+    )
+    return (
+        c.join(F.broadcast(dim), on=["c_nationkey", "c_mktsegment"])
+        .select("c_custkey", "demo_id")
+    )
+
+
+def left_join_miss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join preserving unmatched rows (J6-J8, reference
+    payment_process.py:149-151): parts never shipped get NULL-ish counts.
+    """
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    shipped = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    return (
+        p.join(shipped, p.p_partkey == shipped.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.coalesce("qty", F.lit(0.0)).alias("qty_shipped"),
+        )
+    )
+
+
+def role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same dimension joined twice under different roles (J14, reference
+    service_process.py:148-151 joins dim_hora and dim_fecha twice each).
+
+    nation plays both customer-nation and supplier-nation: shipping
+    volume between nation pairs (TPC-H Q7 shape).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cust_nation = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cust_nation), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), s.s_nationkey == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS (free with the join API, SURVEY §2.4 note):
+    customers that have at least one urgent order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+QUERIES = {
+    "star_join_revenue": star_join_revenue,
+    "multi_key_join": multi_key_join,
+    "left_join_miss": left_join_miss,
+    "role_playing_dim": role_playing_dim,
+    "semi_join": semi_join,
+    "anti_join": anti_join,
+}
+
+ORACLES = {
+    "star_join_revenue": """
+        SELECT r_name, n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "multi_key_join": """
+        WITH dim AS (
+            SELECT c_nationkey, c_mktsegment,
+                   row_number() OVER (ORDER BY c_nationkey, c_mktsegment)
+                       AS demo_id
+            FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+        )
+        SELECT c.c_custkey, dim.demo_id
+        FROM customer c
+        JOIN dim ON c.c_nationkey = dim.c_nationkey
+               AND c.c_mktsegment = dim.c_mktsegment
+    """,
+    "left_join_miss": """
+        SELECT p_partkey, p_brand, coalesce(qty, 0.0) AS qty_shipped
+        FROM part
+        LEFT JOIN (
+            SELECT l_partkey, sum(l_quantity) AS qty
+            FROM lineitem GROUP BY l_partkey
+        ) s ON p_partkey = s.l_partkey
+    """,
+    "role_playing_dim": """
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               sum(l_extendedprice * (1 - l_discount)) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1, 2
+    """,
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+    """,
+}

@@ -1,0 +1,126 @@
+"""Scalar / generator functions: split, explode, JSON, time buckets
+(SURVEY §2.8 F1-F3 + engine-added JSON/window-bucket surface).
+
+Reference sites: ``split(col, ";")`` + ``explode`` 1NF-normalize the
+prescribed-medicines list (medical_formula_process.py:26-27) — the only
+array usage in the reference, transient between split and explode
+(SURVEY §1.2).
+
+Scale posture: split/explode run inside whole-stage codegen (Generate
+node) — no shuffle; the downstream aggregate partial-aggregates
+map-side. get_json_object is JVM-side JSON path evaluation (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: split a delimited string column into an array and explode to
+    one row per element — the medical-formula grain change
+    (medical_formula_process.py:26-28) applied to document tokens.
+    Token frequencies across the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def explode_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 grain invariant surfaced as data: per-doc exploded row count ==
+    array size (SURVEY §5.4 property |explode| = Σ sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    return ex.groupBy("doc_id").agg(F.count("*").alias("n_tokens"))
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column (engine-added;
+    the reference ingests Socrata JSON driver-side, dimension.py:123-130
+    — here it stays JVM-side and distributed)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def json_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract-then-aggregate over JSON payloads."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation over events — the BATCH analog of
+    the Structured Streaming demo (same window semantics,
+    streaming/events.py); hourly event counts and value sums."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+QUERIES = {
+    "split_explode": split_explode,
+    "explode_grain": explode_grain,
+    "json_extract": json_extract,
+    "json_group_stats": json_group_stats,
+    "time_bucket_agg": time_bucket_agg,
+}
+
+ORACLES = {
+    "split_explode": """
+        SELECT token, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) WHERE token <> '' GROUP BY token
+    """,
+    "explode_grain": """
+        SELECT doc_id, count(*) AS n_tokens FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) GROUP BY doc_id
+    """,
+    "json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+        FROM events
+    """,
+    "json_group_stats": """
+        SELECT event_type,
+               sum(k)::BIGINT AS sum_k, max(k) AS max_k, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   json_extract_string(props, '$.k')::BIGINT AS k
+            FROM events
+        ) GROUP BY event_type
+    """,
+    "time_bucket_agg": """
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+               count(*) AS n, sum(value) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+}

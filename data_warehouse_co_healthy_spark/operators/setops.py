@@ -1,0 +1,128 @@
+"""Set operations / dedup (SURVEY §2.7, U1-U4 + intersect/except).
+
+Reference sites: unionByName (dimension.py:37-39, contributors ∪
+beneficiaries), positional union ×3 after manual schema alignment
+(service_process.py:123-135), dropDuplicates on every dimension
+(dimension.py:20,28,41,50,58,73,133,140,146,154), distinct
+(dimension.py:139-140). intersect/except absent in reference, free here.
+
+Scale posture: dropDuplicates/distinct are hash aggregates (partial
+dedup map-side before the shuffle); unions are zero-shuffle plan
+concatenations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName after renaming both id columns to a shared key —
+    mirrors dim_usuario = contributors ∪ beneficiaries (reference
+    dimension.py:31-41). Columns deliberately ordered differently in the
+    two branches to prove by-name resolution."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("party_id"),
+        F.col("c_name").alias("nombre"),
+        F.lit("customer").alias("tipo"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("tipo"),
+        F.col("s_name").alias("nombre"),
+        F.col("s_suppkey").cast("long").alias("party_id"),
+    )
+    return c.unionByName(s).dropDuplicates()
+
+
+def union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional union after drop/rename/lit alignment — mirrors the
+    4-way service union (reference service_process.py:123-135) where
+    column ORDER is load-bearing. Two order branches tagged by priority
+    class."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("alta").alias("clase")
+    )
+    normal = o.filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit("normal").alias("clase")
+    )
+    return urgent.union(normal)
+
+
+def dedup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row dropDuplicates (reference applies it to EVERY dim,
+    SURVEY §2.7-U3 — load-bearing for key uniqueness)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+def distinct_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() on a single-column frame (reference dimension.py:139-140
+    — note the redundant distinct().dropDuplicates() there; once is
+    enough and the plan proves it)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag").distinct()
+
+
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers holding both an open and a filled order."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(filled)
+
+
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers with open orders but no filled ones."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(filled)
+
+
+QUERIES = {
+    "union_by_name": union_by_name,
+    "union_positional": union_positional,
+    "dedup_rows": dedup_rows,
+    "distinct_single": distinct_single,
+    "intersect_keys": intersect_keys,
+    "except_keys": except_keys,
+}
+
+ORACLES = {
+    "union_by_name": """
+        SELECT DISTINCT * FROM (
+            SELECT c_custkey AS party_id, c_name AS nombre,
+                   'customer' AS tipo FROM customer
+            UNION ALL
+            SELECT s_suppkey AS party_id, s_name AS nombre,
+                   'supplier' AS tipo FROM supplier
+        )
+    """,
+    "union_positional": """
+        SELECT o_orderkey, o_custkey, o_totalprice, 'alta' AS clase
+        FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, 'normal' AS clase
+        FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    """,
+    "dedup_rows": (
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+    ),
+    "distinct_single": "SELECT DISTINCT l_returnflag FROM lineitem",
+    "intersect_keys": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "except_keys": """
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+}

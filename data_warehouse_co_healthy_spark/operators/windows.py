@@ -1,0 +1,159 @@
+"""Window functions / sorts / limits / surrogate keys (SURVEY §2.6 + §7).
+
+Absent in the reference (grep-verified, SURVEY §2.6) but required:
+the engine replaces the reference's DB-serial surrogate-key round-trip
+(write dims → JDBC read-back → join ids, SURVEY §1.1,
+payment_process.py:133-136) with in-plan ``row_number`` over an explicit
+natural-key ordering — deterministic and reproducible (SURVEY §7 "hard
+parts" (a)).
+
+Scale posture: a global row_number (no partitionBy) serializes into one
+partition — fine for dimension tables (≤ millions of rows), never for
+facts. Fact-side windows always partitionBy a key so work distributes.
+Top-K per group uses row_number + filter, which AQE executes as a
+partial top-k per partition before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+
+def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate ids for a dimension: row_number over the
+    natural key (replaces the reference's write/read-back round-trip,
+    SURVEY §1.1/§7). Global window is intentional — dims are small."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select("n_name").withColumn(
+        "nation_sk",
+        F.row_number().over(Window.orderBy("n_name")).cast("long"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per partition with a total-order tiebreak (orderkey,
+    linenumber) so results are deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).alias("running_qty"),
+    )
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by totalprice per customer (row_number ≤ k with
+    orderkey tiebreak — the canonical distributed top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — days between consecutive shipments per supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate"), F.lag("l_shipdate").over(w))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+def order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT → TakeOrderedAndProject (distributed
+    partial top-k, no full sort). Source-cap analog of the reference's
+    Socrata limit=1200 (dimension.py:129)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile — balance quartiles within each market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+QUERIES = {
+    "surrogate_keys": surrogate_keys,
+    "window_running_sum": window_running_sum,
+    "window_topk_per_group": window_topk_per_group,
+    "window_lag_gap": window_lag_gap,
+    "order_limit_topk": order_limit_topk,
+    "ntile_quartiles": ntile_quartiles,
+}
+
+ORACLES = {
+    "surrogate_keys": """
+        SELECT n_name, row_number() OVER (ORDER BY n_name) AS nation_sk
+        FROM nation
+    """,
+    "window_running_sum": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_qty
+        FROM lineitem
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "window_lag_gap": """
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               datediff('day',
+                        lag(l_shipdate) OVER (
+                            PARTITION BY l_suppkey
+                            ORDER BY l_shipdate, l_orderkey, l_linenumber),
+                        l_shipdate) AS gap_days
+        FROM lineitem
+    """,
+    "order_limit_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "ntile_quartiles": """
+        SELECT c_custkey, c_mktsegment,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    """,
+}

@@ -1,0 +1,229 @@
+"""Flagship star-schema queries over the driver fixtures.
+
+``fact_formula_star`` is the TPC-H re-expression of the reference's
+medical-formula pipeline (reference processing/medical_formula_process.py):
+a delimited "prescribed items" string per order (built with
+sort_array+collect_list for determinism), split+explode back to item grain
+(medical_formula_process.py:26-27), then the 4-way star join
+(medical_formula_process.py:116-119) against item/user/date dimensions
+with the reference's string-keyed date join (SURVEY §1.2). q3/q5/q18 are
+the classic join+agg shapes the bench tracks.
+
+Scale posture: the collect_list is per-orderkey (never a global collect);
+the star joins broadcast the small dims; date dim is generated in-plan
+(no storage scan). q18's semi-join filter uses a broadcastable aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.dates import date_dim
+
+
+def fact_formula_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medical-formula pipeline analog: orders are formulas, lineitem
+    partkeys are the prescribed items (semicolon list), part is the
+    medicine dim, customer the user dim, generated dim_fecha the date
+    dim (string-keyed join, medical_formula_process.py:119)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    # 1992-1998 covers every TPC-H order date; the reference's analogous
+    # window (2006-2010, medical_formula_process.py:40) silently drops
+    # out-of-range facts — same inner-join semantics here (SURVEY §4).
+    fechas = date_dim(spark, "1992-01-01", "1998-12-31")
+
+    meds = li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_partkey").cast("string"))),
+            ";",
+        ).alias("items")
+    )
+    formulas = (
+        o.join(meds, o.o_orderkey == meds.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("fecha"),
+            F.explode(F.split("items", ";")).alias("item_key"),
+        )
+    )
+    return (
+        formulas.join(c, formulas.o_custkey == c.c_custkey, "inner")
+        .join(
+            F.broadcast(p),
+            formulas.item_key == p.p_partkey.cast("string"),
+            "inner",
+        )
+        .join(F.broadcast(fechas), on="fecha", how="inner")
+        .select(
+            F.col("o_orderkey").alias("formula_id"),
+            F.col("c_custkey").alias("usuario_id"),
+            F.col("p_partkey").alias("medicamento_id"),
+            "fecha",
+            "anio",
+            "mes",
+            F.col("p_retailprice").alias("precio"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter + 2 joins + agg + top-10."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue where customer and supplier share a
+    nation, grouped by nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (aggregate semi-join filter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty"
+        )
+    )
+
+
+QUERIES = {
+    "fact_formula_star": fact_formula_star,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q18_large_orders": q18_large_orders,
+}
+
+ORACLES = {
+    "fact_formula_star": """
+        WITH meds AS (
+            SELECT l_orderkey,
+                   string_agg(l_partkey::VARCHAR, ';'
+                              ORDER BY l_partkey::VARCHAR) AS items
+            FROM lineitem GROUP BY l_orderkey
+        ), formulas AS (
+            SELECT o_orderkey, o_custkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS fecha,
+                   unnest(string_split(items, ';')) AS item_key
+            FROM orders JOIN meds ON o_orderkey = meds.l_orderkey
+        ), fechas AS (
+            SELECT strftime(d, '%Y-%m-%d') AS fecha,
+                   year(d) AS anio, month(d) AS mes_numero
+            FROM (SELECT unnest(generate_series(DATE '1992-01-01',
+                                                DATE '1998-12-31',
+                                                INTERVAL 1 DAY))::DATE AS d)
+        )
+        SELECT o_orderkey AS formula_id,
+               c_custkey AS usuario_id,
+               p_partkey AS medicamento_id,
+               f.fecha,
+               fe.anio,
+               CASE WHEN mes_numero = 1 THEN 'enero'
+                    WHEN mes_numero = 2 THEN 'febrero'
+                    WHEN mes_numero = 3 THEN 'marzo'
+                    WHEN mes_numero = 4 THEN 'abril'
+                    WHEN mes_numero = 5 THEN 'mayo'
+                    WHEN mes_numero = 6 THEN 'junio'
+                    WHEN mes_numero = 7 THEN 'julio'
+                    WHEN mes_numero = 8 THEN 'agosto'
+                    WHEN mes_numero = 9 THEN 'septiembre'
+                    WHEN mes_numero = 10 THEN 'octubre'
+                    WHEN mes_numero = 11 THEN 'noviembre'
+                    WHEN mes_numero = 12 THEN 'diciembre' END AS mes,
+               p_retailprice AS precio
+        FROM formulas f
+        JOIN customer ON f.o_custkey = c_custkey
+        JOIN part ON f.item_key = p_partkey::VARCHAR
+        JOIN fechas fe ON f.fecha = fe.fecha
+    """,
+    "q3_shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+               o_orderpriority,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "q5_local_supplier": """
+        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
+    "q18_large_orders": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+}
