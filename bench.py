@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall seconds across the headline queries (lower is better).
+Each query is fully materialized via a count-collecting action (no
+driver-side toPandas of big results). A warmup pass on the smallest SF
+initializes the JVM/codegen so timings measure the queries, not startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "fact_formula_star",     # flagship: collect->explode->4-dim star join
+    "q1_pricing_summary",    # wide-agg scan
+    "q3_shipping_priority",  # filter + join + agg + top-k
+    "q5_local_supplier",     # 5-way join
+    "q18_large_orders",      # agg semi-join
+    "star_join_revenue",     # star join + agg
+    "role_playing_dim",      # dim joined twice
+    "window_topk_per_group", # window + filter
+    "dedup_exact",           # LLM: exact dedup (if registered)
+    "minhash_signatures",    # LLM: minhash (if registered)
+    "cosine_topk",           # LLM: brute-force ANN (if registered)
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    spark = get_spark("bench")
+    # Warmup: run each headline query once at the smallest SF so JVM/
+    # whole-stage-codegen compilation happens outside the timed window —
+    # the timing should measure the query, not JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                queries[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001 - warmup is best-effort
+                pass
+
+    # Steady-state timing: best of 2 runs per query. Single-JVM local mode
+    # JIT-compiles whole-stage-codegen units asynchronously; the first run
+    # of a plan can pay multi-second C2 compilation tax that a cluster
+    # amortizes away, so min-of-2 is the honest per-query cost.
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
