@@ -1,6 +1,358 @@
-"""Deduplication operators for training-data pipelines (placeholder —
-filled in this round)."""
+"""Deduplication operators for training-data pipelines (engine-added
+capability — SURVEY §7.7): exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-NO_ORACLE: dict = {}
+Hashing is md5-based (portable: identical in Spark and DuckDB), so every
+stage is deterministic and oracle-checkable — unlike
+``pyspark.ml.feature.MinHashLSH``'s seeded random coefficients, which
+can't be reproduced in SQL. The dataflow shape IS the scale story:
+
+  shingle → (doc, shingle) distinct → per-permutation min  (map-side
+  partial agg) → band keys → self-join on (band, key) → candidate pairs
+
+At 100 TB the only heavy shuffle is the band-key self-join, whose
+fan-out is bounded by bucket sizes; hot buckets (boilerplate docs) are
+the classic skew source and are capped explicitly (MAX_BUCKET /
+MAX_DOCFREQ below) — same posture as production near-dedup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+N_PERM = 16          # minhash permutations
+BAND_ROWS = 4        # rows per LSH band → 4 bands of 4
+SHINGLE_LEN = 5      # char-shingle width
+MAX_BUCKET = 50      # LSH bucket size cap (skew guard)
+MAX_DOCFREQ = 100    # n-gram document-frequency cap (skew guard)
+SIMHASH_BITS = 32
+HAMMING_MAX = 6
+
+
+def _doc_canon(col):
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical-text hash groupBy: one row per distinct
+    content, keeping the smallest doc_id as canonical."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_doc_canon(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+_CANON_EXPR = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+
+def _char_shingles(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) char 5-grams of the canonical text."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({_CANON_EXPR}) - "
+                f"{SHINGLE_LEN - 1}, 1)), "
+                f"i -> substring({_CANON_EXPR}, i, {SHINGLE_LEN}))"
+            )
+        ).alias("shingle"),
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix: for permutation i, min over shingles of
+    md5(i || ':' || shingle) — (doc_id, perm, minhash) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = _char_shingles(d)
+    perms = spark.range(N_PERM).select(F.col("id").alias("perm"))
+    return (
+        sh.crossJoin(F.broadcast(perms))
+        .select(
+            "doc_id",
+            "perm",
+            F.md5(
+                F.concat(F.col("perm").cast("string"), F.lit(":"), "shingle")
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "perm")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    band = (F.col("perm") / BAND_ROWS).cast("long").alias("band")
+    return (
+        sig.select("doc_id", band, "perm", "minhash")
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("perm", "minhash"))
+                        ),
+                        lambda x: x["minhash"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key. Buckets larger
+    than MAX_BUCKET are dropped (boilerplate/skew guard) before the
+    self-join — the 100 TB-critical step."""
+    from pyspark.sql.window import Window
+
+    bands = _band_keys(spark, sf_dir)
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "band_key")),
+    ).filter(F.col("bucket_n") <= MAX_BUCKET)
+    a = sized.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a")
+    )
+    b = sized.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, on=["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived 32-bit hash,
+    bitwise majority vote over tokens."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").alias("b"))
+    votes = (
+        tokens.select("doc_id", h.alias("h"))
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("vote") > 0, F.expr("shiftleft(1L, b)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash: block on each of the 4 bytes (a pair
+    within Hamming distance ≤ 6 of 32 bits shares at least one byte in
+    expectation — standard rotate-and-block), verify with bit_count."""
+    sims = simhash_docs(spark, sf_dir)
+    bands = spark.range(4).select(F.col("id").alias("j"))
+    keyed = sims.crossJoin(F.broadcast(bands)).select(
+        "doc_id", "simhash", "j", F.expr("(simhash >> (8 * j)) & 255").alias("k")
+    )
+    a = keyed.select("j", "k", F.col("doc_id").alias("doc_a"),
+                     F.col("simhash").alias("sim_a"))
+    b = keyed.select("j", "k", F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, on=["j", "k"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .dropDuplicates()
+        .filter(F.bit_count(F.expr("sim_a ^ sim_b")) <= HAMMING_MAX)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sim_a ^ sim_b")).cast("long").alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs. Shingles above MAX_DOCFREQ
+    document frequency are dropped (stopword-phrase skew guard), pairs
+    blocked on shared shingles, Jaccard = |∩| / |∪| ≥ 0.2."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
+                    "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
+                    "i -> array_join(slice(split(lower(text), ' '), i, 3), ' ')) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    from pyspark.sql.window import Window
+
+    rare = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= MAX_DOCFREQ)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.select(F.col("g"), F.col("doc_id").alias("doc_a"))
+    b = rare.select(F.col("g"), F.col("doc_id").alias("doc_b"))
+    inter = (
+        a.join(b, on="g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_pairs": minhash_lsh_pairs,
+    "simhash_docs": simhash_docs,
+    "simhash_pairs": simhash_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+_CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+    SELECT DISTINCT doc_id,
+           substr({_CANON}, i, {SHINGLE_LEN}) AS shingle
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(
+             1, greatest(length({_CANON}) - {SHINGLE_LEN - 1}, 1))) AS i)
+"""
+_SIGNATURES = f"""
+    SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS minhash
+    FROM ({_SHINGLES}) s,
+         (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm) p
+    GROUP BY doc_id, perm
+"""
+_BANDS = f"""
+    SELECT doc_id, perm // {BAND_ROWS} AS band,
+           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+    FROM ({_SIGNATURES})
+    GROUP BY doc_id, perm // {BAND_ROWS}
+"""
+_SIMHASH_DOCS = f"""
+    WITH tokens AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ), th AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+        FROM tokens WHERE w <> ''
+    ), votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM th, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           sum(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+               AS simhash
+    FROM votes GROUP BY doc_id
+"""
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT md5({_CANON}) AS fp,
+               min(doc_id) AS canonical_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "minhash_signatures": _SIGNATURES,
+    "minhash_lsh_pairs": f"""
+        WITH bands AS ({_BANDS}),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+            FROM bands
+        ), kept AS (SELECT * FROM sized WHERE bn <= {MAX_BUCKET})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "simhash_docs": _SIMHASH_DOCS,
+    "simhash_pairs": f"""
+        WITH sims AS ({_SIMHASH_DOCS}),
+        keyed AS (
+            SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS k
+            FROM sims, (SELECT unnest(generate_series(0, 3)) AS j)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.simhash AS sim_a, b.simhash AS sim_b
+            FROM keyed a JOIN keyed b
+              ON a.j = b.j AND a.k = b.k AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               bit_count(xor(sim_a, sim_b))::BIGINT AS hamming
+        FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {HAMMING_MAX}
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(string_split(lower(text), ' '),
+                                              i, i + 2), ' ') AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, len(string_split(lower(text), ' ')) - 2)) AS i)
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ), rare AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY g) AS df FROM grams
+            ) WHERE df <= {MAX_DOCFREQ}
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / (na.n + nb.n - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes na ON inter.doc_a = na.doc_id
+        JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.2
+    """,
+}
+
+NO_ORACLE: dict[str, str] = {}

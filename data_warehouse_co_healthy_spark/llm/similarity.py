@@ -1,5 +1,260 @@
-"""Similarity-search operators (placeholder — filled in this round)."""
+"""Embedding similarity search (engine-added capability — SURVEY §7.7):
+brute-force cosine top-k baseline + sign-LSH bucketed variant, over the
+``embeddings`` fixture (array<float> column, 64-dim).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-NO_ORACLE: dict = {}
+Numerics: embeddings are cast to double and the dot product is a
+sequential left fold (``aggregate(zip_with(...))``) — bit-identical to
+DuckDB's ``list_dot_product(::DOUBLE[])`` (verified), so rank order and
+the oracle hash match exactly.
+
+Scale posture: the query set is broadcast (k queries × N candidates is
+a map-only job — no shuffle except the final per-query top-k window,
+whose rank filter Spark pushes down as WindowGroupLimit). The LSH
+variant cuts the candidate set by ~2^bits before scoring — the 100 TB
+path. A vectorized Arrow/numpy variant (``cosine_topk_pandas``) shows
+the mapInPandas route for when per-row fold cost dominates; its float
+summation order differs, so it is tests-validated rather than
+oracle-hashed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+N_QUERIES = 5   # query set = vec_id < 5
+TOP_K = 5
+LSH_BITS = 8    # sign bits of the first 8 dims
+
+_DOT = (
+    "aggregate(zip_with(q_emb, c_emb, (x, y) -> x * y), 0.0D, "
+    "(acc, x) -> acc + x)"
+)
+_NORM = "sqrt(aggregate(transform({c}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+
+
+def _cast_double(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("emb"),
+    )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding (sanity surface for the similarity ops)."""
+    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id",
+        F.round(F.expr(_NORM.format(c="emb")), 6).alias("l2_norm"),
+    )
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    norm = F.expr(_NORM.format(c="emb"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        norm.alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        norm.alias("c_norm"),
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+    )
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: every candidate scored against the
+    broadcast query set, per-query top-5 by exact double cosine."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        _scored(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+    )
+
+
+def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized brute force: numpy matmul per batch via
+    mapInPandas — the shape to use when the scoring math outgrows
+    per-row expressions (e.g. 1024-dim embeddings at 100 TB). Same
+    result as cosine_topk up to float summation order (tests assert
+    agreement); no SQL oracle for exactly that reason."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in qrows])
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq_ids = spark.sparkContext.broadcast(q_ids)
+    bq_mat = spark.sparkContext.broadcast(q_mat)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ bq_mat.value.T  # (batch, n_queries)
+            for j, qid in enumerate(bq_ids.value):
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "cand_id": pdf["vec_id"].to_numpy(),
+                        "cos": sims[:, j],
+                    }
+                )
+
+    scored = e.select("vec_id", "embedding").mapInPandas(
+        score, schema="query_id long, cand_id long, cos double"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+    )
+
+
+def _bucket_expr(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col}, {i + 1}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_BITS)
+    )
+    return f"({terms})"
+
+
+def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate NN: candidates bucketed by the sign pattern
+    of the first 8 dims; each query scores only its own bucket, top-3.
+    The bucket equi-join replaces the cross join — at scale this is a
+    shuffle on an 8-bit key instead of an all-pairs scan."""
+    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    norm = F.expr(_NORM.format(c="emb"))
+    bucket = F.expr(_bucket_expr("emb")).cast("long")
+    keyed = e.select(
+        "vec_id", "emb", norm.alias("nrm"), bucket.alias("bucket")
+    )
+    q = keyed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "bucket",
+    )
+    c = keyed.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "bucket",
+            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id", "cand_id", "bucket", "rk",
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+QUERIES = {
+    "embedding_norms": embedding_norms,
+    "cosine_topk": cosine_topk,
+    "cosine_topk_pandas": cosine_topk_pandas,
+    "ann_lsh_bucket": ann_lsh_bucket,
+}
+
+_SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
+_SQL_BUCKET_TERMS = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(LSH_BITS)
+)
+
+ORACLES = {
+    "embedding_norms": f"""
+        SELECT vec_id,
+               round({_SQL_NORM.format(c='embedding')}, 6) AS l2_norm
+        FROM embeddings
+    """,
+    "cosine_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb,
+                   {_SQL_NORM.format(c='embedding')} AS q_norm
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT query_id, e.vec_id AS cand_id,
+                   list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[])
+                       / (q_norm * {_SQL_NORM.format(c='embedding')}) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, cand_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, rk, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= {TOP_K}
+    """,
+    "ann_lsh_bucket": f"""
+        WITH keyed AS (
+            SELECT vec_id, embedding,
+                   {_SQL_NORM.format(c='embedding')} AS nrm,
+                   ({_SQL_BUCKET_TERMS})::BIGINT AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm,
+                   bucket
+            FROM keyed WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT query_id, k.vec_id AS cand_id, k.bucket,
+                   list_dot_product(q_emb::DOUBLE[], k.embedding::DOUBLE[])
+                       / (q_norm * k.nrm) AS cos
+            FROM keyed k JOIN q ON k.bucket = q.bucket
+            WHERE k.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, cand_id, bucket, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, bucket, rk, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= 3
+    """,
+}
+
+NO_ORACLE = {
+    "cosine_topk_pandas": (
+        "numpy matmul float summation order differs from the sequential "
+        "fold; agreement with cosine_topk is asserted in tests instead"
+    ),
+}

@@ -1,5 +1,213 @@
-"""Text-analysis operators (placeholder — filled in this round)."""
+"""Text-analysis operators for training-data pipelines (engine-added
+capability beyond reference parity — SURVEY §7.7).
 
-QUERIES: dict = {}
-ORACLES: dict = {}
-NO_ORACLE: dict = {}
+All operators are pure built-in-function DataFrame plans (JVM-side,
+whole-stage-codegen) — no Python UDFs in any hot path. Each is
+oracle-checked against DuckDB with bit-identical logic.
+
+Scale posture: every query here is scan → narrow per-row compute →
+(optionally) one partial-aggregated groupBy. Language-ID joins the
+token stream against a ~40-row broadcast stopword table; nothing
+shuffles more than group cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Tiny per-language stopword lists (public knowledge). Single source of
+# truth for BOTH the Spark plan and the generated oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "was", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr": ("le", "les", "des", "et", "une", "un", "du", "dans"),
+    "de": ("der", "die", "und", "das", "nicht", "von", "mit", "ist"),
+}
+
+# BPE-ish tokenizer: letter runs, single digits, or single punctuation
+# marks — portable between Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+_COMMON_EN = "|".join(STOPWORDS["en"])
+
+
+def _stopword_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in STOPWORDS.items() for w in ws
+    )
+    return f"(VALUES {rows}) AS sw(lang, word)"
+
+
+def _stopword_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, w) for lang, ws in STOPWORDS.items() for w in ws]
+    return spark.createDataFrame(rows, "lang string, word string")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_ISH), F.lit(0)))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token budget per source — the "how many tokens do I
+    have" pipeline question, partial-aggregated map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("t").alias("total_tokens"),
+            F.avg("t").alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    punctuation ratio, common-stopword ratio — the standard cheap
+    quality-filter features for pretraining corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_nospace = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    n_alnum_sp = F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9\s]", "")
+    ).cast("double")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(rf"\b({_COMMON_EN})\b"), F.lit(0)
+        )
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(n_nospace / n_tokens, 4).alias("avg_token_len"),
+        F.round((n_chars - n_alnum_sp) / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID: tokenize, join the broadcast stopword
+    table, take the language with most hits (deterministic tie-break on
+    language code); 'unknown' when nothing hits."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = _stopword_df(spark)
+    tokens = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    from pyspark.sql.window import Window
+
+    hits = (
+        tokens.join(F.broadcast(sw), on="word")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "lang")
+    best = (
+        hits.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred"), "hits")
+    )
+    return d.select("doc_id").join(best, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("pred", F.lit("unknown")).alias("pred_lang"),
+        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form fingerprint: lowercase, collapse whitespace, md5 —
+    the exact-dedup key that survives formatting noise."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+QUERIES = {
+    "token_count": token_count,
+    "token_count_by_source": token_count_by_source,
+    "text_quality": text_quality,
+    "langid_heuristic": langid_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "token_count": f"""
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_ISH}')) AS bpe_tokens
+        FROM documents
+    """,
+    "token_count_by_source": """
+        SELECT source, sum(t)::BIGINT AS total_tokens,
+               avg(t) AS avg_tokens, count(*) AS n_docs
+        FROM (
+            SELECT source,
+                   len(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents
+        ) GROUP BY source
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               n_tokens::BIGINT AS n_tokens,
+               round(n_nospace / n_tokens, 4) AS avg_token_len,
+               round((n_chars - n_alnum_sp) / n_chars, 4) AS punct_ratio,
+               round(n_stop / n_tokens, 4) AS stopword_ratio
+        FROM (
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+'))::DOUBLE
+                       AS n_tokens,
+                   length(text)::DOUBLE AS n_chars,
+                   length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE
+                       AS n_nospace,
+                   length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+                       ::DOUBLE AS n_alnum_sp,
+                   len(regexp_extract_all(lower(text),
+                       '\\b({_COMMON_EN})\\b'))::DOUBLE AS n_stop
+            FROM documents
+        )
+    """,
+    "langid_heuristic": f"""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, lang, count(*) AS hits
+            FROM tokens JOIN {_stopword_values_sql()} USING (word)
+            GROUP BY doc_id, lang
+        ), best AS (
+            SELECT doc_id, lang AS pred, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang) AS rk
+            FROM hits
+        )
+        SELECT d.doc_id,
+               coalesce(b.pred, 'unknown') AS pred_lang,
+               coalesce(b.hits, 0)::BIGINT AS hits
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON d.doc_id = b.doc_id
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fingerprint
+        FROM documents
+    """,
+}
+
+NO_ORACLE: dict[str, str] = {}

@@ -1,0 +1,66 @@
+"""LLM-pipeline operator semantics beyond the oracle hash checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from data_warehouse_co_healthy_spark.llm import dedup, similarity, text
+from tests.conftest import SF_DIR
+
+
+def test_pandas_topk_agrees_with_builtin(spark):
+    """The Arrow/numpy brute-force variant must agree with the
+    fold-based oracle-checked one (float summation order may differ in
+    the last bits — compare with tolerance on cos, exactly on ranks)."""
+    a = (
+        similarity.cosine_topk(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        similarity.cosine_topk_pandas(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["query_id", "rk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_exact=False, atol=1e-3)
+
+
+def test_minhash_signature_shape(spark):
+    sig = dedup.minhash_signatures(spark, SF_DIR).toPandas()
+    n_docs = sig.doc_id.nunique()
+    assert len(sig) == n_docs * dedup.N_PERM
+    assert sig.minhash.str.len().eq(32).all()
+
+
+def test_lsh_pairs_are_actually_similar(spark):
+    """LSH candidates sharing a full 4-row band should have high real
+    Jaccard on char shingles — spot-check the top pairs aren't noise."""
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).toPandas()
+    assert (pairs.doc_a < pairs.doc_b).all()
+    if len(pairs):
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .toPandas()
+            .set_index("doc_id")["text"]
+        )
+        row = pairs.iloc[0]
+        sh = lambda t: {t[i : i + 5] for i in range(len(t) - 4)}  # noqa: E731
+        a, b = sh(docs[row.doc_a]), sh(docs[row.doc_b])
+        jac = len(a & b) / len(a | b)
+        assert jac > 0.3, f"candidate pair jaccard {jac} looks like noise"
+
+
+def test_exact_dedup_is_partition(spark):
+    groups = dedup.dedup_exact(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert groups.n_copies.sum() == n_docs
+
+
+def test_langid_covers_all_docs(spark):
+    out = text.langid_heuristic(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert set(out.pred_lang) <= set(text.STOPWORDS) | {"unknown"}
