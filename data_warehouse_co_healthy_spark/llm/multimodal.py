@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (engine-added capability — SURVEY §7.7):
+image/audio/video as opaque ``binary`` payloads with typed metadata,
+processed by Arrow-batched pandas functions over ``mapInPandas``.
+
+The container has no image/audio libraries, so the DECODE step is a
+clearly-marked stub (``decode_image`` raises NotImplementedError) and
+feature extraction uses a deterministic fake (byte stats + md5). The
+Spark-side plumbing — schema, binary Arrow transfer, batch iterator
+shape, partition-parallel execution — is real and tested; swapping the
+fake for PIL/librosa changes only the inner function.
+
+Scale posture: payloads never route through the driver; mapInPandas
+streams Arrow batches executor-side. Metadata (dims, duration, …)
+travels as typed columns so filters on it prune before any decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta_width int, meta_height int"
+)
+FEATURE_SCHEMA = (
+    "media_id long, kind string, byte_len long, checksum string, "
+    "meta_width int, meta_height int"
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real image decode — requires an imaging library not present in
+    this environment. STUB by design."""
+    raise NotImplementedError(
+        "image decode requires an imaging library (e.g. PIL); "
+        "this environment ships none — plug one in here"
+    )
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table: each document's text bytes stand
+    in for an opaque payload, with synthesized typed metadata."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias(
+            "kind"
+        ),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") % 1024).cast("int").alias("meta_width"),
+        (F.col("n_chars") % 768).cast("int").alias("meta_height"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads. The
+    deterministic fake computes byte length + md5; a real pipeline
+    decodes and embeds here — the batch shape is identical."""
+    import hashlib  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "meta_width": pdf["meta_width"],
+                    "meta_height": pdf["meta_height"],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the full multimodal path (encode → mapInPandas
+    feature extraction) with a SQL-checkable output."""
+    return extract_features(media_from_documents(spark, sf_dir)).select(
+        "media_id", "kind", "byte_len", "checksum"
+    )
+
+
+QUERIES = {"binary_metadata": binary_metadata}
+
+ORACLES = {
+    "binary_metadata": """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                   AS kind,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS checksum
+        FROM documents
+    """,
+}
+
+NO_ORACLE: dict[str, str] = {}

@@ -52,9 +52,9 @@ NO_ORACLE: dict[str, str] = {
 
 def register_llm_modules() -> None:
     """LLM-pipeline operators register late (heavier imports)."""
-    from ..llm import dedup, similarity, text  # noqa: PLC0415
+    from ..llm import dedup, multimodal, similarity, text  # noqa: PLC0415
 
-    for m in (dedup, similarity, text):
+    for m in (dedup, multimodal, similarity, text):
         for name, fn in m.QUERIES.items():
             if name in QUERIES:
                 raise ValueError(f"duplicate query name: {name}")

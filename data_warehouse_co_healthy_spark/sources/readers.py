@@ -1,0 +1,115 @@
+"""Source connectors (SURVEY §2.1, S1-S6).
+
+The reference extracts by driver-side psycopg2 fetchall + inferred
+createDataFrame (S1/S2, reference conection.py:55-63, 18 ingest sites),
+pandas read_excel (S4, dimension.py:62-64) and a Socrata REST client
+(S5, dimension.py:123-130). Here every connector returns a LAZY Spark
+DataFrame with an explicit schema; nothing materializes on the driver
+except genuinely driver-side payloads (REST pages, spreadsheet files),
+which are bounded by contract (dims ≤ ~1200 rows in the reference).
+
+Scale posture: parquet/CSV/JSON/JDBC reads are distributed scans with
+predicate/column pushdown. JDBC reads accept partitioning options so a
+big table scan fans out across executors instead of one connection
+(the reference read the whole table through one cursor)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S1-analog primary scan. Schema optional: parquet footers are
+    already explicit."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: T.StructType, header: bool = True
+) -> DataFrame:
+    """CSV with a REQUIRED explicit schema — inferSchema re-reads the
+    data and guesses; the engine never infers (SURVEY §1.3)."""
+    return spark.read.schema(schema).csv(path, header=header)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """S3-analog JDBC read (reference medical_formula_process.py:71-97
+    et al.), with optional partitioned fan-out — the piece the
+    reference's single-cursor scan lacks for large tables."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    return reader.load()
+
+
+def read_excel_catalog(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """S4-analog spreadsheet catalog (reference dimension.py:62-64 reads
+    medicamentos.xls via pandas). Spreadsheets are driver-side by nature
+    (no splittable format); the result is immediately a Spark DF via the
+    Arrow path. Requires an engine with xls support (xlrd/openpyxl) —
+    environments without one should pre-convert to parquet/CSV
+    (SURVEY §7 hard-part (e)) and use read_parquet/read_csv."""
+    try:
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = pd.read_excel(path)
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "no spreadsheet engine available; pre-convert the catalog to "
+            "parquet (see FIXTURES.md §A2)"
+        ) from e
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def read_rest_json(
+    spark: SparkSession,
+    fetch: Callable[[], Iterable[dict]],
+    schema: T.StructType,
+    limit: int | None = None,
+) -> DataFrame:
+    """S5-analog open-data/REST source (reference dimension.py:123-130,
+    Socrata ``get(dataset, limit=1200)``). ``fetch`` is injected so the
+    connector is testable offline; rows land with an explicit schema
+    instead of dict-sampling inference."""
+    rows = list(fetch())
+    if limit is not None:
+        rows = rows[:limit]
+    names = [f.name for f in schema.fields]
+    data = [tuple(r.get(n) for n in names) for r in rows]
+    return spark.createDataFrame(data, schema)

@@ -1,0 +1,81 @@
+"""Sink connectors (SURVEY §2.2, K1-K4).
+
+The reference loads through the driver: ``toPandas()`` before every
+sink (K4 anti-pattern, e.g. medical_formula_process.py:125), REST bulk
+POST (K1, conection.py:81-101), SQLAlchemy ``to_sql`` (K2,
+conection.py:69-78), plus one distributed CSV write (K3,
+medical_formula_process.py:122). Here every sink is DISTRIBUTED:
+partitioned parquet/CSV writes, JDBC append, and a foreachPartition
+REST poster — the driver never materializes a fact table.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Primary fact sink: partitioned parquet. Partitioning by the date
+    key gives static + dynamic partition pruning on every date-scoped
+    query downstream (SURVEY §4)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K3-parity CSV directory write (reference
+    medical_formula_process.py:122 — header, overwrite)."""
+    df.write.csv(path, header=True, mode=mode)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    mode: str = "append",
+) -> None:
+    """K2-analog warehouse table write (replaces SQLAlchemy
+    ``to_sql(if_exists='append')``, reference conection.py:69-78) —
+    executor-side batch inserts, not a driver pandas roundtrip."""
+    writer = (
+        df.write.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
+
+
+def rest_bulk_insert(
+    df: DataFrame,
+    table: str,
+    post: Callable[[str, str], None],
+    batch_size: int = 500,
+) -> None:
+    """K1-analog REST loader (reference ``insert_data``
+    conection.py:81-101 POSTs one driver-side JSON body). Here each
+    PARTITION posts its own batches via the injected ``post(table,
+    json_body)`` — distributed, bounded memory, testable offline."""
+    cols = df.columns
+
+    def send_partition(rows) -> None:
+        batch: list[dict] = []
+        for row in rows:
+            batch.append(dict(zip(cols, row)))
+            if len(batch) >= batch_size:
+                post(table, json.dumps(batch, default=str))
+                batch = []
+        if batch:
+            post(table, json.dumps(batch, default=str))
+
+    df.foreachPartition(send_partition)

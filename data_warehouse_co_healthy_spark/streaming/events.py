@@ -1,0 +1,154 @@
+"""Structured Streaming over the events table — engine-added capability
+(the reference has no streaming at all, SURVEY §2.9; the driver's
+``events`` fixture motivates the demo).
+
+Three stateful shapes:
+  - tumbling-window counts with a watermark (late-data bound)
+  - session windows per user (gap-based sessionization)
+  - a custom stateful operator via applyInPandasWithState (running
+    per-user counters) — the escape hatch for semantics the built-in
+    windows can't express.
+
+The batch twin of the tumbling window is ``time_bucket_agg`` in
+operators/scalars.py, which IS oracle-checked — streaming correctness is
+asserted in tests by comparing the stream result (memory sink, file
+source drained with processAllAvailable) against the batch plan on the
+same data.
+
+Scale posture: watermarks bound state; the window aggregation shuffles
+on (window, event_type) exactly like its batch twin; file → Kafka is a
+source swap, the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet stores ts as TIMESTAMP(NANOS) (see catalog.load_table);
+# the stream source reads it as long nanos and converts.
+_EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_events_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; the fixtures are
+    single files. Stage a temp dir containing a symlink to the events
+    parquet (no data copied)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(d, "events.parquet"),
+    )
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (for tests/demo; a
+    production deployment points the same plan at Kafka)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW)
+        .format("parquet")
+        .load(stage_events_dir(sf_dir))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts + value sums per event_type with a
+    watermark bounding late data (and state size)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w").getField("start").alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("s").getField("start").alias("session_start"),
+            F.col("s").getField("end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count and value total emitted on every update."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_to_memory(
+    result: DataFrame, name: str, output_mode: str = "complete"
+):
+    """Drain a bounded file-source stream synchronously into a memory
+    sink (the local test harness; swap for a real sink in production)."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,72 @@
+"""Structured Streaming demo tests: a bounded file-source stream drained
+into a memory sink must agree with the equivalent batch plan."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from data_warehouse_co_healthy_spark.catalog import load_table
+from data_warehouse_co_healthy_spark.streaming import events as se
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stream(spark):
+    return se.read_events_stream(spark, SF_DIR)
+
+
+def _drain(spark, result, name, mode="complete"):
+    q = se.run_to_memory(result, name, output_mode=mode)
+    try:
+        return spark.sql(f"SELECT * FROM {name}").toPandas()
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_match_batch(spark, stream):
+    got = (
+        _drain(spark, se.windowed_counts(stream), "win_counts")
+        .sort_values(["bucket", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    from pyspark.sql import functions as F
+
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w").getField("start").alias("bucket"),
+            "event_type", "n", "total_value",
+        )
+        .toPandas()
+        .sort_values(["bucket", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-6)
+
+
+def test_sessionized_runs(spark, stream):
+    out = _drain(spark, se.sessionized(stream), "sessions")
+    assert len(out) > 0
+    assert (out.session_end >= out.session_start).all()
+    assert (out.n_events > 0).all()
+
+
+def test_running_user_totals_state(spark, stream):
+    out = _drain(
+        spark, se.running_user_totals(stream), "totals", mode="update"
+    )
+    assert len(out) > 0
+    batch = load_table(spark, SF_DIR, "events").toPandas()
+    want = batch.groupby("user_id").agg(
+        n_events=("event_id", "size"), total_value=("value", "sum")
+    )
+    # update mode emits one row per user per trigger; the LAST row per
+    # user is the final running total.
+    final = out.groupby("user_id").last()
+    pd.testing.assert_frame_equal(
+        final.sort_index(), want.sort_index(), check_exact=False,
+        atol=1e-6, check_dtype=False,
+    )
