@@ -42,6 +42,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a tiny scan out across all cores for CPU-bound per-row work
+    (shingling, hashing, tokenizing).
+
+    A small parquet fixture is a single row group → a single input
+    split → ONE task, leaving every other core idle no matter how heavy
+    the per-row compute is. On a real cluster a 100 TB table arrives as
+    thousands of splits, so this round-robin repartition is skipped
+    (no-op guard: only fires when the scan has fewer partitions than
+    cores); it never becomes a petabyte-scale shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 

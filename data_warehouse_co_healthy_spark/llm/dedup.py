@@ -20,15 +20,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 N_PERM = 16          # minhash permutations
 BAND_ROWS = 4        # rows per LSH band → 4 bands of 4
+N_BANDS = N_PERM // BAND_ROWS
 SHINGLE_LEN = 5      # char-shingle width
 MAX_BUCKET = 50      # LSH bucket size cap (skew guard)
 MAX_DOCFREQ = 100    # n-gram document-frequency cap (skew guard)
 SIMHASH_BITS = 32
 HAMMING_MAX = 6
+
+# Universal-hash permutation family: perm_i(h) = (a_i*h + b_i) mod PRIME.
+# One md5 per shingle gives the 60-bit base h; the 16 permutations are
+# pure 64-bit arithmetic (no per-permutation row blow-up or rehash) —
+# products stay < 2^60 so ANSI mode never overflows. Coefficients come
+# from a fixed LCG so Spark and the DuckDB oracle share exact literals.
+PRIME = 1_000_000_007
+
+
+def _perm_coeffs() -> tuple[list[int], list[int]]:
+    a, b, x = [], [], 42
+    for _ in range(N_PERM):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a.append(x % (PRIME - 1) + 1)
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b.append(x % PRIME)
+    return a, b
+
+
+PERM_A, PERM_B = _perm_coeffs()
 
 
 def _doc_canon(col):
@@ -52,59 +73,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CANON_EXPR = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 
-def _char_shingles(d: DataFrame) -> DataFrame:
-    """Distinct (doc_id, shingle) char 5-grams of the canonical text."""
-    return d.select(
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with N_PERM minhash columns m0..m{N-1}.
+
+    Shingle dedup is doc-local (``array_distinct`` on the shingle
+    array — no dropDuplicates shuffle); each distinct shingle is md5'd
+    ONCE; the 16 permutations are parallel ``min()`` aggregates of a
+    single groupBy(doc_id) running in whole-stage-codegen hash agg with
+    map-side partial aggregation, so the only shuffle carries one
+    17-column row per document. Higher-order lambdas are deliberately
+    kept off the hot path — Spark interprets them per element."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    canon = d.select("doc_id", F.expr(_CANON_EXPR).alias("canon"))
+    shingled = canon.selectExpr(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, greatest(length({_CANON_EXPR}) - "
-                f"{SHINGLE_LEN - 1}, 1)), "
-                f"i -> substring({_CANON_EXPR}, i, {SHINGLE_LEN}))"
-            )
-        ).alias("shingle"),
-    ).dropDuplicates(["doc_id", "shingle"])
+        f"explode(array_distinct(transform("
+        f"sequence(1, greatest(length(canon) - {SHINGLE_LEN - 1}, 1)), "
+        f"i -> substring(canon, i, {SHINGLE_LEN})))) AS shingle",
+    )
+    h = (
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % PRIME
+    )
+    hashed = shingled.select("doc_id", h.alias("h"))
+    mins = [
+        F.min((F.lit(PERM_A[i]) * F.col("h") + F.lit(PERM_B[i])) % PRIME)
+        .alias(f"m{i}")
+        for i in range(N_PERM)
+    ]
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature matrix: for permutation i, min over shingles of
-    md5(i || ':' || shingle) — (doc_id, perm, minhash) rows."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _char_shingles(d)
-    perms = spark.range(N_PERM).select(F.col("id").alias("perm"))
-    return (
-        sh.crossJoin(F.broadcast(perms))
-        .select(
-            "doc_id",
-            "perm",
-            F.md5(
-                F.concat(F.col("perm").cast("string"), F.lit(":"), "shingle")
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "perm")
-        .agg(F.min("h").alias("minhash"))
+    (a_i*h + b_i) mod PRIME — (doc_id, perm, minhash) rows."""
+    wide = _signature_wide(spark, sf_dir)
+    pairs = ", ".join(f"{i}, m{i}" for i in range(N_PERM))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_PERM}, {pairs}) AS (perm, minhash)"
     )
 
 
 def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    band = (F.col("perm") / BAND_ROWS).cast("long").alias("band")
-    return (
-        sig.select("doc_id", band, "perm", "minhash")
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("perm", "minhash"))
-                        ),
-                        lambda x: x["minhash"],
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
+    """Band keys straight off the wide signature row — zero extra
+    shuffle (the old long-form groupBy(doc_id, band) is gone)."""
+    wide = _signature_wide(spark, sf_dir)
+    rows = []
+    for j in range(N_BANDS):
+        cols = ", ".join(
+            f"cast(m{j * BAND_ROWS + k} AS string)"
+            for k in range(BAND_ROWS)
         )
+        rows.append(f"{j}L, md5(concat_ws('|', {cols}))")
+    return wide.selectExpr(
+        "doc_id", f"stack({N_BANDS}, {', '.join(rows)}) AS (band, band_key)"
     )
 
 
@@ -136,33 +158,27 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-token md5-derived 32-bit hash,
     bitwise majority vote over tokens."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     tokens = d.select(
         "doc_id",
         F.explode(F.split(F.lower("text"), " ")).alias("w"),
     ).filter(F.col("w") != "")
     h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").alias("b"))
-    votes = (
-        tokens.select("doc_id", h.alias("h"))
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "b")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> b) & 1") == 1, 1).otherwise(-1)
-            ).alias("vote")
-        )
+    # All 32 bit-votes as parallel aggregates of ONE groupBy(doc_id) —
+    # the alternative (crossJoin with a bits table) multiplies every
+    # token row 32x before the shuffle.
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    wide = tokens.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*votes)
+    combine = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b}L ELSE 0L END)"
+        for b in range(SIMHASH_BITS)
     )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("vote") > 0, F.expr("shiftleft(1L, b)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
-    )
+    return wide.selectExpr("doc_id", f"({combine}) AS simhash")
 
 
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,16 +212,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs. Shingles above MAX_DOCFREQ
     document frequency are dropped (stopword-phrase skew guard), pairs
     blocked on shared shingles, Jaccard = |∩| / |∪| ≥ 0.2."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # Tokenize once per doc; the transform lambda slices the cached
+    # array instead of re-splitting the text per gram position.
+    words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
     grams = (
-        d.select(
+        words.filter(F.size("ws") >= 3)
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "CASE WHEN size(split(lower(text), ' ')) >= 3 THEN "
-                    "transform(sequence(1, size(split(lower(text), ' ')) - 2), "
-                    "i -> array_join(slice(split(lower(text), ' '), i, 3), ' ')) "
-                    "ELSE array() END"
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> array_join(slice(ws, i, 3), ' '))"
                 )
             ).alias("g"),
         )
@@ -260,15 +278,21 @@ _SHINGLES = f"""
          LATERAL (SELECT unnest(generate_series(
              1, greatest(length({_CANON}) - {SHINGLE_LEN - 1}, 1))) AS i)
 """
+_PERM_VALUES = ", ".join(
+    f"({i}, {PERM_A[i]}, {PERM_B[i]})" for i in range(N_PERM)
+)
 _SIGNATURES = f"""
-    SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || shingle)) AS minhash
-    FROM ({_SHINGLES}) s,
-         (SELECT unnest(generate_series(0, {N_PERM - 1})) AS perm) p
+    SELECT doc_id, perm,
+           min((a * h + b) % {PRIME}) AS minhash
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {PRIME} AS h
+          FROM ({_SHINGLES})) s,
+         (VALUES {_PERM_VALUES}) AS p(perm, a, b)
     GROUP BY doc_id, perm
 """
 _BANDS = f"""
     SELECT doc_id, perm // {BAND_ROWS} AS band,
-           md5(string_agg(minhash, '|' ORDER BY perm)) AS band_key
+           md5(string_agg(minhash::VARCHAR, '|' ORDER BY perm)) AS band_key
     FROM ({_SIGNATURES})
     GROUP BY doc_id, perm // {BAND_ROWS}
 """

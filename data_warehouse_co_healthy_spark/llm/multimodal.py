@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
@@ -47,7 +47,7 @@ def decode_image(payload: bytes) -> object:
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media table: each document's text bytes stand
     in for an opaque payload, with synthesized typed metadata."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias(

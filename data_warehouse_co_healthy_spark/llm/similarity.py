@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 N_QUERIES = 5   # query set = vec_id < 5
 TOP_K = 5
@@ -49,7 +49,7 @@ def _cast_double(df: DataFrame) -> DataFrame:
 
 def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 norm per embedding (sanity surface for the similarity ops)."""
-    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
     return e.select(
         "vec_id",
         F.round(F.expr(_NORM.format(c="emb")), 6).alias("l2_norm"),
@@ -57,7 +57,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
     norm = F.expr(_NORM.format(c="emb"))
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -150,7 +150,7 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the first 8 dims; each query scores only its own bucket, top-3.
     The bucket equi-join replaces the cross join — at scale this is a
     shuffle on an 8-bit key instead of an all-pairs scan."""
-    e = _cast_double(load_table(spark, sf_dir, "embeddings"))
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
     norm = F.expr(_NORM.format(c="emb"))
     bucket = F.expr(_bucket_expr("emb")).cast("long")
     keyed = e.select(

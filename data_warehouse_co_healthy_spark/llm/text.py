@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread
 
 # Tiny per-language stopword lists (public knowledge). Single source of
 # truth for BOTH the Spark plan and the generated oracle SQL.
@@ -48,7 +48,7 @@ def _stopword_df(spark: SparkSession) -> DataFrame:
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counts per document."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_tokens"),
@@ -61,7 +61,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token budget per source — the "how many tokens do I
     have" pipeline question, partial-aggregated map-side."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     return (
         d.select(
             "source",
@@ -80,7 +80,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: token count, mean token length,
     punctuation ratio, common-stopword ratio — the standard cheap
     quality-filter features for pretraining corpora."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
     n_chars = F.length("text").cast("double")
     n_nospace = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
@@ -105,7 +105,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: tokenize, join the broadcast stopword
     table, take the language with most hits (deterministic tie-break on
     language code); 'unknown' when nothing hits."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     sw = _stopword_df(spark)
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
@@ -133,7 +133,7 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form fingerprint: lowercase, collapse whitespace, md5 —
     the exact-dedup key that survives formatting noise."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     canon = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return d.select("doc_id", F.md5(canon).alias("fingerprint"))
 

@@ -31,7 +31,7 @@ def test_minhash_signature_shape(spark):
     sig = dedup.minhash_signatures(spark, SF_DIR).toPandas()
     n_docs = sig.doc_id.nunique()
     assert len(sig) == n_docs * dedup.N_PERM
-    assert sig.minhash.str.len().eq(32).all()
+    assert sig.minhash.between(0, dedup.PRIME - 1).all()
 
 
 def test_lsh_pairs_are_actually_similar(spark):
