@@ -187,11 +187,133 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COS_DUP_THRESH = 0.4  # near-dup cosine threshold (fixture max ~0.51)
+DUP_BANDS = 4         # sign-LSH bands for near-dup blocking
+DUP_BAND_BITS = 4     # sign bits per band
+IVF_CELLS = 8         # coarse-quantizer centroids (IVF nlist)
+IVF_TOP_K = 3
+
+
+def _band_key_expr(col: str, band: int) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN element_at({col}, {band * DUP_BAND_BITS + i + 1}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(DUP_BAND_BITS)
+    )
+    return f"({terms})"
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: banded sign-LSH blocking (4
+    bands x 4 sign bits) generates candidates, exact double cosine
+    verifies >= COS_DUP_THRESH.
+
+    The blocking join replaces the all-pairs self-join — at 100 TB the
+    shuffle key is (band, 4-bit key) and each vector appears exactly
+    DUP_BANDS times, so candidate volume is bounded by bucket sizes,
+    never O(N^2). Recall is the standard banded-LSH tradeoff and is
+    deterministic, so the DuckDB oracle reproduces it exactly."""
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    norm = F.expr(_NORM.format(c="emb"))
+    bands = ", ".join(
+        f"{j}L, {_band_key_expr('emb', j)}" for j in range(DUP_BANDS)
+    )
+    keyed = e.select("vec_id", "emb", norm.alias("nrm")).selectExpr(
+        "vec_id", "emb", "nrm",
+        f"stack({DUP_BANDS}, {bands}) AS (band, bkey)",
+    )
+    a = keyed.select(
+        "band", "bkey", F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("q_emb"), F.col("nrm").alias("a_norm"),
+    )
+    b = keyed.select(
+        "band", "bkey", F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("c_emb"), F.col("nrm").alias("b_norm"),
+    )
+    return (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            (F.expr(_DOT) / (F.col("a_norm") * F.col("b_norm"))).alias("cos"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .filter(F.col("cos") >= COS_DUP_THRESH)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    first IVF_CELLS embeddings, standing in for trained k-means) assigns
+    every vector to its max-cosine cell; each query probes ONLY its own
+    cell (nprobe=1) and exact-scores that cell's candidates, top-3.
+
+    Scale shape: assignment is a broadcast join against IVF_CELLS
+    centroids + one argmax per vector (map-side partial agg); the probe
+    is an equi-join on cell id. Candidate volume per query is N/nlist
+    on average instead of N — the IVF contract."""
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    norm = F.expr(_NORM.format(c="emb"))
+    vecs = e.select("vec_id", "emb", norm.alias("nrm"))
+    cents = vecs.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    assigned = (
+        vecs.withColumnRenamed("emb", "q_emb")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "q_emb", "nrm", "cid",
+            (F.expr(_DOT) / (F.col("nrm") * F.col("c_norm"))).alias("ccos"),
+        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id", F.col("q_emb").alias("emb"), "nrm",
+            F.col("cid").alias("cell"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_norm"),
+        "cell",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_norm"),
+        "cell",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", "cell",
+            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= IVF_TOP_K)
+        .select(
+            "query_id", "cand_id", "cell", "rk",
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "cosine_topk": cosine_topk,
     "cosine_topk_pandas": cosine_topk_pandas,
     "ann_lsh_bucket": ann_lsh_bucket,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_ivf": ann_ivf,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -251,6 +373,70 @@ ORACLES = {
         FROM ranked WHERE rk <= 3
     """,
 }
+
+_SQL_BAND_KEY = " + ".join(
+    f"(CASE WHEN embedding[band * {DUP_BAND_BITS} + {i + 1}] >= 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(DUP_BAND_BITS)
+)
+
+ORACLES["dedup_embedding_cosine"] = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM.format(c='embedding')} AS nrm
+        FROM embeddings
+    ), keyed AS (
+        SELECT vec_id, embedding, nrm, band,
+               ({_SQL_BAND_KEY}) AS bkey
+        FROM n, (SELECT unnest(generate_series(0, {DUP_BANDS - 1})) AS band)
+    ), pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (a.nrm * b.nrm) AS cos
+        FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos, 4) AS cos
+    FROM pairs WHERE cos >= {COS_DUP_THRESH}
+"""
+
+ORACLES["ann_ivf"] = f"""
+    WITH n AS (
+        SELECT vec_id, embedding,
+               {_SQL_NORM.format(c='embedding')} AS nrm
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_norm
+        FROM n WHERE vec_id < {IVF_CELLS}
+    ), assigned AS (
+        SELECT vec_id, embedding, nrm, cid AS cell FROM (
+            SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_dot_product(n.embedding::DOUBLE[],
+                                                 c.c_emb::DOUBLE[])
+                                / (n.nrm * c.c_norm) DESC, c.cid
+                   ) AS rk
+            FROM n, cents c
+        ) WHERE rk = 1
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_norm, cell
+        FROM assigned WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, a.vec_id AS cand_id, a.cell,
+               list_dot_product(q_emb::DOUBLE[], a.embedding::DOUBLE[])
+                   / (q_norm * a.nrm) AS cos
+        FROM assigned a JOIN q USING (cell)
+        WHERE a.vec_id <> q.query_id
+    ), ranked AS (
+        SELECT query_id, cand_id, cell, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, cand_id, cell, rk, round(cos, 4) AS cos
+    FROM ranked WHERE rk <= {IVF_TOP_K}
+"""
 
 NO_ORACLE = {
     "cosine_topk_pandas": (

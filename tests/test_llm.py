@@ -53,6 +53,25 @@ def test_lsh_pairs_are_actually_similar(spark):
         assert jac > 0.3, f"candidate pair jaccard {jac} looks like noise"
 
 
+def test_embedding_dedup_pairs_above_threshold(spark):
+    """Every reported near-dup pair clears the cosine threshold, and the
+    banded-LSH blocking finds a nonempty subset of the true pairs."""
+    pairs = similarity.dedup_embedding_cosine(spark, SF_DIR).toPandas()
+    assert len(pairs) > 0
+    assert (pairs.cos >= similarity.COS_DUP_THRESH).all()
+    assert (pairs.vec_a < pairs.vec_b).all()
+
+
+def test_ivf_probes_single_cell(spark):
+    """IVF results: top-k per query, candidates all from one cell (the
+    query's own), ranks contiguous from 1."""
+    out = similarity.ann_ivf(spark, SF_DIR).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        assert grp.cell.nunique() == 1
+        assert sorted(grp.rk) == list(range(1, len(grp) + 1))
+        assert len(grp) <= similarity.IVF_TOP_K
+
+
 def test_exact_dedup_is_partition(spark):
     groups = dedup.dedup_exact(spark, SF_DIR).toPandas()
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
