@@ -110,6 +110,26 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary subset of the cube (by
+    returnflag, by linestatus, grand total — but NOT the pair), via the
+    SQL surface. GROUPING() disambiguates real NULLs from slots."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gs"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty,
+               (grouping(l_returnflag) * 2 + grouping(l_linestatus))
+                   AS grouping_id
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts.
     Not DuckDB-hash-comparable (different sketch), so the query surface
@@ -128,6 +148,7 @@ QUERIES = {
     "rollup_sales": rollup_sales,
     "cube_sales": cube_sales,
     "pivot_status": pivot_status,
+    "grouping_sets_sales": grouping_sets_sales,
     "approx_distinct": approx_distinct,
 }
 
@@ -177,6 +198,15 @@ ORACLES = {
                coalesce(sum(CASE WHEN l_linestatus = 'F'
                                  THEN l_quantity END), 0.0) AS qty_filled
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "grouping_sets_sales": """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               sum(l_quantity) AS sum_qty,
+               (grouping(l_returnflag) * 2 + grouping(l_linestatus))::BIGINT
+                   AS grouping_id
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
     # approx_distinct: intentionally no oracle (sketch-dependent values) —
     # driver records the weaker rows-only check (SURVEY §5.3 note).

@@ -32,10 +32,11 @@ def fact_formula_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     p = load_table(spark, sf_dir, "part")
-    # 1992-1998 covers every TPC-H order date; the reference's analogous
+    # 1995-2001 covers every fixture order date; the reference's analogous
     # window (2006-2010, medical_formula_process.py:40) silently drops
-    # out-of-range facts — same inner-join semantics here (SURVEY §4).
-    fechas = date_dim(spark, "1992-01-01", "1998-12-31")
+    # out-of-range facts — the same inner-join semantics apply here
+    # (SURVEY §4), but the dim is sized to the data so nothing is lost.
+    fechas = date_dim(spark, "1995-01-01", "2001-12-31")
 
     meds = li.groupBy("l_orderkey").agg(
         F.array_join(
@@ -144,11 +145,53 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective scan-filter-agg. The three
+    predicates all push down to the parquet scan (PushedFilters) — the
+    pure-pushdown showcase; at 100 TB this reads a fraction of the
+    row groups and shuffles one partial-agg row per task."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then
+    count by priority (fixture has no commit/receipt dates, so the
+    exists-predicate is "has a returned item")."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    )
+    returned = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
 QUERIES = {
     "fact_formula_star": fact_formula_star,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q18_large_orders": q18_large_orders,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q4_order_priority": q4_order_priority,
 }
 
 ORACLES = {
@@ -166,8 +209,8 @@ ORACLES = {
         ), fechas AS (
             SELECT strftime(d, '%Y-%m-%d') AS fecha,
                    year(d) AS anio, month(d) AS mes_numero
-            FROM (SELECT unnest(generate_series(DATE '1992-01-01',
-                                                DATE '1998-12-31',
+            FROM (SELECT unnest(generate_series(DATE '1995-01-01',
+                                                DATE '2001-12-31',
                                                 INTERVAL 1 DAY))::DATE AS d)
         )
         SELECT o_orderkey AS formula_id,
@@ -225,5 +268,24 @@ ORACLES = {
               HAVING sum(l_quantity) > 150) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
+    """,
+    "q6_forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o.o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
     """,
 }

@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions — the 100 TB posture, pinned by test.
+
+Correctness says WHAT each query returns; these tests pin HOW Spark will
+execute it: filters reach the parquet scan (PushedFilters), small dims
+broadcast instead of shuffling, hot paths stay inside whole-stage
+codegen, and map-side-reducible aggregations don't multiply rows through
+an exchange. A regression here is invisible at sf0.01 but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+from data_warehouse_co_healthy_spark.llm import dedup
+from data_warehouse_co_healthy_spark.operators import joins
+from data_warehouse_co_healthy_spark.plans import tpch
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_push_to_parquet_scan(spark):
+    plan = _plan(tpch.q6_forecast_revenue(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed or "IsNotNull" in pushed, pushed
+    # column pruning: the scan must not read unused wide columns
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_returnflag" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = _plan(joins.star_join_revenue(spark, SF_DIR))
+    # nation + region are hinted; customer is small enough for auto-
+    # broadcast — at minimum the two hinted dims must broadcast.
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the fact side must NOT broadcast (it's the big side at scale)
+    assert "BroadcastExchange" not in plan.split("lineitem.parquet")[0]
+
+
+def test_role_playing_dim_broadcasts_both_roles(spark):
+    plan = _plan(joins.role_playing_dim(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q1_partial_aggregation(spark):
+    """The classic agg must partial-aggregate before the exchange
+    (HashAggregate(partial) -> Exchange -> HashAggregate(final))."""
+    from data_warehouse_co_healthy_spark.operators import aggregates
+
+    plan = _plan(aggregates.q1_pricing_summary(spark, SF_DIR))
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert first_exchange < first_agg or "partial" in plan.lower()
+
+
+def test_minhash_has_single_agg_exchange(spark):
+    """The signature matrix must NOT multiply rows per permutation
+    through a shuffle: one spread repartition + one groupBy exchange."""
+    plan = _plan(dedup._signature_wide(spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    # all 16 permutation mins in ONE aggregate, not 16 plans
+    assert plan.count("HashAggregate") <= 2
+
+
+def test_semi_join_stays_semi(spark):
+    """left_semi must not degrade to inner+distinct."""
+    plan = _plan(joins.semi_join(spark, SF_DIR))
+    assert "LeftSemi" in plan
