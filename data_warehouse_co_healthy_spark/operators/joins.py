@@ -128,6 +128,47 @@ def role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SALTS = 8
+
+
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit salting: the fact side gets a
+    deterministic salt in [0, N_SALTS); the dim side is exploded to all
+    salts; the join key becomes (key, salt), splitting any hot key's
+    rows across N_SALTS reducers.
+
+    Salting is semantically transparent — the result is byte-identical
+    to the plain join (the oracle IS the plain join). Use when one key
+    dominates (null keys, default ids, boilerplate docs) and AQE's
+    skew-join splitting can't help (e.g. a skewed broadcast-miss or
+    aggregation feeding the join). Salt is derived from row content
+    (xxhash64), never rand() — reproducible across retries, which
+    matters for speculative execution at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    salted_fact = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS)),
+    )
+    salted_dim = s.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    ).withColumn("salt", F.col("salt").cast("long"))
+    return (
+        salted_fact.join(
+            F.broadcast(salted_dim),
+            (salted_fact.l_suppkey == salted_dim.s_suppkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("s_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi = EXISTS (free with the join API, SURVEY §2.4 note):
     customers that have at least one urgent order."""
@@ -156,9 +197,17 @@ QUERIES = {
     "role_playing_dim": role_playing_dim,
     "semi_join": semi_join,
     "anti_join": anti_join,
+    "salted_join": salted_join,
 }
 
 ORACLES = {
+    "salted_join": """
+        SELECT s_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
     "star_join_revenue": """
         SELECT r_name, n_name,
                sum(l_extendedprice * (1 - l_discount)) AS revenue,

@@ -32,6 +32,28 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table write: the co-located-join primitive.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle — at 100 TB that removes the dominant exchange of
+    every fact⋈fact join (e.g. lineitem⋈orders on orderkey). sortBy
+    within buckets additionally removes the sort of a sort-merge join.
+    (tests/test_sources.py asserts the bucketed join plan is
+    exchange-free.)"""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K3-parity CSV directory write (reference
     medical_formula_process.py:122 — header, overwrite)."""
