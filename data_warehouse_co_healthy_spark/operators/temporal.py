@@ -1,0 +1,149 @@
+"""Temporal join operators Spark lacks natively: as-of join and range
+join (engine-added capability — the reference has no temporal joins at
+all, SURVEY §2.4 "no theta/range/as-of joins exist").
+
+Both are implemented as compositions of existing DataFrame ops (the
+SURVEY §7 "custom operators" ladder, rung (a)) — NOT as inequality
+joins, which Catalyst executes as broadcast-nested-loop: O(n*m)
+comparisons and a full broadcast of one side, unusable at 100 TB.
+
+  - as-of: union-merge + last_value window. ONE shuffle on the
+    partition key; state per row is O(1). This is how streaming
+    systems (and kdb/QuestDB-style engines) do it.
+  - range: equi-join on a coarse time bucket sized to the range
+    width (each left row probes its own and the next bucket), exact
+    predicate applied after. Candidate volume is bounded by bucket
+    occupancy, never |L|x|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+RANGE_WINDOW_SEC = 300  # range-join window: 5 minutes
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent click at-or-before it by the
+    same user (classic attribution as-of join), NULL if none.
+
+    Union-merge: tag both streams, sort within user by (ts, tag) —
+    clicks first on ties, matching ASOF's >= semantics — and carry the
+    last non-null click timestamp forward with an ignore-nulls
+    last_value window. Equivalent to DuckDB's native ASOF LEFT JOIN
+    (the oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # clicks sort before purchases at the same ts => ts >= click_ts
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tag"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "click_ts",
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+            ).alias("gap_sec"),
+        )
+    )
+
+
+def range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Follow-on activity per signup: how many events the same user
+    produced within (signup_ts, signup_ts + 5 min], zero-preserved.
+
+    Scale shape: both sides get a bucket key floor(epoch / W); a 5-min
+    window can only span a signup's own bucket and the next one, so the
+    signup side is exploded to exactly 2 bucket probes and joined
+    EQUI on (user_id, bucket) before the exact range filter — the
+    standard bucketized range join (same trick as Spark's own range
+    join optimization in Databricks runtime / Flink interval joins)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp("ts") / RANGE_WINDOW_SEC).cast("long")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("signup_ts"),
+            bucket.alias("b0"),
+        )
+        .withColumn("bucket", F.explode(F.array("b0", F.col("b0") + 1)))
+    )
+    others = ev.select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+        bucket.alias("bucket"),
+    )
+    # conditional count, NOT a pre-group filter: a signup whose bucket
+    # probes matched only out-of-range events must still appear with 0.
+    in_range = (
+        F.col("e_ts").isNotNull()
+        & (F.col("e_ts") > F.col("signup_ts"))
+        & (
+            F.col("e_ts")
+            <= F.col("signup_ts") + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECOND")
+        )
+    )
+    hits = signups.join(
+        others,
+        (signups.s_user == others.e_user) & (signups.bucket == others.bucket),
+        "left",
+    )
+    return (
+        hits.groupBy("signup_id", "s_user", "signup_ts")
+        .agg(
+            F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias(
+                "n_follow"
+            )
+        )
+        .select(
+            "signup_id",
+            F.col("s_user").alias("user_id"),
+            F.col("signup_ts"),
+            "n_follow",
+        )
+    )
+
+
+QUERIES = {
+    "asof_join": asof_join,
+    "range_join_activity": range_join_activity,
+}
+
+ORACLES = {
+    "asof_join": """
+        SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
+               date_diff('second', c.ts, p.ts)::BIGINT AS gap_sec
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "range_join_activity": f"""
+        SELECT s.event_id AS signup_id, s.user_id,
+               s.ts AS signup_ts, count(e.ts)::BIGINT AS n_follow
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN events e
+          ON s.user_id = e.user_id
+         AND e.ts > s.ts
+         AND e.ts <= s.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
+        GROUP BY 1, 2, 3
+    """,
+}

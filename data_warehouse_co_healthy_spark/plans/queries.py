@@ -17,7 +17,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dates
-from ..operators import aggregates, joins, projections, scalars, setops, windows
+from ..operators import (
+    aggregates,
+    joins,
+    projections,
+    scalars,
+    setops,
+    temporal,
+    windows,
+)
 from . import tpch
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -30,6 +38,7 @@ _MODULES = (
     windows,
     scalars,
     dates,
+    temporal,
     tpch,
 )
 

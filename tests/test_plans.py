@@ -68,3 +68,22 @@ def test_semi_join_stays_semi(spark):
     """left_semi must not degrade to inner+distinct."""
     plan = _plan(joins.semi_join(spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_asof_join_avoids_nested_loop(spark):
+    """The as-of must be a window over ONE user_id shuffle, never a
+    BroadcastNestedLoopJoin (the fate of naive inequality joins)."""
+    from data_warehouse_co_healthy_spark.operators import temporal
+
+    plan = _plan(temporal.asof_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_range_join_is_equi_bucketed(spark):
+    """The range join must execute as an equi hash/SMJ join on the
+    bucket key, not a nested-loop over the inequality."""
+    from data_warehouse_co_healthy_spark.operators import temporal
+
+    plan = _plan(temporal.range_join_activity(spark, SF_DIR))
+    assert "NestedLoop" not in plan
