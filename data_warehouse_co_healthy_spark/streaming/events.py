@@ -64,9 +64,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage_events_dir(sf_dir))
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # ts div 1000: integer division — float division would round-trip
+    # epoch nanos through a double and corrupt the microseconds
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_counts(
@@ -136,6 +136,40 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf="NoTimeout",
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: duplicates
+    arriving within the watermark horizon are dropped; state for ids
+    older than the watermark is evicted (the unbounded-state trap of a
+    plain dropDuplicates on a stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enriched_counts(
+    events: DataFrame,
+    user_dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join: each micro-batch joins the (broadcastable)
+    static user dimension — the streaming analog of the reference's
+    fact-to-dim star joins (medical_formula_process.py:116-119), then
+    windowed counts per user segment."""
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(user_dim), on="user_id", how="inner")
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w").getField("start").alias("bucket"), "segment", "n"
+        )
     )
 
 

@@ -70,3 +70,47 @@ def test_running_user_totals_state(spark, stream):
         final.sort_index(), want.sort_index(), check_exact=False,
         atol=1e-6, check_dtype=False,
     )
+
+
+def test_dedup_within_watermark(spark, stream):
+    out = _drain(
+        spark, se.dedup_within_watermark(stream), "dedup_stream",
+        mode="append",
+    )
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    # fixture has unique event_ids -> dedup is a no-op on counts
+    assert len(out) == n_batch
+    assert out.event_id.is_unique
+
+
+def test_stream_static_join(spark, stream):
+    from pyspark.sql import functions as F
+
+    users = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn(
+            "segment",
+            F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"),
+        )
+    )
+    got = (
+        _drain(
+            spark, se.enriched_counts(stream, users), "enriched",
+        )
+        .sort_values(["bucket", "segment"])
+        .reset_index(drop=True)
+    )
+    batch = load_table(spark, SF_DIR, "events").join(users, on="user_id")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w").getField("start").alias("bucket"), "segment", "n"
+        )
+        .toPandas()
+        .sort_values(["bucket", "segment"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
