@@ -92,7 +92,45 @@ def binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"binary_metadata": binary_metadata}
+FRAME_CHARS = 256   # fake "frame" = 256-char slice of the payload
+FRAME_STRIDE = 2    # sample every 2nd frame
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: the 1→N multimodal fanout (video → every k-th
+    frame) as an Arrow-batched mapInPandas. The deterministic fake
+    slices the payload into fixed-width frames and keeps every
+    FRAME_STRIDE-th one; a real pipeline seeks/decodes keyframes here —
+    the batch iterator shape, fanout schema, and partition-parallel
+    execution are identical."""
+    import hashlib  # noqa: PLC0415
+
+    out_schema = "media_id long, frame_idx long, frame_checksum string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")
+                n_frames = len(text) // FRAME_CHARS
+                for i in range(0, n_frames, FRAME_STRIDE):
+                    frame = text[i * FRAME_CHARS:(i + 1) * FRAME_CHARS]
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_checksum": sums}
+            )
+
+    media = media_from_documents(spark, sf_dir)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+QUERIES = {"binary_metadata": binary_metadata, "frame_sample": frame_sample}
 
 ORACLES = {
     "binary_metadata": """
@@ -102,6 +140,16 @@ ORACLES = {
                octet_length(encode(text)) AS byte_len,
                md5(text) AS checksum
         FROM documents
+    """,
+    "frame_sample": f"""
+        SELECT doc_id AS media_id,
+               i AS frame_idx,
+               md5(substr(text, i * {FRAME_CHARS} + 1, {FRAME_CHARS}))
+                   AS frame_checksum
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(
+                 0, length(text) // {FRAME_CHARS} - 1)) AS i)
+        WHERE i % {FRAME_STRIDE} = 0
     """,
 }
 
