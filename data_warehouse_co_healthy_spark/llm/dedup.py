@@ -132,25 +132,32 @@ def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing any band key. Buckets larger
-    than MAX_BUCKET are dropped (boilerplate/skew guard) before the
-    self-join — the 100 TB-critical step."""
-    from pyspark.sql.window import Window
+    than MAX_BUCKET are dropped (boilerplate/skew guard) — the
+    100 TB-critical step.
 
+    Pairs are generated IN-bucket (collect_list + combination
+    expansion), not by self-joining the bucket table: a self-join would
+    recompute the whole signature pipeline for each side (Spark does
+    not share unaliased subplans) and shuffle it twice; here signatures
+    are computed once and one groupBy builds every bucket, whose pair
+    fan-out is bounded by the MAX_BUCKET cap."""
     bands = _band_keys(spark, sf_dir)
-    sized = bands.withColumn(
-        "bucket_n",
-        F.count("*").over(Window.partitionBy("band", "band_key")),
-    ).filter(F.col("bucket_n") <= MAX_BUCKET)
-    a = sized.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a")
-    )
-    b = sized.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b")
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
     )
     return (
-        a.join(b, on=["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates()
     )
 
@@ -184,20 +191,40 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash: block on each of the 4 bytes (a pair
     within Hamming distance ≤ 6 of 32 bits shares at least one byte in
-    expectation — standard rotate-and-block), verify with bit_count."""
+    expectation — standard rotate-and-block), verify with bit_count.
+
+    Same in-bucket combination expansion as minhash_lsh_pairs: one
+    signature computation, one groupBy per blocking byte, pair fan-out
+    inside the bucket row (at production scale add a bucket cap here
+    exactly like MAX_BUCKET)."""
     sims = simhash_docs(spark, sf_dir)
-    bands = spark.range(4).select(F.col("id").alias("j"))
-    keyed = sims.crossJoin(F.broadcast(bands)).select(
-        "doc_id", "simhash", "j", F.expr("(simhash >> (8 * j)) & 255").alias("k")
+    keyed = sims.selectExpr(
+        "doc_id",
+        "simhash",
+        "explode(transform(sequence(0, 3), "
+        "j -> struct(j AS j, shiftright(simhash, 8 * j) & 255 AS k))) AS b",
+    ).select("doc_id", "simhash", "b.j", "b.k")
+    buckets = (
+        keyed.groupBy("j", "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
     )
-    a = keyed.select("j", "k", F.col("doc_id").alias("doc_a"),
-                     F.col("simhash").alias("sim_a"))
-    b = keyed.select("j", "k", F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("sim_b"))
     return (
-        a.join(b, on=["j", "k"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.simhash AS sim_a, y.simhash AS sim_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", "p.sim_a", "p.sim_b")
         .dropDuplicates()
         .filter(F.bit_count(F.expr("sim_a ^ sim_b")) <= HAMMING_MAX)
         .select(

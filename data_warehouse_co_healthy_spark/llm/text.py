@@ -102,31 +102,36 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-vote language ID: tokenize, join the broadcast stopword
-    table, take the language with most hits (deterministic tie-break on
-    language code); 'unknown' when nothing hits."""
+    """Stopword-vote language ID: per-language hit counts as parallel
+    conditional sums of ONE groupBy(doc_id) (the stopword lists are
+    literals, so no join is needed), argmax via greatest + a when-chain
+    in ascending language order (deterministic tie-break); 'unknown'
+    when nothing hits.
+
+    Single shuffle, no window, no join-back: split() always yields at
+    least one token, so the explode covers every document."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    sw = _stopword_df(spark)
     tokens = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )
-    from pyspark.sql.window import Window
-
-    hits = (
-        tokens.join(F.broadcast(sw), on="word")
-        .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "lang")
-    best = (
-        hits.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("lang").alias("pred"), "hits")
-    )
-    return d.select("doc_id").join(best, on="doc_id", how="left").select(
+    langs = sorted(STOPWORDS)
+    counts = [
+        F.sum(
+            F.when(F.col("word").isin(*STOPWORDS[lang]), 1).otherwise(0)
+        ).alias(f"n_{lang}")
+        for lang in langs
+    ]
+    wide = tokens.groupBy("doc_id").agg(*counts)
+    best = F.greatest(*[F.col(f"n_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):  # ascending order wins ties
+        pred = F.when(
+            (best > 0) & (F.col(f"n_{lang}") == best), F.lit(lang)
+        ).otherwise(pred)
+    return wide.select(
         "doc_id",
-        F.coalesce("pred", F.lit("unknown")).alias("pred_lang"),
-        F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+        pred.alias("pred_lang"),
+        best.cast("long").alias("hits"),
     )
 
 
