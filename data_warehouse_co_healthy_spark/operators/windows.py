@@ -104,8 +104,28 @@ def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, for each
+    order the total spent on orders within 5000 price units below it —
+    peers with equal o_totalprice all see the same frame, unlike ROWS."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_spend"),
+        F.count("*").over(w).alias("nearby_orders"),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
+    "window_range_frame": window_range_frame,
     "window_running_sum": window_running_sum,
     "window_topk_per_group": window_topk_per_group,
     "window_lag_gap": window_lag_gap,
@@ -117,6 +137,16 @@ ORACLES = {
     "surrogate_keys": """
         SELECT n_name, row_number() OVER (ORDER BY n_name) AS nation_sk
         FROM nation
+    """,
+    "window_range_frame": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               round(sum(o_totalprice) OVER w, 2) AS nearby_spend,
+               count(*) OVER w AS nearby_orders
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_totalprice
+            RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW
+        )
     """,
     "window_running_sum": """
         SELECT l_suppkey, l_orderkey, l_linenumber,

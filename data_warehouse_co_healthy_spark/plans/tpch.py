@@ -185,6 +185,61 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    The order-date filter prunes orders BEFORE the fact join; nation
+    broadcasts; top-k is a global sort of the small agg output."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-10-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share) over one month; part broadcasts into the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(rev)
+                * 100,
+                4,
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "fact_formula_star": fact_formula_star,
     "q3_shipping_priority": q3_shipping_priority,
@@ -192,6 +247,8 @@ QUERIES = {
     "q18_large_orders": q18_large_orders,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_share": q14_promo_share,
 }
 
 ORACLES = {
@@ -287,5 +344,29 @@ ORACLES = {
                       WHERE l_orderkey = o.o_orderkey
                         AND l_returnflag = 'R')
         GROUP BY o_orderpriority
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q14_promo_share": """
+        SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_share_pct,
+               count(*)::BIGINT AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
     """,
 }
