@@ -146,3 +146,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Facts partitioned by date key: a literal filter must become a
+    PartitionFilter (static pruning), and a selective dim join must
+    inject a dynamicpruning expression (DPP) — SURVEY §4's posture."""
+    from pyspark.sql import functions as F
+
+    li = readers.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    path = str(tmp_path / "li_part")
+    writers.write_parquet(
+        li.withColumn("ship_year", F.year("l_shipdate")),
+        path,
+        partition_by=("ship_year",),
+    )
+    part = spark.read.parquet(path)
+
+    static = part.filter(F.col("ship_year") == 1996)
+    splan = static._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in splan
+    assert "ship_year" in splan.split("PartitionFilters: [", 1)[1].split(
+        "]", 1
+    )[0]
+
+    years = spark.range(1).select(
+        F.lit(1996).alias("y"), F.lit("pick").alias("tag")
+    )
+    joined = part.join(years, part.ship_year == years.y).filter(
+        F.col("tag") == "pick"
+    )
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in jplan.lower() or "PartitionFilters: [" in jplan
