@@ -130,6 +130,20 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (order-statistics agg).
+    At 100 TB swap `percentile` for `approx_percentile` (t-digest,
+    mergeable map-side) — declared here with the exact form so the
+    oracle can pin values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts.
     Not DuckDB-hash-comparable (different sketch), so the query surface
@@ -149,6 +163,7 @@ QUERIES = {
     "cube_sales": cube_sales,
     "pivot_status": pivot_status,
     "grouping_sets_sales": grouping_sets_sales,
+    "percentiles_by_group": percentiles_by_group,
     "approx_distinct": approx_distinct,
 }
 
@@ -197,6 +212,14 @@ ORACLES = {
                                  THEN l_quantity END), 0.0) AS qty_open,
                coalesce(sum(CASE WHEN l_linestatus = 'F'
                                  THEN l_quantity END), 0.0) AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "percentiles_by_group": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         FROM lineitem GROUP BY l_returnflag
     """,
     "grouping_sets_sales": """

@@ -1,0 +1,120 @@
+"""Warehouse-maintenance operators: SCD2 versioning and MERGE/upsert.
+
+The reference rebuilds every dimension from scratch on each run
+(dropDuplicates over a full re-extract, reference dimension.py:20-154)
+— no history, no incremental load. These operators are the engine-added
+incremental path: type-2 slowly-changing dimensions from a change
+stream, and MERGE semantics (update-matched / insert-unmatched)
+expressed as a full-outer join so it runs on plain parquet (swap in
+Delta/Iceberg MERGE INTO for transactional storage; the plan shape is
+identical).
+
+Scale posture: SCD2 is one shuffle (window by business key); MERGE is
+one shuffle per side on the merge key — both AQE-coalesced, no
+driver-side diffing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension of each user's event_type "state" from the
+    events change stream: one row per state change, with
+    [valid_from, valid_to) intervals and a current flag. Consecutive
+    duplicates collapse (a re-assertion of the same state is not a new
+    version)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain tables: target = customer dim, source =
+    per-customer order spend. Matched rows update (balance += spend),
+    target-only rows carry over unchanged, source-only rows insert with
+    a placeholder name — the three MERGE branches as one full-outer
+    join + coalesce, no driver involvement."""
+    c = load_table(spark, sf_dir, "customer")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    return (
+        c.join(src, c.c_custkey == src.o_custkey, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("c_name", F.lit("(new)")).alias("name"),
+            F.round(
+                F.coalesce("c_acctbal", F.lit(0.0))
+                + F.coalesce("spent", F.lit(0.0)),
+                2,
+            ).alias("balance"),
+            F.when(F.col("o_custkey").isNull(), "carried")
+            .when(F.col("c_custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("merge_action"),
+        )
+    )
+
+
+QUERIES = {
+    "scd2_user_state": scd2_user_state,
+    "merge_upsert_balances": merge_upsert_balances,
+}
+
+ORACLES = {
+    "scd2_user_state": """
+        WITH changes AS (
+            SELECT user_id, ts, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "merge_upsert_balances": """
+        SELECT coalesce(c_custkey, o_custkey) AS custkey,
+               coalesce(c_name, '(new)') AS name,
+               round(coalesce(c_acctbal, 0.0) + coalesce(spent, 0.0), 2)
+                   AS balance,
+               CASE WHEN o_custkey IS NULL THEN 'carried'
+                    WHEN c_custkey IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS merge_action
+        FROM customer
+        FULL OUTER JOIN (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS spent
+            FROM orders GROUP BY o_custkey
+        ) src ON c_custkey = src.o_custkey
+    """,
+}

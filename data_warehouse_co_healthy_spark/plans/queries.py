@@ -24,6 +24,7 @@ from ..operators import (
     scalars,
     setops,
     temporal,
+    warehouse,
     windows,
 )
 from . import tpch
@@ -39,6 +40,7 @@ _MODULES = (
     scalars,
     dates,
     temporal,
+    warehouse,
     tpch,
 )
 
