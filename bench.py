@@ -32,7 +32,9 @@ HEADLINE = [
     "window_topk_per_group", # window + filter
     "dedup_exact",           # LLM: exact dedup (if registered)
     "minhash_signatures",    # LLM: minhash (if registered)
+    "minhash_lsh_pairs",     # LLM: LSH candidate pairs
     "cosine_topk",           # LLM: brute-force ANN (if registered)
+    "asof_join",             # temporal: as-of via union-merge window
 ]
 
 
