@@ -173,6 +173,21 @@ def enriched_counts(
     )
 
 
+def run_foreach_batch(result: DataFrame, sink, output_mode: str = "update"):
+    """foreachBatch sink: each micro-batch is handed to ``sink(df,
+    batch_id)`` as a BATCH DataFrame, so any batch writer — jdbc,
+    MERGE into Delta/Iceberg, partitioned parquet upsert — becomes a
+    streaming sink with exactly-once-per-batch semantics (batch_id is
+    the replay key for idempotence)."""
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
 def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "complete"
 ):

@@ -214,3 +214,32 @@ def test_fact_servicio(built, src):
     rem = fact[fact.tipo_servicio == "Remision"].iloc[0]
     assert rem.diagnostico == "resonancia magnetica"
     assert (fact.hora_solicitud_id != fact.hora_atencion_id).any()
+
+
+def test_runner_builds_full_warehouse(spark, src):
+    """O1 parity: one call builds 11 dims + 4 facts (reference
+    process.py runs 4 pipelines that each rebuild their dims)."""
+    from data_warehouse_co_healthy_spark.pipelines.runner import run_all
+
+    out = run_all(spark, src)
+    assert len(out) == 15
+    assert out["fact_medical_formula"].count() == 3
+    assert out["fact_retiro"].count() == 2
+    assert out["dim_fecha"].count() == 1826
+    for v in out.values():
+        v.unpersist()
+
+
+def test_safe_union_guards_column_order(spark):
+    """The positional-union footgun (reference service_process.py:135)
+    raises instead of silently mixing columns."""
+    import pytest as _pytest
+
+    from data_warehouse_co_healthy_spark.operators.setops import safe_union
+
+    a = spark.createDataFrame([(1, "x")], "id int, v string")
+    b = spark.createDataFrame([("y", 2)], "v string, id int")
+    with _pytest.raises(ValueError, match="safe_union"):
+        safe_union(a, b)
+    ok = safe_union(a, b.select("id", "v"))
+    assert ok.count() == 2

@@ -114,3 +114,42 @@ def test_stream_static_join(spark, stream):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_foreach_batch_sink(spark, stream, tmp_path):
+    """foreachBatch: windowed counts land in a parquet target per
+    micro-batch; final content equals the batch plan (last write wins
+    per key is unnecessary here — one bounded batch)."""
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "counts_sink")
+    seen_batches = []
+
+    def sink(df, batch_id):
+        seen_batches.append(batch_id)
+        df.write.mode("append").parquet(target)
+
+    q = se.run_foreach_batch(se.windowed_counts(stream), sink)
+    try:
+        got = (
+            spark.read.parquet(target)
+            .groupBy("bucket", "event_type")
+            .agg(F.max("n").alias("n"))  # replays keep the latest count
+            .toPandas()
+            .sort_values(["bucket", "event_type"])
+            .reset_index(drop=True)
+        )
+    finally:
+        q.stop()
+    assert len(seen_batches) >= 1
+    batch = load_table(spark, SF_DIR, "events")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w").getField("start").alias("bucket"),
+                "event_type", "n")
+        .toPandas()
+        .sort_values(["bucket", "event_type"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
