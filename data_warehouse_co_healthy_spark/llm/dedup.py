@@ -288,10 +288,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LABEL_ITERS = 3  # label-propagation rounds (bounded, deterministic)
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: every doc gets a
+    cluster id = the smallest doc_id reachable within N_LABEL_ITERS
+    hops (bounded min-label propagation — the last mile of dedup, where
+    pairs become keep/drop groups).
+
+    Each round is one join + one min-aggregate over the symmetrized
+    edge list WITH self-loops (so a node's own label competes in the
+    same aggregate — no second self-reference needed). Bounded rounds
+    keep it deterministic and SQL-mirrorable (the oracle unrolls the
+    same 3 rounds); at 100 TB this is the standard iterative
+    connected-components shape (alternating large-star/small-star),
+    each round a shuffle on doc_id."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.selectExpr("doc_a AS s", "doc_b AS d")
+        .unionByName(pairs.selectExpr("doc_b AS s", "doc_a AS d"))
+        .unionByName(docs.selectExpr("doc_id AS s", "doc_id AS d"))
+        .persist()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(N_LABEL_ITERS):
+        labels = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy("d")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("d").alias("doc_id"), "label")
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_cluster_labels": dedup_cluster_labels,
     "simhash_docs": simhash_docs,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -407,3 +443,20 @@ ORACLES = {
 }
 
 NO_ORACLE: dict[str, str] = {}
+
+ORACLES["dedup_cluster_labels"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+        UNION ALL SELECT doc_id, doc_id FROM documents
+    ),
+    l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+    l1 AS (SELECT e.d AS doc_id, min(l0.label) AS label
+           FROM edges e JOIN l0 ON e.s = l0.doc_id GROUP BY e.d),
+    l2 AS (SELECT e.d AS doc_id, min(l1.label) AS label
+           FROM edges e JOIN l1 ON e.s = l1.doc_id GROUP BY e.d),
+    l3 AS (SELECT e.d AS doc_id, min(l2.label) AS label
+           FROM edges e JOIN l2 ON e.s = l2.doc_id GROUP BY e.d)
+    SELECT doc_id, label AS cluster_id FROM l3
+"""

@@ -143,9 +143,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.md5(canon).alias("fingerprint"))
 
 
+MIN_TOKENS = 20
+MAX_PUNCT = 0.2
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter — the composition a real corpus
+    pipeline runs: keep only the CANONICAL copy of each document
+    (exact-dedup winner), with enough tokens, low punctuation noise,
+    and a confident language id. Built by composing the other declared
+    operators on doc_id (each stage stays one shuffle; the joins all
+    key on doc_id so AQE can coalesce them)."""
+    from . import dedup  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    canon = dedup.dedup_exact(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", "n_tokens", "punct_ratio"
+    )
+    lid = langid_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        d.join(canon, on="doc_id")
+        .join(q, on="doc_id")
+        .join(lid, on="doc_id")
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("punct_ratio") <= MAX_PUNCT)
+            & (F.col("pred_lang") != "unknown")
+        )
+        .select("doc_id", "source", "pred_lang", "n_tokens")
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "token_count_by_source": token_count_by_source,
+    "clean_corpus": clean_corpus,
     "text_quality": text_quality,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -216,3 +251,20 @@ ORACLES = {
 }
 
 NO_ORACLE: dict[str, str] = {}
+
+
+from . import dedup as _dedup  # noqa: E402 (oracle composition only)
+
+ORACLES["clean_corpus"] = f"""
+    WITH canon AS ({_dedup.ORACLES["dedup_exact"]}),
+    q AS ({ORACLES["text_quality"]}),
+    lid AS ({ORACLES["langid_heuristic"]})
+    SELECT d.doc_id, d.source, lid.pred_lang, q.n_tokens
+    FROM documents d
+    JOIN canon ON d.doc_id = canon.canonical_id
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN lid ON d.doc_id = lid.doc_id
+    WHERE q.n_tokens >= {MIN_TOKENS}
+      AND q.punct_ratio <= {MAX_PUNCT}
+      AND lid.pred_lang <> 'unknown'
+"""
