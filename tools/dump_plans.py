@@ -1,0 +1,49 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline
+queries at sf0.1 on the tuned session. Run: python tools/dump_plans.py"""
+
+from __future__ import annotations
+
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
+
+SHOWCASE = [
+    ("q6_forecast_revenue", "filter pushdown + column pruning"),
+    ("star_join_revenue", "all-broadcast star join, one fact scan"),
+    ("fact_formula_star", "flagship: one shuffle (collect_list), rest broadcast"),
+    ("minhash_signatures", "one wide partial-agg shuffle, no row blow-up"),
+    ("asof_join", "union-merge window, no nested-loop"),
+    ("dedup_cluster_labels", "iterative label propagation"),
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("plans")
+    queries = entrymod.queries()
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical plans of showcase queries (sf0.1, tuned "
+        "session)\n\nRegenerate with `python tools/dump_plans.py`. "
+        "Plans are pre-execution (AQE initial); runtime re-planning can "
+        "only improve them.\n"
+    )
+    for name, why in SHOWCASE:
+        df = queries[name](spark, "/root/testdata/sf0.1")
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        out.write(f"\n## {name} — {why}\n\n```\n{plan.strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(out.getvalue())
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
