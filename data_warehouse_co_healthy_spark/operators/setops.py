@@ -37,6 +37,51 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).dropDuplicates()
 
 
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide measure columns → (measure, value) rows —
+    the inverse of pivot, used to normalize metric tables."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling (~10%): keep rows whose
+    md5(text) lands in bucket 0 of 10. Unlike rand()-based sampling
+    this is reproducible across engines, retries, and reruns — the
+    only sane way to sample a 100 TB corpus consistently."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 10
+    )
+    return d.select("doc_id", "source", bucket.alias("bucket")).filter(
+        F.col("bucket") == 0
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quota sampling: at most N docs per source, chosen by
+    deterministic hash order (not rand()) — the per-domain quota step
+    of corpus construction. One shuffle on the strata key."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    return (
+        d.select("doc_id", "source", "text")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+    )
+
+
 def safe_union(*dfs: DataFrame) -> DataFrame:
     """Positional union with the footgun removed (SURVEY §7: "a check
     rule forbidding positional union"): raises unless every branch has
@@ -111,9 +156,41 @@ QUERIES = {
     "distinct_single": distinct_single,
     "intersect_keys": intersect_keys,
     "except_keys": except_keys,
+    "unpivot_measures": unpivot_measures,
+    "sample_hash_mod": sample_hash_mod,
+    "stratified_sample": stratified_sample,
 }
 
 ORACLES = {
+    "unpivot_measures": """
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (
+            SELECT l_orderkey, l_linenumber,
+                   'l_quantity' AS measure, l_quantity AS value
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_extendedprice', l_extendedprice FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'l_discount', l_discount FROM lineitem
+        )
+    """,
+    "sample_hash_mod": """
+        SELECT doc_id, source,
+               ('0x' || substr(md5(text), 1, 15))::BIGINT % 10 AS bucket
+        FROM documents
+        WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 10 = 0
+    """,
+    "stratified_sample": """
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY md5(text), doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= 10
+    """,
     "union_by_name": """
         SELECT DISTINCT * FROM (
             SELECT c_custkey AS party_id, c_name AS nombre,
