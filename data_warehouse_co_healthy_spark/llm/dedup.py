@@ -312,6 +312,9 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(docs.selectExpr("doc_id AS s", "doc_id AS d"))
         .persist()
     )
+    edges.count()  # materialize the cache BEFORE the plan references it
+    # 3x — otherwise each propagation round recomputes the whole LSH
+    # pipeline while racing to populate the same cache
     labels = docs.select("doc_id", F.col("doc_id").alias("label"))
     for _ in range(N_LABEL_ITERS):
         labels = (
