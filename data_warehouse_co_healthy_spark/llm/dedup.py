@@ -6,13 +6,17 @@ stage is deterministic and oracle-checkable — unlike
 ``pyspark.ml.feature.MinHashLSH``'s seeded random coefficients, which
 can't be reproduced in SQL. The dataflow shape IS the scale story:
 
-  shingle → (doc, shingle) distinct → per-permutation min  (map-side
-  partial agg) → band keys → self-join on (band, key) → candidate pairs
+  doc-local shingle+distinct (no shuffle) → one md5 per shingle →
+  16 permutation mins as parallel aggregates of ONE groupBy(doc_id) →
+  band keys off the wide row (no shuffle) → bucket groupBy →
+  in-bucket combination expansion → candidate pairs → bounded
+  label propagation → clusters
 
-At 100 TB the only heavy shuffle is the band-key self-join, whose
-fan-out is bounded by bucket sizes; hot buckets (boilerplate docs) are
-the classic skew source and are capped explicitly (MAX_BUCKET /
-MAX_DOCFREQ below) — same posture as production near-dedup pipelines.
+At 100 TB the heavy shuffles are the per-doc aggregate (partial-agg'd
+map-side) and the bucket groupBy, whose pair fan-out is bounded by
+bucket sizes; hot buckets (boilerplate docs) are the classic skew
+source and are capped explicitly (MAX_BUCKET / MAX_DOCFREQ below) —
+same posture as production near-dedup pipelines.
 """
 
 from __future__ import annotations
