@@ -85,8 +85,34 @@ def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def try_cast_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant casts: try_cast turns unparseable values into NULL
+    instead of failing the job (critical under ANSI mode, where a single
+    bad record in 100 TB would otherwise kill the query); try_divide
+    guards div-by-zero the same way. Counts numeric tokens per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    return (
+        tok.select(
+            "doc_id", F.expr("try_cast(t AS bigint)").alias("num")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("num").alias("n_numeric"),
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.expr("try_divide(count(num), count(num) - count(num))"),
+                4,
+            ).alias("div_zero_is_null"),
+        )
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
+    "try_cast_tokens": try_cast_tokens,
     "explode_grain": explode_grain,
     "json_extract": json_extract,
     "json_group_stats": json_group_stats,
@@ -94,6 +120,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "try_cast_tokens": """
+        SELECT doc_id,
+               count(num)::BIGINT AS n_numeric,
+               count(*)::BIGINT AS n_tokens,
+               NULL::DOUBLE AS div_zero_is_null
+        FROM (
+            SELECT doc_id, TRY_CAST(t AS BIGINT) AS num
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+        )
+        GROUP BY doc_id
+    """,
     "split_explode": """
         SELECT token, count(*) AS freq FROM (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents

@@ -240,6 +240,37 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery ("the supplier with
+    the minimum cost for this part") DECORRELATED to a window rank —
+    the standard rewrite Catalyst applies to correlated subqueries,
+    declared explicitly so the plan is one shuffle on p_partkey instead
+    of a re-executed subquery per row."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        cost.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name").alias("best_supplier"),
+            "unit_cost",
+        )
+    )
+
+
 QUERIES = {
     "fact_formula_star": fact_formula_star,
     "q3_shipping_priority": q3_shipping_priority,
@@ -249,6 +280,7 @@ QUERIES = {
     "q4_order_priority": q4_order_priority,
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
 }
 
 ORACLES = {
@@ -368,5 +400,20 @@ ORACLES = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "q2_min_cost_supplier": """
+        WITH cost AS (
+            SELECT l_partkey, l_suppkey,
+                   round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+            ) AS rk
+            FROM cost
+        )
+        SELECT l_partkey AS partkey, s_name AS best_supplier, unit_cost
+        FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rk = 1
     """,
 }
