@@ -123,9 +123,30 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-statistic window family in one pass: dense_rank,
+    percent_rank, cume_dist over order value within each segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return seg.select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
     "window_range_frame": window_range_frame,
+    "window_rank_stats": window_rank_stats,
     "window_running_sum": window_running_sum,
     "window_topk_per_group": window_topk_per_group,
     "window_lag_gap": window_lag_gap,
@@ -146,6 +167,16 @@ ORACLES = {
         WINDOW w AS (
             PARTITION BY o_custkey ORDER BY o_totalprice
             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "window_rank_stats": """
+        SELECT c_mktsegment, o_orderkey,
+               dense_rank() OVER w AS drk,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WINDOW w AS (
+            PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey
         )
     """,
     "window_running_sum": """

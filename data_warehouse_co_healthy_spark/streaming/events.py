@@ -173,6 +173,42 @@ def enriched_counts(
     )
 
 
+def purchase_attribution(
+    events: DataFrame,
+    horizon_min: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: each purchase joined to the same user's
+    clicks in the preceding ``horizon_min`` minutes. Both sides carry a
+    watermark and the join condition bounds event-time distance, so
+    state for either side is evicted once the watermark passes —
+    WITHOUT the time bound a stream-stream join would buffer forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), "event_id")
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+        "inner",
+    ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
 def run_foreach_batch(result: DataFrame, sink, output_mode: str = "update"):
     """foreachBatch sink: each micro-batch is handed to ``sink(df,
     batch_id)`` as a BATCH DataFrame, so any batch writer — jdbc,

@@ -153,3 +153,41 @@ def test_foreach_batch_sink(spark, stream, tmp_path):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_stream_join_matches_batch(spark, stream):
+    from pyspark.sql import functions as F
+
+    got = (
+        _drain(
+            spark, se.purchase_attribution(stream), "attrib", mode="append",
+        )
+        .sort_values(["event_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    want = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+            ),
+        )
+        .select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
+        .toPandas()
+        .sort_values(["event_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
