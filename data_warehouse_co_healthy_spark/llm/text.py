@@ -177,8 +177,66 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEQ_LEN = 2048      # packing target context length (tokens)
+CHUNK_WORDS = 50    # chunk width (words)
+CHUNK_STRIDE = 40   # chunk stride (words) -> 10-word overlap
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-size training
+    contexts by cumulative token count per source (greedy in a
+    deterministic doc_id order). pack_id = which SEQ_LEN-token bin the
+    document STARTS in — the shuffle-once (window by source) version of
+    the packing stage every pretraining pipeline runs before writing
+    examples."""
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / SEQ_LEN)
+        .cast("long")
+        .alias("pack_id"),
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG / long-doc
+    pretraining splitter): CHUNK_WORDS-word windows every CHUNK_STRIDE
+    words, md5 per chunk. Map-side explode — no shuffle; the word array
+    is materialized once per doc before the chunk lambda slices it."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    )
+    n_chunks = (
+        f"greatest(cast(ceil((size(ws) - {CHUNK_WORDS}) / "
+        f"{CHUNK_STRIDE} + 1) AS int), 1)"
+    )
+    return words.selectExpr(
+        "doc_id",
+        f"posexplode(transform(sequence(1, {n_chunks}), "
+        f"i -> md5(array_join(slice(ws, (i - 1) * {CHUNK_STRIDE} + 1, "
+        f"{CHUNK_WORDS}), ' ')))) AS (chunk_idx, chunk_md5)",
+    ).selectExpr("doc_id", "cast(chunk_idx AS long) AS chunk_idx", "chunk_md5")
+
+
 QUERIES = {
     "token_count": token_count,
+    "pack_sequences": pack_sequences,
+    "chunk_documents": chunk_documents,
     "token_count_by_source": token_count_by_source,
     "clean_corpus": clean_corpus,
     "text_quality": text_quality,
@@ -186,7 +244,38 @@ QUERIES = {
     "doc_fingerprint": doc_fingerprint,
 }
 
+_SQL_WS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_N_CHUNKS = (
+    f"greatest(ceil((len({_SQL_WS}) - {CHUNK_WORDS}) / {CHUNK_STRIDE} + 1)"
+    f"::INT, 1)"
+)
+
 ORACLES = {
+    "pack_sequences": f"""
+        SELECT doc_id, source, n_tok,
+               floor((sum(n_tok) OVER w - n_tok) / {SEQ_LEN})::BIGINT
+                   AS pack_id
+        FROM (
+            SELECT doc_id, source,
+                   len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                       AS n_tok
+            FROM documents
+        )
+        WINDOW w AS (
+            PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+    "chunk_documents": f"""
+        SELECT doc_id, (i - 1)::BIGINT AS chunk_idx,
+               md5(array_to_string(list_slice({_SQL_WS},
+                   (i - 1) * {CHUNK_STRIDE} + 1,
+                   (i - 1) * {CHUNK_STRIDE} + {CHUNK_WORDS}), ' '))
+                   AS chunk_md5
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, {_SQL_N_CHUNKS}))
+                      AS i)
+    """,
     "token_count": f"""
         SELECT doc_id,
                len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
