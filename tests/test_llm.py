@@ -83,3 +83,39 @@ def test_langid_covers_all_docs(spark):
     n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     assert len(out) == n_docs
     assert set(out.pred_lang) <= set(text.STOPWORDS) | {"unknown"}
+
+
+def test_cluster_labels_are_canonical_min(spark):
+    """Cluster ids are real doc ids, never exceed the member's own id
+    (min-label propagation invariant), and every doc is labeled."""
+    labels = dedup.dedup_cluster_labels(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(labels) == n_docs
+    assert (labels.cluster_id <= labels.doc_id).all()
+    assert set(labels.cluster_id) <= set(labels.doc_id)
+
+
+def test_pack_sequences_bins_are_monotonic(spark):
+    """Within a source, pack ids never decrease in doc order and every
+    pack except possibly the last is 'opened' below the target length."""
+    from data_warehouse_co_healthy_spark.llm import text
+
+    packs = (
+        text.pack_sequences(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    for _, grp in packs.groupby("source"):
+        assert grp.pack_id.is_monotonic_increasing
+        assert (grp.pack_id.diff().fillna(0) >= 0).all()
+
+
+def test_chunk_documents_covers_every_doc(spark):
+    from data_warehouse_co_healthy_spark.llm import text
+
+    chunks = text.chunk_documents(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert chunks.doc_id.nunique() == n_docs
+    # chunk indices are contiguous from 0 per doc
+    for _, grp in chunks.groupby("doc_id"):
+        assert sorted(grp.chunk_idx) == list(range(len(grp)))
