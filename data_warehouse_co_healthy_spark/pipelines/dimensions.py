@@ -39,7 +39,14 @@ __all__ = [
 
 def with_surrogate_key(df: DataFrame, key_name: str, *order_cols: str) -> DataFrame:
     """Deterministic surrogate key: row_number over the natural-key
-    ordering (replaces the reference's DB-serial read-back)."""
+    ordering (replaces the reference's DB-serial read-back).
+
+    The unpartitioned window funnels the frame through ONE partition —
+    acceptable for DIMENSIONS (all ≤ ~100k rows; determinism is worth
+    one small shuffle), and exactly why fact tables here carry their
+    natural/composite keys instead: for billions of rows use
+    zipWithIndex or monotonically_increasing_id + a dense-rank fixup,
+    trading contiguity for parallelism."""
     w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
     return df.withColumn(key_name, F.row_number().over(w).cast("long"))
 
