@@ -62,7 +62,10 @@ NO_ORACLE: dict[str, str] = {
 
 
 def register_llm_modules() -> None:
-    """LLM-pipeline operators register late (heavier imports)."""
+    """LLM-pipeline operators register late (heavier imports).
+    Idempotent — repeat calls are no-ops."""
+    if "dedup_exact" in QUERIES:
+        return
     from ..llm import dedup, multimodal, similarity, text  # noqa: PLC0415
 
     for m in (dedup, multimodal, similarity, text):

@@ -1,0 +1,35 @@
+"""Registry invariants: the (query, oracle) contract the driver relies
+on — every declared query is either oracle-checked or explicitly
+excused with a reason; nothing dangles."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+from data_warehouse_co_healthy_spark.plans import queries as reg
+
+
+def test_every_query_has_oracle_or_reason():
+    reg.register_llm_modules()
+    for name in reg.QUERIES:
+        assert name in reg.ORACLES or name in reg.NO_ORACLE, (
+            f"{name} has neither an oracle nor a NO_ORACLE reason"
+        )
+
+
+def test_no_orphan_oracles():
+    reg.register_llm_modules()
+    orphans = set(reg.ORACLES) - set(reg.QUERIES)
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_no_oracle_reasons_are_meaningful():
+    for name, reason in reg.NO_ORACLE.items():
+        assert len(reason) > 20, f"{name}: reason too thin: {reason!r}"
+
+
+def test_entry_module_exports_registry():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 80
+    # driver contract: oracle_sql values are plain SQL strings
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
