@@ -79,12 +79,80 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dq_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: null rate and distinct count per audited
+    column of orders, computed in ONE pass (parallel conditional
+    aggregates — never one job per column)."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.round(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias(f"nullrate_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"distinct_{c}"))
+    return o.agg(F.count("*").alias("n_rows"), *aggs)
+
+
+def dq_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: fact keys with no matching parent
+    (left-anti join per relationship), one summary row per constraint."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    li_o = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+        .select(F.lit("lineitem.l_orderkey->orders").alias("constraint"),
+                "orphans")
+    )
+    li_p = (
+        li.join(p, li.l_partkey == p.p_partkey, "left_anti")
+        .agg(F.count("*").alias("orphans"))
+        .select(F.lit("lineitem.l_partkey->part").alias("constraint"),
+                "orphans")
+    )
+    return li_o.unionByName(li_p)
+
+
 QUERIES = {
     "scd2_user_state": scd2_user_state,
     "merge_upsert_balances": merge_upsert_balances,
+    "dq_null_rates": dq_null_rates,
+    "dq_orphans": dq_orphans,
 }
 
 ORACLES = {
+    "dq_null_rates": """
+        SELECT count(*)::BIGINT AS n_rows,
+               round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS nullrate_o_custkey,
+               count(DISTINCT o_custkey)::BIGINT AS distinct_o_custkey,
+               round(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS nullrate_o_orderstatus,
+               count(DISTINCT o_orderstatus)::BIGINT
+                   AS distinct_o_orderstatus,
+               round(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS nullrate_o_totalprice,
+               count(DISTINCT o_totalprice)::BIGINT AS distinct_o_totalprice,
+               round(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS nullrate_o_orderdate,
+               count(DISTINCT o_orderdate)::BIGINT AS distinct_o_orderdate
+        FROM orders
+    """,
+    "dq_orphans": """
+        SELECT 'lineitem.l_orderkey->orders' AS constraint,
+               count(*) FILTER (o_orderkey IS NULL)::BIGINT AS orphans
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               count(*) FILTER (p_partkey IS NULL)::BIGINT
+        FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+    """,
     "scd2_user_state": """
         WITH changes AS (
             SELECT user_id, ts, event_id, event_type

@@ -271,6 +271,31 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + anti join —
+    high-balance customers with no URGENT orders. The scalar aggregate
+    becomes a broadcast single-row subquery; the NOT EXISTS a left-anti
+    join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_prospects"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 QUERIES = {
     "fact_formula_star": fact_formula_star,
     "q3_shipping_priority": q3_shipping_priority,
@@ -281,6 +306,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "q14_promo_share": q14_promo_share,
     "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q22_prospects": q22_prospects,
 }
 
 ORACLES = {
@@ -415,5 +441,16 @@ ORACLES = {
         SELECT l_partkey AS partkey, s_name AS best_supplier, unit_cost
         FROM ranked JOIN supplier ON l_suppkey = s_suppkey
         WHERE rk = 1
+    """,
+    "q22_prospects": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n_prospects,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
     """,
 }

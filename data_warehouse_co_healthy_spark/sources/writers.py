@@ -78,6 +78,37 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def compact_parquet(
+    spark,
+    path: str,
+    target_files: int,
+    sort_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_files`` files, optionally sort-clustered so min/max
+    row-group stats make range filters skip data (poor man's Z-order
+    on one dimension). The everyday maintenance job that keeps a
+    100 TB table scannable after streaming/incremental ingest; returns
+    the new file count."""
+    import glob as _glob
+    import os as _os
+
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(target_files, *sort_cols)
+    else:
+        out = df.repartition(target_files)
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    swap = path.rstrip("/") + "__old"
+    _os.rename(path, swap)
+    _os.rename(tmp, path)
+    import shutil as _shutil
+
+    _shutil.rmtree(swap)
+    return len(_glob.glob(_os.path.join(path, "*.parquet")))
+
+
 def rest_bulk_insert(
     df: DataFrame,
     table: str,

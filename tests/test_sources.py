@@ -178,3 +178,22 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )
     jplan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in jplan.lower() or "PartitionFilters: [" in jplan
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    """Compaction: a fragmented write (32 partitions of tiny data)
+    collapses to the target file count, content-identical, and
+    range-clustered when sort columns are given."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "frag")
+    li = readers.read_parquet(spark, f"{SF_DIR}/lineitem.parquet")
+    li.repartition(32).write.parquet(path)
+    before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert before > 4
+    n = writers.compact_parquet(spark, path, 2, sort_cols=("l_shipdate",))
+    assert n <= 4  # range-partitioner may emit < target, never > 2x
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_quantity")).first()[0] == \
+        li.agg(F.sum("l_quantity")).first()[0]
