@@ -233,10 +233,39 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("doc_id", "cast(chunk_idx AS long) AS chunk_idx", "chunk_md5")
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap perplexity proxy corpus filters use to drop binary junk
+    (entropy ~ 0 or ~ log2(256)) and boilerplate. chars explode →
+    one groupBy(doc_id, ch) count → entropy aggregate; both shuffles
+    carry at most |alphabet| rows per doc."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    chars = d.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(1, length(text)), "
+        "i -> substring(text, i, 1))) AS ch",
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("total"),
+            F.sum(F.expr("n * log2(n)")).alias("nlogn"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.expr("log2(total) - nlogn / total"), 4
+            ).alias("entropy_bits"),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
+    "char_entropy": char_entropy,
     "token_count_by_source": token_count_by_source,
     "clean_corpus": clean_corpus,
     "text_quality": text_quality,
@@ -251,6 +280,21 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "char_entropy": """
+        SELECT doc_id,
+               round(log2(total) - nlogn / total, 4) AS entropy_bits
+        FROM (
+            SELECT doc_id, sum(n) AS total, sum(n * log2(n)) AS nlogn
+            FROM (
+                SELECT doc_id, substr(text, i, 1) AS ch, count(*) AS n
+                FROM documents,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, length(text))) AS i)
+                GROUP BY doc_id, ch
+            )
+            GROUP BY doc_id
+        )
+    """,
     "pack_sequences": f"""
         SELECT doc_id, source, n_tok,
                floor((sum(n_tok) OVER w - n_tok) / {SEQ_LEN})::BIGINT
