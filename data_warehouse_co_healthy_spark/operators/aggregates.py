@@ -144,6 +144,30 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median (exact interpolated) and most-frequent value per group —
+    the order-statistic + mode pair every profiling pass wants. Mode
+    tie-break: smallest value (deterministic, mirrored in the oracle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    modes = (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    medians = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty")
+    )
+    return medians.join(modes, on="l_returnflag")
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts.
     Not DuckDB-hash-comparable (different sketch), so the query surface
@@ -164,6 +188,7 @@ QUERIES = {
     "pivot_status": pivot_status,
     "grouping_sets_sales": grouping_sets_sales,
     "percentiles_by_group": percentiles_by_group,
+    "central_tendency": central_tendency,
     "approx_distinct": approx_distinct,
 }
 
@@ -221,6 +246,23 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "central_tendency": """
+        WITH modes AS (
+            SELECT l_returnflag, l_quantity AS mode_qty FROM (
+                SELECT l_returnflag, l_quantity, count(*) AS n,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY count(*) DESC, l_quantity
+                       ) AS rk
+                FROM lineitem GROUP BY l_returnflag, l_quantity
+            ) WHERE rk = 1
+        )
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+               mode_qty
+        FROM lineitem JOIN modes USING (l_returnflag)
+        GROUP BY l_returnflag, mode_qty
     """,
     "grouping_sets_sales": """
         SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

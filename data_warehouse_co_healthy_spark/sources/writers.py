@@ -78,6 +78,41 @@ def write_jdbc(
     writer.mode(mode).save()
 
 
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Append-only snapshot versioning on plain parquet: each call
+    writes a new ``version=N`` directory and never mutates previous
+    ones, so historical reads stay consistent while writers proceed —
+    the minimal time-travel contract (swap in Delta/Iceberg for
+    transactional metadata; the layout and read API stay the same).
+    Returns the new version number."""
+    import glob as _glob
+    import os as _os
+
+    existing = [
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(_os.path.join(path, "version=*"))
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("errorifexists").parquet(
+        _os.path.join(path, f"version={version}")
+    )
+    return version
+
+
+def read_version(spark, path: str, version: int | None = None):
+    """Read one snapshot (default: latest)."""
+    import glob as _glob
+    import os as _os
+
+    if version is None:
+        versions = [
+            int(p.rsplit("=", 1)[1])
+            for p in _glob.glob(_os.path.join(path, "version=*"))
+        ]
+        version = max(versions)
+    return spark.read.parquet(_os.path.join(path, f"version={version}"))
+
+
 def compact_parquet(
     spark,
     path: str,

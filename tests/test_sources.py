@@ -197,3 +197,24 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert back.count() == li.count()
     assert back.agg(F.sum("l_quantity")).first()[0] == \
         li.agg(F.sum("l_quantity")).first()[0]
+
+
+def test_versioned_snapshots_time_travel(spark, tmp_path):
+    """Snapshot versioning: later writes never disturb earlier
+    versions; default read returns the latest."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dim_versions")
+    n = readers.read_parquet(spark, f"{SF_DIR}/nation.parquet")
+    v1 = writers.write_versioned(n, path)
+    v2 = writers.write_versioned(
+        n.withColumn("n_name", F.upper("n_name")), path
+    )
+    assert (v1, v2) == (1, 2)
+    latest = writers.read_version(spark, path)
+    old = writers.read_version(spark, path, 1)
+    assert latest.filter(latest.n_name != F.upper(latest.n_name)).count() == 0
+    assert old.count() == n.count()
+    assert {r.n_name for r in old.collect()} == {
+        r.n_name for r in n.collect()
+    }

@@ -191,3 +191,43 @@ def test_stream_stream_join_matches_batch(spark, stream):
     )
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
+    """Exactly-once across restart: a checkpointed foreachBatch stream
+    stopped and restarted against the SAME checkpoint must not re-emit
+    committed batches — the recovery contract a production deployment
+    relies on."""
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+    target = str(tmp_path / "out")
+    stream = se.read_events_stream(spark, SF_DIR)
+    counts = se.windowed_counts(stream)
+
+    def sink(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(target)
+
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    first = spark.read.parquet(target).count()
+    assert first > 0
+
+    # restart from the same checkpoint: no new input -> no new output
+    q2 = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(target).count() == first
