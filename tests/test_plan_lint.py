@@ -1,0 +1,53 @@
+"""Plan lint over the ENTIRE query registry: no query may silently plan
+a cartesian product, a nested-loop join, or an unexpected global
+single-partition shuffle. Exceptions are declared — each one is an
+intentional, documented design choice, not an oversight."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+# Intentional BroadcastNestedLoopJoin / cross joins: brute-force or
+# broadcast-side-generation designs where the cross product IS the
+# algorithm (scored against a tiny broadcast side).
+NESTED_LOOP_OK = {
+    "cosine_topk",          # brute-force scoring vs broadcast query set
+    "cosine_topk_pandas",   # same, Arrow variant
+    "ann_ivf",              # centroid assignment vs broadcast centroids
+    "q22_prospects",        # scalar subquery joined as 1-row broadcast
+}
+
+# Intentional single-partition exchanges. Two benign shapes:
+#  - global scalar aggregates: the exchange carries ONE partial-agg row
+#    per upstream task, not the data;
+#  - global ordering/keys on provably small data (dims, top-k outputs).
+SINGLE_PARTITION_OK = {
+    "surrogate_keys",       # global dense keys over a 25-row dim
+    "multi_key_join",       # same: surrogate keys for a tiny attr dim
+    "order_limit_topk",     # global ORDER BY ... LIMIT output
+    "q3_shipping_priority", # global top-10 of a small agg
+    "q10_returned_items",   # global top-20 of a small agg
+    "q6_forecast_revenue",  # global scalar aggregate
+    "q14_promo_share",      # global scalar aggregate
+    "q22_prospects",        # global scalar (avg) subquery
+    "dq_null_rates",        # global profiling aggregate
+    "dq_orphans",           # two global count aggregates unioned
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_plan_has_no_scale_antipatterns(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in NESTED_LOOP_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} degraded to a nested-loop join"
+        )
+    if name not in SINGLE_PARTITION_OK:
+        assert "Exchange SinglePartition" not in plan, (
+            f"{name} funnels data through one partition"
+        )
