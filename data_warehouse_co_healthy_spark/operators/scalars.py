@@ -110,9 +110,29 @@ def try_cast_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function gallery (the cleaning surface behind SURVEY
+    §2.3-P6): translate for character-class repair (the scalable form
+    of the reference's 9-branch accent CASE WHEN,
+    retreat_process.py:122-132), zero-padded key formatting, edit
+    distance, reversal — all JVM built-ins, codegen'd."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.translate("c_name", "#", "-").alias("cleaned"),
+        F.levenshtein(F.lower("c_name"), F.lit("customer")).cast("long").alias(
+            "lev_dist"
+        ),
+        F.reverse("c_name").alias("reversed"),
+        F.instr("c_name", "0").cast("long").alias("first_zero_pos"),
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
     "try_cast_tokens": try_cast_tokens,
+    "string_functions": string_functions,
     "explode_grain": explode_grain,
     "json_extract": json_extract,
     "json_group_stats": json_group_stats,
@@ -120,6 +140,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "string_functions": """
+        SELECT c_custkey,
+               lpad(c_custkey::VARCHAR, 10, '0') AS padded_key,
+               translate(c_name, '#', '-') AS cleaned,
+               levenshtein(lower(c_name), 'customer')::BIGINT AS lev_dist,
+               reverse(c_name) AS reversed,
+               coalesce(strpos(c_name, '0'), 0)::BIGINT AS first_zero_pos
+        FROM customer
+    """,
     "try_cast_tokens": """
         SELECT doc_id,
                count(num)::BIGINT AS n_numeric,

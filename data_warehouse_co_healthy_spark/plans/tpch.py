@@ -296,6 +296,64 @@ def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers-per-order-count histogram INCLUDING
+    zero-order customers (left join, count of non-null keys, then a
+    second aggregation over the counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the GLOBAL maximum
+    quarterly revenue — aggregate, take the scalar max, join it back
+    (the view + scalar-subquery pattern)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of that part's average — the correlated per-group average
+    decorrelated to an aggregate joined back on the group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(avg_qty, on="l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "fact_formula_star": fact_formula_star,
     "q3_shipping_priority": q3_shipping_priority,
@@ -307,6 +365,9 @@ QUERIES = {
     "q14_promo_share": q14_promo_share,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q22_prospects": q22_prospects,
+    "q13_order_histogram": q13_order_histogram,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
 }
 
 ORACLES = {
@@ -452,5 +513,37 @@ ORACLES = {
                           WHERE o_custkey = c.c_custkey
                             AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
+    """,
+    "q13_order_histogram": """
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "q17_small_quantity": """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*)::BIGINT AS n_items
+        FROM lineitem li
+        JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
+              FROM lineitem GROUP BY l_partkey) t
+          ON li.l_partkey = t.l_partkey
+        WHERE li.l_quantity < t.qty_thresh
     """,
 }

@@ -18,6 +18,7 @@ NESTED_LOOP_OK = {
     "cosine_topk_pandas",   # same, Arrow variant
     "ann_ivf",              # centroid assignment vs broadcast centroids
     "q22_prospects",        # scalar subquery joined as 1-row broadcast
+    "q15_top_supplier",     # scalar max joined as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -35,6 +36,8 @@ SINGLE_PARTITION_OK = {
     "q22_prospects",        # global scalar (avg) subquery
     "dq_null_rates",        # global profiling aggregate
     "dq_orphans",           # two global count aggregates unioned
+    "q15_top_supplier",     # global scalar max
+    "q17_small_quantity",   # global scalar aggregate
 }
 
 
