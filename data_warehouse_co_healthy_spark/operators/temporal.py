@@ -123,12 +123,124 @@ def range_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800  # 30-minute inactivity gap
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session breaks when
+    the gap since the previous event exceeds SESSION_GAP_SEC; session
+    id = running count of breaks (lag + cumulative sum — two window
+    passes over ONE user_id shuffle). The deterministic, oracle-checked
+    batch twin of streaming/events.sessionized (session_window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > SESSION_GAP_SEC,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("brk").over(wc).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, the
+    earliest time of each stage as parallel conditional mins of ONE
+    groupBy, a stage counted only if it happens AFTER the previous
+    stage's first occurrence; one summary row."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    bought = clicked & F.col("t_buy").isNotNull() & (
+        F.col("t_buy") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.sum(viewed.cast("int")).alias("n_viewed"),
+        F.sum(clicked.cast("int")).alias("n_clicked_after_view"),
+        F.sum(bought.cast("int")).alias("n_purchased_after_click"),
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "range_join_activity": range_join_activity,
+    "sessionize_events": sessionize_events,
+    "funnel_stages": funnel_stages,
 }
 
 ORACLES = {
+    "sessionize_events": f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) > {SESSION_GAP_SEC}
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), ids AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id::BIGINT AS session_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM ids GROUP BY user_id, session_id
+    """,
+    "funnel_stages": """
+        WITH per_user AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id
+        )
+        SELECT sum((t_view IS NOT NULL)::INT)::BIGINT AS n_viewed,
+               sum((t_view IS NOT NULL AND t_click IS NOT NULL
+                    AND t_click > t_view)::INT)::BIGINT
+                   AS n_clicked_after_view,
+               sum((t_view IS NOT NULL AND t_click IS NOT NULL
+                    AND t_click > t_view AND t_buy IS NOT NULL
+                    AND t_buy > t_click)::INT)::BIGINT
+                   AS n_purchased_after_click
+        FROM per_user
+    """,
     "asof_join": """
         SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts,
                date_diff('second', c.ts, p.ts)::BIGINT AS gap_sec

@@ -38,6 +38,7 @@ SINGLE_PARTITION_OK = {
     "dq_orphans",           # two global count aggregates unioned
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
+    "funnel_stages",        # global funnel summary (one output row)
 }
 
 
