@@ -193,14 +193,55 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted in each subsequent week they return. Two aggregations
+    (first-touch per user; distinct user-week activity) joined on
+    user_id — both shuffle on user_id so the join is co-partitioned."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    cohort = ev.groupBy("user_id").agg(
+        F.min(week).alias("cohort_week")
+    )
+    activity = ev.select("user_id", week.alias("act_week")).dropDuplicates()
+    return (
+        activity.join(cohort, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "retention_cohorts": retention_cohorts,
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
     "funnel_stages": funnel_stages,
 }
 
 ORACLES = {
+    "retention_cohorts": """
+        WITH cohort AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+            FROM events
+        )
+        SELECT cohort_week,
+               (date_diff('day', cohort_week, act_week) / 7)::BIGINT
+                   AS weeks_since,
+               count(DISTINCT a.user_id)::BIGINT AS n_active
+        FROM activity a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
     "sessionize_events": f"""
         WITH marked AS (
             SELECT user_id, ts, event_id,
