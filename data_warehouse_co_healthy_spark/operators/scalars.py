@@ -129,10 +129,34 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function gallery over the embeddings array<float> column
+    (SURVEY §1.2 array surface): size, element access, min/max,
+    slice-sum — scalar outputs so the oracle hash is exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias(
+            "first_val"
+        ),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(
+            F.expr(
+                "aggregate(transform(slice(embedding, 1, 8), "
+                "x -> cast(x AS double)), 0.0D, (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("head8_sum"),
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
     "try_cast_tokens": try_cast_tokens,
     "string_functions": string_functions,
+    "array_functions": array_functions,
     "explode_grain": explode_grain,
     "json_extract": json_extract,
     "json_group_stats": json_group_stats,
@@ -140,6 +164,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "array_functions": """
+        SELECT vec_id,
+               len(embedding)::BIGINT AS dim,
+               round(embedding[1]::DOUBLE, 6) AS first_val,
+               round(list_max(embedding)::DOUBLE, 6) AS max_val,
+               round(list_min(embedding)::DOUBLE, 6) AS min_val,
+               round(list_sum(list_slice(embedding, 1, 8)::DOUBLE[]), 6)
+                   AS head8_sum
+        FROM embeddings
+    """,
     "string_functions": """
         SELECT c_custkey,
                lpad(c_custkey::VARCHAR, 10, '0') AS padded_key,
