@@ -307,8 +307,39 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event values per event_type via
+    grouped ``applyInPandas`` — the batch Arrow UDF surface (grouped
+    twin of mapInPandas; streaming twin is applyInPandasWithState).
+    MAD needs a double median pass, which is where per-group pandas
+    beats nested SQL. Each group is one Arrow batch on one executor —
+    fine for bounded group counts; for huge groups pre-aggregate or
+    use approx sketches instead."""
+    import numpy as np  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        med = np.median(v)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [round(float(med), 4)],
+                "mad_value": [round(float(np.median(np.abs(v - med))), 4)],
+                "n": [len(v)],
+            }
+        )
+
+    return ev.select("event_type", "value").groupBy("event_type").applyInPandas(
+        mad, schema="event_type string, median_value double, "
+                    "mad_value double, n long"
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
+    "mad_by_group": mad_by_group,
     "cosine_topk": cosine_topk,
     "cosine_topk_pandas": cosine_topk_pandas,
     "ann_lsh_bucket": ann_lsh_bucket,
@@ -323,6 +354,13 @@ _SQL_BUCKET_TERMS = " + ".join(
 )
 
 ORACLES = {
+    "mad_by_group": """
+        SELECT event_type,
+               round(median(value), 4) AS median_value,
+               round(mad(value), 4) AS mad_value,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY event_type
+    """,
     "embedding_norms": f"""
         SELECT vec_id,
                round({_SQL_NORM.format(c='embedding')}, 6) AS l2_norm
