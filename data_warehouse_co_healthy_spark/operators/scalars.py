@@ -152,11 +152,26 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode: docs are flattened to their long (>12
+    char) tokens, and docs with NONE survive as a NULL row —
+    ``explode`` would silently drop them (the classic lost-parent-rows
+    bug when flattening optional nested data)."""
+    d = load_table(spark, sf_dir, "documents")
+    longs = F.expr(
+        "filter(split(lower(text), ' '), w -> length(w) > 12)"
+    )
+    return d.select(
+        "doc_id", F.explode_outer(longs).alias("long_token")
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
     "try_cast_tokens": try_cast_tokens,
     "string_functions": string_functions,
     "array_functions": array_functions,
+    "explode_outer_rare_tokens": explode_outer_rare_tokens,
     "explode_grain": explode_grain,
     "json_extract": json_extract,
     "json_group_stats": json_group_stats,
@@ -164,6 +179,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "explode_outer_rare_tokens": """
+        SELECT doc_id, t.tok AS long_token
+        FROM documents
+        LEFT JOIN LATERAL (
+            SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                      w -> length(w) > 12)) AS tok
+        ) t ON true
+    """,
     "array_functions": """
         SELECT vec_id,
                len(embedding)::BIGINT AS dim,
