@@ -168,6 +168,26 @@ def central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return medians.join(modes, on="l_returnflag")
 
 
+def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and OLS slope/intercept of extendedprice on quantity —
+    single-pass streaming aggregates (Welford-style merge), so they
+    partial-aggregate map-side like any sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qp"
+        ),
+        F.round(
+            F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+        ).alias("slope"),
+        F.round(
+            F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+        ).alias("intercept"),
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts.
     Not DuckDB-hash-comparable (different sketch), so the query surface
@@ -189,6 +209,7 @@ QUERIES = {
     "grouping_sets_sales": grouping_sets_sales,
     "percentiles_by_group": percentiles_by_group,
     "central_tendency": central_tendency,
+    "correlation_stats": correlation_stats,
     "approx_distinct": approx_distinct,
 }
 
@@ -245,6 +266,16 @@ ORACLES = {
                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
                round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "correlation_stats": """
+        SELECT l_returnflag,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+               round(covar_samp(l_quantity, l_extendedprice), 4)
+                   AS covar_qp,
+               round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 4)
+                   AS intercept
         FROM lineitem GROUP BY l_returnflag
     """,
     "central_tendency": """
