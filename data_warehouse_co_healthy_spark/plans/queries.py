@@ -27,7 +27,7 @@ from ..operators import (
     warehouse,
     windows,
 )
-from . import tpch
+from . import tpch, tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -42,6 +42,7 @@ _MODULES = (
     temporal,
     warehouse,
     tpch,
+    tpch2,
 )
 
 QUERIES: dict[str, QueryFn] = {}

@@ -19,6 +19,7 @@ NESTED_LOOP_OK = {
     "ann_ivf",              # centroid assignment vs broadcast centroids
     "q22_prospects",        # scalar subquery joined as 1-row broadcast
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
+    "q11_important_stock",  # HAVING > scalar-threshold, 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -39,6 +40,8 @@ SINGLE_PARTITION_OK = {
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
     "funnel_stages",        # global funnel summary (one output row)
+    "q11_important_stock",  # global scalar threshold (one agg row)
+    "q19_disjunctive_revenue",  # global scalar aggregate
 }
 
 
