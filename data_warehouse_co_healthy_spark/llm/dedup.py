@@ -292,6 +292,28 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cross-snapshot split: docs with doc_id % SNAP_MOD == 0 model the
+# newly-crawled batch; the rest model the previously-ingested corpus.
+SNAP_MOD = 3
+
+
+def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup: keep only NEW-batch documents whose
+    canonical content hash does not already exist in the previous
+    snapshot — a content-hash left-anti join, the cheapest and most
+    common dedup step when appending a crawl to an existing corpus.
+
+    Scale posture: both sides shuffle once on the 16-byte fp (not the
+    text); at 100 TB the old-snapshot side is a pre-computed fp-only
+    table, so the join moves hashes, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(_doc_canon(F.col("text"))).alias("fp")
+    is_new = (F.col("doc_id") % SNAP_MOD) == 0
+    new_batch = d.filter(is_new).select("doc_id", fp)
+    old_snapshot = d.filter(~is_new).select(fp)
+    return new_batch.join(old_snapshot, on="fp", how="left_anti")
+
+
 N_LABEL_ITERS = 3  # label-propagation rounds (bounded, deterministic)
 
 
@@ -338,6 +360,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "cross_snapshot_dedup": cross_snapshot_dedup,
 }
 
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -448,6 +471,18 @@ ORACLES = {
         WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.2
     """,
 }
+
+ORACLES["cross_snapshot_dedup"] = f"""
+    WITH hashed AS (
+        SELECT doc_id, md5({_CANON}) AS fp FROM documents
+    )
+    SELECT fp, doc_id
+    FROM hashed n
+    WHERE doc_id % {SNAP_MOD} = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM hashed o
+        WHERE o.doc_id % {SNAP_MOD} <> 0 AND o.fp = n.fp)
+"""
 
 NO_ORACLE: dict[str, str] = {}
 

@@ -1,0 +1,257 @@
+"""Corpus-filter operators for training-data pipelines (engine-added
+capability beyond reference parity, alongside llm/text.py).
+
+Four production filters every large-scale pretraining pipeline runs:
+repetition scoring (Gopher-style dup-ngram ratios), benchmark
+contamination checks (n-gram overlap vs an eval set), PII redaction
+(regex scrub + counts), and corpus-shape histograms. All pure built-in
+DataFrame plans — JVM-side, whole-stage-codegen, no Python UDFs.
+
+Scale posture: repetition / redaction / histogram are scan → narrow
+per-row compute → (at most) a low-cardinality groupBy. Contamination
+joins the corpus gram stream against the EVAL SET's gram table — eval
+suites are small by construction (thousands of docs, not billions), so
+that side broadcasts even when the corpus is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread
+
+# Shared Spark/DuckDB regexes — RE2-compatible (no backrefs/lookahead).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+# Every doc_id ≡ PII_REM (mod PII_MOD) gets a deterministic PII suffix
+# before redaction — the synthetic corpus contains no organic PII, so
+# the fixture is enriched in-plan to exercise the scrubber (both the
+# Spark plan and the oracle apply the same enrichment).
+PII_MOD, PII_REM = 7, 0
+
+# Benchmark ("eval set") proxy: doc_id ≡ EVAL_REM (mod EVAL_MOD).
+EVAL_MOD, EVAL_REM = 10, 7
+
+HIST_BUCKET_WORDS = 32  # token-histogram bucket width
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: the fraction of
+    duplicated words and duplicated word-bigrams. High ratios flag
+    boilerplate/spam for corpus filtering (Rae et al. 2021 §A1.1)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = F.split(F.lower("text"), " ")
+    base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = F.expr(
+        "transform(sequence(1, size(ws) - 1), "
+        "i -> array_join(slice(ws, i, 2), ' '))"
+    )
+    return base.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.round(
+            1 - F.size(F.array_distinct("ws")) / F.size("ws"), 4
+        ).alias("dup_word_ratio"),
+        F.round(
+            1 - F.size(F.array_distinct(bigrams)) / (F.size("ws") - 1), 4
+        ).alias("dup_bigram_ratio"),
+    )
+
+
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every training document, the
+    fraction of its distinct word-3-grams that appear anywhere in the
+    eval set (docs with doc_id % EVAL_MOD == EVAL_REM). Standard
+    pre-training hygiene (GPT-3 appendix C / PaLM §7); docs above a
+    threshold are quarantined before training."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> array_join(slice(ws, i, 3), ' '))"
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    eval_grams = (
+        grams.filter(is_eval).select("g").distinct().withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_grams), on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails, URLs and phone numbers with
+    shared RE2-safe regexes (email → URL → phone, in that order). The
+    fixture corpus has no organic PII, so a deterministic PII suffix is
+    appended to every PII_MOD-th doc in-plan (same enrichment in the
+    oracle) to exercise the scrubber end-to-end. Output carries the
+    redacted text's md5 so the comparison stays compact."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    enriched = F.when(
+        (F.col("doc_id") % PII_MOD) == PII_REM,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            did,
+            F.lit("@example.com via https://ex.org/p/"),
+            did,
+            F.lit(" call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    base = d.select("doc_id", enriched.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(URL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape histogram: documents bucketed by whitespace token
+    count (bucket width HIST_BUCKET_WORDS). The monitoring query every
+    ingestion pipeline runs per batch; one low-cardinality groupBy."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        d.select(n.alias("n_tokens"), F.col("n_chars"))
+        .select(
+            F.expr(f"n_tokens div {HIST_BUCKET_WORDS}").alias("bucket"),
+            "n_tokens",
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+QUERIES = {
+    "repetition_ratio": repetition_ratio,
+    "contamination_overlap": contamination_overlap,
+    "pii_redaction": pii_redaction,
+    "token_length_histogram": token_length_histogram,
+}
+
+ORACLES = {
+    "repetition_ratio": """
+        WITH base AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ws
+            FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 2
+        )
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               round(1 - len(list_distinct(ws)) / len(ws), 4)
+                   AS dup_word_ratio,
+               round(1 - len(list_distinct(
+                       list_transform(generate_series(1, len(ws) - 1),
+                           i -> array_to_string(list_slice(ws, i, i + 1),
+                                                ' '))))
+                     / (len(ws) - 1), 4) AS dup_bigram_ratio
+        FROM base
+    """,
+    "contamination_overlap": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(string_split(lower(text), ' '),
+                                              i, i + 2), ' ') AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, len(string_split(lower(text), ' ')) - 2)) AS i)
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ), eval_grams AS (
+            SELECT DISTINCT g FROM grams
+            WHERE doc_id % {EVAL_MOD} = {EVAL_REM}
+        )
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_grams,
+               count(e.g)::BIGINT AS n_hit,
+               round(count(e.g) / count(*), 4) AS contamination
+        FROM grams t LEFT JOIN eval_grams e ON t.g = e.g
+        WHERE t.doc_id % {EVAL_MOD} <> {EVAL_REM}
+        GROUP BY t.doc_id
+    """,
+    "pii_redaction": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PII_MOD} = {PII_REM}
+                        THEN text || ' contact user' || doc_id::VARCHAR
+                             || '@example.com via https://ex.org/p/'
+                             || doc_id::VARCHAR || ' call 555-123-4567'
+                        ELSE text END AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(t, '{EMAIL_RE}'))::BIGINT AS n_emails,
+               len(regexp_extract_all(t, '{URL_RE}'))::BIGINT AS n_urls,
+               len(regexp_extract_all(t, '{PHONE_RE}'))::BIGINT AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                       t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{URL_RE}', '<URL>', 'g'),
+                       '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+        FROM base
+    """,
+    "token_length_histogram": f"""
+        WITH toks AS (
+            SELECT len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                       AS n_tokens,
+                   n_chars
+            FROM documents
+        )
+        SELECT n_tokens // {HIST_BUCKET_WORDS} AS bucket,
+               count(*)::BIGINT AS n_docs,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               round(avg(n_chars), 2) AS avg_chars
+        FROM toks
+        GROUP BY bucket
+    """,
+}
+
+NO_ORACLE: dict[str, str] = {}

@@ -67,9 +67,15 @@ def register_llm_modules() -> None:
     Idempotent — repeat calls are no-ops."""
     if "dedup_exact" in QUERIES:
         return
-    from ..llm import dedup, multimodal, similarity, text  # noqa: PLC0415
+    from ..llm import (  # noqa: PLC0415
+        dedup,
+        filters,
+        multimodal,
+        similarity,
+        text,
+    )
 
-    for m in (dedup, multimodal, similarity, text):
+    for m in (dedup, filters, multimodal, similarity, text):
         for name, fn in m.QUERIES.items():
             if name in QUERIES:
                 raise ValueError(f"duplicate query name: {name}")
