@@ -337,6 +337,31 @@ def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode each vector to
+    (label, pos, value) and average per coordinate — the distributed
+    vector mean that seeds IVF/k-means coarse quantizers.
+
+    Scale posture: the explode is narrow (no shuffle); the single
+    shuffle is the (label, pos) groupBy, map-side partial-aggregated,
+    with cardinality = |labels| × dim regardless of corpus size. No
+    driver-side numpy reduction anywhere."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return (
+        e.select(
+            "label",
+            F.posexplode(
+                F.expr("transform(embedding, x -> cast(x AS double))")
+            ).alias("pos0", "v"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "mad_by_group": mad_by_group,
@@ -345,6 +370,7 @@ QUERIES = {
     "ann_lsh_bucket": ann_lsh_bucket,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf": ann_ivf,
+    "embedding_centroids": embedding_centroids,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -417,6 +443,18 @@ _SQL_BAND_KEY = " + ".join(
     f"THEN {1 << i} ELSE 0 END)"
     for i in range(DUP_BAND_BITS)
 )
+
+ORACLES["embedding_centroids"] = """
+    SELECT label, pos, round(avg(v), 6) AS centroid,
+           count(*)::BIGINT AS n_vecs
+    FROM (
+        SELECT label,
+               unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    )
+    GROUP BY label, pos
+"""
 
 ORACLES["dedup_embedding_cosine"] = f"""
     WITH n AS (

@@ -261,8 +261,36 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_TOKENS = 20
+
+
+def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the TOPK_TOKENS most frequent
+    lowercase tokens with occurrence and document frequencies — the
+    word-count that seeds stopword lists and boilerplate detectors.
+
+    Scale posture: explode is narrow; the groupBy(token) is map-side
+    partial-aggregated so the shuffle carries one row per (task, token
+    in vocabulary), not per occurrence; top-k is TakeOrdered over
+    vocabulary-sized agg output with a deterministic tie-break."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    ).filter(F.length("t") > 0)
+    return (
+        tok.groupBy(F.col("t").alias("token"))
+        .agg(
+            F.count("*").alias("n_occur"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occur"), "token")
+        .limit(TOPK_TOKENS)
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "heavy_hitters_tokens": heavy_hitters_tokens,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
     "char_entropy": char_entropy,
@@ -280,6 +308,19 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "heavy_hitters_tokens": f"""
+        SELECT t AS token, count(*)::BIGINT AS n_occur,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS t
+            FROM documents
+        )
+        WHERE length(t) > 0
+        GROUP BY t
+        ORDER BY n_occur DESC, token
+        LIMIT {TOPK_TOKENS}
+    """,
     "char_entropy": """
         SELECT doc_id,
                round(log2(total) - nlogn / total, 4) AS entropy_bits

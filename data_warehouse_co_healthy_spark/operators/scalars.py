@@ -166,8 +166,36 @@ def explode_outer_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hypertable continuous-aggregate
+    pattern): daily stats are RE-AGGREGATED from the hourly rollup, not
+    from raw events — sums of counts and sums compose losslessly across
+    grains. At 100 TB this is how dashboards stay cheap: the raw fact
+    is touched once per grain-1 window; every coarser grain reads the
+    previous rollup (1000× smaller)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("h"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("DAY", "h").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("tv"), 2).alias("total_value"),
+            F.count("*").alias("n_hours"),
+        )
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
+    "rollup_multires": rollup_multires,
     "try_cast_tokens": try_cast_tokens,
     "string_functions": string_functions,
     "array_functions": array_functions,
@@ -179,6 +207,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rollup_multires": """
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
+                   count(*) AS n, sum(value) AS tv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT date_trunc('day', h) AS day, event_type,
+               sum(n)::BIGINT AS n_events,
+               round(sum(tv), 2) AS total_value,
+               count(*)::BIGINT AS n_hours
+        FROM hourly GROUP BY 1, 2
+    """,
     "explode_outer_rare_tokens": """
         SELECT doc_id, t.tok AS long_token
         FROM documents
