@@ -27,7 +27,7 @@ from ..operators import (
     warehouse,
     windows,
 )
-from . import tpch, tpch2
+from . import sqlapi, tpch, tpch2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -43,6 +43,7 @@ _MODULES = (
     warehouse,
     tpch,
     tpch2,
+    sqlapi,
 )
 
 QUERIES: dict[str, QueryFn] = {}
