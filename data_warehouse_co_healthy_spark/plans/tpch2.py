@@ -291,13 +291,23 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
     late = F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY")
-    per_order = (
+    # Two-level agg instead of countDistinct×2: a distinct-aggregate
+    # pair would plan an Expand (doubling the shuffled rows); grouping
+    # to (order, supplier) grain first shuffles the fact exactly once,
+    # and the second groupBy runs over the much smaller pair grain.
+    per_pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = (
+        per_pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
-            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.count("*").alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )

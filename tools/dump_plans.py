@@ -17,6 +17,8 @@ SHOWCASE = [
     ("minhash_signatures", "one wide partial-agg shuffle, no row blow-up"),
     ("asof_join", "union-merge window, no nested-loop"),
     ("dedup_cluster_labels", "iterative label propagation"),
+    ("q21_waiting_supplier", "EXISTS/NOT-EXISTS as ONE grouped agg, no self-joins"),
+    ("contamination_overlap", "corpus grams vs broadcast eval-set gram table"),
 ]
 
 
