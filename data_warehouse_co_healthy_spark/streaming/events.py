@@ -209,6 +209,73 @@ def purchase_attribution(
     ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
+def read_events_stream_parts(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """Multi-micro-batch file stream: the events table re-staged as
+    ``n_parts`` files with one file per trigger — the local stand-in
+    for a stream that arrives over time (Kafka offsets, hourly drops).
+    Timestamps are already µs (conversion happens in the batch staging
+    read), so the streaming side needs no legacy conf."""
+    import tempfile
+
+    from ..catalog import load_table
+
+    d = tempfile.mkdtemp(prefix="events_parts_")
+    batch = load_table(spark, sf_dir, "events")
+    batch.repartition(n_parts).write.mode("overwrite").parquet(d)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+
+
+def merge_user_totals_sink(spark: SparkSession, target: str):
+    """foreachBatch MERGE: each micro-batch's per-user aggregates are
+    upserted into a versioned parquet table (matched rows accumulate,
+    new users insert) — the streaming→warehouse last mile. Uses
+    ``write_versioned`` snapshots, so readers never see a half-written
+    merge; with Delta/Iceberg the full-outer join becomes a native
+    MERGE INTO and the rest of the dataflow is unchanged.
+
+    Scale posture: the shuffle per batch is the batch-sized groupBy
+    plus a join against the current snapshot keyed on user_id; batch_id
+    is the idempotence key on replay (checkpoint recovery re-runs a
+    committed batch at most once against the same snapshot version)."""
+    from ..sources.writers import read_version, write_versioned
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.sum("value").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        try:
+            cur = read_version(spark, target).select(
+                "user_id",
+                F.col("total_value").alias("old_tv"),
+                F.col("n_events").alias("old_n"),
+            )
+        except Exception:  # noqa: BLE001 - first batch: no snapshot yet
+            merged = agg
+        else:
+            merged = cur.join(agg, on="user_id", how="full_outer").select(
+                "user_id",
+                (
+                    F.coalesce("old_tv", F.lit(0.0))
+                    + F.coalesce("total_value", F.lit(0.0))
+                ).alias("total_value"),
+                (
+                    F.coalesce("old_n", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+            )
+        write_versioned(merged, target)
+
+    return sink
+
+
 def run_foreach_batch(result: DataFrame, sink, output_mode: str = "update"):
     """foreachBatch sink: each micro-batch is handed to ``sink(df,
     batch_id)`` as a BATCH DataFrame, so any batch writer — jdbc,

@@ -231,3 +231,49 @@ def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(target).count() == first
+
+
+def test_stream_incremental_merge_matches_batch(spark, tmp_path):
+    """Streaming→warehouse MERGE: per-user totals upserted snapshot by
+    snapshot across multiple micro-batches must equal the one-shot
+    batch aggregate, and must actually have merged incrementally
+    (>1 snapshot version)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.sources.writers import read_version
+
+    target = str(tmp_path / "user_totals")
+    stream = se.read_events_stream_parts(spark, SF_DIR, n_parts=4)
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(se.merge_user_totals_sink(spark, target))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    n_versions = len(glob.glob(f"{target}/version=*"))
+    assert n_versions > 1, "merge was not incremental"
+
+    got = (
+        read_version(spark, target)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_exact=False, atol=1e-6, check_dtype=False
+    )
