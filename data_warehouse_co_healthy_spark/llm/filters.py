@@ -171,14 +171,92 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-mixing spec: sources src0-src4 get 3× the weight of the rest;
+# keep KEEP_FRAC of the corpus overall. Rates are derived IN-PLAN from
+# the corpus' own per-source counts — no hand-tuned per-source knobs.
+MIX_KEEP_FRAC = 0.5
+MIX_HOT_WEIGHT, MIX_COLD_WEIGHT = 3, 1
+MIX_HOT_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+MIX_RES = 1_000_000  # hash-sampling resolution
+
+
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing (data curation): re-balance the corpus so
+    hot sources get weight 3 and the rest weight 1, keeping
+    MIX_KEEP_FRAC of all documents, via DETERMINISTIC md5-hash
+    sampling. The per-source rate is min(1, target_s / n_s) with
+    target_s = KEEP_FRAC · N · w_s / Σw — computed by the plan itself
+    from per-source counts.
+
+    Scale posture: one groupBy(source) for the stats (tiny output), a
+    1-row scalar broadcast for the totals, a broadcast rate-table join
+    back onto the corpus, then a narrow hash filter. The 100 TB corpus
+    is scanned once and never shuffled."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = F.when(
+        F.col("source").isin(*MIX_HOT_SOURCES), F.lit(MIX_HOT_WEIGHT)
+    ).otherwise(F.lit(MIX_COLD_WEIGHT))
+    stats = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("w", w)
+    )
+    totals = stats.agg(
+        F.sum("n_s").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    rates = stats.join(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.lit(MIX_KEEP_FRAC)
+            * F.col("n_total")
+            * F.col("w")
+            / (F.col("w_total") * F.col("n_s")),
+        ).alias("rate"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % MIX_RES
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates), on="source")
+        .filter(h < F.floor(F.col("rate") * MIX_RES))
+        .select("doc_id", "source")
+    )
+
+
 QUERIES = {
     "repetition_ratio": repetition_ratio,
+    "mix_sources_weighted": mix_sources_weighted,
     "contamination_overlap": contamination_overlap,
     "pii_redaction": pii_redaction,
     "token_length_histogram": token_length_histogram,
 }
 
+_MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
+
 ORACLES = {
+    "mix_sources_weighted": f"""
+        WITH stats AS (
+            SELECT source, count(*) AS n_s,
+                   CASE WHEN source IN ({_MIX_HOT_IN})
+                        THEN {MIX_HOT_WEIGHT} ELSE {MIX_COLD_WEIGHT} END AS w
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT sum(n_s) AS n_total, sum(w) AS w_total FROM stats
+        ), rates AS (
+            SELECT source,
+                   least(1.0, {MIX_KEEP_FRAC} * n_total * w
+                              / (w_total * n_s)) AS rate
+            FROM stats, totals
+        )
+        SELECT doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+              % {MIX_RES} < floor(rate * {MIX_RES})
+    """,
     "repetition_ratio": """
         WITH base AS (
             SELECT doc_id, string_split(lower(text), ' ') AS ws

@@ -20,6 +20,7 @@ NESTED_LOOP_OK = {
     "q22_prospects",        # scalar subquery joined as 1-row broadcast
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
     "q11_important_stock",  # HAVING > scalar-threshold, 1-row broadcast
+    "mix_sources_weighted", # corpus totals joined as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -42,6 +43,7 @@ SINGLE_PARTITION_OK = {
     "funnel_stages",        # global funnel summary (one output row)
     "q11_important_stock",  # global scalar threshold (one agg row)
     "q19_disjunctive_revenue",  # global scalar aggregate
+    "mix_sources_weighted",  # global totals (one agg row over sources)
 }
 
 
