@@ -119,3 +119,87 @@ def test_chunk_documents_covers_every_doc(spark):
     # chunk indices are contiguous from 0 per doc
     for _, grp in chunks.groupby("doc_id"):
         assert sorted(grp.chunk_idx) == list(range(len(grp)))
+
+
+def test_pii_redaction_leaves_no_pii(spark):
+    """After redaction no email/URL/phone pattern may survive, and every
+    enriched doc must have found at least one of each."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.pii_redaction(spark, SF_DIR)
+    enriched = out.filter(
+        (F.col("doc_id") % filters.PII_MOD) == filters.PII_REM
+    )
+    assert enriched.filter(
+        (F.col("n_emails") < 1) | (F.col("n_urls") < 1) | (F.col("n_phones") < 1)
+    ).count() == 0
+    clean = out.filter(
+        (F.col("doc_id") % filters.PII_MOD) != filters.PII_REM
+    )
+    assert clean.filter(
+        (F.col("n_emails") > 0) | (F.col("n_urls") > 0) | (F.col("n_phones") > 0)
+    ).count() == 0
+
+
+def test_repetition_ratios_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.repetition_ratio(spark, SF_DIR)
+    assert out.filter(
+        (F.col("dup_word_ratio") < 0)
+        | (F.col("dup_word_ratio") > 1)
+        | (F.col("dup_bigram_ratio") < 0)
+        | (F.col("dup_bigram_ratio") > 1)
+    ).count() == 0
+
+
+def test_contamination_excludes_eval_docs(spark):
+    """Eval-set docs must not be scored; scores are fractions in [0,1]."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.contamination_overlap(spark, SF_DIR)
+    assert out.filter(
+        (F.col("doc_id") % filters.EVAL_MOD) == filters.EVAL_REM
+    ).count() == 0
+    assert out.filter(
+        (F.col("contamination") < 0) | (F.col("contamination") > 1)
+    ).count() == 0
+    assert out.filter(F.col("n_hit") > F.col("n_grams")).count() == 0
+
+
+def test_mix_keeps_target_fraction_and_reweights(spark):
+    """Overall keep-rate lands near MIX_KEEP_FRAC, and hot sources keep
+    a higher fraction of their docs than cold sources."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.llm import filters
+    from data_warehouse_co_healthy_spark.catalog import load_table
+
+    kept = filters.mix_sources_weighted(spark, SF_DIR)
+    total = load_table(spark, SF_DIR, "documents").count()
+    frac = kept.count() / total
+    assert abs(frac - filters.MIX_KEEP_FRAC) < 0.1
+
+    rates = (
+        kept.groupBy("source")
+        .count()
+        .join(
+            load_table(spark, SF_DIR, "documents")
+            .groupBy("source")
+            .agg(F.count("*").alias("n")),
+            on="source",
+        )
+        .select("source", (F.col("count") / F.col("n")).alias("kept_frac"))
+        .collect()
+    )
+    hot = [r.kept_frac for r in rates if r.source in filters.MIX_HOT_SOURCES]
+    cold = [
+        r.kept_frac for r in rates if r.source not in filters.MIX_HOT_SOURCES
+    ]
+    assert min(hot) > max(cold)
