@@ -199,8 +199,30 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch approximate percentiles (p50/p90/p99) per event type —
+    the 100 TB path for quantiles: ``percentile_approx`` merges bounded
+    sketches map-side instead of sorting the column. Sketch values are
+    implementation-defined (no DuckDB twin), so the driver check is
+    rows-only; ``tests/test_llm.py``-style bounds are asserted against
+    the exact percentiles in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    return (
+        e.groupBy("event_type")
+        .agg(q.alias("qs"))
+        .select(
+            "event_type",
+            F.round(F.col("qs")[0], 4).alias("p50"),
+            F.round(F.col("qs")[1], 4).alias("p90"),
+            F.round(F.col("qs")[2], 4).alias("p99"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "approx_quantiles": approx_quantiles,
     "count_distinct_agg": count_distinct_agg,
     "agg_having": agg_having,
     "rollup_sales": rollup_sales,

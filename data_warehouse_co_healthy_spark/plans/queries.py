@@ -60,6 +60,8 @@ for _m in _MODULES:
 # weaker rows-only check) — each with the reason.
 NO_ORACLE: dict[str, str] = {
     "approx_distinct": "HLL sketch values are implementation-defined",
+    "approx_quantiles": "GK sketch values are implementation-defined; "
+    "bounded error vs exact percentiles asserted in tests/test_plans.py",
 }
 
 

@@ -87,3 +87,30 @@ def test_range_join_is_equi_bucketed(spark):
 
     plan = _plan(temporal.range_join_activity(spark, SF_DIR))
     assert "NestedLoop" not in plan
+
+
+def test_approx_quantiles_bounded_rank_error(spark):
+    """The GK sketch guarantees RANK error (≤ 1/accuracy), not value
+    error: the fraction of values ≤ each reported quantile must sit
+    within 1.5% of the target quantile."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        approx_quantiles,
+    )
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r.event_type: {"0.5": r.p50, "0.9": r.p90, "0.99": r.p99}
+        for r in approx_quantiles(spark, SF_DIR).collect()
+    }
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    )
+    for et, qs in approx.items():
+        grp = events.filter(F.col("event_type") == et)
+        n = grp.count()
+        for q, got in qs.items():
+            rank = grp.filter(F.col("value") <= got).count() / n
+            assert abs(rank - float(q)) <= 0.015, (et, q, got, rank)
