@@ -1,0 +1,114 @@
+"""End-to-end LLM training-corpus pipeline demo: the composed dataflow
+a pretraining data team runs per crawl snapshot, built entirely from
+the registry's operators.
+
+  raw documents
+    → quality + langid gate          (clean_corpus)
+    → exact dedup                    (keep canonical copy per content fp)
+    → near-dup removal               (minhash LSH clusters, keep min doc)
+    → benchmark decontamination      (contamination_overlap < threshold)
+    → weighted source mixing         (mix_sources_weighted)
+    → sequence packing               (pack_sequences bins)
+    → partitioned parquet + stats
+
+Every stage is a DataFrame → DataFrame composition (no driver loops);
+the funnel counts print per stage so drop-off is auditable.
+
+Usage: python tools/run_corpus_demo.py [sf_dir] [output_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_warehouse_co_healthy_spark.catalog import load_table  # noqa: E402
+from data_warehouse_co_healthy_spark.llm import (  # noqa: E402
+    dedup,
+    filters,
+    text,
+)
+from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
+from data_warehouse_co_healthy_spark.sources.writers import (  # noqa: E402
+    write_parquet,
+)
+
+CONTAMINATION_MAX = 0.5
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/corpus_demo"
+    spark = get_spark("corpus-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    funnel = [("raw", docs.count())]
+
+    # 1. quality + language gate (clean_corpus already composes the
+    #    canonicalization, quality thresholds and langid heuristic)
+    clean_ids = text.clean_corpus(spark, sf_dir).select("doc_id")
+    stage = docs.join(clean_ids, on="doc_id", how="left_semi")
+    funnel.append(("quality+langid", stage.count()))
+
+    # 2. exact dedup: keep the canonical (min doc_id) copy per content fp
+    canon = dedup.dedup_exact(spark, sf_dir).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    stage = stage.join(canon, on="doc_id", how="left_semi")
+    funnel.append(("exact-dedup", stage.count()))
+
+    # 3. near-dup removal: minhash-LSH clusters, keep the min-label doc
+    clusters = dedup.dedup_cluster_labels(spark, sf_dir)
+    keep_near = clusters.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    stage = stage.join(keep_near, on="doc_id", how="left_semi")
+    funnel.append(("near-dedup", stage.count()))
+
+    # 4. benchmark decontamination (drop heavily eval-overlapping docs;
+    #    eval-set docs themselves are excluded from training outright)
+    contam = filters.contamination_overlap(spark, sf_dir)
+    ok = contam.filter(F.col("contamination") <= CONTAMINATION_MAX).select(
+        "doc_id"
+    )
+    stage = stage.join(ok, on="doc_id", how="left_semi")
+    funnel.append(("decontaminated", stage.count()))
+
+    # 5. weighted source mixing
+    mixed = filters.mix_sources_weighted(spark, sf_dir).select("doc_id")
+    stage = stage.join(mixed, on="doc_id", how="left_semi")
+    funnel.append(("mixed", stage.count()))
+
+    # 6. sequence packing over the survivors (bin ids per source)
+    packed = text.pack_sequences(spark, sf_dir).join(
+        stage.select("doc_id"), on="doc_id", how="left_semi"
+    )
+
+    write_parquet(
+        docs.join(stage.select("doc_id"), on="doc_id", how="left_semi"),
+        os.path.join(out_dir, "corpus"),
+        partition_by=("source",),
+    )
+    write_parquet(packed, os.path.join(out_dir, "packed"))
+
+    for name, n in funnel:
+        print(f"  {name:>16}: {n}")
+    stats = (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("pack_id").alias("n_bins"),
+            F.sum("n_tok").alias("tokens"),
+        )
+        .orderBy("source")
+    )
+    stats.show(5, truncate=False)
+    print(f"corpus at {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
