@@ -69,9 +69,61 @@ def sql_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) called via LATERAL from SQL
+    text: fixed-size token-window chunking of documents — the
+    user-extensible one-row-to-many-rows path of the SQL surface (the
+    in-plan DataFrame twin is llm/text.py chunk_documents).
+
+    Scale note: a Python UDTF is the row-at-a-time slow path; it's here
+    for API completeness on a 1-in-10 document sample. The hot-path
+    chunker stays the pure-builtin slice/explode version."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="chunk_id int, chunk string")
+    class ChunkTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.split(" ")
+            for i in range(0, len(toks), 20):
+                yield i // 20, " ".join(toks[i : i + 20])
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM documents d, LATERAL chunk_tokens(d.text) c
+        WHERE d.doc_id % 10 = 0
+        """
+    )
+
+
+def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured event properties through the VARIANT type
+    (Spark 4): ``parse_json`` once, typed ``variant_get`` extraction —
+    the schema-on-read path for ragged JSON at scale (binary-encoded
+    variant beats per-query string re-parsing of get_json_object)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT variant_get(parse_json(props), '$.k', 'int') AS k,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+        """
+    )
+
+
 QUERIES = {
     "sql_api_revenue": sql_api_revenue,
     "sql_udf_token_count": sql_udf_token_count,
+    "sql_udtf_chunks": sql_udtf_chunks,
+    "sql_variant_props": sql_variant_props,
 }
 
 ORACLES = {
@@ -92,6 +144,32 @@ ORACLES = {
                count(*)::BIGINT AS n_docs
         FROM documents
         GROUP BY source
+    """,
+    "sql_udtf_chunks": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id % 10 = 0
+        ), c AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(0,
+                     CAST(ceil(len(ws) / 20.0) AS INT) - 1),
+                   i -> array_to_string(
+                          list_slice(ws, 20 * i + 1, 20 * i + 20), ' ')
+                 ) AS chunks
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_id,
+               unnest(chunks) AS chunk
+        FROM c
+    """,
+    "sql_variant_props": """
+        SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+               count(*)::BIGINT AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY k
     """,
 }
 

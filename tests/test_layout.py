@@ -1,0 +1,149 @@
+"""File-layout tests: Z-order clustering measurably enables multi-column
+data skipping (parquet footer min/max pruning), and AQE splits skewed
+join partitions at runtime.
+
+These pin the 100 TB scale story in SCALING.md to observable behavior
+at test scale: the same footer stats Spark's parquet scan uses for
+row-group skipping are read back with pyarrow and checked for tight
+per-file bounding boxes.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from data_warehouse_co_healthy_spark.sources.writers import write_zordered
+
+from tests.conftest import SF_DIR
+
+
+def _file_boxes(path: str, cols: tuple[str, str]):
+    """Per-file [min, max] interval for each col, from parquet footers."""
+    boxes = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        lo = {c: None for c in cols}
+        hi = {c: None for c in cols}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                name = col.path_in_schema
+                if name in cols and col.statistics is not None:
+                    st = col.statistics
+                    lo[name] = (
+                        st.min if lo[name] is None else min(lo[name], st.min)
+                    )
+                    hi[name] = (
+                        st.max if hi[name] is None else max(hi[name], st.max)
+                    )
+        boxes.append((lo, hi))
+    return boxes
+
+
+def _hits(boxes, cols, pred_lo, pred_hi) -> int:
+    """Files whose bounding box intersects the 2-D range predicate —
+    exactly the files a stats-based scan must read."""
+    n = 0
+    for lo, hi in boxes:
+        if all(
+            lo[c] is not None and not (hi[c] < pred_lo[c] or lo[c] > pred_hi[c])
+            for c in cols
+        ):
+            n += 1
+    return n
+
+
+def test_zorder_prunes_2d_box(spark, tmp_path):
+    cols = ("l_orderkey", "l_partkey")
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        *cols, "l_quantity"
+    )
+    n_files = 16
+    zpath = str(tmp_path / "li_z")
+    hpath = str(tmp_path / "li_hash")
+    write_zordered(li, zpath, cols, n_files=n_files, bits=10)
+    li.repartition(n_files).write.parquet(hpath)
+
+    stats = li.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    # 2-D box: bottom 20% of each key's range (a typical point-ish probe)
+    pred_lo, pred_hi = {}, {}
+    for c in cols:
+        span = stats[f"mx_{c}"] - stats[f"mn_{c}"]
+        pred_lo[c] = stats[f"mn_{c}"]
+        pred_hi[c] = stats[f"mn_{c}"] + span // 5
+
+    z_hits = _hits(_file_boxes(zpath, cols), cols, pred_lo, pred_hi)
+    h_hits = _hits(_file_boxes(hpath, cols), cols, pred_lo, pred_hi)
+
+    # Hash layout: every file spans the whole domain -> no skipping.
+    assert h_hits == n_files
+    # Z-order: the box predicate touches a strict subset of files.
+    assert z_hits < h_hits
+    assert z_hits <= n_files // 2
+
+    # Layout change must not change query results.
+    cond = (
+        (F.col(cols[0]) >= pred_lo[cols[0]])
+        & (F.col(cols[0]) <= pred_hi[cols[0]])
+        & (F.col(cols[1]) >= pred_lo[cols[1]])
+        & (F.col(cols[1]) <= pred_hi[cols[1]])
+    )
+    assert (
+        spark.read.parquet(zpath).filter(cond).count()
+        == spark.read.parquet(hpath).filter(cond).count()
+        == li.filter(cond).count()
+    )
+
+
+_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """One key holding ~75% of a fact would pin a sort-merge join to a
+    single straggler task; AQE's skew-join rule must split that shuffle
+    partition at runtime (the no-code-change complement to the salted
+    join operator, operators/joins.py salted_join)."""
+    saved = {}
+    for k, v in _SKEW_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 120_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # collect() executes THIS DataFrame's plan (count() would wrap it
+        # in a new one whose AdaptiveSparkPlan never finalizes here)
+        assert len(joined.collect()) == 120_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew" in plan.lower(), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
