@@ -103,6 +103,65 @@ def test_zorder_prunes_2d_box(spark, tmp_path):
     )
 
 
+def test_observe_dq_counts_ride_the_load(spark, tmp_path):
+    """Observation metrics must report exact counts from the sink's own
+    job — no second scan."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        observe_dq,
+    )
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity"
+    )
+    observed, obs = observe_dq(li, "l_orderkey", "l_quantity")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    metrics = obs.get
+    assert metrics["rows"] == li.count()
+    assert metrics["null_keys"] == 0
+    assert metrics["negative_measures"] == 0
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """A selective dim-side filter should inject a runtime bloom filter
+    into the fact scan side of a shuffle join (row-level semi-join
+    pushdown — at 100 TB this drops most fact rows BEFORE the shuffle
+    instead of after the join)."""
+    saved = {}
+    for k, v in _BLOOM_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(
+            os.path.join(SF_DIR, "lineitem.parquet")
+        ).select("l_orderkey", "l_quantity")
+        orders = spark.read.parquet(
+            os.path.join(SF_DIR, "orders.parquet")
+        ).filter(F.col("o_totalprice") > 500_000)
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "might_contain" in plan, plan
+        # and the filtered join still returns correct rows
+        n_sel = orders.count()
+        assert joined.count() >= n_sel
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 _SKEW_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
