@@ -1,0 +1,90 @@
+"""Spark 4 Python DataSource: the open-data (Socrata-style) source as a
+first-class, PARTITIONED Spark source.
+
+The reference pulls its region dataset on the driver —
+``Socrata(domain, None).get("xdk5-pm3f", limit=1200)`` then
+``createDataFrame`` (reference dimension.py:121-133) — so the whole
+dataset must fit in driver memory and the fetch is single-threaded.
+``read_rest_json`` (readers.py) keeps that shape with injected fetch;
+THIS module is the scale path: the Data Source V2 Python API
+(``pyspark.sql.datasource``) declares the schema up front and fans the
+paged fetch across EXECUTORS — each input partition fetches one page
+(offset/limit), so a 10⁹-row open dataset streams in parallel and never
+transits the driver.
+
+The HTTP GET itself is stubbed with a deterministic in-process page
+generator (no network in this container); the Spark-side plumbing —
+registration, schema, partition planning, per-partition iterators —
+is real and test-pinned (tests/test_sources.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_DEPARTMENTS = 32
+_REGIONS = (
+    "Andina",
+    "Caribe",
+    "Pacifica",
+    "Orinoquia",
+    "Amazonia",
+)
+
+
+def fetch_page(offset: int, limit: int) -> list[dict]:
+    """Deterministic stand-in for ``GET /resource/xdk5-pm3f.json
+    ?$offset=..&$limit=..`` — replace the body with an HTTP call in
+    production; the reader contract does not change."""
+    rows = []
+    for i in range(offset, offset + limit):
+        rows.append(
+            {
+                "municipio": f"municipio_{i:05d}",
+                "departamento": f"departamento_{i % _DEPARTMENTS:02d}",
+                "region": _REGIONS[i % len(_REGIONS)],
+            }
+        )
+    return rows
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class OpenDataReader(DataSourceReader):
+    def __init__(self, options):
+        self.total = int(options.get("limit", 1200))
+        self.page_size = int(options.get("page_size", 100))
+
+    def partitions(self):
+        return [
+            _PagePartition(off, min(self.page_size, self.total - off))
+            for off in range(0, self.total, self.page_size)
+        ]
+
+    def read(self, partition: _PagePartition):
+        # Runs ON THE EXECUTOR: one page per task.
+        for r in fetch_page(partition.offset, partition.limit):
+            yield (r["municipio"], r["departamento"], r["region"])
+
+
+class OpenDataSource(DataSource):
+    """``spark.read.format("opendata").option("limit", N).load()``."""
+
+    @classmethod
+    def name(cls):
+        return "opendata"
+
+    def schema(self):
+        return "municipio string, departamento string, region string"
+
+    def reader(self, schema):
+        return OpenDataReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom source."""
+    spark.dataSource.register(OpenDataSource)

@@ -218,3 +218,28 @@ def test_versioned_snapshots_time_travel(spark, tmp_path):
     assert {r.n_name for r in old.collect()} == {
         r.n_name for r in n.collect()
     }
+
+
+def test_python_datasource_opendata(spark):
+    """Spark 4 Python DataSource (S5 scale path): the open-data source
+    reads through registered format(), schema declared, fetch split
+    into one page per input partition on the executors."""
+    from data_warehouse_co_healthy_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("opendata")
+        .option("limit", "1200")
+        .option("page_size", "100")
+        .load()
+    )
+    assert df.columns == ["municipio", "departamento", "region"]
+    # paged partition planning: 1200/100 = 12 executor-side tasks
+    assert df.rdd.getNumPartitions() == 12
+    assert df.count() == 1200
+    # deterministic content matches the in-process page generator
+    assert df.filter(df.region == "Andina").count() == 240
+    assert df.select("municipio").distinct().count() == 1200
+    # and it composes with ordinary relational ops downstream
+    per_dept = df.groupBy("departamento").count()
+    assert per_dept.count() == 32
