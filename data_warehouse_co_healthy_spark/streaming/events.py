@@ -139,6 +139,61 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running per-user totals on the Spark 4
+    ``transformWithStateInPandas`` API — the successor to
+    applyInPandasWithState: named state variables on the RocksDB state
+    store, with timers and per-state TTL available for eviction policy
+    (neither needed here, so state is one value per user and size is
+    O(distinct users)).
+
+    Requires ``spark.sql.streaming.stateStore.providerClass`` =
+    RocksDBStateStoreProvider (set by the caller/test; HDFS-backed maps
+    don't support transformWithState) and the ``protobuf`` package
+    (state-server wire protocol; not installed in this container, so
+    the test skips — applyInPandasWithState above is the fully
+    exercised stateful path here)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                prev = self._totals.get()
+                n, total = int(prev[0]), float(prev[1])
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     watermark: str = "2 hours",

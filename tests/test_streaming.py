@@ -277,3 +277,40 @@ def test_stream_incremental_merge_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got, want, check_exact=False, atol=1e-6, check_dtype=False
     )
+
+
+def test_running_user_totals_transform_with_state(spark, stream):
+    """transformWithStateInPandas twin of running_user_totals: same
+    final totals, on the RocksDB state store."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf "
+        "(not in this container)",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    )
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        out = _drain(
+            spark, se.running_user_totals_tws(stream), "totals_tws",
+            mode="update",
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert len(out) > 0
+    batch = load_table(spark, SF_DIR, "events").toPandas()
+    want = batch.groupby("user_id").agg(
+        n_events=("event_id", "size"), total_value=("value", "sum")
+    )
+    final = out.groupby("user_id").last()
+    pd.testing.assert_frame_equal(
+        final.sort_index(), want.sort_index(), check_exact=False,
+        atol=1e-6, check_dtype=False,
+    )
