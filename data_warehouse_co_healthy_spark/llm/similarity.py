@@ -362,8 +362,39 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding_norms on the ``mapInArrow`` path: zero-copy Arrow
+    record batches straight into numpy (flattened list values +
+    ``reduceat`` over row offsets) — no pandas materialization at all.
+    The lowest-overhead Python escape hatch when even the Series
+    wrapping of a pandas UDF matters; same oracle as the in-plan fold
+    because both round to 6 digits (well above float64 noise)."""
+    import numpy as np  # noqa: PLC0415
+    import pyarrow as pa  # noqa: PLC0415
+
+    def norms(batches):
+        for batch in batches:
+            emb = batch.column("embedding")
+            vals = emb.flatten().to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            lens = np.asarray(emb.value_lengths(), dtype=np.int64)
+            starts = np.cumsum(lens) - lens
+            norm = np.sqrt(np.add.reduceat(vals * vals, starts))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(np.round(norm, 6))],
+                ["vec_id", "l2_norm"],
+            )
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return e.mapInArrow(norms, "vec_id long, l2_norm double")
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
+    "embedding_norms_arrow": embedding_norms_arrow,
     "mad_by_group": mad_by_group,
     "cosine_topk": cosine_topk,
     "cosine_topk_pandas": cosine_topk_pandas,
@@ -388,6 +419,11 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "embedding_norms": f"""
+        SELECT vec_id,
+               round({_SQL_NORM.format(c='embedding')}, 6) AS l2_norm
+        FROM embeddings
+    """,
+    "embedding_norms_arrow": f"""
         SELECT vec_id,
                round({_SQL_NORM.format(c='embedding')}, 6) AS l2_norm
         FROM embeddings
