@@ -220,8 +220,67 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL): per-group
+    sketches via ``hll_sketch_agg`` re-aggregated to a grand total with
+    ``hll_union_agg`` — NO second scan of the data. This is the 100 TB
+    distinct-count pattern: persist a sketch per partition/day, answer
+    any coarser-grain distinct query by unioning sketches (exact
+    countDistinct cannot re-aggregate: distinct counts don't add).
+    Estimates are sketch-implementation-defined → rows-only driver
+    check; tests/test_plans.py bounds them against exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    per = per_flag.select(
+        "l_returnflag",
+        F.hll_sketch_estimate("sk").alias("est_orders"),
+    )
+    grand = per_flag.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("l_returnflag"),
+        F.hll_sketch_estimate("sk").alias("est_orders"),
+    )
+    return per.unionByName(grand)
+
+
+def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function on the Arrow grouped-agg pandas
+    UDF path (Series → scalar per group): quantity-weighted average
+    price per return flag. Partial aggregation doesn't apply to an
+    opaque UDAF — Spark shuffles the group's rows to one task — so
+    built-in expressions stay preferred on hot paths; this pins the
+    extension point and its exact semantics vs a SQL oracle."""
+    from pyspark.sql.functions import (  # noqa: PLC0415
+        PandasUDFType,
+        pandas_udf,
+    )
+
+    # explicit functionType: this module's postponed annotations would
+    # otherwise hide the Series -> scalar aggregate signature
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    # a grouped-agg pandas UDF can't mix with built-in aggregates in
+    # one agg() — the row count is a second pandas aggregate
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def nrows(qty):
+        return len(qty)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias(
+            "wavg_price"
+        ),
+        nrows("l_quantity").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "hll_mergeable_rollup": hll_mergeable_rollup,
+    "udaf_weighted_avg": udaf_weighted_avg,
     "approx_quantiles": approx_quantiles,
     "count_distinct_agg": count_distinct_agg,
     "agg_having": agg_having,
@@ -250,6 +309,13 @@ ORACLES = {
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
+    """,
+    "udaf_weighted_avg": """
+        SELECT l_returnflag,
+               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                   AS wavg_price,
+               count(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY l_returnflag
     """,
     "count_distinct_agg": """
         SELECT l_returnflag,

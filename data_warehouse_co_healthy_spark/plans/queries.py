@@ -62,6 +62,9 @@ NO_ORACLE: dict[str, str] = {
     "approx_distinct": "HLL sketch values are implementation-defined",
     "approx_quantiles": "GK sketch values are implementation-defined; "
     "bounded error vs exact percentiles asserted in tests/test_plans.py",
+    "hll_mergeable_rollup": "DataSketches HLL estimates are "
+    "implementation-defined; bounded error vs exact distinct counts "
+    "asserted in tests/test_plans.py",
 }
 
 

@@ -44,6 +44,7 @@ SINGLE_PARTITION_OK = {
     "q11_important_stock",  # global scalar threshold (one agg row)
     "q19_disjunctive_revenue",  # global scalar aggregate
     "mix_sources_weighted",  # global totals (one agg row over sources)
+    "hll_mergeable_rollup",  # sketch-union: exchange carries 3 sketches
 }
 
 

@@ -114,3 +114,34 @@ def test_approx_quantiles_bounded_rank_error(spark):
         for q, got in qs.items():
             rank = grp.filter(F.col("value") <= got).count() / n
             assert abs(rank - float(q)) <= 0.015, (et, q, got, rank)
+
+
+def test_hll_mergeable_rollup_bounded_error(spark):
+    """HLL estimates (per group AND the sketch-union grand total) must
+    sit within 3% of exact distinct counts, and the union must NOT be
+    the sum of the parts (orderkeys recur across return flags — a
+    mergeable sketch deduplicates across groups, addition would not)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        hll_mergeable_rollup,
+    )
+    from tests.conftest import SF_DIR
+
+    est = {
+        r.l_returnflag: r.est_orders
+        for r in hll_mergeable_rollup(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = li.select("l_orderkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] <= 0.03, (k, e, exact[k])
+    assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")
