@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
 
@@ -288,8 +289,60 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 5
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per source: term frequency per document,
+    corpus document frequency, score = Σ_docs tf · ln(N/df), top-5
+    tokens per source with a deterministic (score desc, token asc)
+    tie-break — the characteristic-vocabulary probe that separates a
+    web-crawl source from a books source.
+
+    Scale posture: two partial-agg shuffles at (doc, token) and
+    (token) grain — both carry vocabulary-bounded rows, never
+    occurrences; N is a scalar; the final top-k window partitions by
+    source (source cardinality ≈ a handful), after an agg that has
+    already collapsed to |sources|×|vocab| rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_docs = d.count()
+    tf = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("doc_id", "source", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("docfreq")
+    )
+    scored = (
+        tf.join(df_, "token")
+        .groupBy("source", "token")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select("source", "token", "score", "rk")
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "tfidf_top_terms": tfidf_top_terms,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "pack_sequences": pack_sequences,
     "chunk_documents": chunk_documents,
@@ -308,6 +361,35 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "tfidf_top_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, source, token, count(*) AS tf
+            FROM tok WHERE length(token) > 0
+            GROUP BY doc_id, source, token
+        ), df AS (
+            SELECT token, count(DISTINCT doc_id) AS docfreq
+            FROM tf GROUP BY token
+        ), scored AS (
+            SELECT source, token,
+                   round(sum(tf * ln(
+                       (SELECT count(*) FROM documents)::DOUBLE / docfreq
+                   )), 4) AS score
+            FROM tf JOIN df USING (token)
+            GROUP BY source, token
+        ), ranked AS (
+            SELECT source, token, score,
+                   CAST(row_number() OVER (
+                       PARTITION BY source ORDER BY score DESC, token
+                   ) AS INT) AS rk
+            FROM scored
+        )
+        SELECT source, token, score, rk
+        FROM ranked WHERE rk <= {TFIDF_TOPK}
+    """,
     "heavy_hitters_tokens": f"""
         SELECT t AS token, count(*)::BIGINT AS n_occur,
                count(DISTINCT doc_id)::BIGINT AS n_docs
