@@ -227,8 +227,36 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_TRAIN_PCT = 90  # train < 90, val < 95, else test
+SPLIT_VAL_PCT = 95
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by content-stable
+    hash of the document id — reproducible across runs, clusters, and
+    re-partitioning (no rand(), which re-rolls under task retries), and
+    stable under corpus growth: adding documents never moves an
+    existing one between splits. Pure map — no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(h < SPLIT_TRAIN_PCT, "train")
+        .when(h < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return d.select("doc_id", "source", split.alias("split"))
+
+
 QUERIES = {
     "repetition_ratio": repetition_ratio,
+    "train_val_test_split": train_val_test_split,
     "mix_sources_weighted": mix_sources_weighted,
     "contamination_overlap": contamination_overlap,
     "pii_redaction": pii_redaction,
@@ -238,6 +266,17 @@ QUERIES = {
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
 ORACLES = {
+    "train_val_test_split": f"""
+        SELECT doc_id, source,
+               CASE
+                 WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                 WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                      % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    """,
     "mix_sources_weighted": f"""
         WITH stats AS (
             SELECT source, count(*) AS n_s,
