@@ -35,12 +35,23 @@ def surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running sum per partition with a total-order tiebreak (orderkey,
-    linenumber) so results are deterministic."""
+    """Running sum per partition with a TOTAL-order tiebreak so results
+    are engine-independent. (l_orderkey, l_linenumber) is NOT unique in
+    the fixtures (~118k duplicate pairs at sf0.1), so the sort extends
+    through partkey/quantity/extendedprice — a ROWS-frame prefix sum is
+    only deterministic under a total order of rows whose summed values
+    differ."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_quantity",
+            "l_extendedprice",
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return li.select(
@@ -183,7 +194,8 @@ ORACLES = {
         SELECT l_suppkey, l_orderkey, l_linenumber,
                sum(l_quantity) OVER (
                    PARTITION BY l_suppkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                            l_partkey, l_quantity, l_extendedprice
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS running_qty
         FROM lineitem

@@ -203,3 +203,36 @@ def test_mix_keeps_target_fraction_and_reweights(spark):
         r.kept_frac for r in rates if r.source not in filters.MIX_HOT_SOURCES
     ]
     assert min(hot) > max(cold)
+
+
+def test_split_assigns_every_doc_exactly_once(spark):
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.llm.filters import (
+        train_val_test_split,
+    )
+
+    out = train_val_test_split(spark, SF_DIR).toPandas()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert len(out) == docs.count()
+    assert out.doc_id.is_unique
+    frac = out.split.value_counts(normalize=True)
+    # hash split at small N: train dominates, all three present-ish
+    assert frac.get("train", 0) > 0.8
+    assert set(out.split.unique()) <= {"train", "val", "test"}
+    # determinism: a second build is identical
+    again = train_val_test_split(spark, SF_DIR).toPandas()
+    assert out.sort_values("doc_id").split.tolist() == \
+        again.sort_values("doc_id").split.tolist()
+
+
+def test_tfidf_topk_ranks_are_dense_per_source(spark):
+    from data_warehouse_co_healthy_spark.llm.text import (
+        TFIDF_TOPK,
+        tfidf_top_terms,
+    )
+
+    out = tfidf_top_terms(spark, SF_DIR).toPandas()
+    for src, grp in out.groupby("source"):
+        assert sorted(grp.rk.tolist()) == list(range(1, TFIDF_TOPK + 1))
+        assert grp.token.is_unique
+        assert (grp.sort_values("rk").score.diff().dropna() <= 1e-9).all()
