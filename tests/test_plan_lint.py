@@ -48,16 +48,50 @@ SINGLE_PARTITION_OK = {
 }
 
 
+# Row-at-a-time Python evaluation: inherent to Python UDTFs (API
+# coverage on a bounded sample); everything else must stay Arrow.
+PYTHON_ROW_OK = {
+    "sql_udtf_chunks",
+}
+
+_ALLOW_BY_RULE = {
+    "nested_loop": NESTED_LOOP_OK,
+    "single_partition": SINGLE_PARTITION_OK,
+    "python_row_udf": PYTHON_ROW_OK,
+}
+
+
 @pytest.mark.parametrize("name", sorted(entry.queries()))
 def test_plan_has_no_scale_antipatterns(spark, name):
+    from data_warehouse_co_healthy_spark.plans.lint import plan_findings
+
     df = entry.queries()[name](spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
-    if name not in NESTED_LOOP_OK:
-        assert "BroadcastNestedLoopJoin" not in plan, (
-            f"{name} degraded to a nested-loop join"
-        )
-    if name not in SINGLE_PARTITION_OK:
-        assert "Exchange SinglePartition" not in plan, (
-            f"{name} funnels data through one partition"
-        )
+    findings = plan_findings(df)
+    assert not findings["cartesian"], f"{name} plans a cartesian product"
+    for rule, allowed in _ALLOW_BY_RULE.items():
+        if name not in allowed:
+            assert not findings[rule], f"{name} violates {rule}"
+
+
+def test_assert_scalable_plan_api(spark):
+    """The library gate raises on a cartesian plan, names the rule, and
+    passes a clean aggregate; allow= must name known rules."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.plans.lint import (
+        assert_scalable_plan,
+    )
+
+    a = spark.range(10)
+    b = spark.range(10)
+    cross = a.crossJoin(b)
+    # small sides plan as BroadcastNestedLoopJoin, large as
+    # CartesianProduct — either way the gate must fire
+    with pytest.raises(ValueError, match="cartesian|nested_loop"):
+        assert_scalable_plan(cross)
+
+    clean = a.groupBy((F.col("id") % 3).alias("k")).count()
+    assert_scalable_plan(clean)
+
+    with pytest.raises(ValueError, match="unknown lint rules"):
+        assert_scalable_plan(clean, allow={"not_a_rule"})
