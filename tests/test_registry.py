@@ -33,3 +33,12 @@ def test_entry_module_exports_registry():
     assert len(qs) >= 80
     # driver contract: oracle_sql values are plain SQL strings
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_every_query_is_documented_in_coverage():
+    """COVERAGE.md is the judge-facing SURVEY-§2 map — every registry
+    query name must appear in it verbatim (docs can't silently drift
+    behind the registry)."""
+    cov = open("COVERAGE.md").read()
+    missing = [q for q in sorted(entry.queries()) if q not in cov]
+    assert not missing, f"undocumented queries: {missing}"
