@@ -74,6 +74,29 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each exact-duplicate
+    group keep the LONGEST copy (highest n_chars; doc_id ascending as
+    the tie-break) — the production policy when near-identical copies
+    differ in truncation and "smallest id wins" would keep the worst
+    one. One window over the fingerprint partition; group sizes are
+    duplicate-multiplicity-bounded, so no skew risk at corpus scale."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(_doc_canon(F.col("text"))).alias("fp"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("fp", F.col("doc_id").alias("keep_id"), "n_chars")
+    )
+
+
 _CANON_EXPR = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 
@@ -354,6 +377,7 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_cluster_labels": dedup_cluster_labels,
@@ -414,6 +438,16 @@ ORACLES = {
         SELECT md5({_CANON}) AS fp,
                min(doc_id) AS canonical_id, count(*) AS n_copies
         FROM documents GROUP BY 1
+    """,
+    "dedup_keep_best": f"""
+        SELECT fp, doc_id AS keep_id, n_chars FROM (
+            SELECT md5({_CANON}) AS fp, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY md5({_CANON})
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk = 1
     """,
     "minhash_signatures": _SIGNATURES,
     "minhash_lsh_pairs": f"""
