@@ -130,7 +130,55 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"binary_metadata": binary_metadata, "frame_sample": frame_sample}
+TARGET_W = 64       # fake resize target
+TARGET_H = 64
+_RESIZE_BYTES = TARGET_W * TARGET_H // 64  # fake: 1 byte per 64 px
+
+
+def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize: the payload-rewriting multimodal op (image → fixed
+    WxH). The deterministic fake truncates the payload proportional to
+    the target pixel count; a real pipeline decodes, resamples, and
+    re-encodes in the same place — the binary-in/binary-out Arrow batch
+    contract, output metadata columns, and partition-parallel execution
+    are identical. Output checksums make the rewrite oracle-checkable
+    without shipping binaries to the driver."""
+    import hashlib  # noqa: PLC0415
+
+    out_schema = (
+        "media_id long, out_width int, out_height int, "
+        "out_bytes long, resized_checksum string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                bytes(p)[: min(len(p), _RESIZE_BYTES)]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": TARGET_W,
+                    "out_height": TARGET_H,
+                    "out_bytes": [len(r) for r in resized],
+                    "resized_checksum": [
+                        hashlib.md5(r).hexdigest() for r in resized
+                    ],
+                }
+            ).astype({"out_width": "int32", "out_height": "int32"})
+
+    media = media_from_documents(spark, sf_dir)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+QUERIES = {
+    "binary_metadata": binary_metadata,
+    "frame_sample": frame_sample,
+    "resize_media": resize_media,
+}
 
 ORACLES = {
     "binary_metadata": """
@@ -150,6 +198,15 @@ ORACLES = {
              LATERAL (SELECT unnest(generate_series(
                  0, length(text) // {FRAME_CHARS} - 1)) AS i)
         WHERE i % {FRAME_STRIDE} = 0
+    """,
+    "resize_media": f"""
+        SELECT doc_id AS media_id,
+               {TARGET_W} AS out_width,
+               {TARGET_H} AS out_height,
+               least(length(text), {_RESIZE_BYTES})::BIGINT AS out_bytes,
+               md5(substr(text, 1, least(length(text), {_RESIZE_BYTES})))
+                   AS resized_checksum
+        FROM documents
     """,
 }
 
