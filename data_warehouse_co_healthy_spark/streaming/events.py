@@ -232,12 +232,18 @@ def purchase_attribution(
     events: DataFrame,
     horizon_min: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream join: each purchase joined to the same user's
     clicks in the preceding ``horizon_min`` minutes. Both sides carry a
     watermark and the join condition bounds event-time distance, so
     state for either side is evicted once the watermark passes —
-    WITHOUT the time bound a stream-stream join would buffer forever."""
+    WITHOUT the time bound a stream-stream join would buffer forever.
+
+    ``how="left_outer"`` keeps unattributed purchases: a null-click row
+    is emitted once the watermark guarantees no matching click can
+    still arrive (outer results are watermark-DELAYED, not instant —
+    the correctness/latency trade every streaming outer join makes)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -260,7 +266,7 @@ def purchase_attribution(
             F.col("click_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")
         ),
-        "inner",
+        how,
     ).select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 

@@ -314,3 +314,52 @@ def test_running_user_totals_transform_with_state(spark, stream):
         final.sort_index(), want.sort_index(), check_exact=False,
         atol=1e-6, check_dtype=False,
     )
+
+
+def test_purchase_attribution_left_outer(spark, stream):
+    """Outer stream-stream join: matched rows identical to the inner
+    join; null-click rows appear only for purchases the batch twin also
+    leaves unmatched (emitted once the watermark passes)."""
+    from pyspark.sql import functions as F
+
+    inner = _drain(
+        spark, se.purchase_attribution(stream), "attr_in", mode="append"
+    )
+    outer = _drain(
+        spark,
+        se.purchase_attribution(stream, how="left_outer"),
+        "attr_out",
+        mode="append",
+    )
+    matched = outer[outer.click_id.notna()]
+    key = ["event_id", "click_id"]
+    # click_id surfaces as float64 on the outer side (NaN-able column)
+    assert (
+        matched[key].astype("int64").sort_values(key)
+        .reset_index(drop=True)
+        .equals(
+            inner[key].astype("int64").sort_values(key)
+            .reset_index(drop=True)
+        )
+    )
+    nulls = outer[outer.click_id.isna()]
+    assert len(nulls) > 0, "no unattributed purchases emitted"
+    # batch ground truth: purchases with >= 1 qualifying click
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    attributed = {
+        r.event_id
+        for r in purch.join(
+            clicks,
+            (purch.user_id == clicks.cu)
+            & (clicks.cts <= purch.pts)
+            & (clicks.cts >= purch.pts - F.expr("INTERVAL 30 MINUTES")),
+            "left_semi",
+        ).collect()
+    }
+    assert not (set(nulls.event_id) & attributed)
