@@ -218,6 +218,70 @@ def write_zordered(
     )
 
 
+def table_report(path: str, stat_cols: tuple[str, ...] = ()) -> dict:
+    """Table-health report from parquet FOOTERS only (no data scan):
+    file count/size distribution, row-group sizes, and per-file min/max
+    clustering quality for ``stat_cols``. The triage step before
+    choosing ``compact_parquet`` (too many small files) or
+    ``write_zordered`` (overlapping min/max boxes) — on a 100 TB table
+    footers are KBs where the data is TBs.
+
+    ``clustering overlap`` per column = mean fraction of OTHER files
+    whose [min,max] interval intersects each file's (1.0 ≈ every file
+    overlaps every other → no skipping; → 0 ≈ disjoint → near-perfect
+    skipping)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+    sizes = [_os.path.getsize(f) for f in files]
+    rows, row_groups = 0, 0
+    bounds: dict[str, list[tuple]] = {c: [] for c in stat_cols}
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        row_groups += md.num_row_groups
+        lo: dict[str, object] = {}
+        hi: dict[str, object] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                col = g.column(i)
+                c = col.path_in_schema
+                if c in bounds and col.statistics is not None:
+                    st = col.statistics
+                    lo[c] = st.min if c not in lo else min(lo[c], st.min)
+                    hi[c] = st.max if c not in hi else max(hi[c], st.max)
+        for c in stat_cols:
+            if c in lo:
+                bounds[c].append((lo[c], hi[c]))
+    overlap = {}
+    for c, boxes in bounds.items():
+        if len(boxes) < 2:
+            overlap[c] = 0.0
+            continue
+        inter = sum(
+            sum(
+                1
+                for j, (lo2, hi2) in enumerate(boxes)
+                if i != j and not (hi1 < lo2 or lo1 > hi2)
+            )
+            for i, (lo1, hi1) in enumerate(boxes)
+        )
+        overlap[c] = round(inter / (len(boxes) * (len(boxes) - 1)), 4)
+    return {
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "min_file_bytes": min(sizes, default=0),
+        "max_file_bytes": max(sizes, default=0),
+        "n_rows": rows,
+        "n_row_groups": row_groups,
+        "clustering_overlap": overlap,
+    }
+
+
 def rest_bulk_insert(
     df: DataFrame,
     table: str,

@@ -206,3 +206,30 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_table_report_detects_clustering_quality(spark, tmp_path):
+    """table_report must read footers only and rank the z-ordered
+    layout as better clustered (lower min/max overlap) than hash."""
+    from data_warehouse_co_healthy_spark.sources.writers import (
+        table_report,
+    )
+
+    cols = ("l_orderkey", "l_partkey")
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        *cols
+    )
+    zpath, hpath = str(tmp_path / "z"), str(tmp_path / "h")
+    write_zordered(li, zpath, cols, n_files=8)
+    li.repartition(8).write.parquet(hpath)
+    zr = table_report(zpath, stat_cols=cols)
+    hr = table_report(hpath, stat_cols=cols)
+    assert zr["n_rows"] == hr["n_rows"] == li.count()
+    assert zr["n_files"] > 0 and hr["n_files"] == 8
+    # hash layout: every file overlaps every other on both columns
+    assert hr["clustering_overlap"]["l_orderkey"] == 1.0
+    # z-order: the leading interleaved column must be far better
+    assert (
+        zr["clustering_overlap"]["l_orderkey"]
+        < hr["clustering_overlap"]["l_orderkey"]
+    )
