@@ -337,6 +337,49 @@ def cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_batch.join(old_snapshot, on="fp", how="left_anti")
 
 
+EDIT_SIM_MIN = 0.4   # normalized-edit-similarity accept threshold
+
+
+def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-verification stage after LSH blocking: each MinHash
+    candidate pair is re-scored with true Levenshtein distance on the
+    canonical text, keeping pairs whose normalized edit similarity
+    (1 - dist/max_len) clears EDIT_SIM_MIN — the classic two-phase
+    near-dedup (cheap probabilistic blocking, exact verify on the
+    surviving candidates only).
+
+    Scale posture: the O(len²) edit distance runs ONLY on LSH-surviving
+    pairs (bounded by MAX_BUCKET fan-out), never all-pairs; the text
+    join moves each document's canonical form once per candidate
+    appearance, shuffling on doc ids. The distance itself is a JVM
+    built-in (F.levenshtein) inside whole-stage codegen — no Python.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    canon = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_CANON_EXPR).alias("canon")
+    )
+    a = canon.selectExpr("doc_id AS doc_a", "canon AS canon_a")
+    b = canon.selectExpr("doc_id AS doc_b", "canon AS canon_b")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "editdist", F.levenshtein("canon_a", "canon_b").cast("long")
+        )
+        .withColumn(
+            "edit_sim",
+            F.round(
+                F.lit(1.0)
+                - F.col("editdist")
+                / F.greatest(F.length("canon_a"), F.length("canon_b")),
+                4,
+            ),
+        )
+        .filter(F.col("edit_sim") >= EDIT_SIM_MIN)
+        .select("doc_a", "doc_b", "editdist", "edit_sim")
+    )
+
+
 N_LABEL_ITERS = 3  # label-propagation rounds (bounded, deterministic)
 
 
@@ -385,6 +428,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "cross_snapshot_dedup": cross_snapshot_dedup,
+    "dedup_editdist_rerank": dedup_editdist_rerank,
 }
 
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -516,6 +560,23 @@ ORACLES["cross_snapshot_dedup"] = f"""
       AND NOT EXISTS (
         SELECT 1 FROM hashed o
         WHERE o.doc_id % {SNAP_MOD} <> 0 AND o.fp = n.fp)
+"""
+
+_EDIT_SIM = (
+    "round(1 - levenshtein(a.canon, b.canon)::DOUBLE"
+    " / greatest(length(a.canon), length(b.canon)), 4)"
+)
+
+ORACLES["dedup_editdist_rerank"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    canon AS (SELECT doc_id, {_CANON} AS canon FROM documents)
+    SELECT doc_a, doc_b,
+           levenshtein(a.canon, b.canon)::BIGINT AS editdist,
+           {_EDIT_SIM} AS edit_sim
+    FROM pairs
+    JOIN canon a ON pairs.doc_a = a.doc_id
+    JOIN canon b ON pairs.doc_b = b.doc_id
+    WHERE {_EDIT_SIM} >= {EDIT_SIM_MIN}
 """
 
 NO_ORACLE: dict[str, str] = {}

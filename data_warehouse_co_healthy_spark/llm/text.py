@@ -340,8 +340,129 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_BIGRAM = 5  # collocation support floor (drops one-off noise pairs)
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations by pointwise mutual information:
+    PMI(w1,w2) = ln(c(w1,w2)·U / (c(w1)·c(w2))) over adjacent lowercase
+    token pairs, U = total token count — the association score that
+    finds multi-word expressions ("new york") for tokenizer vocab and
+    boilerplate phrase detection.
+
+    Scale posture: bigram extraction is doc-local (one pass over the
+    cached token array — no self-join on position); both groupBys are
+    map-side partial-aggregated so the shuffles carry
+    vocabulary-bounded rows, not occurrences; the unigram side joins
+    back broadcast (a vocabulary fits in memory at any corpus scale);
+    the corpus total is a 1-row broadcast."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    ws = d.select(F.split(F.lower("text"), r"\s+").alias("ws"))
+    uni = (
+        ws.select(F.explode("ws").alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("uc"))
+    )
+    tot = uni.agg(F.sum("uc").cast("double").alias("total_u"))
+    bi = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), "
+                    "i -> struct(element_at(ws, i) AS w1, "
+                    "element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .filter((F.length("w1") > 0) & (F.length("w2") > 0))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bc"))
+    )
+    u1 = uni.selectExpr("w AS w1", "uc AS uc1")
+    u2 = uni.selectExpr("w AS w2", "uc AS uc2")
+    return (
+        bi.filter(F.col("bc") >= MIN_BIGRAM)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "bc",
+            # + 0.0 collapses IEEE -0.0 to +0.0 — near-independent pairs
+            # round to zero with an engine-dependent sign otherwise
+            (
+                F.round(
+                    F.log(
+                        F.col("bc") * F.col("total_u")
+                        / (F.col("uc1") * F.col("uc2"))
+                    ),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("pmi"),
+        )
+    )
+
+
+BM25_TERMS = ("spark", "vector", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval: BM25 score per document for a fixed
+    query term set (Lucene idf variant, always positive:
+    ln(1 + (N-df+0.5)/(df+0.5))) — the lexical-search baseline every
+    corpus tooling stack needs next to embedding ANN.
+
+    Scale posture: term frequencies are computed only for query terms
+    (the isin filter prunes the explode before the shuffle); document
+    length and corpus stats reduce to one broadcast row; per-term df is
+    a |terms|-row broadcast. One vocabulary-free shuffle at (doc, term)
+    grain, one final per-doc sum."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"),
+        F.count("*").cast("double").alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_norm).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "pmi_bigrams": pmi_bigrams,
+    "bm25_search": bm25_search,
     "tfidf_top_terms": tfidf_top_terms,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "pack_sequences": pack_sequences,
@@ -503,6 +624,60 @@ ORACLES = {
                md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS fingerprint
         FROM documents
+    """,
+    "pmi_bigrams": f"""
+        WITH ws AS (
+            SELECT string_split_regex(lower(text), '\\s+') AS ws
+            FROM documents
+        ), uni AS (
+            SELECT w, count(*)::BIGINT AS uc
+            FROM (SELECT unnest(ws) AS w FROM ws)
+            WHERE length(w) > 0 GROUP BY w
+        ), tot AS (SELECT sum(uc)::DOUBLE AS total_u FROM uni),
+        bi AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*)::BIGINT AS bc
+            FROM ws,
+                 LATERAL (SELECT unnest(generate_series(1, len(ws) - 1))
+                          AS i)
+            WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+            GROUP BY 1, 2
+        )
+        SELECT w1, w2, bc,
+               round(ln(bc * total_u / (uc1 * uc2)), 4) + 0.0 AS pmi
+        FROM bi
+        JOIN (SELECT w AS w1, uc AS uc1 FROM uni) USING (w1)
+        JOIN (SELECT w AS w2, uc AS uc2 FROM uni) USING (w2), tot
+        WHERE bc >= {MIN_BIGRAM}
+    """,
+    "bm25_search": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS w
+            FROM documents
+        ), tok2 AS (SELECT * FROM tok WHERE length(w) > 0),
+        dl AS (
+            SELECT doc_id, count(*)::BIGINT AS dl FROM tok2
+            GROUP BY doc_id
+        ), stats AS (
+            SELECT avg(dl)::DOUBLE AS avgdl, count(*)::DOUBLE AS n_docs
+            FROM dl
+        ), tf AS (
+            SELECT doc_id, w, count(*)::BIGINT AS tf FROM tok2
+            WHERE w IN {BM25_TERMS!r}
+            GROUP BY doc_id, w
+        ), df AS (
+            SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM tf
+            GROUP BY w
+        )
+        SELECT doc_id,
+               round(sum(
+                   ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1})
+                   / (tf + {BM25_K1} * (1 - {BM25_B}
+                                        + {BM25_B} * dl / avgdl))
+               ), 4) AS bm25
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (w), stats
+        GROUP BY doc_id
     """,
 }
 

@@ -236,3 +236,57 @@ def test_tfidf_topk_ranks_are_dense_per_source(spark):
         assert sorted(grp.rk.tolist()) == list(range(1, TFIDF_TOPK + 1))
         assert grp.token.is_unique
         assert (grp.sort_values("rk").score.diff().dropna() <= 1e-9).all()
+
+
+def test_editdist_rerank_subset_and_exact_dups_score_one(spark):
+    """Re-ranked pairs are a subset of the LSH candidates; pairs whose
+    canonical texts are identical (exact dups survive LSH by
+    construction) must score editdist=0 / edit_sim=1."""
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).toPandas()
+    ranked = dedup.dedup_editdist_rerank(spark, SF_DIR).toPandas()
+    cand = {tuple(r) for r in pairs[["doc_a", "doc_b"]].to_numpy()}
+    assert {tuple(r) for r in ranked[["doc_a", "doc_b"]].to_numpy()} <= cand
+    assert (ranked.edit_sim >= dedup.EDIT_SIM_MIN).all()
+    exact = ranked[ranked.editdist == 0]
+    assert (exact.edit_sim == 1.0).all()
+    # wherever the corpus HAS exact-duplicate content, the verify stage
+    # must confirm those pairs at distance zero (sf0.001 may have none)
+    dups = dedup.dedup_exact(spark, SF_DIR).toPandas()
+    n_dup_groups = (dups.n_copies > 1).sum()
+    if n_dup_groups:
+        assert len(exact) > 0
+
+
+def test_pmi_bigrams_support_floor_and_symmetric_marginals(spark):
+    out = text.pmi_bigrams(spark, SF_DIR).toPandas()
+    assert (out.bc >= text.MIN_BIGRAM).all()
+    # PMI is bounded above by ln(U / max(uc1, uc2)) <= ln(U); sanity:
+    # finite, and a bigram can't be more frequent than either unigram
+    import numpy as np
+
+    assert np.isfinite(out.pmi).all()
+    # determinism
+    again = text.pmi_bigrams(spark, SF_DIR).toPandas()
+    key = ["w1", "w2"]
+    assert out.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True)
+    )
+
+
+def test_bm25_scores_only_docs_containing_query_terms(spark):
+    from data_warehouse_co_healthy_spark.catalog import load_table
+
+    out = text.bm25_search(spark, SF_DIR).toPandas()
+    assert (out.bm25 > 0).all()
+    docs = load_table(spark, SF_DIR, "documents").toPandas()
+    docs["hit"] = docs.text.str.lower().str.split().map(
+        lambda ws: any(t in ws for t in text.BM25_TERMS)
+    )
+    hit_ids = set(docs[docs.hit].doc_id)
+    assert set(out.doc_id) == hit_ids
+    # a doc stuffed with query terms outranks one with a single hit
+    tf_tot = docs.set_index("doc_id").text.str.lower().str.split().map(
+        lambda ws: sum(w in text.BM25_TERMS for w in ws)
+    )
+    top = out.sort_values("bm25", ascending=False).doc_id.iloc[0]
+    assert tf_tot[top] >= tf_tot[list(hit_ids)].median()

@@ -21,6 +21,8 @@ NESTED_LOOP_OK = {
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
     "q11_important_stock",  # HAVING > scalar-threshold, 1-row broadcast
     "mix_sources_weighted", # corpus totals joined as 1-row broadcast
+    "pmi_bigrams",          # corpus token total as 1-row broadcast
+    "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -45,6 +47,8 @@ SINGLE_PARTITION_OK = {
     "q19_disjunctive_revenue",  # global scalar aggregate
     "mix_sources_weighted",  # global totals (one agg row over sources)
     "hll_mergeable_rollup",  # sketch-union: exchange carries 3 sketches
+    "pmi_bigrams",          # global token total (one agg row)
+    "bm25_search",          # global avgdl/N stats (one agg row)
 }
 
 
