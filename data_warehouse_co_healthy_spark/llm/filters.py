@@ -148,6 +148,48 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_PER_SOURCE = 10  # max docs kept per source
+QUOTA_SALTS = 4  # stage-1 fan-out bounding per-source window size
+
+
+def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the per-domain quota every crawl
+    pipeline applies so no single domain dominates the corpus): keep
+    the QUOTA_PER_SOURCE best docs per source, best = longest
+    (n_chars DESC, doc_id tiebreak — a total order, so results are
+    deterministic and oracle-checkable).
+
+    Scale posture: a naive ``row_number() OVER (PARTITION BY source)``
+    sends EVERY row of a hot domain to one reducer. Stage 1 instead
+    ranks within (source, salt) — salt = hash(doc_id) % QUOTA_SALTS —
+    which caps any reducer's input at ~1/QUOTA_SALTS of the hottest
+    domain and keeps at most QUOTA_SALTS x quota rows per source;
+    stage 2 ranks those survivors per source, a window over provably
+    tiny groups. Each salt group's local top-N is a superset of its
+    members in the global top-N, so the two-stage plan is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    order = [F.col("n_chars").desc(), F.col("doc_id")]
+    w1 = Window.partitionBy("source", "salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    pruned = (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.pmod(F.hash("doc_id"), F.lit(QUOTA_SALTS)).alias("salt"),
+        )
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= QUOTA_PER_SOURCE)
+        .drop("r1", "salt")
+    )
+    return (
+        pruned.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+    )
+
+
 def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-shape histogram: documents bucketed by whitespace token
     count (bucket width HIST_BUCKET_WORDS). The monitoring query every
@@ -261,11 +303,22 @@ QUERIES = {
     "contamination_overlap": contamination_overlap,
     "pii_redaction": pii_redaction,
     "token_length_histogram": token_length_histogram,
+    "quota_sample": quota_sample,
 }
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
 ORACLES = {
+    "quota_sample": f"""
+        SELECT doc_id, source, n_chars, rk FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {QUOTA_PER_SOURCE}
+    """,
     "train_val_test_split": f"""
         SELECT doc_id, source,
                CASE

@@ -244,6 +244,60 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.unionByName(grand)
 
 
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via Roaring-style bitmaps
+    (``bitmap_construct_agg``): per (event_type, bucket) the user ids
+    collapse into a 32k-bit bitmap, distinct-per-type is the sum of
+    per-bucket bitmap popcounts, and the grand total re-aggregates the
+    SAME bitmaps with ``bitmap_or_agg`` — no second scan, no error bar.
+    This is the exact counterpart of ``hll_mergeable_rollup`` for key
+    domains dense enough to bitmap (ints): at 100 TB you persist the
+    (group, bucket, bitmap) table once and answer any coarser-grain
+    distinct query by OR-ing bitmaps. Unlike countDistinct, results
+    compose: distinct counts don't add, bitmaps do."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = e.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm")
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    grand = (
+        buckets.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(grand)
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: per-key row counts on the fact side,
+    reported as the top-10 heaviest keys with their share of all rows
+    and their multiple of the mean key load (``skew_x``). This is the
+    measurement that decides salting / AQE-skew-join before a 100 TB
+    shuffle: keys with skew_x >> 1 overload one reducer. Plan: one
+    map-side-combined count per key (shuffle = key cardinality), a
+    1-row global stats aggregate broadcast back over the top-k, and a
+    TakeOrderedAndProject for the top-10 (no global sort)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("cnt"))
+    stats = counts.agg(
+        F.count("*").alias("n_keys"), F.sum("cnt").alias("n_rows")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), "l_suppkey").limit(10)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "l_suppkey",
+        "cnt",
+        F.round(F.col("cnt") / F.col("n_rows"), 6).alias("share"),
+        F.round(
+            F.col("cnt") / (F.col("n_rows") / F.col("n_keys")), 4
+        ).alias("skew_x"),
+    )
+
+
 def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined AGGREGATE function on the Arrow grouped-agg pandas
     UDF path (Series → scalar per group): quantity-weighted average
@@ -280,6 +334,8 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "hll_mergeable_rollup": hll_mergeable_rollup,
+    "bitmap_distinct_rollup": bitmap_distinct_rollup,
+    "key_skew_profile": key_skew_profile,
     "udaf_weighted_avg": udaf_weighted_avg,
     "approx_quantiles": approx_quantiles,
     "count_distinct_agg": count_distinct_agg,
@@ -316,6 +372,26 @@ ORACLES = {
                    AS wavg_price,
                count(*)::BIGINT AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "bitmap_distinct_rollup": """
+        SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'ALL' AS event_type, count(DISTINCT user_id)::BIGINT
+        FROM events
+    """,
+    "key_skew_profile": """
+        WITH counts AS (
+            SELECT l_suppkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        ), stats AS (
+            SELECT count(*) AS n_keys, sum(cnt) AS n_rows FROM counts
+        )
+        SELECT l_suppkey, cnt,
+               round(cnt / n_rows, 6) AS share,
+               round(cnt / (n_rows / n_keys), 4) AS skew_x
+        FROM counts, stats
+        ORDER BY cnt DESC, l_suppkey LIMIT 10
     """,
     "count_distinct_agg": """
         SELECT l_returnflag,

@@ -23,6 +23,7 @@ NESTED_LOOP_OK = {
     "mix_sources_weighted", # corpus totals joined as 1-row broadcast
     "pmi_bigrams",          # corpus token total as 1-row broadcast
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
+    "key_skew_profile",     # key-cardinality stats as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -47,6 +48,9 @@ SINGLE_PARTITION_OK = {
     "q19_disjunctive_revenue",  # global scalar aggregate
     "mix_sources_weighted",  # global totals (one agg row over sources)
     "hll_mergeable_rollup",  # sketch-union: exchange carries 3 sketches
+    "bitmap_distinct_rollup",  # bitmap-OR grand total: exchange carries
+                               # one bitmap per (type, bucket), not rows
+    "key_skew_profile",     # global stats over key-cardinality counts
     "pmi_bigrams",          # global token total (one agg row)
     "bm25_search",          # global avgdl/N stats (one agg row)
 }
