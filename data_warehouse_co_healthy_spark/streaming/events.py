@@ -26,18 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet stores ts as TIMESTAMP(NANOS) (see catalog.load_table);
-# the stream source reads it as long nanos and converts.
-_EVENTS_RAW = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events.parquet has stored ts as TIMESTAMP(NANOS) in some fixture
+# generations and TIMESTAMP(MICROS) in others; the stream source takes
+# its schema from the parquet footer (one batch-read of the footer at
+# plan time) and normalizes long-nanos to a microsecond timestamp, same
+# as catalog.load_table.
 
 
 def stage_events_dir(sf_dir: str) -> str:
@@ -59,14 +52,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (for tests/demo; a
     production deployment points the same plan at Kafka)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW)
-        .format("parquet")
-        .load(stage_events_dir(sf_dir))
-    )
-    # ts div 1000: integer division — float division would round-trip
-    # epoch nanos through a double and corrupt the microseconds
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    staged = stage_events_dir(sf_dir)
+    schema = spark.read.parquet(staged).schema
+    raw = spark.readStream.schema(schema).format("parquet").load(staged)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # ts div 1000: integer division — float division would round-trip
+        # epoch nanos through a double and corrupt the microseconds
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); the session tz is pinned
+        # UTC (session.py) so this cast preserves the wall-clock value
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(
