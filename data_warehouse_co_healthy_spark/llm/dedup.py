@@ -418,8 +418,110 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+MAX_CC_ITERS = 20  # converged-CC safety cap (rounds ≈ graph diameter)
+
+
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERGED near-dup clusters: min-label propagation over the LSH
+    candidate-pair graph iterated to a FIXPOINT (unlike
+    ``dedup_cluster_labels``' bounded 3 rounds) — every doc's cluster_id
+    is exactly the smallest doc_id in its connected component.
+
+    Each round is one join + one min-aggregate; convergence is detected
+    by the (strictly decreasing until fixpoint) sum of labels, so the
+    per-round driver action is a scalar aggregate, not a collect.
+    ``localCheckpoint`` truncates the growing lineage each round — on a
+    real cluster use ``checkpoint`` to HDFS for fault tolerance. Rounds
+    scale with component diameter, which for near-dup graphs is tiny
+    (dup clusters are dense); the 100 TB upgrade is alternating
+    large-star/small-star, which halves round count but keeps exactly
+    this per-round shape (shuffle on the label key).
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        pairs.selectExpr("doc_a AS s", "doc_b AS d")
+        .unionByName(pairs.selectExpr("doc_b AS s", "doc_a AS d"))
+        .unionByName(docs.selectExpr("doc_id AS s", "doc_id AS d"))
+        .persist()
+    )
+    edges.count()  # materialize once; every round re-reads this cache
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev = labels.agg(F.sum("label")).first()[0]
+    for _ in range(MAX_CC_ITERS):
+        labels = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy("d")
+            .agg(F.min("label").alias("label"))
+            .selectExpr("d AS doc_id", "label")
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("label")).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+CHUNK_WORDS = 10    # chunk granularity for corpus-level span dedup
+CHUNK_MAX_FREQ = 2  # keep chunks occurring at most this often corpus-wide
+
+
+def chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document span dedup (CCNet/RefinedWeb-style duplicated-line
+    removal, adapted to word-chunks since the fixture has no newlines):
+    split every doc into consecutive CHUNK_WORDS-word chunks, count each
+    chunk's occurrences across the WHOLE corpus, drop chunks appearing
+    more than CHUNK_MAX_FREQ times (boilerplate), and reassemble each
+    doc from its surviving chunks in order. Docs whose every chunk is
+    boilerplate disappear entirely.
+
+    Plan: tokenize+posexplode (narrow), one window count partitioned by
+    chunk text (the corpus-frequency shuffle — at 100 TB hash a 64-bit
+    fingerprint of the chunk instead of shuffling raw text), one
+    groupBy(doc_id) to reassemble. Chunk order is restored with
+    array_sort over (idx, chunk) structs — no global sort.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {CHUNK_WORDS}.0) AS INT) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' '))"
+            )
+        ).alias("idx", "chunk"),
+    )
+    freq = chunks.withColumn(
+        "n", F.count("*").over(Window.partitionBy("chunk"))
+    )
+    return (
+        freq.filter(F.col("n") <= CHUNK_MAX_FREQ)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                    lambda s: s.chunk,
+                ),
+                " ",
+            ).alias("cleaned_text"),
+            F.count("*").cast("long").alias("kept_chunks"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_connected_components": dedup_connected_components,
+    "chunk_dedup_reassemble": chunk_dedup_reassemble,
     "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
@@ -596,4 +698,40 @@ ORACLES["dedup_cluster_labels"] = f"""
     l3 AS (SELECT e.d AS doc_id, min(l2.label) AS label
            FROM edges e JOIN l2 ON e.s = l2.doc_id GROUP BY e.d)
     SELECT doc_id, label AS cluster_id FROM l3
+"""
+
+ORACLES["dedup_connected_components"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d, r.comp FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT node AS doc_id, min(comp)::BIGINT AS cluster_id
+    FROM reach GROUP BY node
+"""
+
+ORACLES["chunk_dedup_reassemble"] = f"""
+    WITH w AS (
+        SELECT doc_id, i, list_extract(ws, i) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    c AS (
+        SELECT doc_id, (i - 1) // {CHUNK_WORDS} AS idx,
+               string_agg(word, ' ' ORDER BY i) AS chunk
+        FROM w GROUP BY 1, 2
+    ),
+    f AS (SELECT chunk, count(*) AS n FROM c GROUP BY 1)
+    SELECT c.doc_id,
+           string_agg(c.chunk, ' ' ORDER BY c.idx) AS cleaned_text,
+           count(*)::BIGINT AS kept_chunks
+    FROM c JOIN f USING (chunk)
+    WHERE f.n <= {CHUNK_MAX_FREQ}
+    GROUP BY c.doc_id
 """

@@ -331,8 +331,45 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_LO, HIST_HI, HIST_NBUCKETS = 900.0, 105000.0, 20
+
+
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice: fixed [lo, hi) split into
+    NBUCKETS equal bins, out-of-range values clamped into the edge bins.
+
+    The bucket expression is pure arithmetic (portable to the oracle,
+    unlike engine-specific width_bucket variants), so the whole thing is
+    one codegen'd scan + a NBUCKETS-cardinality partial-agg shuffle —
+    the cheapest possible distribution profile at 100 TB. Empty buckets
+    are absent from the output (profile semantics, not chart semantics).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    width = (HIST_HI - HIST_LO) / HIST_NBUCKETS
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - HIST_LO) / width), F.lit(0)
+        ),
+        F.lit(HIST_NBUCKETS - 1),
+    ).cast("long")
+    return (
+        li.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            F.round(HIST_LO + F.col("bucket") * width, 4).alias("bucket_lo"),
+            F.round(HIST_LO + (F.col("bucket") + 1) * width, 4).alias(
+                "bucket_hi"
+            ),
+            "n",
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "histogram_equiwidth": histogram_equiwidth,
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "key_skew_profile": key_skew_profile,
@@ -350,7 +387,22 @@ QUERIES = {
     "approx_distinct": approx_distinct,
 }
 
+_HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
+
 ORACLES = {
+    "histogram_equiwidth": f"""
+        WITH b AS (
+            SELECT least(greatest(
+                       floor((l_extendedprice - {HIST_LO}) / {_HIST_W}),
+                       0), {HIST_NBUCKETS - 1})::BIGINT AS bucket
+            FROM lineitem
+        )
+        SELECT bucket,
+               round({HIST_LO} + bucket * {_HIST_W}, 4) AS bucket_lo,
+               round({HIST_LO} + (bucket + 1) * {_HIST_W}, 4) AS bucket_hi,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY bucket
+    """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,

@@ -218,8 +218,55 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + forward fill (timescale-style ``time_bucket_gapfill``
+    + ``locf``): daily purchase totals per user on a DENSE daily grid —
+    missing days materialized from each user's [first, last] purchase-day
+    span, then carried forward with the most recent observed total.
+
+    Engine-added capability (the reference has no time-series surface).
+    Plan shape: one groupBy (user, day) partial-aggregated at the scan,
+    one per-user sequence+explode for the grid (grid size = span days,
+    never a cross join), one window for the fill. At 100 TB all three
+    stages share the user_id shuffle partitioning; the grid explode is
+    the only row amplification and is bounded by calendar span, not by
+    event volume.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            # string day key, house style (see functions/dates.py): keeps
+            # the oracle comparison free of date-vs-datetime dtype drift
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("day_value").isNotNull().alias("observed"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "gapfill_forward": gapfill_forward,
     "retention_cohorts": retention_cohorts,
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
@@ -298,5 +345,27 @@ ORACLES = {
          AND e.ts > s.ts
          AND e.ts <= s.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
         GROUP BY 1, 2, 3
+    """,
+    "gapfill_forward": """
+        WITH daily AS (
+            SELECT user_id, ts::DATE AS day,
+                   round(sum(value), 4) AS day_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(min(day), max(day),
+                                          INTERVAL 1 DAY))::DATE AS day
+            FROM daily GROUP BY user_id
+        )
+        SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+               d.day_value IS NOT NULL AS observed,
+               last_value(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
     """,
 }

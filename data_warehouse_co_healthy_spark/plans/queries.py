@@ -79,9 +79,10 @@ def register_llm_modules() -> None:
         multimodal,
         similarity,
         text,
+        training,
     )
 
-    for m in (dedup, filters, multimodal, similarity, text):
+    for m in (dedup, filters, multimodal, similarity, text, training):
         for name, fn in m.QUERIES.items():
             if name in QUERIES:
                 raise ValueError(f"duplicate query name: {name}")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -44,6 +45,37 @@ def read_json(
     spark: SparkSession, path: str, schema: T.StructType
 ) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl_robust(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with corrupt-record quarantine: returns
+    (good_rows, bad_rows). Bad lines keep their raw text in
+    ``_corrupt_record`` instead of killing the job (PERMISSIVE mode) —
+    at crawl scale some malformed lines are a certainty and a fail-fast
+    reader is unusable. The explicit schema is mandatory: schema
+    inference would scan the corpus twice.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+        # Spark requires a checkpoint/cache boundary before filtering on
+        # the corrupt-record column (SPARK-21610: the pushed-down filter
+        # would otherwise reference a column the parser hasn't produced)
+        .cache()
+    )
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad
 
 
 def read_orc(

@@ -290,3 +290,64 @@ def test_bm25_scores_only_docs_containing_query_terms(spark):
     )
     top = out.sort_values("bm25", ascending=False).doc_id.iloc[0]
     assert tf_tot[top] >= tf_tot[list(hit_ids)].median()
+
+
+def test_kmeans_partitions_all_vectors_and_inertia_decreases(spark):
+    """Lloyd's must (a) assign every vector exactly once, (b) be
+    deterministic across runs, (c) monotonically not increase inertia
+    as iterations grow (the defining invariant of Lloyd's)."""
+    from data_warehouse_co_healthy_spark.llm import training
+
+    out = training.kmeans_embeddings(spark, SF_DIR).toPandas()
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(out) == n
+    assert out.vec_id.is_unique
+    assert set(out.cid) <= set(range(training.K_CLUSTERS))
+    assert (out.dist >= 0).all()
+
+    again = training.kmeans_embeddings(spark, SF_DIR).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("vec_id").reset_index(drop=True),
+        again.sort_values("vec_id").reset_index(drop=True),
+        check_exact=False,
+        atol=1e-6,
+    )
+
+    orig_iters = training.KM_ITERS
+    try:
+        training.KM_ITERS = 1
+        inertia_1 = training.kmeans_embeddings(spark, SF_DIR).toPandas().dist.sum()
+    finally:
+        training.KM_ITERS = orig_iters
+    inertia_n = out.dist.sum()
+    assert inertia_n <= inertia_1 + 1e-6
+
+
+def test_connected_components_refines_bounded_propagation(spark):
+    """Converged CC labels must be consistent with the pair graph:
+    every LSH candidate pair lands in the same component, and the
+    component id is the min doc_id of its members."""
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).toPandas()
+    cc = dedup.dedup_connected_components(spark, SF_DIR).toPandas()
+    lab = dict(zip(cc.doc_id, cc.cluster_id))
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        assert lab[a] == lab[b], (a, b)
+    grp = cc.groupby("cluster_id").doc_id.min()
+    assert (grp.index == grp.values).all()
+
+
+def test_chunk_dedup_preserves_unique_docs(spark):
+    """A doc made of corpus-unique chunks must reassemble to its exact
+    original text; docs sharing all chunks with >CHUNK_MAX_FREQ copies
+    must vanish."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    out = dedup.chunk_dedup_reassemble(spark, SF_DIR).toPandas()
+    merged = docs.merge(out, on="doc_id", how="inner")
+    # texts whose every chunk survived must round-trip byte-identically
+    full = merged[
+        merged.kept_chunks
+        == (merged.text.str.split(" ").str.len() + dedup.CHUNK_WORDS - 1)
+        // dedup.CHUNK_WORDS
+    ]
+    assert len(full) > 0
+    assert (full.cleaned_text == full.text).all()

@@ -266,3 +266,29 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)]" in plan or "l_orderkey" in plan
+
+
+def test_jsonl_robust_quarantines_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: good lines parse, malformed lines land
+    in the quarantine frame with their raw text — the job never dies."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": 1, "body": "ok"}\n'
+        "{not json at all}\n"
+        '{"id": 3, "body": "fine"}\n'
+        '{"id": "boom", "body": 7}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("body", T.StringType()),
+        ]
+    )
+    good, bad = readers.read_jsonl_robust(spark, str(p), schema)
+    g = good.toPandas().sort_values("id")
+    assert list(g.id) == [1, 3]
+    b = bad.toPandas()
+    assert len(b) == 2
+    assert any("not json" in r for r in b._corrupt_record)
