@@ -174,10 +174,62 @@ def resize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BITS = 63  # 63 distinct powers of two sum to 2^63-1: max BIGINT
+
+
+def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup bucketing for media: an average-hash
+    (aHash) over the first PHASH_BITS decoded samples — bit i set iff
+    sample i is above the payload's mean — then bucket on the hash;
+    same-bucket media are near-dup candidates (the image analog of
+    exact-text dedup; real pHash adds a DCT in decode_image, stubbed
+    here, and the bucketing dataflow is unchanged).
+
+    The "decode" for the deterministic fake payload is byte i of the
+    UTF-8 payload (``ascii``). Everything is built-in expressions —
+    decode → fixed-width sample vector → two array folds — so the scan
+    stays in whole-stage codegen; the only shuffle is the bucket-count
+    window on the 8-byte hash. At 100 TB that is the cheapest possible
+    near-dup pass: no pairs, no joins, hash-partitioned counting.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    media = media_from_documents(spark, sf_dir)
+    samples = media.select(
+        "media_id",
+        "kind",
+        F.expr(
+            f"transform(sequence(1, {PHASH_BITS}), i -> "
+            f"ascii(substring(rpad(decode(payload, 'UTF-8'), "
+            f"{PHASH_BITS}, ' '), i, 1)))"
+        ).alias("bl"),
+    )
+    avgd = samples.withColumn(
+        "avgv",
+        F.expr("aggregate(bl, 0L, (a, x) -> a + x)") / float(PHASH_BITS),
+    )
+    hashed = avgd.select(
+        "media_id",
+        "kind",
+        F.expr(
+            f"aggregate(sequence(1, {PHASH_BITS}), 0L, (a, i) -> "
+            f"a + IF(element_at(bl, i) > avgv, "
+            f"shiftleft(1L, i - 1), 0L))"
+        ).alias("phash"),
+    )
+    return hashed.select(
+        "media_id",
+        "kind",
+        "phash",
+        F.count("*").over(Window.partitionBy("phash")).alias("n_bucket"),
+    )
+
+
 QUERIES = {
     "binary_metadata": binary_metadata,
     "frame_sample": frame_sample,
     "resize_media": resize_media,
+    "media_phash_buckets": media_phash_buckets,
 }
 
 ORACLES = {
@@ -209,5 +261,28 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["media_phash_buckets"] = f"""
+    WITH s AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+                   AS kind,
+               [ascii(substr(rpad(text, {PHASH_BITS}, ' '), i, 1))
+                FOR i IN generate_series(1, {PHASH_BITS})] AS bl
+        FROM documents
+    ),
+    a AS (SELECT *, list_sum(bl) / {PHASH_BITS}.0 AS avgv FROM s),
+    h AS (
+        SELECT media_id, kind,
+               list_sum([CASE WHEN bl[i] > avgv
+                              THEN (1::BIGINT << (i - 1)) ELSE 0 END
+                         FOR i IN generate_series(1, {PHASH_BITS})]
+                        )::BIGINT AS phash
+        FROM a
+    )
+    SELECT media_id, kind, phash,
+           count(*) OVER (PARTITION BY phash) AS n_bucket
+    FROM h
+"""
 
 NO_ORACLE: dict[str, str] = {}

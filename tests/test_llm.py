@@ -351,3 +351,19 @@ def test_chunk_dedup_preserves_unique_docs(spark):
     ]
     assert len(full) > 0
     assert (full.cleaned_text == full.text).all()
+
+
+def test_phash_buckets_group_identical_payloads(spark):
+    """Exact-duplicate payloads must share a phash bucket; bucket sizes
+    must be consistent with the per-hash group counts."""
+    from data_warehouse_co_healthy_spark.llm import multimodal
+
+    out = multimodal.media_phash_buckets(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    m = docs.merge(out, left_on="doc_id", right_on="media_id")
+    # identical text => identical payload => identical phash
+    for _, grp in m.groupby("text"):
+        assert grp.phash.nunique() == 1
+    sizes = out.groupby("phash").media_id.size()
+    got = out.set_index("phash").n_bucket
+    assert (got == sizes.loc[got.index]).all()
