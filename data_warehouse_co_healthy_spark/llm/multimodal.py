@@ -204,17 +204,19 @@ def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{PHASH_BITS}, ' '), i, 1)))"
         ).alias("bl"),
     )
-    avgd = samples.withColumn(
-        "avgv",
-        F.expr("aggregate(bl, 0L, (a, x) -> a + x)") / float(PHASH_BITS),
-    )
-    hashed = avgd.select(
+    # The mean is BOUND as a lambda variable (transform over a 1-element
+    # array) — as a plain column, Project-collapsing would inline the
+    # mean's fold into the bit-fold lambda and recompute it per element
+    # (O(bits²) per row, visible in PLANS.md before this change).
+    hashed = samples.select(
         "media_id",
         "kind",
         F.expr(
-            f"aggregate(sequence(1, {PHASH_BITS}), 0L, (a, i) -> "
+            f"element_at(transform("
+            f"array(aggregate(bl, 0L, (a, x) -> a + x) / {PHASH_BITS}.0), "
+            f"avgv -> aggregate(sequence(1, {PHASH_BITS}), 0L, (a, i) -> "
             f"a + IF(element_at(bl, i) > avgv, "
-            f"shiftleft(1L, i - 1), 0L))"
+            f"shiftleft(1L, i - 1), 0L))), 1)"
         ).alias("phash"),
     )
     return hashed.select(

@@ -71,8 +71,48 @@ class OpenDataReader(DataSourceReader):
             yield (r["municipio"], r["departamento"], r["region"])
 
 
+try:  # Spark >= 4: streaming side of the Python DataSource API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class OpenDataStreamReader(SimpleDataSourceStreamReader):
+        """Micro-batch streaming over the same paged endpoint: the
+        stream OFFSET is the page offset, so each trigger ingests one
+        page and checkpoint recovery replays exact offset ranges
+        (``readBetweenOffsets``) — the pattern for incrementally
+        tailing any append-only REST/queue source without Kafka."""
+
+        def __init__(self, options):
+            self.total = int(options.get("limit", 1200))
+            self.page_size = int(options.get("page_size", 100))
+
+        def initialOffset(self):
+            return {"offset": 0}
+
+        def _rows(self, start: int, end: int):
+            return [
+                (r["municipio"], r["departamento"], r["region"])
+                for r in fetch_page(start, end - start)
+            ]
+
+        def read(self, start):
+            off = start["offset"]
+            if off >= self.total:  # caught up: no progress this trigger
+                return iter([]), start
+            end = min(off + self.page_size, self.total)
+            return iter(self._rows(off, end)), {"offset": end}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["offset"], end["offset"]))
+
+    _HAVE_STREAM = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAVE_STREAM = False
+
+
 class OpenDataSource(DataSource):
-    """``spark.read.format("opendata").option("limit", N).load()``."""
+    """``spark.read.format("opendata").option("limit", N).load()`` —
+    and ``spark.readStream.format("opendata")...`` for the incremental
+    tail of the same dataset."""
 
     @classmethod
     def name(cls):
@@ -83,6 +123,11 @@ class OpenDataSource(DataSource):
 
     def reader(self, schema):
         return OpenDataReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        if not _HAVE_STREAM:  # pragma: no cover - older Spark
+            raise NotImplementedError("streaming needs Spark >= 4")
+        return OpenDataStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -292,3 +292,30 @@ def test_jsonl_robust_quarantines_corrupt_lines(spark, tmp_path):
     b = bad.toPandas()
     assert len(b) == 2
     assert any("not json" in r for r in b._corrupt_record)
+
+
+def test_python_datasource_streams_pages_incrementally(spark):
+    """The Python DataSource's streaming side must drain the paged
+    dataset exactly once across micro-batches (offset = page cursor)."""
+    from data_warehouse_co_healthy_spark.sources import pysource
+
+    pysource.register(spark)
+    q = (
+        spark.readStream.format("opendata")
+        .option("limit", 350)
+        .option("page_size", 100)
+        .load()
+        .writeStream.format("memory")
+        .queryName("opendata_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM opendata_stream").toPandas()
+    finally:
+        q.stop()
+    assert len(out) == 350
+    assert out.municipio.is_unique
+    # multiple micro-batches actually happened (one per page)
+    assert int(q.lastProgress["batchId"]) >= 3

@@ -19,6 +19,8 @@ SHOWCASE = [
     ("dedup_cluster_labels", "iterative label propagation"),
     ("q21_waiting_supplier", "EXISTS/NOT-EXISTS as ONE grouped agg, no self-joins"),
     ("contamination_overlap", "corpus grams vs broadcast eval-set gram table"),
+    ("media_phash_buckets", "no-join near-dup: codegen array folds + hash window"),
+    ("gapfill_forward", "dense grid + LOCF sharing one user_id shuffle"),
 ]
 
 
