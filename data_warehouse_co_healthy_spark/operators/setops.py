@@ -66,6 +66,34 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_K = 50          # weighted-sample size
+_U60 = float(1 << 60)  # 15 md5 hex digits = 60 uniform bits
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    priority = u^(1/w) with u a DETERMINISTIC md5-derived uniform and
+    w = n_chars; the top-K priorities are the sample, so longer docs are
+    proportionally likelier — the quality-weighted corpus subsample,
+    reproducible across engines and retries (no rand()).
+
+    Priorities are rounded before ranking so the Spark and oracle float
+    ulp never disagree at the K-th boundary. Scale: orderBy+limit
+    compiles to TakeOrderedAndProject — per-partition top-K then a
+    driver merge of K×partitions rows, never a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") / F.lit(_U60)
+    )
+    priority = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    return (
+        d.select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(SAMPLE_K)
+    )
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quota sampling: at most N docs per source, chosen by
     deterministic hash order (not rand()) — the per-domain quota step
@@ -159,6 +187,7 @@ QUERIES = {
     "unpivot_measures": unpivot_measures,
     "sample_hash_mod": sample_hash_mod,
     "stratified_sample": stratified_sample,
+    "weighted_sample": weighted_sample,
 }
 
 ORACLES = {
@@ -181,6 +210,16 @@ ORACLES = {
                ('0x' || substr(md5(text), 1, 15))::BIGINT % 10 AS bucket
         FROM documents
         WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % 10 = 0
+    """,
+    "weighted_sample": f"""
+        SELECT doc_id, n_chars,
+               round(pow(
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                       / {_U60},
+                   1.0 / n_chars), 6) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id
+        LIMIT {SAMPLE_K}
     """,
     "stratified_sample": """
         SELECT doc_id, source, rk FROM (
