@@ -264,9 +264,64 @@ def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZS_WINDOW = 20   # trailing observations per anomaly baseline
+ZS_MIN_N = 5     # minimum history before scoring
+ZS_THRESH = 2.5  # |z| flag threshold
+
+
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: each purchase is
+    scored against the TRAILING ZS_WINDOW purchases of the same user
+    (frame ends at -1: the current row never contaminates its own
+    baseline); |z| > ZS_THRESH with at least ZS_MIN_N history flags.
+
+    One window over the user_id shuffle — identical partitioning to
+    every other per-user operator here, so at 100 TB the scoring rides
+    an existing exchange. The streaming twin is
+    ``applyInPandasWithState`` with a bounded deque per user.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZS_WINDOW, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("value").over(w).alias("n_hist"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_hist") >= ZS_MIN_N)
+            & (F.col("sd") > 0)
+            & (
+                F.abs((F.col("value") - F.col("mu")) / F.col("sd"))
+                > ZS_THRESH
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 4).alias(
+                "zscore"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "gapfill_forward": gapfill_forward,
+    "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "retention_cohorts": retention_cohorts,
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
@@ -345,6 +400,25 @@ ORACLES = {
          AND e.ts > s.ts
          AND e.ts <= s.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
         GROUP BY 1, 2, 3
+    """,
+    "rolling_zscore_anomalies": f"""
+        WITH scored AS (
+            SELECT event_id, user_id, ts, value,
+                   avg(value) OVER w AS mu,
+                   stddev_samp(value) OVER w AS sd,
+                   count(value) OVER w AS n_hist
+            FROM events
+            WHERE event_type = 'purchase'
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {ZS_WINDOW} PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_id, user_id, ts, value,
+               round((value - mu) / sd, 4) AS zscore
+        FROM scored
+        WHERE n_hist >= {ZS_MIN_N} AND sd > 0
+          AND abs((value - mu) / sd) > {ZS_THRESH}
     """,
     "gapfill_forward": """
         WITH daily AS (

@@ -32,6 +32,53 @@ def write_parquet(
     writer.parquet(path)
 
 
+def overwrite_partitions_dynamic(df: DataFrame, path: str) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``). This is how a failed or
+    corrected day is re-run against a 100 TB date-partitioned fact
+    without rewriting — or worse, truncating — the rest of the table.
+    The partition column set must match the table's existing layout.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        existing = spark.read.parquet(path)
+        part_cols = [
+            c for c in existing.columns if c not in df.columns
+        ]
+        if part_cols:
+            raise ValueError(
+                f"df is missing partition columns {part_cols} of {path}"
+            )
+        df.write.mode("overwrite").partitionBy(
+            *_partition_cols_of(spark, path)
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _partition_cols_of(spark, path: str) -> list[str]:
+    """Partition columns of an existing parquet table, read from the
+    directory layout (hive-style key=value dirs)."""
+    import os
+    import re
+
+    cols = []
+    cur = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(cur)
+            if os.path.isdir(os.path.join(cur, d)) and "=" in d
+        ]
+        if not subdirs:
+            return cols
+        m = re.match(r"([^=]+)=", sorted(subdirs)[0])
+        cols.append(m.group(1))
+        cur = os.path.join(cur, sorted(subdirs)[0])
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -61,3 +61,84 @@ def test_inner_join_within_left_join(spark, a, b):
     assert inner <= left
     # with a deduped right side, left join preserves left cardinality
     assert left == len(a)
+
+
+@SETTINGS
+@given(data=rows)
+def test_gapfill_grid_is_dense_and_locf_total(spark, data):
+    """For any (user, day-offset) observation set: the gap-filled grid
+    has exactly (max-min+1) days per user and filled_value is non-null
+    from each user's first observation onward."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(k, len(xs)) for k, xs in data], "user_id int, off int"
+    ).select(
+        "user_id",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("off")).alias(
+            "day"
+        ),
+        F.lit(1.0).alias("day_value"),
+    ).dropDuplicates(["user_id", "day"])
+    grid = (
+        df.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        grid.join(df, on=["user_id", "day"], how="left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        )
+        .toPandas()
+    )
+    spans = (
+        df.groupBy("user_id")
+        .agg((F.datediff(F.max("day"), F.min("day")) + 1).alias("span"))
+        .toPandas()
+    )
+    got = out.groupby("user_id").day.size()
+    assert (
+        got.sort_index() == spans.set_index("user_id").span.sort_index()
+    ).all()
+    assert out.filled.notna().all()  # first grid day is always observed
+
+
+@SETTINGS
+@given(data=rows)
+def test_connected_components_labels_are_roots(spark, data):
+    """Min-label propagation on arbitrary small edge lists: every
+    label must itself be a member of its own component (a root), and
+    endpoints of every edge must share a label."""
+    edges = list(
+        {(k, min(k + len(xs), 9)) for k, xs in data if len(xs) > 0}
+    )
+    nodes = sorted({n for e in edges for n in e} | {k for k, _ in data})
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node int")
+    if edges:
+        edf = spark.createDataFrame(edges, "a int, b int")
+        sym = edf.selectExpr("a AS s", "b AS d").unionByName(
+            edf.selectExpr("b AS s", "a AS d")
+        )
+    else:
+        sym = ndf.selectExpr("node AS s", "node AS d").limit(0)
+    eall = sym.unionByName(ndf.selectExpr("node AS s", "node AS d"))
+    labels = ndf.select("node", F.col("node").alias("label"))
+    for _ in range(12):  # > diameter of any 10-node graph
+        labels = (
+            eall.join(labels, eall.s == labels.node)
+            .groupBy("d")
+            .agg(F.min("label").alias("label"))
+            .selectExpr("d AS node", "label")
+        )
+    lab = dict(labels.collect())
+    for a, b in edges:
+        assert lab[a] == lab[b]
+    assert all(lab[lab[n]] == lab[n] for n in nodes)

@@ -319,3 +319,36 @@ def test_python_datasource_streams_pages_incrementally(spark):
     assert out.municipio.is_unique
     # multiple micro-batches actually happened (one per page)
     assert int(q.lastProgress["batchId"]) >= 3
+
+
+def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path):
+    """Re-running one day's backfill must replace exactly that
+    partition; all other partitions' bytes stay untouched."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "fact_daily")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    writers.write_parquet(ev, path, partition_by=("day",))
+    days = sorted(
+        d.split("=")[1] for d in os.listdir(path) if d.startswith("day=")
+    )
+    target, untouched = days[0], days[1]
+    before_other = sorted(glob.glob(f"{path}/day={untouched}/*.parquet"))
+
+    patched = ev.filter(F.col("day") == target).withColumn(
+        "value", F.col("value") * 0 + 1.0
+    )
+    writers.overwrite_partitions_dynamic(patched, path)
+
+    after_other = sorted(glob.glob(f"{path}/day={untouched}/*.parquet"))
+    assert after_other == before_other  # same files, not rewritten
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("day") == target).select(
+        "value"
+    ).distinct().collect() == [(1.0,)]
+    assert got.count() == ev.count()
