@@ -76,6 +76,39 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_agg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same top-3-per-customer as ``window_topk_per_group``, but as
+    a HASH AGGREGATE instead of a window: collect each group's
+    (price, orderkey) pairs, sort in-group, slice k, explode back.
+
+    Why both exist: the window form sorts EVERY group's full row set
+    (Exchange + per-partition Sort); this form is sort-free — partial
+    aggregation prunes map-side and the shuffle carries at most the
+    group's collected pairs. With bounded group fan-in (orders per
+    customer here) it's the cheaper plan at scale; for huge groups,
+    cap the collected list with slice-on-merge (or fall back to the
+    window). Results are identical — both are oracle-checked against
+    the same SQL.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "slice(array_sort(collect_list(struct("
+                "-o_totalprice AS negprice, o_orderkey))), 1, 3)"
+            ).alias("top")
+        )
+        .select("o_custkey", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "o_custkey",
+            F.col("t.o_orderkey").alias("o_orderkey"),
+            (-F.col("t.negprice")).alias("o_totalprice"),
+            (F.col("pos") + 1).cast("long").alias("rk"),
+        )
+    )
+
+
 def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() — days between consecutive shipments per supplier."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -160,6 +193,7 @@ QUERIES = {
     "window_rank_stats": window_rank_stats,
     "window_running_sum": window_running_sum,
     "window_topk_per_group": window_topk_per_group,
+    "topk_agg_per_group": topk_agg_per_group,
     "window_lag_gap": window_lag_gap,
     "order_limit_topk": order_limit_topk,
     "ntile_quartiles": ntile_quartiles,
@@ -199,6 +233,16 @@ ORACLES = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS running_qty
         FROM lineitem
+    """,
+    "topk_agg_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rk
+            FROM orders
+        ) WHERE rk <= 3
     """,
     "window_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
