@@ -136,6 +136,70 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def zscore_anomalies_stream(
+    events: DataFrame,
+    window: int = 20,
+    min_n: int = 5,
+    thresh: float = 2.5,
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.rolling_zscore_anomalies``:
+    per-user bounded deque of the last ``window`` purchase values as
+    explicit state; each arriving purchase is scored against the deque
+    BEFORE being pushed (the batch op's self-excluding trailing frame).
+
+    State is O(window) floats per user — watermark-free because it is
+    size-bounded by construction. Within a micro-batch rows are sorted
+    by event time; across micro-batches arrival order stands in for
+    event order (the usual streaming approximation — replay the batch
+    op for exact backfills).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    out_schema = (
+        "user_id long, event_id long, value double, zscore double"
+    )
+    state_schema = "vals array<double>"
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        out_ids, out_vals, out_z = [], [], []
+        for pdf in pdfs:
+            pdf = pdf[pdf["event_type"] == "purchase"].sort_values(
+                ["ts", "event_id"]
+            )
+            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+                if len(hist) >= min_n:
+                    s = pd.Series(hist)
+                    sd = float(s.std(ddof=1))
+                    if sd > 0:
+                        z = (float(v) - float(s.mean())) / sd
+                        if abs(z) > thresh:
+                            out_ids.append(int(ev_id))
+                            out_vals.append(float(v))
+                            out_z.append(round(z, 4))
+                hist.append(float(v))
+                if len(hist) > window:
+                    hist.pop(0)
+        state.update((hist,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "value": out_vals,
+                "zscore": out_z,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same running per-user totals on the Spark 4
     ``transformWithStateInPandas`` API — the successor to

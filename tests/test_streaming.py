@@ -363,3 +363,28 @@ def test_purchase_attribution_left_outer(spark, stream):
         ).collect()
     }
     assert not (set(nulls.event_id) & attributed)
+
+
+def test_zscore_stream_matches_batch_single_batch(spark, stream):
+    """With the whole file in ONE micro-batch (event-time sorted within
+    the batch), the stateful streaming scorer must flag exactly the
+    rows the oracle-checked batch operator flags."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        rolling_zscore_anomalies,
+    )
+
+    got = (
+        _drain(spark, se.zscore_anomalies_stream(stream), "zs", "append")
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        rolling_zscore_anomalies(spark, SF_DIR)
+        .select("user_id", "event_id", "value", "zscore")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_exact=False, atol=1e-4, check_dtype=False
+    )
