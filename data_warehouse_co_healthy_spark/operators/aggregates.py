@@ -367,9 +367,46 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distribution moments per group — skewness and excess
+    kurtosis — computed from explicitly centered powers (two-pass:
+    broadcast-join the per-group mean back, then one aggregate of
+    (x-μ)^k). Engine built-ins are deliberately avoided here: Spark's
+    ``skewness`` is the population estimator while DuckDB's is the
+    bias-corrected sample one, so portable pipelines (and the oracle)
+    need the definition pinned in arithmetic, not in a function name.
+
+    Scale: two aggregates over the same event_type partitioning; the
+    mean table is group-cardinality rows (broadcast). Centered two-pass
+    is also the numerically stable choice — raw-moment single-pass
+    (E[x³]-3μE[x²]+2μ³) cancels catastrophically at large magnitudes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    means = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    centered = ev.join(F.broadcast(means), on="event_type").select(
+        "event_type", (F.col("value") - F.col("mu")).alias("d")
+    )
+    m = centered.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg(F.col("d") * F.col("d")).alias("m2"),
+        F.avg(F.col("d") * F.col("d") * F.col("d")).alias("m3"),
+        F.avg(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("m4"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(F.sqrt("m2"), 4).alias("stddev_pop"),
+        F.round(F.col("m3") / F.pow("m2", 1.5), 4).alias("skewness_pop"),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 4).alias(
+            "excess_kurtosis_pop"
+        ),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "histogram_equiwidth": histogram_equiwidth,
+    "distribution_moments": distribution_moments,
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "key_skew_profile": key_skew_profile,
@@ -390,6 +427,28 @@ QUERIES = {
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "distribution_moments": """
+        WITH means AS (
+            SELECT event_type, avg(value) AS mu
+            FROM events GROUP BY event_type
+        ),
+        c AS (
+            SELECT e.event_type, e.value - m.mu AS d
+            FROM events e JOIN means m USING (event_type)
+        ),
+        mm AS (
+            SELECT event_type, count(*) AS n,
+                   avg(d * d) AS m2,
+                   avg(d * d * d) AS m3,
+                   avg(d * d * d * d) AS m4
+            FROM c GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(sqrt(m2), 4) AS stddev_pop,
+               round(m3 / pow(m2, 1.5), 4) AS skewness_pop,
+               round(m4 / (m2 * m2) - 3.0, 4) AS excess_kurtosis_pop
+        FROM mm
+    """,
     "histogram_equiwidth": f"""
         WITH b AS (
             SELECT least(greatest(

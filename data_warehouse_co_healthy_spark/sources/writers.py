@@ -161,6 +161,39 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return version
 
 
+def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Retention for the versioned-snapshot layout: delete all but the
+    newest ``keep_last`` ``version=N`` directories (the VACUUM step that
+    keeps time travel from growing unboundedly). Returns the versions
+    removed. Readers of retained versions are unaffected — old dirs are
+    immutable until the moment they are dropped, so set retention to
+    cover the longest-running query (same contract as Delta VACUUM).
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(
+        int(p.rsplit("=", 1)[1])
+        for p in _glob.glob(_os.path.join(path, "version=*"))
+    )
+    drop = versions[:-keep_last]
+    for v in drop:
+        _shutil.rmtree(_os.path.join(path, f"version={v}"))
+    return drop
+
+
+def read_evolved(spark, path: str):
+    """Schema-evolution read: union the schemas of every file in the
+    dataset (``mergeSchema``) so frames written before a column existed
+    surface it as NULL — the read side of additive schema evolution.
+    Footer merging costs one pass over file metadata; at 100 TB pin the
+    merged schema in a catalog instead and pass it explicitly."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def read_version(spark, path: str, version: int | None = None):
     """Read one snapshot (default: latest)."""
     import glob as _glob

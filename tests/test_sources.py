@@ -352,3 +352,36 @@ def test_dynamic_partition_overwrite_touches_only_written_days(spark, tmp_path):
         "value"
     ).distinct().collect() == [(1.0,)]
     assert got.count() == ev.count()
+
+
+def test_vacuum_keeps_newest_versions_only(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "versioned")
+    base = spark.range(5).select(F.col("id").alias("k"))
+    for _ in range(4):
+        writers.write_versioned(base, path)
+    dropped = writers.vacuum_versions(path, keep_last=2)
+    assert dropped == [1, 2]
+    left = sorted(os.path.basename(p) for p in glob.glob(f"{path}/version=*"))
+    assert left == ["version=3", "version=4"]
+    assert writers.read_version(spark, path).count() == 5  # latest intact
+    assert writers.read_version(spark, path, 3).count() == 5
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Files written before a column existed must surface NULL for it
+    under the merged-schema read, and the new column's values survive."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id").alias("k"))
+    v1.write.parquet(path + "/part=a")
+    v2 = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit("x").alias("tag")
+    )
+    v2.write.parquet(path + "/part=b")
+    got = writers.read_evolved(spark, path).toPandas().sort_values("k")
+    assert list(got.columns) == ["k", "tag", "part"]
+    assert got.tag.isna().sum() == 3
+    assert (got.tag.dropna() == "x").all()
