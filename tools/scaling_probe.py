@@ -1,0 +1,98 @@
+"""Empirical scaling probe: time representative queries at the three
+fixture scale factors and report the log-log slope (runtime ~ rows^b).
+
+b ≈ 1 is linear scaling (scan/agg/join dominated), b < 1 means fixed
+overhead still dominates at these sizes, b >> 1 flags a superlinear
+stage (pair blow-up, global sort) that would NOT survive a 100× scale-up.
+Writes SCALING_MEASURED.md. Run: python tools/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
+
+SFS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+PROBES = [
+    "q1_pricing_summary",
+    "star_join_revenue",
+    "fact_formula_star",
+    "window_topk_per_group",
+    "topk_agg_per_group",
+    "minhash_lsh_pairs",
+    "dedup_exact",
+    "cosine_topk",
+    "asof_join",
+    "gapfill_forward",
+    "media_phash_buckets",
+    "chunk_dedup_reassemble",
+    "weighted_sample",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    spark = get_spark("scaling-probe")
+
+    # JVM/codegen warmup outside the timed window
+    for name in PROBES:
+        queries[name](spark, SFS[0][0]).count()
+
+    results: dict[str, list[float]] = {}
+    for name in PROBES:
+        times = []
+        for sf_dir, _ in SFS:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
+        results[name] = times
+
+    lines = [
+        "# SCALING_MEASURED — empirical runtime vs data size",
+        "",
+        "Best-of-3 wall seconds per query at sf0.001 / 0.01 / 0.1 "
+        "(100x row range), local[32]. `slope` is the log-log "
+        "least-squares exponent: runtime ~ rows^slope. Slopes well "
+        "below 1 mean fixed overhead (session, planning, task launch) "
+        "still dominates at these sizes; slopes near 1 are "
+        "scan-proportional; anything well above 1 would flag a stage "
+        "that cannot survive a 100x scale-up. Regenerate: "
+        "`python tools/scaling_probe.py`.",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | slope |",
+        "|---|---|---|---|---|",
+    ]
+    xs = [math.log10(sf) for _, sf in SFS]
+    xbar = sum(xs) / len(xs)
+    for name, ts in results.items():
+        ys = [math.log10(t) for t in ts]
+        ybar = sum(ys) / len(ys)
+        slope = sum(
+            (x - xbar) * (y - ybar) for x, y in zip(xs, ys)
+        ) / sum((x - xbar) ** 2 for x in xs)
+        lines.append(
+            f"| {name} | {ts[0]:.3f} | {ts[1]:.3f} | {ts[2]:.3f} "
+            f"| {slope:.2f} |"
+        )
+    with open("/root/repo/SCALING_MEASURED.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING_MEASURED.md")
+
+
+if __name__ == "__main__":
+    main()
