@@ -459,8 +459,77 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model scoring: every word's
+    probability is its corpus frequency; each document scores its mean
+    surprisal -ln p(w) (the exact unigram "perplexity" in nats, the
+    classic cheap fluency/quality signal; an n-gram LM swaps the count
+    key, same dataflow).
+
+    Two aggregates: global word counts (vocabulary-cardinality result,
+    broadcast back) and the per-doc mean over the rejoined token
+    stream. The token stream is shuffled once on the word key; the
+    probability join is a broadcast (vocab ≪ corpus). Fully built-in —
+    log/avg in codegen — and oracle-checked.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("c") / F.col("tot")).alias("p")
+    )
+    return (
+        words.join(F.broadcast(probs), on="w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log("p")), 4).alias("mean_surprisal"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard ESTIMATED from the minhash signatures for every LSH
+    candidate pair: fraction of agreeing permutations (the estimator
+    LSH is built on, E[match] = J). Completes the sketch pipeline —
+    candidate pairs get a similarity WITHOUT touching the raw text, so
+    the verify stage after LSH reads 2×N_PERM longs per pair instead
+    of two documents.
+
+    One broadcast-join of the (tiny) pair list against the signature
+    matrix, twice — shuffle-free beyond what the signatures already
+    paid."""
+    from . import dedup as _d  # noqa: PLC0415
+
+    pairs = _d.minhash_lsh_pairs(spark, sf_dir)
+    sig = _d.minhash_signatures(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ma")
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), "perm", F.col("minhash").alias("mb")
+    )
+    return (
+        F.broadcast(pairs)
+        .join(a, on="doc_a")
+        .join(b, on=["doc_b", "perm"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.avg((F.col("ma") == F.col("mb")).cast("double")), 4
+            ).alias("jaccard_est")
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "unigram_surprisal": unigram_surprisal,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "pmi_bigrams": pmi_bigrams,
     "bm25_search": bm25_search,
     "tfidf_top_terms": tfidf_top_terms,
@@ -698,4 +767,30 @@ ORACLES["clean_corpus"] = f"""
     WHERE q.n_tokens >= {MIN_TOKENS}
       AND q.punct_ratio <= {MAX_PUNCT}
       AND lid.pred_lang <> 'unknown'
+"""
+
+ORACLES["unigram_surprisal"] = f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_SQL_WS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    probs AS (
+        SELECT w, c / (SELECT sum(c) FROM counts) AS p FROM counts
+    )
+    SELECT doc_id,
+           round(avg(-ln(p)), 4) AS mean_surprisal,
+           count(*)::BIGINT AS n_tokens
+    FROM words JOIN probs USING (w)
+    GROUP BY doc_id
+"""
+
+ORACLES["minhash_jaccard_estimate"] = f"""
+    WITH pairs AS ({_dedup.ORACLES["minhash_lsh_pairs"]}),
+    sig AS ({_dedup.ORACLES["minhash_signatures"]})
+    SELECT p.doc_a, p.doc_b,
+           round(avg((a.minhash = b.minhash)::INT), 4) AS jaccard_est
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b AND b.perm = a.perm
+    GROUP BY p.doc_a, p.doc_b
 """
