@@ -307,6 +307,86 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 2  # trained-IVF probes per query
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ANN with a TRAINED coarse quantizer: the k-means centroids
+    from ``training.lloyd_centroids`` partition the corpus into cells;
+    each query probes its IVF_NPROBE nearest cells and exact-scores only
+    those cells' members (top-TOP_K by cosine). This is the production
+    IVF shape (FAISS IVFFlat): quantizer quality decides the
+    recall/candidate-volume trade, measured in tests against the
+    brute-force oracle-checked ``cosine_topk``.
+
+    Scale: training collects only k×d floats; assignment and probing
+    are broadcast expressions; the probe join is an equi-join on cell
+    id, so per-query candidate volume is nprobe/k of the corpus.
+    No oracle — the quantizer is an iterative fixpoint (see
+    ``kmeans_embeddings``); recall is the meaningful contract and is
+    pinned in tests/test_llm.py.
+    """
+    from .training import _assign, lloyd_centroids  # noqa: PLC0415
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    cents = lloyd_centroids(e)
+    assigned = _assign(e, cents).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_raw"),
+        F.col("cid").alias("cell"),
+    )
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+    w_probe = Window.partitionBy("query_id").orderBy("d", "cell")
+    probes = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_raw"),
+            F.posexplode(dists).alias("cell", "d"),
+        )
+        .withColumn("prk", F.row_number().over(w_probe))
+        .filter(F.col("prk") <= IVF_NPROBE)
+        .select("query_id", "q_raw", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "aggregate(zip_with(q_raw, c_raw, (x, y) -> "
+                "cast(x AS double) * y), 0.0D, (acc, x) -> acc + x) / "
+                "(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
+                "* x), 0.0D, (acc, x) -> acc + x)) * "
+                "sqrt(aggregate(transform(c_raw, x -> cast(x AS double) "
+                "* x), 0.0D, (acc, x) -> acc + x)))"
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+    )
+
+
 def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of event values per event_type via
     grouped ``applyInPandas`` — the batch Arrow UDF surface (grouped
@@ -401,6 +481,7 @@ QUERIES = {
     "ann_lsh_bucket": ann_lsh_bucket,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf": ann_ivf,
+    "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_centroids": embedding_centroids,
 }
 
@@ -551,6 +632,11 @@ ORACLES["ann_ivf"] = f"""
 """
 
 NO_ORACLE = {
+    "ann_ivf_kmeans": (
+        "the k-means quantizer is an iterative fixpoint (no single-query "
+        "SQL); recall@k vs the oracle-checked brute force is pinned in "
+        "tests/test_llm.py"
+    ),
     "cosine_topk_pandas": (
         "numpy matmul float summation order differs from the sequential "
         "fold; agreement with cosine_topk is asserted in tests instead"

@@ -91,6 +91,16 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
+    centroids = lloyd_centroids(emb)
+    return _assign(emb, centroids).select(
+        "vec_id", "cid", F.round("dist", 4).alias("dist")
+    )
+
+
+def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
+    """The trained centroids themselves (k×d floats on the driver) —
+    reused by kmeans_embeddings and as the IVF coarse quantizer in
+    similarity.ann_ivf_kmeans."""
     dim = len(emb.select("embedding").first()[0])
     init = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r.embedding) for r in init]
@@ -109,9 +119,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cid = {r["cid"]: [r[f"c{i}"] for i in range(dim)] for r in stats}
         # empty clusters keep their previous centroid
         centroids = [by_cid.get(c, centroids[c]) for c in range(K_CLUSTERS)]
-    return _assign(emb, centroids).select(
-        "vec_id", "cid", F.round("dist", 4).alias("dist")
-    )
+    return centroids
 
 
 QUERIES = {

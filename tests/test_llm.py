@@ -367,3 +367,19 @@ def test_phash_buckets_group_identical_payloads(spark):
     sizes = out.groupby("phash").media_id.size()
     got = out.set_index("phash").n_bucket
     assert (got == sizes.loc[got.index]).all()
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark):
+    """Trained-quantizer IVF with nprobe=2 must recover a healthy
+    fraction of the true top-5 neighbors while scoring only a fraction
+    of the corpus per query (the IVF contract)."""
+    got = similarity.ann_ivf_kmeans(spark, SF_DIR).toPandas()
+    truth = similarity.cosine_topk(spark, SF_DIR).toPandas()
+    recalls = []
+    for qid, grp in truth.groupby("query_id"):
+        g = set(got[got.query_id == qid].cand_id)
+        recalls.append(len(g & set(grp.cand_id)) / len(grp))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.4, mean_recall
+    from data_warehouse_co_healthy_spark.llm.training import K_CLUSTERS
+    assert got.groupby("query_id").rk.is_monotonic_increasing.all()
