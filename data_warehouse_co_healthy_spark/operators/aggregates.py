@@ -144,6 +144,38 @@ def percentiles_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics via winsorization: values are
+    CLAMPED into each group's [p05, p95] before the mean/stddev —
+    the outlier-resistant profile for heavy-tailed measures (payment
+    amounts, token counts). Two aggregates over the same grouping: one
+    exact-percentile pass (group-cardinality result, broadcast back),
+    one clamped-moment pass. At 100 TB swap the exact percentile for
+    approx_percentile (mergeable t-digest) — the clamp join and second
+    aggregate are unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(l_extendedprice, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(l_extendedprice, {WINSOR_HI})").alias("hi"),
+    )
+    clamped = li.join(F.broadcast(bounds), on="l_returnflag").select(
+        "l_returnflag",
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+        .alias("v"),
+        ((F.col("l_extendedprice") < F.col("lo"))
+         | (F.col("l_extendedprice") > F.col("hi"))).alias("clipped"),
+    )
+    return clamped.groupBy("l_returnflag").agg(
+        F.round(F.avg("v"), 4).alias("winsor_mean"),
+        F.round(F.stddev_samp("v"), 4).alias("winsor_std"),
+        F.sum(F.col("clipped").cast("long")).alias("n_clipped"),
+        F.count("*").alias("n"),
+    )
+
+
 def central_tendency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median (exact interpolated) and most-frequent value per group —
     the order-statistic + mode pair every profiling pass wants. Mode
@@ -419,6 +451,7 @@ QUERIES = {
     "pivot_status": pivot_status,
     "grouping_sets_sales": grouping_sets_sales,
     "percentiles_by_group": percentiles_by_group,
+    "winsorized_stats": winsorized_stats,
     "central_tendency": central_tendency,
     "correlation_stats": correlation_stats,
     "approx_distinct": approx_distinct,
@@ -534,6 +567,27 @@ ORACLES = {
                coalesce(sum(CASE WHEN l_linestatus = 'F'
                                  THEN l_quantity END), 0.0) AS qty_filled
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "winsorized_stats": f"""
+        WITH bounds AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, {WINSOR_LO}) AS lo,
+                   quantile_cont(l_extendedprice, {WINSOR_HI}) AS hi
+            FROM lineitem GROUP BY l_returnflag
+        ),
+        c AS (
+            SELECT l.l_returnflag,
+                   least(greatest(l.l_extendedprice, b.lo), b.hi) AS v,
+                   (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi)
+                       AS clipped
+            FROM lineitem l JOIN bounds b USING (l_returnflag)
+        )
+        SELECT l_returnflag,
+               round(avg(v), 4) AS winsor_mean,
+               round(stddev_samp(v), 4) AS winsor_std,
+               sum(clipped::INT)::BIGINT AS n_clipped,
+               count(*) AS n
+        FROM c GROUP BY l_returnflag
     """,
     "percentiles_by_group": """
         SELECT l_returnflag,
