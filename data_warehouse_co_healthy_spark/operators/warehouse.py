@@ -146,14 +146,73 @@ def observe_dq(df: DataFrame, key_col: str, measure_col: str):
     return observed, obs
 
 
+# Declarative data-quality expectations: (name, SQL predicate that every
+# row must satisfy). Single source of truth for plan AND oracle.
+EXPECTATIONS: tuple[tuple[str, str], ...] = (
+    ("qty_positive", "l_quantity > 0"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("discount_in_range", "l_discount BETWEEN 0 AND 1"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+    ("tax_below_discounted", "l_tax < 1 - l_discount"),
+)
+
+
+def run_expectations(
+    df: DataFrame, rules: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Evaluate every expectation in ONE scan: each rule becomes a
+    conditional-sum aggregate, the wide result is stacked back to one
+    row per rule (check, n_fail, n_rows, fail_rate). The Great-
+    Expectations-style contract at warehouse scale — rule count only
+    widens the aggregate, it never adds scans or shuffles."""
+    aggs = [
+        F.sum(F.when(~F.expr(cond), 1).otherwise(0))
+        .cast("long")
+        .alias(name)
+        for name, cond in rules
+    ] + [F.count("*").alias("_n")]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', {name}" for name, _ in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (check, n_fail)", "_n AS n_rows"
+    ).select(
+        "check",
+        "n_fail",
+        "n_rows",
+        F.round(F.col("n_fail") / F.col("n_rows"), 6).alias("fail_rate"),
+    )
+
+
+def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: the expectation suite over lineitem."""
+    return run_expectations(
+        load_table(spark, sf_dir, "lineitem"), EXPECTATIONS
+    )
+
+
 QUERIES = {
+    "dq_expectation_report": dq_expectation_report,
     "scd2_user_state": scd2_user_state,
     "merge_upsert_balances": merge_upsert_balances,
     "dq_null_rates": dq_null_rates,
     "dq_orphans": dq_orphans,
 }
 
+_EXPECT_UNION = "\n        UNION ALL ".join(
+    f"SELECT '{name}' AS \"check\", "
+    f"sum(CASE WHEN NOT ({cond}) THEN 1 ELSE 0 END)::BIGINT AS n_fail "
+    f"FROM lineitem"
+    for name, cond in EXPECTATIONS
+)
+
 ORACLES = {
+    "dq_expectation_report": f"""
+        WITH checks AS ({_EXPECT_UNION}),
+        n AS (SELECT count(*) AS n_rows FROM lineitem)
+        SELECT "check", n_fail, n_rows,
+               round(n_fail / n_rows, 6) AS fail_rate
+        FROM checks, n
+    """,
     "dq_null_rates": """
         SELECT count(*)::BIGINT AS n_rows,
                round(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
