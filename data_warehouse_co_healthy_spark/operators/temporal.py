@@ -318,10 +318,76 @@ def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCIDENT_PAD_SEC = 300   # incident window: error ts ± 5 minutes
+OVERLAP_BUCKET_SEC = 600 # coarse bucket for the interval-overlap join
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join — sessions that overlap an
+    incident window (error ts ± INCIDENT_PAD_SEC) for the same user,
+    with the overlap duration. Distinct from the point-in-window range
+    join: BOTH sides are intervals.
+
+    Plan: both interval sets explode onto the coarse time buckets they
+    span, equi-join on (user_id, bucket), exact overlap predicate
+    after, dropDuplicates to undo double-counting of pairs that share
+    several buckets. Candidate volume is bounded by per-bucket
+    occupancy — never |L|×|R| — and amplification is span/bucket_width
+    per interval (pick the bucket near the median interval length; a
+    nested-loop inequality join is the plan Catalyst would otherwise
+    choose, unusable at scale).
+    """
+    sessions = sessionize_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias(
+            "i_start"
+        ),
+        (F.col("ts") + F.expr(f"INTERVAL {INCIDENT_PAD_SEC} SECOND")).alias(
+            "i_end"
+        ),
+    )
+    W = OVERLAP_BUCKET_SEC
+
+    def spans(df, lo, hi):
+        return df.withColumn(
+            "b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(lo) / W).cast("long"),
+                    F.floor(F.unix_timestamp(hi) / W).cast("long"),
+                )
+            ),
+        )
+
+    sb = spans(sessions, "session_start", "session_end")
+    ib = spans(errors, "i_start", "i_end")
+    return (
+        sb.join(ib, on=["user_id", "b"])
+        .filter(
+            (F.col("session_start") <= F.col("i_end"))
+            & (F.col("i_start") <= F.col("session_end"))
+        )
+        .select(
+            "user_id",
+            "session_id",
+            "incident_id",
+            (
+                F.unix_timestamp(F.least("session_end", "i_end"))
+                - F.unix_timestamp(F.greatest("session_start", "i_start"))
+            ).alias("overlap_sec"),
+        )
+        .dropDuplicates(["user_id", "session_id", "incident_id"])
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
+    "interval_overlap_join": interval_overlap_join,
     "retention_cohorts": retention_cohorts,
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
@@ -401,6 +467,25 @@ ORACLES = {
          AND e.ts <= s.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
         GROUP BY 1, 2, 3
     """,
+    "interval_overlap_join": f"""
+        WITH sessions AS ({{SESSIONIZE_SQL}}),
+        errors AS (
+            SELECT user_id, event_id AS incident_id,
+                   ts - INTERVAL {INCIDENT_PAD_SEC} SECOND AS i_start,
+                   ts + INTERVAL {INCIDENT_PAD_SEC} SECOND AS i_end
+            FROM events WHERE event_type = 'error'
+        )
+        SELECT s.user_id, s.session_id, e.incident_id,
+               date_diff('second',
+                         greatest(s.session_start, e.i_start),
+                         least(s.session_end, e.i_end))::BIGINT
+                   AS overlap_sec
+        FROM sessions s
+        JOIN errors e
+          ON s.user_id = e.user_id
+         AND s.session_start <= e.i_end
+         AND e.i_start <= s.session_end
+    """,
     "rolling_zscore_anomalies": f"""
         WITH scored AS (
             SELECT event_id, user_id, ts, value,
@@ -443,3 +528,7 @@ ORACLES = {
         LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
     """,
 }
+
+ORACLES["interval_overlap_join"] = ORACLES["interval_overlap_join"].replace(
+    "{SESSIONIZE_SQL}", ORACLES["sessionize_events"]
+)
