@@ -122,9 +122,69 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
     return centroids
 
 
+SEMDEDUP_COS = 0.35  # within-cell near-dup cosine threshold
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the trained k-means quantizer, then WITHIN each cell greedily keep
+    a vector only if its cosine to every already-kept cell member is
+    below SEMDEDUP_COS (vec_id order → deterministic). Near-dup
+    semantics live entirely inside cells, so the pairwise work is
+    n/k-bounded per cell instead of corpus-quadratic — the reason
+    semantic dedup scales where brute-force pairwise cannot.
+
+    The in-cell greedy pass is a grouped applyInPandas (numpy matmul
+    per cell, Arrow-batched); everything before it is the k-means
+    dataflow. Returns every vector with its cell, keep/drop flag, and
+    the max cosine to the kept set that justified a drop.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    assigned = _assign(emb, lloyd_centroids(emb)).select(
+        "vec_id", "embedding", "cid"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        kept_rows: list[int] = []
+        kept, max_cos = [], []
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                mc = float(sims.max())
+            else:
+                mc = 0.0
+            ok = mc < SEMDEDUP_COS
+            if ok:
+                kept_rows.append(i)
+            kept.append(ok)
+            max_cos.append(round(mc, 4))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cid": pdf["cid"],
+                "kept": kept,
+                "max_cos_kept": max_cos,
+            }
+        )
+
+    return assigned.groupBy("cid").applyInPandas(
+        dedup_cell,
+        schema="vec_id long, cid int, kept boolean, max_cos_kept double",
+    )
+
+
 QUERIES = {
     "shard_assignment": shard_assignment,
     "kmeans_embeddings": kmeans_embeddings,
+    "semantic_dedup": semantic_dedup,
 }
 
 ORACLES = {
@@ -148,5 +208,8 @@ ORACLES = {
 NO_ORACLE = {
     "kmeans_embeddings": "iterative fixpoint (Lloyd's) is outside "
     "single-query SQL; determinism + monotone inertia asserted in "
+    "tests/test_llm.py",
+    "semantic_dedup": "depends on the k-means fixpoint plus a greedy "
+    "sequential in-cell pass; keep-set invariants asserted in "
     "tests/test_llm.py",
 }

@@ -383,3 +383,35 @@ def test_ivf_kmeans_recall_vs_brute_force(spark):
     assert mean_recall >= 0.4, mean_recall
     from data_warehouse_co_healthy_spark.llm.training import K_CLUSTERS
     assert got.groupby("query_id").rk.is_monotonic_increasing.all()
+
+
+def test_semantic_dedup_keep_set_invariants(spark):
+    """The greedy keep-set must satisfy its own contract: every pair of
+    KEPT vectors in a cell is below the cosine threshold, and every
+    dropped vector is justified by a kept one with smaller vec_id."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import training
+
+    out = training.semantic_dedup(spark, SF_DIR).toPandas()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").toPandas()
+    assert len(out) == len(emb)
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.itertuples()
+    }
+    for v in vecs:
+        vecs[v] = vecs[v] / np.linalg.norm(vecs[v])
+    for _, cell in out.groupby("cid"):
+        kept = cell[cell.kept].sort_values("vec_id")
+        ids = list(kept.vec_id)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert vecs[a] @ vecs[b] < training.SEMDEDUP_COS
+        for r in cell[~cell.kept].itertuples():
+            justified = any(
+                vecs[k] @ vecs[r.vec_id] >= training.SEMDEDUP_COS
+                for k in ids
+                if k < r.vec_id
+            )
+            assert justified, r.vec_id
