@@ -213,6 +213,40 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the packed training sequences: for every
+    (source, pack_id) bin from ``pack_sequences``, the member count,
+    token total, and an md5 fingerprint of the concatenated text in
+    doc_id order — what actually gets written as a training example
+    (fingerprint instead of the raw concat keeps the declared result
+    compact; the writer variant emits the text itself).
+
+    One join back to the documents on doc_id (both sides already hash-
+    partitioned on it) and one groupBy per bin; in-bin order is restored
+    with array_sort over (doc_id, text) structs, no global sort."""
+    packs = pack_sequences(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        packs.join(d, on="doc_id")
+        .groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "text"))
+                        ),
+                        lambda s: s.text,
+                    ),
+                    " ",
+                )
+            ).alias("text_fp"),
+        )
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-width chunking (the RAG / long-doc
     pretraining splitter): CHUNK_WORDS-word windows every CHUNK_STRIDE
@@ -535,6 +569,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "pack_sequences": pack_sequences,
+    "pack_sequences_text": pack_sequences_text,
     "chunk_documents": chunk_documents,
     "char_entropy": char_entropy,
     "token_count_by_source": token_count_by_source,
@@ -793,4 +828,14 @@ ORACLES["minhash_jaccard_estimate"] = f"""
     JOIN sig a ON a.doc_id = p.doc_a
     JOIN sig b ON b.doc_id = p.doc_b AND b.perm = a.perm
     GROUP BY p.doc_a, p.doc_b
+"""
+
+ORACLES["pack_sequences_text"] = f"""
+    WITH packs AS ({ORACLES["pack_sequences"]})
+    SELECT p.source, p.pack_id,
+           count(*) AS n_docs,
+           sum(p.n_tok)::BIGINT AS n_tokens,
+           md5(string_agg(d.text, ' ' ORDER BY d.doc_id)) AS text_fp
+    FROM packs p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2
 """

@@ -89,6 +89,16 @@ def test_range_join_is_equi_bucketed(spark):
     assert "NestedLoop" not in plan
 
 
+def test_interval_overlap_join_is_equi_bucketed(spark):
+    """The interval-overlap join must execute as an equi join on
+    (user_id, bucket) with the exact predicate as a post-filter — never
+    a nested-loop over the interval inequalities."""
+    from data_warehouse_co_healthy_spark.operators import temporal
+
+    plan = _plan(temporal.interval_overlap_join(spark, SF_DIR))
+    assert "NestedLoop" not in plan
+
+
 def test_approx_quantiles_bounded_rank_error(spark):
     """The GK sketch guarantees RANK error (≤ 1/accuracy), not value
     error: the fraction of values ≤ each reported quantile must sit
