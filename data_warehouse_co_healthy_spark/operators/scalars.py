@@ -193,6 +193,20 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ingest_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-load bookkeeping: per event_type high-watermark
+    (max ts), max id, and row count — the state an incremental ingest
+    job persists after each run so the next run reads only
+    ``ts > high_watermark``. Pairs with ``cross_snapshot_dedup`` (the
+    content-level incremental gate). One partial-agg'd scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("ts").alias("high_watermark"),
+        F.max("event_id").alias("max_event_id"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 QUERIES = {
     "split_explode": split_explode,
     "rollup_multires": rollup_multires,
@@ -204,6 +218,7 @@ QUERIES = {
     "json_extract": json_extract,
     "json_group_stats": json_group_stats,
     "time_bucket_agg": time_bucket_agg,
+    "ingest_watermarks": ingest_watermarks,
 }
 
 ORACLES = {
@@ -281,6 +296,13 @@ ORACLES = {
                    json_extract_string(props, '$.k')::BIGINT AS k
             FROM events
         ) GROUP BY event_type
+    """,
+    "ingest_watermarks": """
+        SELECT event_type,
+               max(ts) AS high_watermark,
+               max(event_id) AS max_event_id,
+               count(*) AS n_rows
+        FROM events GROUP BY event_type
     """,
     "time_bucket_agg": """
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
