@@ -24,6 +24,7 @@ NESTED_LOOP_OK = {
     "pmi_bigrams",          # corpus token total as 1-row broadcast
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
     "key_skew_profile",     # key-cardinality stats as 1-row broadcast
+    "unigram_surprisal",    # corpus token total as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -53,6 +54,9 @@ SINGLE_PARTITION_OK = {
     "key_skew_profile",     # global stats over key-cardinality counts
     "pmi_bigrams",          # global token total (one agg row)
     "bm25_search",          # global avgdl/N stats (one agg row)
+    "unigram_surprisal",    # global token total (one agg row)
+    "dq_expectation_report",  # global profiling aggregate (one row
+                              # per rule after map-side partials)
 }
 
 

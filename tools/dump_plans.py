@@ -21,6 +21,9 @@ SHOWCASE = [
     ("contamination_overlap", "corpus grams vs broadcast eval-set gram table"),
     ("media_phash_buckets", "no-join near-dup: codegen array folds + hash window"),
     ("gapfill_forward", "dense grid + LOCF sharing one user_id shuffle"),
+    ("interval_overlap_join", "interval x interval as bucketized equi-join"),
+    ("topk_agg_per_group", "sort-free top-k: partial-agg'd collect + slice"),
+    ("dq_expectation_report", "N rules = one conditional-sum scan"),
 ]
 
 
