@@ -383,11 +383,59 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WAU_WINDOW_DAYS = 7  # trailing window for rolling distinct actives
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives (the DAU/WAU metric): for every day, the
+    count of DISTINCT users active in the trailing WAU_WINDOW_DAYS days.
+
+    Distinct-over-sliding-window has no direct window-function form, so
+    the scalable rewrite is: distinct (user, day) pairs → explode each
+    onto the WAU_WINDOW_DAYS report days it contributes to → exact
+    count-distinct per report day. Amplification is exactly the window
+    length (7×) on the deduped activity table — not on raw events — and
+    everything is partial-agg'd hash aggregation; no global sort, no
+    per-day self-joins. Report days are clipped to the observed range
+    so leading days reflect partial windows honestly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates()
+    span = activity.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    contrib = (
+        activity.crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.greatest("day", "d0"),
+                    F.least(
+                        F.date_add("day", WAU_WINDOW_DAYS - 1), F.col("d1")
+                    ),
+                )
+            ).alias("report_day"),
+        )
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+            "active_users",
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
+    "rolling_active_users": rolling_active_users,
     "retention_cohorts": retention_cohorts,
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
@@ -466,6 +514,24 @@ ORACLES = {
          AND e.ts > s.ts
          AND e.ts <= s.ts + INTERVAL {RANGE_WINDOW_SEC} SECOND
         GROUP BY 1, 2, 3
+    """,
+    "rolling_active_users": f"""
+        WITH activity AS (
+            SELECT DISTINCT user_id, ts::DATE AS day FROM events
+        ),
+        span AS (SELECT min(day) AS d0, max(day) AS d1 FROM activity),
+        contrib AS (
+            SELECT a.user_id,
+                   unnest(generate_series(
+                       greatest(a.day, s.d0),
+                       least(a.day + INTERVAL {WAU_WINDOW_DAYS - 1} DAY,
+                             s.d1),
+                       INTERVAL 1 DAY))::DATE AS report_day
+            FROM activity a, span s
+        )
+        SELECT strftime(report_day, '%Y-%m-%d') AS report_day,
+               count(DISTINCT user_id) AS active_users
+        FROM contrib GROUP BY report_day
     """,
     "interval_overlap_join": f"""
         WITH sessions AS ({{SESSIONIZE_SQL}}),
