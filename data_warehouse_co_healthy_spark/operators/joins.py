@@ -169,6 +169,33 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the semantics
+    dimension lookups need when "unknown" is itself a valid bucket
+    (plain ``=`` would discard every NULL-keyed fact row).
+
+    The nullable key is derived (nullif on the urgent priority) so the
+    fixture genuinely exercises the NULL-match path; the dim carries an
+    explicit label for the NULL bucket. Same hash-join machinery and
+    scale posture as any equi join — ``<=>`` is still a hashable key.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("k"),
+    )
+    dim = (
+        keyed.select("k")
+        .dropDuplicates()
+        .select("k", F.coalesce("k", F.lit("URGENT(NULL)")).alias("label"))
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.k))
+        .select("o_orderkey", "label")
+    )
+
+
 def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_semi = EXISTS (free with the join API, SURVEY §2.4 note):
     customers that have at least one urgent order."""
@@ -195,6 +222,7 @@ QUERIES = {
     "multi_key_join": multi_key_join,
     "left_join_miss": left_join_miss,
     "role_playing_dim": role_playing_dim,
+    "null_safe_join": null_safe_join,
     "semi_join": semi_join,
     "anti_join": anti_join,
     "salted_join": salted_join,
@@ -249,6 +277,19 @@ ORACLES = {
         JOIN nation cn ON c_nationkey = cn.n_nationkey
         JOIN nation sn ON s_nationkey = sn.n_nationkey
         GROUP BY 1, 2
+    """,
+    "null_safe_join": """
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   nullif(o_orderpriority, '1-URGENT') AS k
+            FROM orders
+        ),
+        dim AS (
+            SELECT k, coalesce(k, 'URGENT(NULL)') AS label
+            FROM (SELECT DISTINCT k FROM keyed)
+        )
+        SELECT keyed.o_orderkey, dim.label
+        FROM keyed JOIN dim ON keyed.k IS NOT DISTINCT FROM dim.k
     """,
     "semi_join": """
         SELECT c_custkey, c_name FROM customer c

@@ -430,8 +430,52 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch twin of ``rolling_active_users``: ONE
+    HyperLogLog sketch per (user-activity) day, then each report day
+    unions its trailing WAU_WINDOW_DAYS sketches — the raw activity
+    table is scanned ONCE regardless of window length, and the window
+    union runs over day-cardinality sketch rows (a few KB each).
+
+    This is the 100 TB path: the exact variant re-explodes activity by
+    the window length, the sketch variant re-aggregates only sketches
+    (daily sketches are also exactly what an incremental job persists —
+    yesterday's sketches never recompute). Estimates carry HLL error
+    (~2% at lgK=12); the error bound vs the exact twin is test-pinned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    span = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    contrib = daily.crossJoin(F.broadcast(span)).select(
+        "sk",
+        F.explode(
+            F.sequence(
+                F.greatest("day", "d0"),
+                F.least(F.date_add("day", WAU_WINDOW_DAYS - 1), F.col("d1")),
+            )
+        ).alias("report_day"),
+    )
+    return (
+        contrib.groupBy("report_day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long")
+            .alias("active_users_est")
+        )
+        .select(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day"),
+            "active_users_est",
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "rolling_active_users_hll": rolling_active_users_hll,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,

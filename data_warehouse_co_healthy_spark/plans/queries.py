@@ -65,6 +65,9 @@ NO_ORACLE: dict[str, str] = {
     "hll_mergeable_rollup": "DataSketches HLL estimates are "
     "implementation-defined; bounded error vs exact distinct counts "
     "asserted in tests/test_plans.py",
+    "rolling_active_users_hll": "HLL estimates are implementation-"
+    "defined; bounded error vs the exact rolling_active_users twin "
+    "asserted in tests/test_plans.py",
 }
 
 

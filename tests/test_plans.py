@@ -155,3 +155,25 @@ def test_hll_mergeable_rollup_bounded_error(spark):
     for k, e in est.items():
         assert abs(e - exact[k]) / exact[k] <= 0.03, (k, e, exact[k])
     assert est["ALL"] < sum(v for k, v in est.items() if k != "ALL")
+
+
+def test_rolling_hll_tracks_exact_wau(spark):
+    """The sketch twin must track the exact rolling distinct actives
+    within HLL error (lgK=12 → ~2%; assert 5% headroom) on every day."""
+    from data_warehouse_co_healthy_spark.operators import temporal
+
+    exact = (
+        temporal.rolling_active_users(spark, SF_DIR)
+        .toPandas()
+        .set_index("report_day")
+        .active_users
+    )
+    est = (
+        temporal.rolling_active_users_hll(spark, SF_DIR)
+        .toPandas()
+        .set_index("report_day")
+        .active_users_est
+    )
+    assert set(exact.index) == set(est.index)
+    rel = ((est - exact).abs() / exact).max()
+    assert rel <= 0.05, rel
