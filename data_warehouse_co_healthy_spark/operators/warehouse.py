@@ -146,6 +146,60 @@ def observe_dq(df: DataFrame, key_col: str, measure_col: str):
     return observed, obs
 
 
+# Candidate foreign-key pairs to profile: (child table, child col,
+# parent table, parent col). Single source of truth for plan + oracle.
+FK_CANDIDATES: tuple[tuple[str, str, str, str], ...] = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # NOT an FK
+)
+
+
+def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship discovery: for each candidate (child.col →
+    parent.col) pair, the containment fraction — what share of the
+    child's DISTINCT keys exist in the parent. ≈1.0 means a real
+    foreign key; the deliberately-wrong last candidate shows a low
+    score. The profiling pass that recovers an undocumented schema's
+    join graph before anyone writes queries against it.
+
+    Each pair costs two distinct-key sets (partial-agg'd) and one
+    anti-join count on the deduped keys — key-cardinality work, never
+    row-cardinality. Pairs are independent; at scale they run as one
+    job each over the already-pruned single column (column pruning
+    reaches the scan)."""
+    rows = []
+    for child_t, child_c, parent_t, parent_c in FK_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, child_t)
+            .select(F.col(child_c).alias("k"))
+            .dropDuplicates()
+        )
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(parent_c).alias("k"))
+            .dropDuplicates()
+        )
+        n_child = child.count()
+        n_missing = child.join(parent, on="k", how="left_anti").count()
+        rows.append(
+            (
+                f"{child_t}.{child_c}",
+                f"{parent_t}.{parent_c}",
+                n_child,
+                n_missing,
+                round(1.0 - n_missing / n_child, 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "child string, parent string, n_child_keys long, "
+        "n_missing long, containment double",
+    )
+
+
 # Declarative data-quality expectations: (name, SQL predicate that every
 # row must satisfy). Single source of truth for plan AND oracle.
 EXPECTATIONS: tuple[tuple[str, str], ...] = (
@@ -192,6 +246,7 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dq_expectation_report": dq_expectation_report,
+    "fk_containment_profile": fk_containment_profile,
     "scd2_user_state": scd2_user_state,
     "merge_upsert_balances": merge_upsert_balances,
     "dq_null_rates": dq_null_rates,
@@ -206,6 +261,38 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "fk_containment_profile": """
+        WITH pairs AS (
+        SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
+               (SELECT count(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS n_child_keys,
+               (SELECT count(*) FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+                WHERE NOT EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.k)
+               )::BIGINT AS n_missing
+        UNION ALL SELECT 'lineitem.l_partkey' AS child, 'part.p_partkey' AS parent,
+               (SELECT count(DISTINCT l_partkey) FROM lineitem)::BIGINT AS n_child_keys,
+               (SELECT count(*) FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+                WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.k)
+               )::BIGINT AS n_missing
+        UNION ALL SELECT 'orders.o_custkey' AS child, 'customer.c_custkey' AS parent,
+               (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS n_child_keys,
+               (SELECT count(*) FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+                WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k)
+               )::BIGINT AS n_missing
+        UNION ALL SELECT 'customer.c_nationkey' AS child, 'nation.n_nationkey' AS parent,
+               (SELECT count(DISTINCT c_nationkey) FROM customer)::BIGINT AS n_child_keys,
+               (SELECT count(*) FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+                WHERE NOT EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.k)
+               )::BIGINT AS n_missing
+        UNION ALL SELECT 'orders.o_orderkey' AS child, 'customer.c_custkey' AS parent,
+               (SELECT count(DISTINCT o_orderkey) FROM orders)::BIGINT AS n_child_keys,
+               (SELECT count(*) FROM (SELECT DISTINCT o_orderkey AS k FROM orders) c
+                WHERE NOT EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.k)
+               )::BIGINT AS n_missing
+        )
+        SELECT child, parent, n_child_keys, n_missing,
+               round(1.0 - n_missing / n_child_keys, 6) AS containment
+        FROM pairs
+    """,
     "dq_expectation_report": f"""
         WITH checks AS ({_EXPECT_UNION}),
         n AS (SELECT count(*) AS n_rows FROM lineitem)

@@ -385,3 +385,35 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert list(got.columns) == ["k", "tag", "part"]
     assert got.tag.isna().sum() == 3
     assert (got.tag.dropna() == "x").all()
+
+
+def test_snapshot_diff_labels_changes(spark, tmp_path):
+    """CDF between two snapshot versions: inserts, deletes, and updates
+    must each be labeled exactly once; unchanged keys are absent."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cdf")
+    v1 = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10.0).alias("v")
+    )
+    writers.write_versioned(v1, path)
+    v2 = (
+        spark.range(2, 12)  # 0,1 deleted; 10,11 inserted
+        .select(
+            F.col("id").alias("k"),
+            # k=5 changes value
+            F.when(F.col("id") == 5, 999.0)
+            .otherwise(F.col("id") * 10.0)
+            .alias("v"),
+        )
+    )
+    writers.write_versioned(v2, path)
+    diff = (
+        writers.snapshot_diff(spark, path, 1, 2, ("k",))
+        .toPandas()
+        .sort_values("k")
+    )
+    got = dict(zip(diff.k, diff.change))
+    assert got == {
+        0: "delete", 1: "delete", 5: "update", 10: "insert", 11: "insert"
+    }
