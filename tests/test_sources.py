@@ -417,3 +417,33 @@ def test_snapshot_diff_labels_changes(spark, tmp_path):
     assert got == {
         0: "delete", 1: "delete", 5: "update", 10: "insert", 11: "insert"
     }
+
+
+def test_python_datasource_sink_two_phase_commit(spark, tmp_path):
+    """The custom Python sink must write one part per partition and
+    publish a manifest whose counts reconcile with the data — the
+    atomic-commit contract."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.sources import pysource
+
+    pysource.register_sink(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    ).repartition(4)
+    df.write.format("jsonldir").option("path", out).mode("append").save()
+
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["total_rows"] == 100
+    assert len(manifest["files"]) == 4
+    n_lines = sum(
+        sum(1 for _ in open(os.path.join(out, f["path"])))
+        for f in manifest["files"]
+    )
+    assert n_lines == 100
+    back = spark.read.json(out + "/part-*.jsonl")
+    assert back.count() == 100
+    assert set(back.columns) == {"k", "v"}
