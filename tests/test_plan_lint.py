@@ -25,6 +25,8 @@ NESTED_LOOP_OK = {
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
     "key_skew_profile",     # key-cardinality stats as 1-row broadcast
     "unigram_surprisal",    # corpus token total as 1-row broadcast
+    "rolling_active_users",      # day-span bounds as 1-row broadcast
+    "rolling_active_users_hll",  # same span bounds, sketch variant
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -57,6 +59,8 @@ SINGLE_PARTITION_OK = {
     "unigram_surprisal",    # global token total (one agg row)
     "dq_expectation_report",  # global profiling aggregate (one row
                               # per rule after map-side partials)
+    "rolling_active_users",      # global day-span (one min/max row)
+    "rolling_active_users_hll",  # same
 }
 
 
