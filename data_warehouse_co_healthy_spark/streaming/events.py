@@ -86,6 +86,32 @@ def windowed_counts(
     )
 
 
+def windowed_distinct_users(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Distinct users per tumbling window on a stream: exact
+    count-distinct is unbounded-state in streaming, so this is the
+    approx_count_distinct (HLL) aggregate — per-window state is one
+    sketch, watermark-evicted. The batch reconciliation (exact
+    countDistinct vs this estimate within HLL tolerance) is pinned in
+    tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w").getField("start").alias("bucket"),
+            "approx_users",
+            "n_events",
+        )
+    )
+
+
 def sessionized(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -388,3 +388,27 @@ def test_zscore_stream_matches_batch_single_batch(spark, stream):
     pd.testing.assert_frame_equal(
         got, want, check_exact=False, atol=1e-4, check_dtype=False
     )
+
+
+def test_windowed_distinct_users_tracks_exact(spark, stream):
+    """The streaming HLL distinct-per-window must track the exact batch
+    count within the sketch's default rsd (5%) on every window."""
+    from pyspark.sql import functions as F
+
+    got = (
+        _drain(spark, se.windowed_distinct_users(stream), "win_users")
+        .set_index("bucket")
+        .approx_users
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    exact = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.col("w").getField("start").alias("bucket"), "n")
+        .toPandas()
+        .set_index("bucket")
+        .n
+    )
+    assert set(got.index) == set(exact.index)
+    rel = ((got - exact).abs() / exact).max()
+    assert rel <= 0.10, rel
