@@ -473,9 +473,44 @@ def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORECAST_LAG_DAYS = 7  # seasonal-naive horizon: same weekday last week
+
+
+def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting baseline + backtest in one query: the seasonal-naive
+    forecast (predict each day = the value FORECAST_LAG_DAYS days
+    earlier on the gap-filled series) scored per user with MAE and
+    bias. Every serious forecast ships only if it beats this baseline,
+    so the engine provides the baseline and its evaluation as a
+    first-class operator.
+
+    Composes ``gapfill_forward`` (dense LOCF series) with one lag
+    window over the same user_id partitioning — zero additional
+    shuffles beyond the gap-fill itself.
+    """
+    filled = gapfill_forward(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("day")
+    scored = filled.select(
+        "user_id",
+        "day",
+        "filled_value",
+        F.lag("filled_value", FORECAST_LAG_DAYS).over(w).alias("forecast"),
+    ).filter(F.col("forecast").isNotNull())
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_scored"),
+        F.round(
+            F.avg(F.abs(F.col("filled_value") - F.col("forecast"))), 4
+        ).alias("mae"),
+        F.round(F.avg(F.col("filled_value") - F.col("forecast")), 4).alias(
+            "bias"
+        ),
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "rolling_active_users_hll": rolling_active_users_hll,
+    "seasonal_naive_eval": seasonal_naive_eval,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
@@ -642,3 +677,18 @@ ORACLES = {
 ORACLES["interval_overlap_join"] = ORACLES["interval_overlap_join"].replace(
     "{SESSIONIZE_SQL}", ORACLES["sessionize_events"]
 )
+
+ORACLES["seasonal_naive_eval"] = f"""
+    WITH filled AS ({ORACLES["gapfill_forward"]}),
+    scored AS (
+        SELECT user_id, day, filled_value,
+               lag(filled_value, {FORECAST_LAG_DAYS}) OVER (
+                   PARTITION BY user_id ORDER BY day) AS forecast
+        FROM filled
+    )
+    SELECT user_id, count(*)::BIGINT AS n_scored,
+           round(avg(abs(filled_value - forecast)), 4) AS mae,
+           round(avg(filled_value - forecast), 4) AS bias
+    FROM scored WHERE forecast IS NOT NULL
+    GROUP BY user_id
+"""
