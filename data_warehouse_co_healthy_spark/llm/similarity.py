@@ -387,6 +387,55 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INT8_LEVELS = 254  # symmetric int8 grid: [-127, 127]
+
+
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: one global
+    [min, max] range (two scalar aggregates, broadcast back), each
+    component mapped to the 254-level symmetric grid, plus per-vector
+    reconstruction MSE — the 4×-memory representation ANN indexes store
+    so candidate scoring stays in cache at corpus scale (re-rank the
+    shortlist with full precision).
+
+    All built-ins: transform/aggregate array lambdas; the only shuffle
+    is the 1-row range aggregate.
+    """
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    rng = e.select(F.explode("emb").alias("x")).agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    q = e.crossJoin(F.broadcast(rng)).select(
+        "vec_id",
+        "emb",
+        "lo",
+        ((F.col("hi") - F.col("lo")) / INT8_LEVELS).alias("step"),
+    )
+    quant = q.select(
+        "vec_id",
+        "emb",
+        "lo",
+        "step",
+        F.expr(
+            f"transform(emb, x -> cast(round((x - lo) / step) - 127 "
+            f"AS int))"
+        ).alias("q8"),
+    )
+    return quant.select(
+        "vec_id",
+        F.element_at("q8", 1).alias("q8_first"),
+        F.expr("aggregate(q8, 0L, (a, v) -> a + abs(v))").alias("l1_q8"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(emb, q8, (x, v) -> "
+                "pow(x - (lo + (v + 127) * step), 2)), 0.0D, "
+                "(a, d) -> a + d) / size(emb)"
+            ),
+            8,
+        ).alias("mse"),
+    )
+
+
 def mad_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of event values per event_type via
     grouped ``applyInPandas`` — the batch Arrow UDF surface (grouped
@@ -482,6 +531,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_centroids": embedding_centroids,
 }
 
@@ -642,3 +692,28 @@ NO_ORACLE = {
         "fold; agreement with cosine_topk is asserted in tests instead"
     ),
 }
+
+ORACLES["embedding_int8_quantize"] = f"""
+    WITH rng AS (
+        SELECT min(u.x) AS lo, max(u.x) AS hi
+        FROM embeddings, unnest(embedding::DOUBLE[]) AS u(x)
+    ),
+    q AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb, lo,
+               (hi - lo) / {INT8_LEVELS} AS step
+        FROM embeddings, rng
+    ),
+    quant AS (
+        SELECT vec_id, emb, lo, step,
+               [CAST(round((x - lo) / step) - 127 AS INT)
+                FOR x IN emb] AS q8
+        FROM q
+    )
+    SELECT vec_id,
+           q8[1] AS q8_first,
+           list_sum([abs(v)::BIGINT FOR v IN q8])::BIGINT AS l1_q8,
+           round(list_sum([pow(emb[i] - (lo + (q8[i] + 127) * step), 2)
+                           FOR i IN generate_series(1, len(emb))])
+                 / len(emb), 8) AS mse
+    FROM quant
+"""
