@@ -189,6 +189,36 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability for the LSH skew cap: per band, the bucket-size
+    distribution AND exactly what the MAX_BUCKET guard excluded
+    (buckets and doc-slots). The cap keeps hot boilerplate buckets from
+    exploding pair generation; this query makes the cap's cost VISIBLE
+    instead of silent — the "no silent truncation" contract for any
+    bounded operator.
+    """
+    bands = _band_keys(spark, sf_dir)
+    sizes = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidate_buckets"),
+            F.sum(F.when(F.col("sz") > MAX_BUCKET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_capped_buckets"),
+            F.sum(F.when(F.col("sz") > MAX_BUCKET, F.col("sz")).otherwise(0))
+            .cast("long")
+            .alias("doc_slots_excluded"),
+        )
+    )
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-token md5-derived 32-bit hash,
     bitwise majority vote over tokens."""
@@ -525,6 +555,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_pairs": minhash_lsh_pairs,
+    "lsh_bucket_stats": lsh_bucket_stats,
     "dedup_cluster_labels": dedup_cluster_labels,
     "simhash_docs": simhash_docs,
     "simhash_pairs": simhash_pairs,
@@ -734,4 +765,19 @@ ORACLES["chunk_dedup_reassemble"] = f"""
     FROM c JOIN f USING (chunk)
     WHERE f.n <= {CHUNK_MAX_FREQ}
     GROUP BY c.doc_id
+"""
+
+ORACLES["lsh_bucket_stats"] = f"""
+    WITH sizes AS (
+        SELECT band, band_key, count(*) AS sz
+        FROM ({_BANDS}) GROUP BY band, band_key
+    )
+    SELECT band,
+           count(*) AS n_buckets,
+           max(sz) AS max_bucket,
+           sum((sz >= 2)::INT)::BIGINT AS n_candidate_buckets,
+           sum((sz > {MAX_BUCKET})::INT)::BIGINT AS n_capped_buckets,
+           sum(CASE WHEN sz > {MAX_BUCKET} THEN sz ELSE 0 END)::BIGINT
+               AS doc_slots_excluded
+    FROM sizes GROUP BY band
 """

@@ -37,6 +37,13 @@ PROBES = [
     "media_phash_buckets",
     "chunk_dedup_reassemble",
     "weighted_sample",
+    "interval_overlap_join",
+    "rolling_active_users",
+    "rolling_zscore_anomalies",
+    "unigram_surprisal",
+    "histogram_equiwidth",
+    "embedding_int8_quantize",
+    "dq_expectation_report",
 ]
 
 
