@@ -27,6 +27,7 @@ NESTED_LOOP_OK = {
     "unigram_surprisal",    # corpus token total as 1-row broadcast
     "rolling_active_users",      # day-span bounds as 1-row broadcast
     "rolling_active_users_hll",  # same span bounds, sketch variant
+    "embedding_int8_quantize",   # global [min,max] range as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -61,6 +62,7 @@ SINGLE_PARTITION_OK = {
                               # per rule after map-side partials)
     "rolling_active_users",      # global day-span (one min/max row)
     "rolling_active_users_hll",  # same
+    "embedding_int8_quantize",   # global range (one min/max row)
 }
 
 
