@@ -247,6 +247,35 @@ def pack_sequences_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration: a raw quality proxy (n_chars)
+    means different things in different sources, so mixing decisions
+    use each document's PERCENTILE WITHIN ITS SOURCE next to its global
+    percentile; the gap quantifies how mis-calibrated a global
+    threshold would be per source (quantile normalization, the step
+    before any cross-source quality cutoff).
+
+    Two window passes — one per-source, one global. The global
+    percent_rank is the only total-order stage; at 100 TB replace it
+    with approx-quantile bucketing (the per-source windows keep their
+    hash partitioning either way)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w_src = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_all = Window.orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w_src), 6).alias("pct_in_source"),
+        F.round(F.percent_rank().over(w_all), 6).alias("pct_global"),
+    ).select(
+        "*",
+        F.round(F.col("pct_in_source") - F.col("pct_global"), 6).alias(
+            "calibration_gap"
+        ),
+    )
+
+
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-width chunking (the RAG / long-doc
     pretraining splitter): CHUNK_WORDS-word windows every CHUNK_STRIDE
@@ -570,6 +599,7 @@ QUERIES = {
     "heavy_hitters_tokens": heavy_hitters_tokens,
     "pack_sequences": pack_sequences,
     "pack_sequences_text": pack_sequences_text,
+    "quality_calibration": quality_calibration,
     "chunk_documents": chunk_documents,
     "char_entropy": char_entropy,
     "token_count_by_source": token_count_by_source,
@@ -838,4 +868,18 @@ ORACLES["pack_sequences_text"] = f"""
            md5(string_agg(d.text, ' ' ORDER BY d.doc_id)) AS text_fp
     FROM packs p JOIN documents d USING (doc_id)
     GROUP BY 1, 2
+"""
+
+ORACLES["quality_calibration"] = """
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               round(percent_rank() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id), 6)
+                   AS pct_in_source,
+               round(percent_rank() OVER (
+                   ORDER BY n_chars, doc_id), 6) AS pct_global
+        FROM documents
+    )
+    SELECT *, round(pct_in_source - pct_global, 6) AS calibration_gap
+    FROM ranked
 """

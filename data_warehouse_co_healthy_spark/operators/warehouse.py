@@ -200,6 +200,67 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-style join-size prediction from per-key frequency
+    histograms: |A ⋈ B on k| = Σ_k n_A(k)·n_B(k), computed exactly from
+    the two key-count tables and compared with the actual join count —
+    the sizing arithmetic behind shuffle-partition and skew planning
+    (``key_skew_profile`` is the per-key view; this is the total).
+
+    Cost: two key-cardinality aggregates + one join of the count
+    tables; the "actual" verification join here is for the declared
+    query only — production use keeps just the estimate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    na = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("n_a")
+    )
+    nb = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("n_b")
+    )
+    est = na.join(nb, on="k").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).alias("estimated_rows")
+    )
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    return est.select(
+        F.lit("lineitem*orders@orderkey").alias("join"),
+        "estimated_rows",
+        F.lit(actual).alias("actual_rows"),
+        (F.col("estimated_rows") == actual).alias("exact_match"),
+    )
+
+
+ZONE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+
+
+def zone_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map statistics per audited column in ONE scan (min, max,
+    null count) — the data-skipping metadata a lakehouse keeps per
+    file/row-group, surfaced as a query so layout decisions (sort keys,
+    Z-order candidates) are driven by observed value ranges. Wide
+    min/max domains under a random layout mean every range filter scans
+    everything — the signal to re-cluster (``writers.write_zordered``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in ZONE_COLS:
+        aggs += [
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    wide = li.agg(F.count("*").alias("n_rows"), *aggs)
+    stack = ", ".join(
+        f"'{c}', min_{c}, max_{c}, nulls_{c}" for c in ZONE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(ZONE_COLS)}, {stack}) AS "
+        "(column, min_value, max_value, n_nulls)",
+        "n_rows",
+    )
+
+
 # Declarative data-quality expectations: (name, SQL predicate that every
 # row must satisfy). Single source of truth for plan AND oracle.
 EXPECTATIONS: tuple[tuple[str, str], ...] = (
@@ -247,6 +308,8 @@ def dq_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dq_expectation_report": dq_expectation_report,
     "fk_containment_profile": fk_containment_profile,
+    "join_cardinality_estimate": join_cardinality_estimate,
+    "zone_map_profile": zone_map_profile,
     "scd2_user_state": scd2_user_state,
     "merge_upsert_balances": merge_upsert_balances,
     "dq_null_rates": dq_null_rates,
@@ -261,6 +324,41 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "join_cardinality_estimate": """
+        WITH na AS (SELECT l_orderkey AS k, count(*) AS n_a
+                    FROM lineitem GROUP BY 1),
+        nb AS (SELECT o_orderkey AS k, count(*) AS n_b
+               FROM orders GROUP BY 1),
+        est AS (SELECT sum(n_a * n_b)::BIGINT AS estimated_rows
+                FROM na JOIN nb USING (k)),
+        act AS (SELECT count(*)::BIGINT AS actual_rows
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT 'lineitem*orders@orderkey' AS "join",
+               estimated_rows, actual_rows,
+               estimated_rows = actual_rows AS exact_match
+        FROM est, act
+    """,
+    "zone_map_profile": """
+        WITH zones AS (SELECT 'l_quantity' AS "column", min(l_quantity)::VARCHAR AS min_value,
+               max(l_quantity)::VARCHAR AS max_value,
+               sum((l_quantity IS NULL)::INT)::BIGINT AS n_nulls
+        FROM lineitem
+        UNION ALL SELECT 'l_extendedprice' AS "column", min(l_extendedprice)::VARCHAR AS min_value,
+               max(l_extendedprice)::VARCHAR AS max_value,
+               sum((l_extendedprice IS NULL)::INT)::BIGINT AS n_nulls
+        FROM lineitem
+        UNION ALL SELECT 'l_discount' AS "column", min(l_discount)::VARCHAR AS min_value,
+               max(l_discount)::VARCHAR AS max_value,
+               sum((l_discount IS NULL)::INT)::BIGINT AS n_nulls
+        FROM lineitem
+        UNION ALL SELECT 'l_shipdate' AS "column", min(l_shipdate)::VARCHAR AS min_value,
+               max(l_shipdate)::VARCHAR AS max_value,
+               sum((l_shipdate IS NULL)::INT)::BIGINT AS n_nulls
+        FROM lineitem),
+        n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem)
+        SELECT "column", min_value, max_value, n_nulls, n_rows
+        FROM zones, n
+    """,
     "fk_containment_profile": """
         WITH pairs AS (
         SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey' AS parent,
