@@ -548,9 +548,46 @@ def chunk_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_decision_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumable dedup verdict table: one row per document with the
+    EXACT-dup decision (canonical copy or not, and of which fingerprint
+    group) and the NEAR-dup decision (converged LSH cluster id, and
+    whether the doc is its cluster's canonical min). Downstream corpus
+    builds filter on these two booleans instead of re-running any dedup
+    — the contract artifact the whole dedup family feeds.
+
+    Cost: dedup_exact + connected components + two doc_id-keyed joins
+    (same partitioning end to end)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    exact = dedup_exact(spark, sf_dir)
+    fp = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(_doc_canon(F.col("text"))).alias("fp")
+    )
+    exact_j = fp.join(exact, on="fp").select(
+        "doc_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_exact_canonical"),
+        F.col("n_copies").alias("exact_copies"),
+    )
+    cc = dedup_connected_components(spark, sf_dir)
+    return (
+        d.join(exact_j, on="doc_id")
+        .join(cc, on="doc_id")
+        .select(
+            "doc_id",
+            "is_exact_canonical",
+            "exact_copies",
+            F.col("cluster_id").alias("near_cluster_id"),
+            (F.col("doc_id") == F.col("cluster_id")).alias(
+                "is_near_canonical"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_decision_matrix": dedup_decision_matrix,
     "chunk_dedup_reassemble": chunk_dedup_reassemble,
     "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
@@ -780,4 +817,18 @@ ORACLES["lsh_bucket_stats"] = f"""
            sum(CASE WHEN sz > {MAX_BUCKET} THEN sz ELSE 0 END)::BIGINT
                AS doc_slots_excluded
     FROM sizes GROUP BY band
+"""
+
+ORACLES["dedup_decision_matrix"] = f"""
+    WITH exact AS ({ORACLES["dedup_exact"]}),
+    fp AS (SELECT doc_id, md5({_CANON}) AS fp FROM documents),
+    cc AS ({ORACLES["dedup_connected_components"]})
+    SELECT fp.doc_id,
+           fp.doc_id = exact.canonical_id AS is_exact_canonical,
+           exact.n_copies AS exact_copies,
+           cc.cluster_id AS near_cluster_id,
+           fp.doc_id = cc.cluster_id AS is_near_canonical
+    FROM fp
+    JOIN exact USING (fp)
+    JOIN cc ON cc.doc_id = fp.doc_id
 """

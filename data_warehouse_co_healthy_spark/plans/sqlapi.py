@@ -119,7 +119,42 @@ def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_api_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-2 gap-fill semantics expressed ENTIRELY as SQL text
+    over registered views — proves the ANSI surface covers the advanced
+    constructs too (sequence generation via explode, LOCF via
+    ignore-nulls last_value window). Same logical plan as the
+    DataFrame build in operators/temporal.py:gapfill_forward; the
+    oracle is shared with it."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH daily AS (
+            SELECT user_id, to_date(ts) AS day,
+                   round(sum(value), 4) AS day_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, to_date(ts)
+        ),
+        grid AS (
+            SELECT user_id,
+                   explode(sequence(min(day), max(day))) AS day
+            FROM daily GROUP BY user_id
+        )
+        SELECT g.user_id,
+               date_format(g.day, 'yyyy-MM-dd') AS day,
+               d.day_value IS NOT NULL AS observed,
+               last_value(d.day_value, true) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_value
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        """
+    )
+
+
 QUERIES = {
+    "sql_api_gapfill": sql_api_gapfill,
     "sql_api_revenue": sql_api_revenue,
     "sql_udf_token_count": sql_udf_token_count,
     "sql_udtf_chunks": sql_udtf_chunks,
@@ -174,3 +209,7 @@ ORACLES = {
 }
 
 NO_ORACLE: dict[str, str] = {}
+
+from ..operators import temporal as _temporal  # noqa: E402 (oracle reuse)
+
+ORACLES["sql_api_gapfill"] = _temporal.ORACLES["gapfill_forward"]
