@@ -589,6 +589,33 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_TOPK_K = 10
+
+
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based heavy hitters (Spark 4 ``approx_top_k``, a
+    frequent-items sketch): the top-K corpus tokens WITHOUT a full
+    groupBy — sketch state is O(K·log) per partition and merges
+    map-side, so token frequency never shuffles the token stream (the
+    exact twin ``heavy_hitters_tokens`` does; at web-corpus scale the
+    sketch is the only affordable first pass). No SQL oracle (sketch
+    internals are engine-defined); the test pins agreement with exact
+    counts on the fixture, where the sketch is exact."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    sk = words.agg(F.expr(f"approx_top_k(w, {APPROX_TOPK_K})").alias("tk"))
+    return (
+        sk.select(F.posexplode("tk").alias("rk", "t"))
+        .select(
+            (F.col("rk") + 1).cast("long").alias("rk"),
+            F.col("t.item").alias("token"),
+            F.col("t.count").cast("long").alias("est_count"),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "unigram_surprisal": unigram_surprisal,
@@ -597,6 +624,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "tfidf_top_terms": tfidf_top_terms,
     "heavy_hitters_tokens": heavy_hitters_tokens,
+    "approx_topk_tokens": approx_topk_tokens,
     "pack_sequences": pack_sequences,
     "pack_sequences_text": pack_sequences_text,
     "quality_calibration": quality_calibration,
@@ -883,3 +911,9 @@ ORACLES["quality_calibration"] = """
     SELECT *, round(pct_in_source - pct_global, 6) AS calibration_gap
     FROM ranked
 """
+
+NO_ORACLE = {
+    "approx_topk_tokens": "frequent-items sketch internals are "
+    "engine-defined; agreement with exact heavy hitters on the fixture "
+    "is pinned in tests/test_llm.py",
+}

@@ -415,3 +415,25 @@ def test_semantic_dedup_keep_set_invariants(spark):
                 if k < r.vec_id
             )
             assert justified, r.vec_id
+
+
+def test_approx_topk_tokens_matches_exact_on_fixture(spark):
+    """On the small-vocab fixture the frequent-items sketch is exact:
+    its top-K set and counts must equal the exact token counts."""
+    from pyspark.sql import functions as F
+
+    got = text.approx_topk_tokens(spark, SF_DIR).toPandas()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    exact = (
+        d.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .limit(len(got))
+        .toPandas()
+    )
+    assert set(got.token) == set(exact.w)
+    merged = got.merge(exact, left_on="token", right_on="w")
+    assert (merged.est_count == merged["count"]).all()
