@@ -64,6 +64,8 @@ SINGLE_PARTITION_OK = {
     "rolling_active_users_hll",  # same
     "embedding_int8_quantize",   # global range (one min/max row)
     "zone_map_profile",          # global profiling aggregate (one row)
+    "approx_topk_tokens",        # sketch-merge final (one sketch row,
+                                 # partials merged map-side)
     "join_cardinality_estimate", # global scalar estimate (one agg row)
     "quality_calibration",       # global percent_rank — docstring names
                                  # the approx-quantile swap at scale
