@@ -187,9 +187,38 @@ def window_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_WINDOW = 20  # moving-median trailing window (rows)
+
+
+def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving MEDIAN per customer over the trailing MM_WINDOW orders —
+    the robust smoother (a single outlier order shifts a moving average
+    by amount/N but the median barely moves). Spark runs any aggregate
+    over a window frame, so this is ``percentile(..., 0.5)`` with a
+    rows-frame; same single customer-key shuffle as every other window
+    here. O(frame) state per row; for very wide frames switch to the
+    two-heap streaming-median via applyInPandasWithState."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-(MM_WINDOW - 1), Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(
+            F.expr("percentile(o_totalprice, 0.5)").over(w), 4
+        ).alias("moving_median"),
+        F.count("*").over(w).alias("n_window"),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
     "window_range_frame": window_range_frame,
+    "moving_median": moving_median,
     "window_rank_stats": window_rank_stats,
     "window_running_sum": window_running_sum,
     "window_topk_per_group": window_topk_per_group,
@@ -200,6 +229,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "moving_median": f"""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               round(median(o_totalprice) OVER w, 4) AS moving_median,
+               count(*) OVER w AS n_window
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN {MM_WINDOW - 1} PRECEDING AND CURRENT ROW
+        )
+    """,
     "surrogate_keys": """
         SELECT n_name, row_number() OVER (ORDER BY n_name) AS nation_sk
         FROM nation
