@@ -584,10 +584,85 @@ def dedup_decision_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EXAMPLES_PER_CLUSTER = 3
+
+
+def cluster_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-audit sampling of near-dup clusters: for every converged
+    cluster with >= 2 members, up to EXAMPLES_PER_CLUSTER example
+    doc_ids (smallest ids — deterministic) and the cluster size. The
+    artifact a reviewer eyeballs to tune thresholds before a destructive
+    dedup run; bounded output (k per cluster) regardless of cluster
+    size, via in-group sort+slice — no window, no skew exposure."""
+    cc = dedup_connected_components(spark, sf_dir)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")),
+                1,
+                EXAMPLES_PER_CLUSTER,
+            ).alias("example_ids"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.concat_ws(
+                ",", F.transform("example_ids", lambda x: x.cast("string"))
+            ).alias("examples"),
+        )
+    )
+
+
+def chunk_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document copy detection at CHUNK granularity: pairs of
+    documents sharing identical CHUNK_WORDS-word chunks, with the
+    shared-chunk count — the copy-paste/plagiarism report (dedup
+    REMOVES spans; this names which documents copied from which).
+
+    Chunks hash to md5 before the pair join, so the shuffle carries
+    fingerprints; per-fingerprint doc lists are capped by the same
+    in-bucket combination expansion as LSH (no self-join)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {CHUNK_WORDS}.0) AS INT) - 1), "
+                f"i -> md5(array_join(slice(split(text, ' '), "
+                f"i * {CHUNK_WORDS} + 1, {CHUNK_WORDS}), ' ')))"
+            )
+        ).alias("chunk_fp"),
+    ).dropDuplicates()
+    buckets = (
+        chunks.groupBy("chunk_fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count("*").alias("shared_chunks"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
     "dedup_decision_matrix": dedup_decision_matrix,
+    "cluster_examples": cluster_examples,
+    "chunk_copy_pairs": chunk_copy_pairs,
     "chunk_dedup_reassemble": chunk_dedup_reassemble,
     "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
@@ -831,4 +906,36 @@ ORACLES["dedup_decision_matrix"] = f"""
     FROM fp
     JOIN exact USING (fp)
     JOIN cc ON cc.doc_id = fp.doc_id
+"""
+
+ORACLES["cluster_examples"] = f"""
+    WITH cc AS ({ORACLES["dedup_connected_components"]})
+    SELECT cluster_id, count(*) AS n_members,
+           array_to_string(
+               list_sort(list(doc_id))[1:{EXAMPLES_PER_CLUSTER}], ',')
+               AS examples
+    FROM cc GROUP BY cluster_id HAVING count(*) >= 2
+"""
+
+ORACLES["chunk_copy_pairs"] = f"""
+    WITH w AS (
+        SELECT doc_id, i, list_extract(ws, i) AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i)
+    ),
+    c AS (
+        SELECT DISTINCT doc_id,
+               md5(string_agg(word, ' ' ORDER BY i)) AS chunk_fp
+        FROM w GROUP BY doc_id, (i - 1) // {CHUNK_WORDS}
+    ),
+    sized AS (
+        SELECT *, count(*) OVER (PARTITION BY chunk_fp) AS bn FROM c
+    ),
+    kept AS (SELECT * FROM sized WHERE bn BETWEEN 2 AND {MAX_BUCKET})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_chunks
+    FROM kept a JOIN kept b
+      ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
 """
