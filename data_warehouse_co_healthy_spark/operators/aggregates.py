@@ -435,9 +435,76 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_PAIR_SUPPORT = 5  # minimum co-occurrence count reported
+
+
+def brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: pairs of part brands bought in
+    the SAME order, with support and lift (observed co-rate over the
+    rate independence predicts; lift > 1 = genuine affinity). The
+    co-occurrence family — recommendations, complements, bundle design.
+
+    Per-order brand sets come from one groupBy (part is broadcast into
+    the fact scan); pairs expand IN-basket via combination expansion —
+    basket size bounds fan-out, there is no brand×brand self-join; one
+    count aggregate per pair and a broadcast join of single-brand
+    totals finish it. All shuffles carry basket/brand cardinality.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .dropDuplicates()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    singles = baskets.groupBy("p_brand").agg(F.count("*").alias("n_brand"))
+    sets = baskets.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("p_brand")).alias("brands")
+    )
+    pairs = (
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) -> "
+                    "transform(slice(brands, i + 2, size(brands)), "
+                    "y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy("pr.brand_a", "pr.brand_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    na = singles.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = singles.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(na), on="brand_a")
+        .join(F.broadcast(nb), on="brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "support",
+            F.round(
+                (F.col("support") / F.lit(n_orders))
+                / (
+                    (F.col("n_a") / F.lit(n_orders))
+                    * (F.col("n_b") / F.lit(n_orders))
+                ),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "histogram_equiwidth": histogram_equiwidth,
+    "brand_affinity_pairs": brand_affinity_pairs,
     "distribution_moments": distribution_moments,
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
@@ -460,6 +527,32 @@ QUERIES = {
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "brand_affinity_pairs": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+        singles AS (
+            SELECT p_brand, count(*) AS n_brand FROM baskets GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS support
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_PAIR_SUPPORT}
+        )
+        SELECT brand_a, brand_b, support,
+               round((support::DOUBLE / n.n_orders) /
+                     ((sa.n_brand::DOUBLE / n.n_orders) *
+                      (sb.n_brand::DOUBLE / n.n_orders)), 4) AS lift
+        FROM pairs
+        JOIN singles sa ON sa.p_brand = pairs.brand_a
+        JOIN singles sb ON sb.p_brand = pairs.brand_b
+        CROSS JOIN n
+    """,
     "distribution_moments": """
         WITH means AS (
             SELECT event_type, avg(value) AS mu
