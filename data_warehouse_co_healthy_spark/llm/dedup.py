@@ -657,12 +657,58 @@ def chunk_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of the LSH stage against ground truth it must
+    not miss: every EXACT-duplicate pair (same canonical fingerprint)
+    should surface as an LSH candidate (identical docs share all
+    bands). Reports exact-pair count, LSH candidate count, their
+    overlap, and recall-of-exact — the monitoring metric that catches a
+    broken banding/permutation config before a silent under-dedup ships.
+
+    Both pair sets are in-bucket combination expansions; the comparison
+    is one join on the (doc_a, doc_b) key."""
+    fp_pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(_doc_canon(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (x, i) -> "
+                    "transform(slice(docs, i + 2, size(docs)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir)
+    n_exact = fp_pairs.count()
+    n_lsh = lsh.count()
+    n_both = fp_pairs.join(lsh, on=["doc_a", "doc_b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_exact,
+                n_lsh,
+                n_both,
+                round(n_both / n_exact, 6) if n_exact else 1.0,
+            )
+        ],
+        "n_exact_pairs long, n_lsh_pairs long, n_overlap long, "
+        "recall_of_exact double",
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
     "dedup_decision_matrix": dedup_decision_matrix,
     "cluster_examples": cluster_examples,
     "chunk_copy_pairs": chunk_copy_pairs,
+    "lsh_eval_vs_exact": lsh_eval_vs_exact,
     "chunk_dedup_reassemble": chunk_dedup_reassemble,
     "dedup_keep_best": dedup_keep_best,
     "minhash_signatures": minhash_signatures,
@@ -938,4 +984,25 @@ ORACLES["chunk_copy_pairs"] = f"""
     FROM kept a JOIN kept b
       ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2
+"""
+
+ORACLES["lsh_eval_vs_exact"] = f"""
+    WITH fp AS (SELECT doc_id, md5({_CANON}) AS fp FROM documents),
+    exact_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    lsh AS ({ORACLES["minhash_lsh_pairs"]}),
+    stats AS (
+        SELECT (SELECT count(*) FROM exact_pairs)::BIGINT AS n_exact_pairs,
+               (SELECT count(*) FROM lsh)::BIGINT AS n_lsh_pairs,
+               (SELECT count(*) FROM exact_pairs e
+                JOIN lsh l ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+               )::BIGINT AS n_overlap
+    )
+    SELECT n_exact_pairs, n_lsh_pairs, n_overlap,
+           CASE WHEN n_exact_pairs = 0 THEN 1.0
+                ELSE round(n_overlap / n_exact_pairs, 6) END
+               AS recall_of_exact
+    FROM stats
 """
