@@ -507,10 +507,44 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral transition matrix: counts and row-
+    normalized probabilities of consecutive event-type transitions per
+    user stream (lag over the user window) — the Markov-chain view of
+    user behavior behind churn signals and anomaly baselines.
+
+    One lag window on the standard user_id shuffle, one
+    type-pair-cardinality aggregate, one broadcast of per-source totals
+    for the row normalization."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(totals), on="from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("n_from"), 6).alias("p"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "rolling_active_users_hll": rolling_active_users_hll,
     "seasonal_naive_eval": seasonal_naive_eval,
+    "event_transition_matrix": event_transition_matrix,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
@@ -691,4 +725,25 @@ ORACLES["seasonal_naive_eval"] = f"""
            round(avg(filled_value - forecast), 4) AS bias
     FROM scored WHERE forecast IS NOT NULL
     GROUP BY user_id
+"""
+
+ORACLES["event_transition_matrix"] = """
+    WITH pairs AS (
+        SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type,
+               event_type AS to_type
+        FROM events
+    ),
+    counted AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM pairs WHERE from_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, sum(n) AS n_from FROM counted GROUP BY 1
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(c.n / t.n_from, 6) AS p
+    FROM counted c JOIN totals t USING (from_type)
 """

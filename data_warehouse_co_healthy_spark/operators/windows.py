@@ -215,10 +215,37 @@ def moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: customers ranked by revenue with running
+    revenue share — the "what % of customers drive 80% of revenue"
+    curve that prioritizes account coverage and abuse review alike.
+    One aggregate to customer grain, then a single global ranking
+    window; at 100 TB the customer-grain table is already small, so
+    the global window rides a coalesced exchange (and can be replaced
+    by approx-quantile bucketing if customers outgrow one partition).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("revenue")
+    )
+    total = per_cust.agg(F.sum("revenue")).first()[0]
+    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_cust.select(
+        "o_custkey",
+        F.round("revenue", 2).alias("revenue"),
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.round(F.sum("revenue").over(wsum) / F.lit(total), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
     "window_range_frame": window_range_frame,
     "moving_median": moving_median,
+    "revenue_pareto": revenue_pareto,
     "window_rank_stats": window_rank_stats,
     "window_running_sum": window_running_sum,
     "window_topk_per_group": window_topk_per_group,
@@ -229,6 +256,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "revenue_pareto": """
+        WITH per_cust AS (
+            SELECT o_custkey, sum(o_totalprice) AS revenue
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, round(revenue, 2) AS revenue,
+               row_number() OVER w AS rk,
+               round(sum(revenue) OVER (
+                   ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / (SELECT sum(revenue) FROM per_cust), 6) AS cum_share
+        FROM per_cust
+        WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+    """,
     "moving_median": f"""
         SELECT o_custkey, o_orderkey, o_totalprice,
                round(median(o_totalprice) OVER w, 4) AS moving_median,

@@ -69,6 +69,9 @@ SINGLE_PARTITION_OK = {
     "join_cardinality_estimate", # global scalar estimate (one agg row)
     "quality_calibration",       # global percent_rank — docstring names
                                  # the approx-quantile swap at scale
+    "revenue_pareto",            # global ranking over the (small)
+                                 # customer-grain aggregate; docstring
+                                 # names the bucketed swap at scale
 }
 
 
