@@ -501,10 +501,67 @@ def brand_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue seasonality: per (year, month) revenue, its
+    share of the year, and month-over-month percent change — the
+    period-comparison report every warehouse serves daily. Month-grain
+    aggregate first (tiny), then two windows over it; the lag ordering
+    is (year, month) so January compares against December."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w_yr = Window.partitionBy("yr")
+    w_seq = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr",
+        "mo",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w_yr), 6).alias(
+            "share_of_year"
+        ),
+        F.round(
+            (F.col("revenue") - F.lag("revenue").over(w_seq))
+            / F.lag("revenue").over(w_seq),
+            6,
+        ).alias("mom_change"),
+    )
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric supplier scorecard in ONE aggregate: revenue, item
+    count, distinct parts carried, and return rate per supplier —
+    conditional and distinct aggregates side by side, then the supplier
+    dim broadcast back for names. The standard entity-360 rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    score = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("return_rate"),
+    )
+    return score.join(
+        F.broadcast(sup.select("s_suppkey", "s_name")),
+        score.l_suppkey == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "revenue", "n_items", "n_parts", "return_rate")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "histogram_equiwidth": histogram_equiwidth,
     "brand_affinity_pairs": brand_affinity_pairs,
+    "orders_seasonality": orders_seasonality,
+    "supplier_scorecard": supplier_scorecard,
     "distribution_moments": distribution_moments,
     "hll_mergeable_rollup": hll_mergeable_rollup,
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
@@ -527,6 +584,31 @@ QUERIES = {
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "orders_seasonality": """
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT yr, mo, revenue,
+               round(revenue / sum(revenue) OVER (PARTITION BY yr), 6)
+                   AS share_of_year,
+               round((revenue - lag(revenue) OVER (ORDER BY yr, mo))
+                     / lag(revenue) OVER (ORDER BY yr, mo), 6)
+                   AS mom_change
+        FROM monthly
+    """,
+    "supplier_scorecard": """
+        SELECT s_suppkey, s_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue,
+               count(*) AS n_items,
+               count(DISTINCT l_partkey) AS n_parts,
+               round(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                     / count(*), 6) AS return_rate
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_suppkey, s_name
+    """,
     "brand_affinity_pairs": f"""
         WITH baskets AS (
             SELECT DISTINCT l_orderkey, p_brand

@@ -72,6 +72,8 @@ SINGLE_PARTITION_OK = {
     "revenue_pareto",            # global ranking over the (small)
                                  # customer-grain aggregate; docstring
                                  # names the bucketed swap at scale
+    "orders_seasonality",        # global month-over-month lag over the
+                                 # (tiny) month-grain aggregate
 }
 
 
