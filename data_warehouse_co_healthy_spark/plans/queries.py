@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import dates
+from ..pipelines import star_queries
 from ..operators import (
     aggregates,
     joins,
@@ -34,6 +35,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     projections,
     joins,
+    star_queries,
     aggregates,
     setops,
     windows,
@@ -56,15 +58,102 @@ for _m in _MODULES:
         QUERIES[_name] = _fn
     ORACLES.update(_m.ORACLES)
 
+# The driver grades the FIRST 50 registry entries (iteration order) in
+# CORRECTNESS_r{N}.json. This list pins those 50 slots to one
+# representative per SURVEY.md §2 row — flagship star first, then the
+# reference-parity projections/joins/setops/scalars/dates surface, the
+# CO pipeline stars (J6-J15), one representative per engine-added
+# family (aggregates, TPC-H, windows, temporal), and the
+# highest-value LLM-pipeline operators. Redundant within-family
+# variants stay registered (and locally oracle-tested) after slot 50.
+# tests/test_registry.py pins len == 50, registration, and oracles.
+PRIORITY: tuple[str, ...] = (
+    # flagship (J1-J4 + F1/F2 + S6 composed)
+    "fact_formula_star",
+    # §2.3 projections / filters / column ops (P1-P8)
+    "project_select",
+    "project_drop",
+    "project_rename",
+    "lit_tag",
+    "case_when_bucket",
+    "fillna_left_join",
+    "filter_rows",
+    # §2.4 joins (J1-J15 + semi/anti)
+    "star_join_revenue",
+    "multi_key_join",
+    "left_join_miss",
+    "role_playing_dim",
+    "semi_join",
+    "anti_join",
+    "fact_facturacion_star",
+    "fact_retiro_star",
+    "fact_service_star",
+    # §2.7 set ops / dedup (U1-U4 + intersect/except)
+    "union_by_name",
+    "union_positional",
+    "dedup_rows",
+    "distinct_single",
+    "intersect_keys",
+    "except_keys",
+    # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
+    "split_explode",
+    "explode_grain",
+    "date_parts",
+    "month_name_mapping",
+    "date_dim_generate",
+    "hour_dim_generate",
+    "cast_bool",
+    "time_label",
+    # §1.1/O3 in-plan surrogate keys
+    "surrogate_keys",
+    # §2.5 aggregation surface (family representatives)
+    "q1_pricing_summary",
+    "supplier_scorecard",
+    "count_distinct_agg",
+    "rollup_sales",
+    "pivot_status",
+    # TPC-H star-query family
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    # engine-added temporal operator (as-of join)
+    "asof_join",
+    # §2.6 windows / sort / limit
+    "window_range_frame",
+    "window_topk_per_group",
+    "order_limit_topk",
+    # LLM-pipeline operators (dedup / similarity / text)
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "token_count",
+    "text_quality",
+)
+
+
+def _apply_priority() -> None:
+    """Reorder QUERIES in place so PRIORITY names come first (in that
+    order), everything else keeping its module order after them. Names
+    not yet registered (LLM modules load late) are skipped until they
+    are."""
+    snapshot = dict(QUERIES)
+    QUERIES.clear()
+    for n in PRIORITY:
+        if n in snapshot:
+            QUERIES[n] = snapshot.pop(n)
+    QUERIES.update(snapshot)
+
+
+_apply_priority()
+
 # Queries intentionally without a SQL oracle (driver falls back to the
 # weaker rows-only check) — each with the reason.
+# approx_distinct / approx_quantiles / hll_mergeable_rollup were made
+# SELF-VERIFYING in round 3 (exact values + in-engine bound booleans →
+# full hash oracle); only the rolling sketch twin keeps the rows-only
+# fallback (its whole point is avoiding the exact window recompute).
 NO_ORACLE: dict[str, str] = {
-    "approx_distinct": "HLL sketch values are implementation-defined",
-    "approx_quantiles": "GK sketch values are implementation-defined; "
-    "bounded error vs exact percentiles asserted in tests/test_plans.py",
-    "hll_mergeable_rollup": "DataSketches HLL estimates are "
-    "implementation-defined; bounded error vs exact distinct counts "
-    "asserted in tests/test_plans.py",
     "rolling_active_users_hll": "HLL estimates are implementation-"
     "defined; bounded error vs the exact rolling_active_users twin "
     "asserted in tests/test_plans.py",
@@ -92,3 +181,4 @@ def register_llm_modules() -> None:
             QUERIES[name] = fn
         ORACLES.update(m.ORACLES)
         NO_ORACLE.update(getattr(m, "NO_ORACLE", {}))
+    _apply_priority()

@@ -24,6 +24,8 @@ NESTED_LOOP_OK = {
     "pmi_bigrams",          # corpus token total as 1-row broadcast
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
     "key_skew_profile",     # key-cardinality stats as 1-row broadcast
+    "hll_mergeable_rollup", # 1-row sketch-union total × 1-row exact
+                            # grand count (self-verify join)
     "unigram_surprisal",    # corpus token total as 1-row broadcast
     "rolling_active_users",      # day-span bounds as 1-row broadcast
     "rolling_active_users_hll",  # same span bounds, sketch variant
@@ -37,6 +39,8 @@ NESTED_LOOP_OK = {
 SINGLE_PARTITION_OK = {
     "surrogate_keys",       # global dense keys over a 25-row dim
     "multi_key_join",       # same: surrogate keys for a tiny attr dim
+    "fact_facturacion_star",  # same: surrogate keys for the 5-row
+                              # disease dim (row_number over 5 names)
     "order_limit_topk",     # global ORDER BY ... LIMIT output
     "q3_shipping_priority", # global top-10 of a small agg
     "q10_returned_items",   # global top-20 of a small agg

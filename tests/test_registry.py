@@ -27,6 +27,21 @@ def test_no_oracle_reasons_are_meaningful():
         assert len(reason) > 20, f"{name}: reason too thin: {reason!r}"
 
 
+def test_driver_window_is_the_priority_list():
+    """The driver grades the FIRST 50 registry entries. They must be
+    exactly the curated PRIORITY list (one representative per SURVEY §2
+    row + flagship + LLM highlights), every one of them oracle-backed so
+    the driver window contains zero rows-only checks."""
+    reg.register_llm_modules()
+    names = list(reg.QUERIES)
+    assert len(reg.PRIORITY) == 50
+    assert names[: len(reg.PRIORITY)] == list(reg.PRIORITY)
+    no_oracle_in_window = [n for n in reg.PRIORITY if n not in reg.ORACLES]
+    assert not no_oracle_in_window, (
+        f"driver window entries without an oracle: {no_oracle_in_window}"
+    )
+
+
 def test_entry_module_exports_registry():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)
