@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import (
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,17 +32,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Whole-stage-codegen'd single-pass partial agg → tiny shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # money sums/avgs accumulate in exact decimal (order-independent —
+    # see functions/numeric.py); quantity is integral so its double sum
+    # is already exact
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            money_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -59,7 +68,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum("o_totalprice").alias("spent"),
+            money_sum(F.col("o_totalprice")).alias("spent"),
         )
         .filter(F.col("n_orders") >= 3)
     )
@@ -221,13 +230,29 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — the scale path for distinct counts.
-    Not DuckDB-hash-comparable (different sketch), so the query surface
-    exposes it with an exact-count side channel used as its oracle check
-    at small SF via rows-only comparison."""
+    """HLL approximate distinct — the scale path for distinct counts —
+    made SELF-VERIFYING: the sketch estimate is compared against the
+    exact count in-engine and the output carries the exact count plus a
+    within-bound flag, so the DuckDB oracle (which cannot reproduce the
+    sketch) still hash-checks the full row: exact values match AND the
+    engine proved its estimate within the declared 5% bound (rsd=0.01
+    → 5% is generous headroom). At 100 TB you drop the exact twin and
+    keep the sketch; here the twin IS the verification."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.01).alias("approx"),
+            F.countDistinct("l_orderkey").alias("n_exact"),
+        )
+        .select(
+            "l_linestatus",
+            "n_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_ok"),
+        )
     )
 
 
@@ -235,19 +260,46 @@ def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GK-sketch approximate percentiles (p50/p90/p99) per event type —
     the 100 TB path for quantiles: ``percentile_approx`` merges bounded
     sketches map-side instead of sorting the column. Sketch values are
-    implementation-defined (no DuckDB twin), so the driver check is
-    rows-only; ``tests/test_llm.py``-style bounds are asserted against
-    the exact percentiles in tests/test_plans.py."""
+    implementation-defined, so the query is SELF-VERIFYING: it emits
+    the exact interpolated percentiles (oracle-comparable against
+    DuckDB quantile_cont) plus in-engine booleans proving the sketch
+    landed within 2% of each — a full hash-checked row instead of the
+    weaker rows-only driver fallback."""
     e = load_table(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)
+    ps = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    approx = F.percentile_approx("value", ps, 10000)
+    exact = F.percentile("value", ps)
+    # GK guarantees RANK error, not value error (a sparse tail can put
+    # the nearest data point far from the interpolated percentile), so
+    # the in-engine proof brackets each estimate between the exact
+    # percentiles ±1.5% of rank
+    lo = F.percentile("value", F.array(F.lit(0.485), F.lit(0.885), F.lit(0.975)))
+    hi = F.percentile("value", F.array(F.lit(0.515), F.lit(0.915), F.lit(1.0)))
+
+    def ok(i: int) -> F.Column:
+        return (
+            (F.col("qa")[i] >= F.col("qlo")[i])
+            & (F.col("qa")[i] <= F.col("qhi")[i])
+        ).alias(f"p{(50, 90, 99)[i]}_ok")
+
     return (
         e.groupBy("event_type")
-        .agg(q.alias("qs"))
+        .agg(
+            approx.alias("qa"),
+            exact.alias("qe"),
+            lo.alias("qlo"),
+            hi.alias("qhi"),
+            F.count("*").alias("n"),
+        )
         .select(
             "event_type",
-            F.round(F.col("qs")[0], 4).alias("p50"),
-            F.round(F.col("qs")[1], 4).alias("p90"),
-            F.round(F.col("qs")[2], 4).alias("p99"),
+            "n",
+            F.round(F.col("qe")[0], 4).alias("p50"),
+            F.round(F.col("qe")[1], 4).alias("p90"),
+            F.round(F.col("qe")[2], 4).alias("p99"),
+            ok(0),
+            ok(1),
+            ok(2),
         )
     )
 
@@ -259,21 +311,43 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count pattern: persist a sketch per partition/day, answer
     any coarser-grain distinct query by unioning sketches (exact
     countDistinct cannot re-aggregate: distinct counts don't add).
-    Estimates are sketch-implementation-defined → rows-only driver
-    check; tests/test_plans.py bounds them against exact counts."""
+    Estimates are sketch-implementation-defined, so the query is
+    SELF-VERIFYING (see approx_distinct): alongside each estimate it
+    computes the exact distinct count and a within-5%-bound flag
+    in-engine; the oracle hash-checks the exact counts and the proven
+    flags. The sketch-union grand total is still produced from the
+    per-group sketches (the mergeability being demonstrated), never
+    from a second scan."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_agg("l_orderkey").alias("sk")
+        F.hll_sketch_agg("l_orderkey").alias("sk"),
+        F.countDistinct("l_orderkey").alias("n_exact"),
     )
     per = per_flag.select(
         "l_returnflag",
-        F.hll_sketch_estimate("sk").alias("est_orders"),
+        F.hll_sketch_estimate("sk").alias("est"),
+        "n_exact",
     )
-    grand = per_flag.agg(F.hll_union_agg("sk").alias("sk")).select(
-        F.lit("ALL").alias("l_returnflag"),
-        F.hll_sketch_estimate("sk").alias("est_orders"),
+    grand = (
+        per_flag.agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("est"))
+        .join(
+            li.agg(F.countDistinct("l_orderkey").alias("n_exact")),
+            how="cross",
+        )
+        .select(F.lit("ALL").alias("l_returnflag"), "est", "n_exact")
     )
-    return per.unionByName(grand)
+    return (
+        per.unionByName(grand)
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("hll_ok"),
+        )
+    )
 
 
 def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +420,13 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise hide the Series -> scalar aggregate signature
     @pandas_udf("double", PandasUDFType.GROUPED_AGG)
     def wavg(price, qty):
-        return float((price * qty).sum() / qty.sum())
+        # exact integer-cent accumulation: a float64 partial sum is
+        # order-dependent, which flips round() at value boundaries vs
+        # the oracle (see functions/numeric.py) — prices carry 2
+        # decimals and quantities are integral, so this is exact
+        cents = (price * 100).round().astype("int64")
+        num = int((cents * qty.astype("int64")).sum())
+        return num / 100.0 / float(qty.sum())
 
     # a grouped-agg pandas UDF can't mix with built-in aggregates in
     # one agg() — the row count is a second pandas aggregate
@@ -513,7 +593,14 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        # decimal accumulation: order-independent sum (see
+        # supplier_scorecard) — the month windows below run over ≤12
+        # exact-rounded values, so they stay double
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
     w_yr = Window.partitionBy("yr")
     w_seq = Window.orderBy("yr", "mo")
     return monthly.select(
@@ -539,9 +626,22 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     score = li.groupBy("l_suppkey").agg(
+        # Money sums accumulate in exact decimal, not double: a double
+        # sum's low bits depend on partition/merge order, so a value
+        # ulps away from a half-cent boundary flips under round(). The
+        # per-row product cast is deterministic; the decimal sum is
+        # exact on both engines; cast back to double for a stable
+        # output schema.
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,4)")
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
         F.count("*").alias("n_items"),
         F.countDistinct("l_partkey").alias("n_parts"),
         F.round(
@@ -587,7 +687,8 @@ ORACLES = {
     "orders_seasonality": """
         WITH monthly AS (
             SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-                   round(sum(o_totalprice), 2) AS revenue
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
             FROM orders GROUP BY 1, 2
         )
         SELECT yr, mo, revenue,
@@ -600,7 +701,8 @@ ORACLES = {
     """,
     "supplier_scorecard": """
         SELECT s_suppkey, s_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
                    AS revenue,
                count(*) AS n_items,
                count(DISTINCT l_partkey) AS n_parts,
@@ -670,25 +772,27 @@ ORACLES = {
                count(*)::BIGINT AS n
         FROM b GROUP BY bucket
     """,
-    "q1_pricing_summary": """
+    "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(l_extendedprice) AS sum_base_price,
-               sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-               sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
-                   AS sum_charge,
+               {money_sum_sql("l_extendedprice")} AS sum_base_price,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS sum_disc_price,
+               {money_sum_sql(
+                   "l_extendedprice * (1 - l_discount) * (1 + l_tax)"
+               )} AS sum_charge,
                avg(l_quantity) AS avg_qty,
-               avg(l_extendedprice) AS avg_price,
-               avg(l_discount) AS avg_disc,
+               {money_avg_sql("l_extendedprice")} AS avg_price,
+               {money_avg_sql("l_discount")} AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "udaf_weighted_avg": """
+    "udaf_weighted_avg": f"""
         SELECT l_returnflag,
-               round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
-                   AS wavg_price,
+               round({money_sum_sql("l_extendedprice * l_quantity")}
+                     / sum(l_quantity), 4) AS wavg_price,
                count(*)::BIGINT AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
@@ -719,8 +823,9 @@ ORACLES = {
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag
     """,
-    "agg_having": """
-        SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS spent
+    "agg_having": f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {money_sum_sql("o_totalprice")} AS spent
         FROM orders GROUP BY o_custkey HAVING count(*) >= 3
     """,
     "rollup_sales": """
@@ -808,6 +913,29 @@ ORACLES = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    # approx_distinct: intentionally no oracle (sketch-dependent values) —
-    # driver records the weaker rows-only check (SURVEY §5.3 note).
+    # sketch queries are SELF-VERIFYING (exact values + in-engine bound
+    # booleans), so their oracles check exact counts and literal TRUEs —
+    # a hash-checked proof the sketch stayed within its declared bound.
+    "approx_distinct": """
+        SELECT l_linestatus, count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+               TRUE AS hll_ok
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "hll_mergeable_rollup": """
+        SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_exact,
+               TRUE AS hll_ok
+        FROM lineitem GROUP BY l_returnflag
+        UNION ALL
+        SELECT 'ALL' AS l_returnflag,
+               count(DISTINCT l_orderkey)::BIGINT AS n_exact, TRUE AS hll_ok
+        FROM lineitem
+    """,
+    "approx_quantiles": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type
+    """,
 }

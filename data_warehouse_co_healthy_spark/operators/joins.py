@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.numeric import money_sum, money_sum_sql
 
 
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,9 +45,9 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -121,9 +122,9 @@ def role_playing_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp_nation), s.s_nationkey == F.col("sn_key"))
         .groupBy("cust_nation", "supp_nation")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "volume"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("volume")
         )
     )
 
@@ -161,9 +162,9 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            ),
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -229,16 +230,18 @@ QUERIES = {
 }
 
 ORACLES = {
-    "salted_join": """
+    "salted_join": f"""
         SELECT s_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY s_name
     """,
-    "star_join_revenue": """
+    "star_join_revenue": f"""
         SELECT r_name, n_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -267,9 +270,10 @@ ORACLES = {
             FROM lineitem GROUP BY l_partkey
         ) s ON p_partkey = s.l_partkey
     """,
-    "role_playing_dim": """
+    "role_playing_dim": f"""
         SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-               sum(l_extendedprice * (1 - l_discount)) AS volume
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS volume
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey

@@ -33,7 +33,9 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
                count(*) AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -112,7 +114,8 @@ def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT variant_get(parse_json(props), '$.k', 'int') AS k,
                count(*) AS n_events,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY 1
         """
@@ -164,7 +167,9 @@ QUERIES = {
 ORACLES = {
     "sql_api_revenue": """
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
                count(*)::BIGINT AS n_items
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
@@ -202,7 +207,8 @@ ORACLES = {
     "sql_variant_props": """
         SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
                count(*)::BIGINT AS n_events,
-               round(sum(value), 2) AS total_value
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_value
         FROM events
         GROUP BY k
     """,

@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.dates import date_dim
+from ..functions.numeric import (
+    money_round_sum,
+    money_round_sum_sql,
+    money_sum,
+    money_sum_sql,
+)
 
 
 def fact_formula_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,9 +44,18 @@ def fact_formula_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (SURVEY §4), but the dim is sized to the data so nothing is lost.
     fechas = date_dim(spark, "1995-01-01", "2001-12-31")
 
+    # collect INTs, not strings: the partial-agg shuffle payload is
+    # 8-byte keys instead of materialized digit strings; the sort and
+    # the string build run post-aggregation, once per order. The
+    # semicolon list (and the split+explode back to item grain) is the
+    # reference's load-bearing semantics — only its construction cost
+    # moved out of the shuffle.
     meds = li.groupBy("l_orderkey").agg(
         F.array_join(
-            F.sort_array(F.collect_list(F.col("l_partkey").cast("string"))),
+            F.transform(
+                F.sort_array(F.collect_list("l_partkey")),
+                lambda x: x.cast("string"),
+            ),
             ";",
         ).alias("items")
     )
@@ -93,9 +108,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -118,9 +133,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
     )
 
@@ -159,8 +174,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            money_round_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 2
             ).alias("revenue"),
             F.count("*").alias("n_rows"),
         )
@@ -204,9 +219,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
-            )
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -226,12 +241,12 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                F.sum(
+                money_sum(
                     F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
                         0.0
                     )
                 )
-                / F.sum(rev)
+                / money_sum(rev)
                 * 100,
                 4,
             ).alias("promo_share_pct"),
@@ -291,7 +306,7 @@ def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_prospects"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            money_round_sum(F.col("c_acctbal"), 2).alias("total_bal"),
         )
     )
 
@@ -323,8 +338,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_round_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
         ).alias("total_rev")
     )
     top = rev.agg(F.max("total_rev").alias("max_rev"))
@@ -348,7 +363,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(avg_qty, on="l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(money_sum(F.col("l_extendedprice")) / 7.0, 2).alias(
+                "avg_yearly"
+            ),
             F.count("*").alias("n_items"),
         )
     )
@@ -412,11 +429,12 @@ ORACLES = {
         JOIN part ON f.item_key = p_partkey::VARCHAR
         JOIN fechas fe ON f.fecha = fe.fecha
     """,
-    "q3_shipping_priority": """
+    "q3_shipping_priority": f"""
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
                o_orderpriority,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -426,8 +444,10 @@ ORACLES = {
         GROUP BY 1, 2, 3
         ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
-    "q5_local_supplier": """
-        SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    "q5_local_supplier": f"""
+        SELECT n_name,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -445,8 +465,9 @@ ORACLES = {
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
-    "q6_forecast_revenue": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    "q6_forecast_revenue": f"""
+        SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
                count(*)::BIGINT AS n_rows
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -466,7 +487,7 @@ ORACLES = {
     """,
     "q10_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               sum(l_extendedprice * (1 - l_discount)) AS revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -478,10 +499,11 @@ ORACLES = {
         ORDER BY revenue DESC, c_custkey LIMIT 20
     """,
     "q14_promo_share": """
-        SELECT round(100 * sum(CASE WHEN p_type LIKE 'PROMO%'
+        SELECT round(100 * CAST(sum(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                     THEN l_extendedprice * (1 - l_discount)
-                                    ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                                    ELSE 0.0 END AS DECIMAL(18,6)))
+                              AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4)
                    AS promo_share_pct,
                count(*)::BIGINT AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -505,7 +527,8 @@ ORACLES = {
     """,
     "q22_prospects": """
         SELECT c_mktsegment, count(*)::BIGINT AS n_prospects,
-               round(sum(c_acctbal), 2) AS total_bal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_bal
         FROM customer c
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                            WHERE c_acctbal > 0)
@@ -526,8 +549,8 @@ ORACLES = {
     "q15_top_supplier": """
         WITH rev AS (
             SELECT l_suppkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS total_rev
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_rev
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -538,7 +561,8 @@ ORACLES = {
         WHERE total_rev = (SELECT max(total_rev) FROM rev)
     """,
     "q17_small_quantity": """
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                          AS DOUBLE) / 7.0, 2) AS avg_yearly,
                count(*)::BIGINT AS n_items
         FROM lineitem li
         JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh
