@@ -35,6 +35,9 @@ HEADLINE = [
     "minhash_lsh_pairs",     # LLM: LSH candidate pairs
     "cosine_topk",           # LLM: brute-force ANN (if registered)
     "asof_join",             # temporal: as-of via union-merge window
+    "semantic_dedup",        # LLM heavy: k-means cells + in-cell greedy
+    "ann_ivf_kmeans",        # LLM heavy: trained-IVF ANN search
+    "fact_facturacion_star", # CO payment pipeline star (driver-checked)
 ]
 
 

@@ -480,6 +480,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
     prev = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(MAX_CC_ITERS):
         labels = (
             edges.join(labels, edges.s == labels.doc_id)
@@ -490,9 +491,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cur = labels.agg(F.sum("label")).first()[0]
         if cur == prev:
+            converged = True
             break
         prev = cur
     edges.unpersist()
+    if not converged:
+        # no silent truncation (same posture as lsh_bucket_stats'
+        # visible cap): partially-propagated labels would ship wrong
+        # is_near_canonical flags downstream — fail loudly instead
+        raise RuntimeError(
+            f"dedup_connected_components: no fixpoint after "
+            f"{MAX_CC_ITERS} rounds — component diameter exceeds the "
+            "cap; raise MAX_CC_ITERS or switch to large-star/small-star"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -688,17 +699,20 @@ def lsh_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_exact = fp_pairs.count()
     n_lsh = lsh.count()
     n_both = fp_pairs.join(lsh, on=["doc_a", "doc_b"]).count()
+    # the ratio rounds IN-ENGINE (F.round, HALF_UP) like every other
+    # query — Python's round() is banker's rounding and would diverge
+    # from the SQL oracle on an exact .5 boundary
     return spark.createDataFrame(
-        [
-            (
-                n_exact,
-                n_lsh,
-                n_both,
-                round(n_both / n_exact, 6) if n_exact else 1.0,
-            )
-        ],
-        "n_exact_pairs long, n_lsh_pairs long, n_overlap long, "
-        "recall_of_exact double",
+        [(n_exact, n_lsh, n_both)],
+        "n_exact_pairs long, n_lsh_pairs long, n_overlap long",
+    ).select(
+        "*",
+        F.when(
+            F.col("n_exact_pairs") > 0,
+            F.round(F.col("n_overlap") / F.col("n_exact_pairs"), 6),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("recall_of_exact"),
     )
 
 

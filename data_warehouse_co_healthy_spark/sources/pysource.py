@@ -162,7 +162,13 @@ class JsonlDirWriter(DataSourceWriter):
     staging files for ``abort`` to sweep. Same two-phase contract as
     Spark's file committers, expressed in ~40 lines of Python — the
     template for any at-least-once external sink (REST bulk, search
-    index, feature store)."""
+    index, feature store).
+
+    LOCAL-FS ONLY as written: executors ``open()`` paths that the
+    driver's ``commit`` re-reads, which assumes a shared filesystem
+    (local mode / NFS). On a cluster, point ``path`` at a mounted DFS
+    or swap the raw ``open``/``os`` calls for fsspec/Hadoop-FS
+    handles — the two-phase commit protocol itself is unchanged."""
 
     def __init__(self, options):
         self.path = options.get("path")

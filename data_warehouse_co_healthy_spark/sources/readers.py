@@ -125,20 +125,48 @@ def read_excel_catalog(
 ) -> DataFrame:
     """S4-analog spreadsheet catalog (reference dimension.py:62-64 reads
     medicamentos.xls via pandas). Spreadsheets are driver-side by nature
-    (no splittable format); the result is immediately a Spark DF via the
-    Arrow path. Requires an engine with xls support (xlrd/openpyxl) —
-    environments without one should pre-convert to parquet/CSV
-    (SURVEY §7 hard-part (e)) and use read_parquet/read_csv."""
+    (no splittable format); the result is immediately a Spark DF with an
+    explicit schema. Prefers pandas' engine when one is installed;
+    otherwise falls back to the vendored minimal BIFF8 reader
+    (sources/xls.py), so the REAL .xls catalog parses in engine-less
+    environments too — closing SURVEY §2.1 S4."""
     try:
         import pandas as pd  # noqa: PLC0415
 
         pdf = pd.read_excel(path)
-    except ImportError as e:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "no spreadsheet engine available; pre-convert the catalog to "
-            "parquet (see FIXTURES.md §A2)"
-        ) from e
-    return spark.createDataFrame(pdf, schema=schema)
+        return spark.createDataFrame(pdf, schema=schema)
+    except ImportError:  # no xlrd/openpyxl — env-dependent
+        from .xls import read_xls_rows  # noqa: PLC0415
+
+        header, rows = read_xls_rows(path)
+        expected = [f.name for f in schema.fields]
+        if header != expected:
+            raise ValueError(
+                f"catalog columns {header} != schema {expected}"
+            ) from None
+
+        def coerce(v: object, dt: T.DataType) -> object:
+            # spreadsheet cells are (str | float); land them on the
+            # DECLARED schema — integral floats destined for string
+            # keys become canonical digit strings ("1012", not
+            # "1012.0"), matching the reference's int-inferred codes
+            if v is None:
+                return None
+            if isinstance(dt, T.StringType):
+                if isinstance(v, float) and v.is_integer():
+                    return str(int(v))
+                return str(v)
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                return float(v)
+            if isinstance(dt, (T.LongType, T.IntegerType)):
+                return int(v)
+            return v
+
+        typed = [
+            [coerce(v, f.dataType) for v, f in zip(row, schema.fields)]
+            for row in rows
+        ]
+        return spark.createDataFrame(typed, schema=schema)
 
 
 def read_rest_json(

@@ -61,7 +61,15 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str) -> None:
 
 def _partition_cols_of(spark, path: str) -> list[str]:
     """Partition columns of an existing parquet table, read from the
-    directory layout (hive-style key=value dirs)."""
+    directory layout (hive-style key=value dirs).
+
+    LOCAL-FS ONLY: walks the directory with ``os.listdir``, which
+    requires driver and storage to share a filesystem (local mode /
+    NFS). On a cluster against HDFS/S3, resolve partition columns from
+    the catalog (``spark.catalog.listColumns``) or the Hadoop
+    FileSystem API instead — same contract, different directory walk.
+    (The same limitation applies to ``vacuum_versions`` and the JSONL
+    sink below.)"""
     import os
     import re
 
@@ -204,6 +212,9 @@ def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
     removed. Readers of retained versions are unaffected — old dirs are
     immutable until the moment they are dropped, so set retention to
     cover the longest-running query (same contract as Delta VACUUM).
+
+    LOCAL-FS ONLY (glob/shutil walk): on HDFS/S3 route the same steps
+    through the Hadoop FileSystem API — see ``_partition_cols_of``.
     """
     import glob as _glob
     import os as _os

@@ -85,19 +85,65 @@ def test_rest_bulk_insert_distributed(spark, tmp_path):
     }
 
 
-def test_excel_reader_gated(spark, tmp_path):
-    """No spreadsheet engine in this env → NotImplementedError with the
-    pre-convert guidance (never a silent wrong read)."""
+def test_excel_reader_rejects_garbage(spark, tmp_path):
+    """A corrupt payload must raise (never a silent wrong read)."""
     fake = tmp_path / "catalog.xls"
     fake.write_bytes(b"\xd0\xcf\x11\xe0 not really an xls")
-    try:
+    with pytest.raises(Exception):
         readers.read_excel_catalog(
             spark, str(fake), REFERENCE["medicamentos"]
-        )
-    except NotImplementedError as e:
-        assert "pre-convert" in str(e)
-    except Exception:
-        pass  # an engine exists and rejected the fake payload — also fine
+        ).collect()
+
+
+REAL_CATALOG = "/root/reference/medicamentos.xls"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REAL_CATALOG), reason="reference catalog absent"
+)
+def test_excel_reader_parses_real_drug_catalog(spark):
+    """S4 end-to-end on the REAL reference file (closes the last §2.1
+    source): the vendored BIFF8 reader must recover the full catalog —
+    row count, headers, and spot values pinned against manual
+    inspection of the sheet (reference dimension.py:62-64)."""
+    df = readers.read_excel_catalog(
+        spark, REAL_CATALOG, REFERENCE["medicamentos"]
+    )
+    rows = df.collect()
+    assert len(rows) == 262
+    assert df.columns == [
+        "Código", "Nombre Genérico", "Forma Farmacéutica", "Presentación",
+        "Laboratorio y Registro", "Precio", "Tipo Medicamento",
+    ]
+    first = rows[0]
+    assert first["Código"] == "1012"
+    assert first["Nombre Genérico"] == "ACICLOVIR"
+    assert first["Precio"] == 3500.0
+    # every code is unique and every price numeric-positive
+    assert df.select("Código").distinct().count() == 262
+    assert df.filter(df["Precio"] <= 0).count() == 0
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REAL_CATALOG), reason="reference catalog absent"
+)
+def test_dim_medicamento_from_real_catalog(spark):
+    """The reference's dim build (drop Forma Farmacéutica + rename map +
+    dropDuplicates, dimension.py:61-73) over the REAL catalog."""
+    from data_warehouse_co_healthy_spark.pipelines import dimensions
+
+    raw = readers.read_excel_catalog(
+        spark, REAL_CATALOG, REFERENCE["medicamentos"]
+    )
+    dim = dimensions.dim_medicamento(raw)
+    assert dim.count() == 262
+    assert "Forma Farmacéutica" not in dim.columns
+    assert {"codigo", "nombre", "presentacion", "laboratorio_registro",
+            "precio", "tipo_medicamento", "medicamento_id"} <= set(
+        dim.columns
+    )
+    acic = dim.filter(dim.codigo == "1012").first()
+    assert acic.nombre == "ACICLOVIR" and acic.precio == 3500.0
 
 
 def test_multimodal_feature_extraction(spark):
