@@ -48,30 +48,42 @@ KM_ITERS = 5    # fixed Lloyd iterations (deterministic plan count)
 
 def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2), ties to
-    the lowest cluster id. Distances are k codegen'd aggregate/zip_with
-    expressions over the broadcast centroid literals — no UDF, no
-    explode."""
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    the lowest cluster id. Arrow-batched numpy: one (batch × k) distance
+    matrix per Arrow batch against the closure-broadcast k×d centroid
+    array. Chosen over k codegen'd zip_with expressions deliberately —
+    with fresh centroid literals every Lloyd iteration, Catalyst+Janino
+    recompile a k·d-node expression tree per iteration (~2 s/iter at
+    k=8, d=64), while the numpy matmul plan is constant-size and the
+    per-row work is a vectorized BLAS call. Same dataflow either way:
+    centroids ride along as a broadcast, the scan stays distributed."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # (m - C)² expanded via matmul: O(n·k·d) flops, O(n·k) memory
+            d2 = (
+                (m * m).sum(1)[:, None]
+                - 2.0 * (m @ C.T)
+                + (C * C).sum(1)[None, :]
             )
-            for c in centroids
-        ]
-    )
-    return emb.select(
-        "vec_id",
-        "embedding",
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int")
-        .alias("cid"),
-        F.array_min(dists).alias("dist"),
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "cid": d2.argmin(1).astype("int32"),
+                    "dist": np.maximum(d2.min(1), 0.0),
+                }
+            )
+
+    return emb.mapInPandas(
+        assign_batches,
+        schema="vec_id long, embedding array<float>, cid int, dist double",
     )
 
 
@@ -101,24 +113,60 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
     """The trained centroids themselves (k×d floats on the driver) —
     reused by kmeans_embeddings and as the IVF coarse quantizer in
     similarity.ann_ivf_kmeans."""
-    dim = len(emb.select("embedding").first()[0])
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
     init = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r.embedding) for r in init]
-    for _ in range(KM_ITERS):
-        assigned = _assign(emb, centroids)
-        stats = (
-            assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.avg(F.col("embedding")[i]).alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
-            .collect()
-        )
-        by_cid = {r["cid"]: [r[f"c{i}"] for i in range(dim)] for r in stats}
-        # empty clusters keep their previous centroid
-        centroids = [by_cid.get(c, centroids[c]) for c in range(K_CLUSTERS)]
+    dim = len(centroids[0])
+    cached = emb.persist()
+    try:
+        for _ in range(KM_ITERS):
+            C = np.asarray(centroids, dtype=np.float64)
+
+            def partials(batches, C=C):
+                # per-Arrow-batch partial (sum, count) per cluster —
+                # the map-side combine of the centroid update; the
+                # driver sees O(batches × k) tiny rows, never data
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.stack(pdf["embedding"].to_numpy()).astype(
+                        np.float64
+                    )
+                    d2 = (
+                        (m * m).sum(1)[:, None]
+                        - 2.0 * (m @ C.T)
+                        + (C * C).sum(1)[None, :]
+                    )
+                    cid = d2.argmin(1)
+                    rows = []
+                    for c in np.unique(cid):
+                        sel = m[cid == c]
+                        rows.append(
+                            (int(c), sel.sum(0).tolist(), len(sel))
+                        )
+                    yield pd.DataFrame(
+                        rows, columns=["cid", "s", "n"]
+                    )
+
+            parts = cached.mapInPandas(
+                partials, schema="cid int, s array<double>, n long"
+            ).collect()
+            sums = np.zeros((K_CLUSTERS, dim))
+            counts = np.zeros(K_CLUSTERS, dtype=np.int64)
+            for r in parts:
+                sums[r.cid] += np.asarray(r.s)
+                counts[r.cid] += r.n
+            # empty clusters keep their previous centroid
+            centroids = [
+                (sums[c] / counts[c]).tolist()
+                if counts[c]
+                else centroids[c]
+                for c in range(K_CLUSTERS)
+            ]
+    finally:
+        cached.unpersist()
     return centroids
 
 
