@@ -44,6 +44,10 @@ PROBES = [
     "histogram_equiwidth",
     "embedding_int8_quantize",
     "dq_expectation_report",
+    "semantic_dedup",
+    "ann_ivf_kmeans",
+    "fact_facturacion_star",
+    "fact_service_star",
 ]
 
 
