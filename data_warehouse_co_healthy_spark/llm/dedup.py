@@ -695,10 +695,18 @@ def lsh_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
     )
-    lsh = minhash_lsh_pairs(spark, sf_dir)
-    n_exact = fp_pairs.count()
-    n_lsh = lsh.count()
-    n_both = fp_pairs.join(lsh, on=["doc_a", "doc_b"]).count()
+    # both pair sets feed two actions each (their count + the overlap
+    # join) — persist so the shingle/minhash pipeline runs once, not
+    # twice; pair sets are tiny (bucket-capped) so this is memory-safe
+    fp_pairs = fp_pairs.persist()
+    lsh = minhash_lsh_pairs(spark, sf_dir).persist()
+    try:
+        n_exact = fp_pairs.count()
+        n_lsh = lsh.count()
+        n_both = fp_pairs.join(lsh, on=["doc_a", "doc_b"]).count()
+    finally:
+        fp_pairs.unpersist()
+        lsh.unpersist()
     # the ratio rounds IN-ENGINE (F.round, HALF_UP) like every other
     # query — Python's round() is banker's rounding and would diverge
     # from the SQL oracle on an exact .5 boundary

@@ -24,6 +24,18 @@ SHOWCASE = [
     ("interval_overlap_join", "interval x interval as bucketized equi-join"),
     ("topk_agg_per_group", "sort-free top-k: partial-agg'd collect + slice"),
     ("dq_expectation_report", "N rules = one conditional-sum scan"),
+    (
+        "fact_facturacion_star",
+        "CO payment pipeline: broadcast dims, left-miss fillna, one fact scan",
+    ),
+    (
+        "fact_service_star",
+        "CO service pipeline: 4-way union + role-playing dims, all broadcast",
+    ),
+    (
+        "supplier_scorecard",
+        "multi-metric entity rollup with exact-decimal money sums",
+    ),
 ]
 
 
