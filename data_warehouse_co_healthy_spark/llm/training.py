@@ -251,13 +251,122 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 512       # hashed-feature space (scale knob)
+DSIR_TARGET_LANG = "en"  # the distribution we select TOWARD
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a hashed-unigram model of the
+    TARGET distribution (here lang = 'en' docs stand in for the
+    high-quality target) against the RAW corpus model. High scores =
+    documents that look like the target; downstream sampling keeps
+    documents proportionally (the resampling step is ``weighted_sample``
+    / ``mix_sources_weighted``).
+
+    Dataflow: one token explode -> one DSIR_BUCKETS-cardinality count
+    aggregate building BOTH models in a single pass (count + count-if-
+    target) -> add-1-smoothed log-ratio per bucket -> broadcast the
+    DSIR_BUCKETS-row weight table back onto the token stream -> per-doc
+    sum. Two shuffles total (bucket agg, doc agg), both map-side
+    combined; the weight table is O(buckets), never corpus-sized.
+
+    Determinism across engines: the log-ratio is quantized ONCE per
+    bucket — round(ln(ratio), 6) cast to DECIMAL(12,6) — so the
+    per-document score is an exact decimal sum (order-independent),
+    converted to double only at the end. Hashing is the md5-portable
+    slice used by shard_assignment so Spark and the oracle bucket
+    identically.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+                F.lit(DSIR_BUCKETS),
+            ).alias("b"),
+        )
+    )
+    is_tgt = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    counts = toks.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(is_tgt).alias("n_tgt"),
+    )
+    totals = toks.agg(
+        F.count("*").alias("tot_raw"),
+        F.sum(is_tgt).alias("tot_tgt"),
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("n_tgt") + 1) / (F.col("tot_tgt") + DSIR_BUCKETS))
+                / ((F.col("n_raw") + 1) / (F.col("tot_raw") + DSIR_BUCKETS))
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("w"),
+    )
+    return (
+        toks.join(F.broadcast(weights), on="b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.sum("w").cast("double").alias("dsir_logratio"),
+        )
+    )
+
+
 QUERIES = {
     "shard_assignment": shard_assignment,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
+    "dsir_importance": dsir_importance,
 }
 
 ORACLES = {
+    "dsir_importance": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   (lang = '{DSIR_TARGET_LANG}')::BIGINT AS is_tgt,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                       % {DSIR_BUCKETS} AS b
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(text), '\\s+'))
+                           AS tok
+                FROM documents
+            )
+            WHERE length(tok) > 0
+        ), counts AS (
+            SELECT b, count(*) AS n_raw, sum(is_tgt) AS n_tgt
+            FROM toks GROUP BY b
+        ), totals AS (
+            SELECT count(*) AS tot_raw, sum(is_tgt) AS tot_tgt FROM toks
+        ), weights AS (
+            SELECT b,
+                   round(ln(((n_tgt + 1) / (tot_tgt + {DSIR_BUCKETS}))
+                          / ((n_raw + 1) / (tot_raw + {DSIR_BUCKETS}))),
+                         6)::DECIMAL(12,6) AS w
+            FROM counts, totals
+        )
+        SELECT doc_id, count(*) AS n_toks,
+               CAST(sum(w) AS DOUBLE) AS dsir_logratio
+        FROM toks JOIN weights USING (b)
+        GROUP BY doc_id
+    """,
     "shard_assignment": f"""
         WITH keyed AS (
             SELECT doc_id,

@@ -170,6 +170,83 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_BITS = 1 << 13  # filter size: 8192 bits = 128 longs (scale knob)
+BLOOM_HASHES = 3      # k independent xxhash64 seeds per key
+
+
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter pre-filtered join: revenue per supplier of
+    two nations. The filtered supplier dim (~10% of suppliers) is
+    summarized into an m-bit Bloom filter; the fact scan probes the
+    filter BEFORE the join, so rows that cannot match never reach the
+    join's hash table (and, on a cluster, never leave the scan stage).
+
+    Semantically transparent: a Bloom filter has no false negatives, so
+    the result is byte-identical to the plain filtered join — the
+    oracle IS that plain join. This is the dataflow of Spark's own
+    InjectRuntimeFilter / dynamic partition pruning made explicit, for
+    the cases the optimizer can't see (e.g. a dim filtered by a
+    subquery it won't rewrite, or a non-partition key at 100 TB where
+    shipping 128 longs to every scan task saves a full shuffle of
+    non-matching fact rows).
+
+    Build cost: one tiny aggregation (bit_or per 64-bit word over
+    k·|dim| positions) materialized driver-side as BLOOM_BITS/64
+    longs — O(filter bits) like the k-means centroid collect
+    (llm/training.py), never data-sized. Probe cost: k hashes +
+    shift/AND per row, pure whole-stage codegen, no join, no shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    dim = (
+        s.join(
+            F.broadcast(
+                n.filter(F.col("n_name").isin("NATION_8", "NATION_9"))
+            ),
+            s.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+    # Build: k bit positions per key -> 64-bit words via bit_or.
+    # xxhash64 is type-sensitive; both sides hash an explicit BIGINT.
+    pos = [
+        F.pmod(
+            F.xxhash64(F.col("s_suppkey").cast("long"), F.lit(i)),
+            F.lit(BLOOM_BITS),
+        )
+        for i in range(BLOOM_HASHES)
+    ]
+    words = (
+        dim.select(F.explode(F.array(*pos)).alias("pos"))
+        .groupBy(F.expr("int(pos div 64)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, int(pos % 64)))").alias("bits"))
+        .collect()
+    )
+    lookup = {r["w"]: r["bits"] for r in words}
+    bloom = [lookup.get(i, 0) for i in range(BLOOM_BITS // 64)]
+    arr_sql = "array(" + ",".join(f"{w}L" for w in bloom) + ")"
+    probe = " AND ".join(
+        f"(element_at({arr_sql}, "
+        f"int(pmod(xxhash64(cast(l_suppkey as bigint), {i}), {BLOOM_BITS})"
+        f" div 64) + 1) & shiftleft(1L, int(pmod(xxhash64("
+        f"cast(l_suppkey as bigint), {i}), {BLOOM_BITS}) % 64))) != 0"
+        for i in range(BLOOM_HASHES)
+    )
+    return (
+        li.filter(F.expr(probe))
+        .join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
     keys MATCH each other instead of silently dropping — the semantics
@@ -227,9 +304,21 @@ QUERIES = {
     "semi_join": semi_join,
     "anti_join": anti_join,
     "salted_join": salted_join,
+    "bloom_prefilter_join": bloom_prefilter_join,
 }
 
 ORACLES = {
+    "bloom_prefilter_join": f"""
+        SELECT s_name,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_8', 'NATION_9')
+        GROUP BY s_name
+    """,
     "salted_join": f"""
         SELECT s_name,
                {money_sum_sql("l_extendedprice * (1 - l_discount)")}

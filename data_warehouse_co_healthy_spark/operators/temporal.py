@@ -540,6 +540,55 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_ALPHA = 0.3  # decay: weight halves roughly every 2 steps
+EWMA_LAGS = 8     # truncated memory; dropped tail mass = (1-a)^8 ~ 5.8%
+
+# Normalized truncated-EWMA weights, computed ONCE in Python and
+# embedded as the same double literals in BOTH engines (repr round-trips
+# exactly), so the weighted sum is the identical IEEE expression tree on
+# both sides — no pow()-implementation or summation-order divergence.
+_EWMA_W = [EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+EWMA_WEIGHTS = [w / sum(_EWMA_W) for w in _EWMA_W]
+
+
+def ewma_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user: each event value
+    smoothed against its trailing EWMA_LAGS values (itself included)
+    with normalized weights a·(1-a)^j — the standard noise-robust
+    trend signal (pandas ``ewm`` semantics over a length-L memory).
+
+    Truncation is the scale design, not a shortcut: the recursive EWMA
+    needs either a sequential scan per key or an unbounded frame, while
+    the L-term form is L ``lag()`` reads over ONE window — bounded
+    state, pure codegen, and the same user_id shuffle every other
+    per-user operator here rides. Rows with fewer than L predecessors
+    are excluded (the estimate is defined over a full window).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ewma = F.lag("value", 0).over(w) * F.lit(EWMA_WEIGHTS[0])
+    for j in range(1, EWMA_LAGS):
+        ewma = ewma + F.lag("value", j).over(w) * F.lit(EWMA_WEIGHTS[j])
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            ewma.alias("raw"),
+        )
+        .filter(F.col("rn") >= EWMA_LAGS)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round("raw", 4).alias("ewma"),
+        )
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "rolling_active_users_hll": rolling_active_users_hll,
@@ -553,6 +602,7 @@ QUERIES = {
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
     "funnel_stages": funnel_stages,
+    "ewma_smoother": ewma_smoother,
 }
 
 ORACLES = {
@@ -725,6 +775,24 @@ ORACLES["seasonal_naive_eval"] = f"""
            round(avg(filled_value - forecast), 4) AS bias
     FROM scored WHERE forecast IS NOT NULL
     GROUP BY user_id
+"""
+
+# Same double literals, same left-associative expression order as the
+# Spark build — identical IEEE arithmetic on both engines.
+_EWMA_TERMS = " + ".join(
+    f"lag(value, {j}) OVER w * {EWMA_WEIGHTS[j]!r}"
+    for j in range(EWMA_LAGS)
+)
+ORACLES["ewma_smoother"] = f"""
+    WITH seq AS (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER w AS rn,
+               {_EWMA_TERMS} AS raw
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, value, round(raw, 4) AS ewma
+    FROM seq WHERE rn >= {EWMA_LAGS}
 """
 
 ORACLES["event_transition_matrix"] = """

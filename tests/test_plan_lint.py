@@ -30,6 +30,7 @@ NESTED_LOOP_OK = {
     "rolling_active_users",      # day-span bounds as 1-row broadcast
     "rolling_active_users_hll",  # same span bounds, sketch variant
     "embedding_int8_quantize",   # global [min,max] range as 1-row broadcast
+    "dsir_importance",      # corpus token totals as 1-row broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -78,6 +79,7 @@ SINGLE_PARTITION_OK = {
                                  # names the bucketed swap at scale
     "orders_seasonality",        # global month-over-month lag over the
                                  # (tiny) month-grain aggregate
+    "dsir_importance",           # global token totals (one agg row)
 }
 
 
