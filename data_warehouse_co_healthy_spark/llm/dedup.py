@@ -724,6 +724,52 @@ def lsh_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-novelty profile: for each document, the fraction of
+    its DISTINCT word-3-grams that first appear in the corpus at this
+    document (ingest order = doc_id). Low novelty = mostly-seen
+    content; the corpus-level duplication-discovery curve (Lee et al.
+    2022 "Deduplicating Training Data" §4 measure, per-doc grain).
+
+    One gram-distinct shuffle + one per-gram min window (the same
+    partitioning) + one per-doc aggregate. At 100 TB the gram stream
+    dominates; cap it with the MAX_DOCFREQ guard ngram_jaccard_pairs
+    uses if the tail is hot — novelty only needs min(doc_id), so hot
+    grams cost one combine, not a pair fan-out.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> array_join(slice(ws, i, 3), ' '))"
+                )
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    flagged = grams.select(
+        "doc_id",
+        (
+            F.min("doc_id").over(Window.partitionBy("g"))
+            == F.col("doc_id")
+        )
+        .cast("long")
+        .alias("novel"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        F.round(F.sum("novel") / F.count("*"), 4).alias("novelty_ratio"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_connected_components": dedup_connected_components,
@@ -742,6 +788,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
+    "ngram_novelty": ngram_novelty,
 }
 
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -791,6 +838,26 @@ _SIMHASH_DOCS = f"""
 """
 
 ORACLES = {
+    "ngram_novelty": """
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(w[i:i+2], ' ') AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(w) - 2))
+                          AS i)
+            WHERE len(w) >= 3
+        ), firsts AS (
+            SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum((first_doc = doc_id)::BIGINT)::BIGINT AS n_novel,
+               round(sum((first_doc = doc_id)::BIGINT) / count(*), 4)
+                   AS novelty_ratio
+        FROM grams JOIN firsts USING (g)
+        GROUP BY doc_id
+    """,
     "dedup_exact": f"""
         SELECT md5({_CANON}) AS fp,
                min(doc_id) AS canonical_id, count(*) AS n_copies

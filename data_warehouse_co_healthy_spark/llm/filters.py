@@ -296,6 +296,37 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "source", split.alias("split"))
 
 
+def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance monitor: per-source token counts, token share of
+    the corpus, and each source's Shannon-entropy contribution
+    (-p·ln p). The sum of entropy_term over sources is the mixture
+    entropy — the one number that says whether a data mix collapsed
+    toward one source between snapshots (pair with
+    ``mix_sources_weighted``, which re-weights; this one measures).
+
+    One scan -> |sources|-cardinality aggregate; the global total is a
+    window over the already-aggregated ~|sources| rows (single
+    partition over tiny data, declared in the lint allowlist — the
+    exchange carries one row per source, never documents).
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        ).alias("n_toks")
+    )
+    tot = F.sum("n_toks").over(Window.partitionBy())
+    share = F.col("n_toks") / tot
+    return per.select(
+        "source",
+        "n_toks",
+        F.round(share, 6).alias("token_share"),
+        F.round(-share * F.log(share), 6).alias("entropy_term"),
+    )
+
+
 QUERIES = {
     "repetition_ratio": repetition_ratio,
     "train_val_test_split": train_val_test_split,
@@ -304,11 +335,27 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "token_length_histogram": token_length_histogram,
     "quota_sample": quota_sample,
+    "corpus_mix_entropy": corpus_mix_entropy,
 }
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
 ORACLES = {
+    "corpus_mix_entropy": """
+        WITH per AS (
+            SELECT source,
+                   sum(len(string_split_regex(trim(text), '\\s+')))
+                       ::BIGINT AS n_toks
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_toks,
+               round(n_toks / ((sum(n_toks) OVER ())::BIGINT), 6)
+                   AS token_share,
+               round(-(n_toks / ((sum(n_toks) OVER ())::BIGINT))
+                     * ln(n_toks / ((sum(n_toks) OVER ())::BIGINT)), 6)
+                   AS entropy_term
+        FROM per
+    """,
     "quota_sample": f"""
         SELECT doc_id, source, n_chars, rk FROM (
             SELECT doc_id, source, n_chars,

@@ -501,6 +501,50 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine similarity WITHIN each label — the cluster
+    compactness / diversity monitor (how redundant is each slice of
+    the corpus?). Computed exactly in O(n·d) via the algebraic
+    identity for unit vectors:
+
+        sum_{i != j} cos(v_i, v_j) = ||SUM_i v_i||^2 - n
+
+    so the mean is (||S||^2 - n) / (n·(n-1)) — ONE elementwise vector
+    sum per label (the embedding_centroids dataflow) instead of the
+    O(n^2) pair join a naive implementation would shuffle. This is the
+    rewrite that makes corpus-diversity tracking feasible at 100 TB:
+    per-label state is d floats, the shuffle cardinality is
+    |labels| × dim regardless of corpus size.
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    norm = _NORM.format(c="emb")
+    unit = e.select(
+        "label",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias(
+            "emb"
+        ),
+    ).select(
+        "label",
+        F.expr(f"transform(emb, x -> x / {norm})").alias("v"),
+    )
+    sums = (
+        unit.select("label", F.posexplode("v").alias("p", "x"))
+        .groupBy("label", "p")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+    )
+    counts = unit.groupBy("label").agg(F.count("*").alias("n"))
+    return sums.join(counts, on="label").select(
+        "label",
+        "n",
+        F.round(
+            (F.col("ssq") - F.col("n")) / (F.col("n") * (F.col("n") - 1)),
+            4,
+        ).alias("mean_intra_cosine"),
+    )
+
+
 def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embedding_norms on the ``mapInArrow`` path: zero-copy Arrow
     record batches straight into numpy (flattened list values +
@@ -543,6 +587,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_centroids": embedding_centroids,
+    "intra_label_cosine": intra_label_cosine,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -552,6 +597,29 @@ _SQL_BUCKET_TERMS = " + ".join(
 )
 
 ORACLES = {
+    "intra_label_cosine": """
+        WITH unit AS (
+            SELECT label,
+                   list_transform(embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[])))
+                       AS v
+            FROM embeddings
+        ), pos AS (
+            SELECT label, generate_subscripts(v, 1) AS p,
+                   unnest(v) AS x
+            FROM unit
+        ), sums AS (
+            SELECT label, p, sum(x) AS s FROM pos GROUP BY label, p
+        ), per AS (
+            SELECT label, sum(s * s) AS ssq FROM sums GROUP BY label
+        ), cnt AS (
+            SELECT label, count(*)::BIGINT AS n FROM unit GROUP BY label
+        )
+        SELECT label, n,
+               round((ssq - n) / (n * (n - 1)), 4) AS mean_intra_cosine
+        FROM per JOIN cnt USING (label)
+    """,
     "mad_by_group": """
         SELECT event_type,
                round(median(value), 4) AS median_value,

@@ -80,6 +80,8 @@ SINGLE_PARTITION_OK = {
     "orders_seasonality",        # global month-over-month lag over the
                                  # (tiny) month-grain aggregate
     "dsir_importance",           # global token totals (one agg row)
+    "corpus_mix_entropy",        # global total over the per-source
+                                 # aggregate (one row per source)
 }
 
 
