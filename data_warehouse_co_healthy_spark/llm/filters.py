@@ -296,6 +296,75 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "source", split.alias("split"))
 
 
+LEN_BUCKET_CHARS = 100  # length-histogram bucket width (chars)
+LEN_BUCKET_MAX = 5      # open-ended top bucket
+LM_TARGET_LANG = "en"   # distribution to match (same target as DSIR)
+
+
+def length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched sampling: the largest subset of the RAW
+    pool (non-target-language docs) whose length histogram is
+    proportional to the TARGET corpus's (lang = 'en') — the
+    covariate-matching step that removes length as a confounder before
+    comparing corpora or mixing them (the non-semantic half of DSIR's
+    importance resampling; ``dsir_importance`` scores content, this
+    matches shape).
+
+    Exact and engine-independent by construction: bucket counts,
+    the achievable sample size  N = min_b floor(n_raw_b·T / n_tgt_b),
+    and per-bucket quotas floor(N·n_tgt_b / T) are ALL integer
+    arithmetic; within-bucket selection is an md5-ordered rank — no
+    floating point anywhere, so Spark and the oracle pick identical
+    rows. The stats/quota frames are O(buckets); the only data-sized
+    ops are one bucket groupBy and one per-bucket rank window.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"least(n_chars div {LEN_BUCKET_CHARS}, {LEN_BUCKET_MAX})"
+        ).alias("bucket"),
+    )
+    tgt = (
+        docs.filter(F.col("lang") == LM_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    raw = docs.filter(F.col("lang") != LM_TARGET_LANG)
+    rawc = raw.groupBy("bucket").agg(F.count("*").alias("n_raw"))
+    wall = Window.partitionBy()
+    stats = (
+        rawc.join(tgt, on="bucket", how="full_outer")
+        .na.fill(0, ["n_raw", "n_tgt"])
+        .withColumn("tot_tgt", F.sum("n_tgt").over(wall))
+        .withColumn(
+            "cap",
+            F.when(
+                F.col("n_tgt") > 0,
+                F.expr("n_raw * tot_tgt div n_tgt"),
+            ),
+        )
+        .withColumn("n_keep", F.min("cap").over(wall))
+    )
+    quota = stats.select(
+        "bucket", F.expr("n_keep * n_tgt div tot_tgt").alias("quota")
+    )
+    wr = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = raw.select(
+        "doc_id", "bucket", F.row_number().over(wr).cast("long").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), on="bucket")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "bucket", "rk")
+    )
+
+
 def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-balance monitor: per-source token counts, token share of
     the corpus, and each source's Shannon-entropy contribution
@@ -336,11 +405,57 @@ QUERIES = {
     "token_length_histogram": token_length_histogram,
     "quota_sample": quota_sample,
     "corpus_mix_entropy": corpus_mix_entropy,
+    "length_matched_sample": length_matched_sample,
 }
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
 ORACLES = {
+    "length_matched_sample": f"""
+        WITH docs AS (
+            SELECT doc_id, lang,
+                   least(n_chars // {LEN_BUCKET_CHARS},
+                         {LEN_BUCKET_MAX}) AS bucket
+            FROM documents
+        ), tgt AS (
+            SELECT bucket, count(*)::BIGINT AS n_tgt
+            FROM docs WHERE lang = '{LM_TARGET_LANG}' GROUP BY bucket
+        ), rawd AS (
+            SELECT doc_id, bucket FROM docs
+            WHERE lang <> '{LM_TARGET_LANG}'
+        ), rawc AS (
+            SELECT bucket, count(*)::BIGINT AS n_raw
+            FROM rawd GROUP BY bucket
+        ), stats AS (
+            SELECT coalesce(r.bucket, t.bucket) AS bucket,
+                   coalesce(n_raw, 0) AS n_raw,
+                   coalesce(n_tgt, 0) AS n_tgt
+            FROM rawc r FULL JOIN tgt t ON r.bucket = t.bucket
+        ), stats2 AS (
+            SELECT bucket, n_raw, n_tgt,
+                   (sum(n_tgt) OVER ())::BIGINT AS tot_tgt
+            FROM stats
+        ), stats3 AS (
+            SELECT bucket, n_tgt, tot_tgt,
+                   (min(CASE WHEN n_tgt > 0
+                             THEN (n_raw * tot_tgt) // n_tgt END)
+                        OVER ())::BIGINT AS n_keep
+            FROM stats2
+        ), quota AS (
+            SELECT bucket, (n_keep * n_tgt) // tot_tgt AS quota
+            FROM stats3
+        ), ranked AS (
+            SELECT doc_id, bucket,
+                   row_number() OVER (
+                       PARTITION BY bucket
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   )::BIGINT AS rk
+            FROM rawd
+        )
+        SELECT doc_id, bucket, rk
+        FROM ranked JOIN quota USING (bucket)
+        WHERE rk <= quota
+    """,
     "corpus_mix_entropy": """
         WITH per AS (
             SELECT source,

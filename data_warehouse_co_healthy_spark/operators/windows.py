@@ -241,6 +241,52 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over an ordered window — the operator
+    SQL engines refuse (``COUNT(DISTINCT) OVER (ORDER BY ...)``),
+    rewritten as first-occurrence flag + running sum: per event, how
+    many distinct event types this user has touched so far (breadth-
+    of-engagement curve).
+
+    ONE exchange, two sorts: both windows partition by user_id alone —
+    the first orders by (event_type, ts) so "first occurrence" is one
+    lag() comparison, the second re-sorts the same partition by ts for
+    the running sum. No (user_id, event_type)-keyed second shuffle,
+    and per-row state is O(1), so at 100 TB this costs exactly one
+    user-keyed repartition like every other per-user operator here.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w1 = Window.partitionBy("user_id").orderBy(
+        "event_type", "ts", "event_id"
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            ~F.lag("event_type")
+            .over(w1)
+            .eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum("is_first").over(w2).cast("long").alias("n_distinct_types"),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
     "window_range_frame": window_range_frame,
@@ -253,9 +299,27 @@ QUERIES = {
     "window_lag_gap": window_lag_gap,
     "order_limit_topk": order_limit_topk,
     "ntile_quartiles": ntile_quartiles,
+    "cumulative_distinct": cumulative_distinct,
 }
 
 ORACLES = {
+    "cumulative_distinct": """
+        WITH flagged AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CASE WHEN lag(event_type) OVER (
+                            PARTITION BY user_id
+                            ORDER BY event_type, ts, event_id)
+                        IS DISTINCT FROM event_type
+                        THEN 1 ELSE 0 END AS is_first
+            FROM events
+        )
+        SELECT event_id, user_id, ts, event_type,
+               (sum(is_first) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ))::BIGINT AS n_distinct_types
+        FROM flagged
+    """,
     "revenue_pareto": """
         WITH per_cust AS (
             SELECT o_custkey, sum(o_totalprice) AS revenue

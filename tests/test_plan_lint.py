@@ -82,6 +82,8 @@ SINGLE_PARTITION_OK = {
     "dsir_importance",           # global token totals (one agg row)
     "corpus_mix_entropy",        # global total over the per-source
                                  # aggregate (one row per source)
+    "length_matched_sample",     # global N/quota over the O(buckets)
+                                 # stats frame (<= 6 rows)
 }
 
 
