@@ -7,6 +7,7 @@ the registry's operators.
     → exact dedup                    (keep canonical copy per content fp)
     → near-dup removal               (minhash LSH clusters, keep min doc)
     → benchmark decontamination      (contamination_overlap < threshold)
+    → DSIR target-likeness selection (dsir_importance > 0)
     → weighted source mixing         (mix_sources_weighted)
     → sequence packing               (pack_sequences bins)
     → partitioned parquet + stats
@@ -31,6 +32,7 @@ from data_warehouse_co_healthy_spark.llm import (  # noqa: E402
     dedup,
     filters,
     text,
+    training,
 )
 from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
 from data_warehouse_co_healthy_spark.sources.writers import (  # noqa: E402
@@ -38,6 +40,7 @@ from data_warehouse_co_healthy_spark.sources.writers import (  # noqa: E402
 )
 
 CONTAMINATION_MAX = 0.5
+DSIR_MIN_PER_TOK = -0.024  # per-token log-ratio cutoff (see stage 5)
 
 
 def main() -> None:
@@ -79,12 +82,24 @@ def main() -> None:
     stage = stage.join(ok, on="doc_id", how="left_semi")
     funnel.append(("decontaminated", stage.count()))
 
-    # 5. weighted source mixing
+    # 5. DSIR-style target-likeness selection: keep documents whose
+    #    PER-TOKEN hashed-unigram log-likelihood ratio is above the
+    #    cutoff. The synthetic corpus shares one vocabulary across
+    #    langs, so separation is mild (threshold sits near the raw
+    #    mean); on a real crawl the target/raw gap is sharp and the
+    #    natural cutoff is 0.
+    liked = training.dsir_importance(spark, sf_dir).filter(
+        F.col("dsir_logratio") / F.col("n_toks") > DSIR_MIN_PER_TOK
+    ).select("doc_id")
+    stage = stage.join(liked, on="doc_id", how="left_semi")
+    funnel.append(("dsir-selected", stage.count()))
+
+    # 6. weighted source mixing
     mixed = filters.mix_sources_weighted(spark, sf_dir).select("doc_id")
     stage = stage.join(mixed, on="doc_id", how="left_semi")
     funnel.append(("mixed", stage.count()))
 
-    # 6. sequence packing over the survivors (bin ids per source)
+    # 7. sequence packing over the survivors (bin ids per source)
     packed = text.pack_sequences(spark, sf_dir).join(
         stage.select("doc_id"), on="doc_id", how="left_semi"
     )
@@ -98,6 +113,13 @@ def main() -> None:
 
     for name, n in funnel:
         print(f"  {name:>16}: {n}")
+
+    # corpus-balance telemetry: raw mixture entropy (sum of per-source
+    # -p ln p terms) — the number to watch across snapshots
+    ent = filters.corpus_mix_entropy(spark, sf_dir).agg(
+        F.round(F.sum("entropy_term"), 4).alias("H")
+    ).first()["H"]
+    print(f"  raw source-mix entropy: {ent}")
     stats = (
         packed.groupBy("source")
         .agg(

@@ -48,6 +48,13 @@ PROBES = [
     "ann_ivf_kmeans",
     "fact_facturacion_star",
     "fact_service_star",
+    "bloom_prefilter_join",
+    "ewma_smoother",
+    "dsir_importance",
+    "ngram_novelty",
+    "intra_label_cosine",
+    "cumulative_distinct",
+    "length_matched_sample",
 ]
 
 
