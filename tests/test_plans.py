@@ -185,3 +185,58 @@ def test_rolling_hll_tracks_exact_wau(spark):
     assert set(exact.index) == set(est.index)
     rel = ((est - exact).abs() / exact).max()
     assert rel <= 0.05, rel
+
+
+def test_bloom_probe_filters_fact_scan(spark):
+    """The Bloom probe must sit in the lineitem SCAN stage (a Filter
+    with the hash tests directly over the fact scan), before any join
+    — that placement is the entire point of the runtime filter."""
+    plan = _plan(joins.bloom_prefilter_join(spark, SF_DIR))
+    scan_pos = plan.index("lineitem.parquet")
+    # the probe expression references xxhash64 over l_suppkey and must
+    # appear before (above) the scan text in the same stage section
+    probe_pos = plan.index("xxhash64")
+    join_pos = plan.index("BroadcastHashJoin")
+    assert probe_pos < scan_pos, "probe filter not fused with the scan"
+    assert join_pos < probe_pos, (
+        "probe must be below the join in the plan tree (runs first)"
+    )
+
+
+def test_cumulative_distinct_single_exchange(spark):
+    """Both windows must ride ONE user_id exchange (two sorts, no
+    second shuffle)."""
+    from data_warehouse_co_healthy_spark.operators import windows
+
+    plan = _plan(windows.cumulative_distinct(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_intra_label_cosine_matches_bruteforce(spark):
+    """The O(n·d) sum-identity must equal the O(n^2) pairwise mean."""
+    import itertools
+
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import similarity
+
+    got = {
+        r.label: (r.n, r.mean_intra_cosine)
+        for r in similarity.intra_label_cosine(spark, SF_DIR).collect()
+    }
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for r in emb:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        by_label.setdefault(r.label, []).append(v / np.linalg.norm(v))
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        if n < 2:
+            continue
+        mean = np.mean(
+            [a @ b for a, b in itertools.combinations(vecs, 2)]
+        )
+        # pairs counted once in brute force; identity counts ordered
+        # pairs — means coincide
+        assert abs(got[label][1] - mean) < 1e-3, (label, got[label], mean)
+        assert got[label][0] == n
