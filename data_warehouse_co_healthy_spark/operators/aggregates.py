@@ -177,9 +177,22 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_extendedprice") < F.col("lo"))
          | (F.col("l_extendedprice") > F.col("hi"))).alias("clipped"),
     )
+    # moments from EXACT decimal sums (functions/numeric.py posture):
+    # avg/stddev over doubles depend on partial-agg merge order, so the
+    # mean and the sample stddev are derived arithmetically from
+    # order-independent decimal Σv and Σv² — identical doubles on both
+    # engines. (Same math as stddev_samp; only the accumulation is
+    # exact.)
+    s1 = F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+    s2 = F.sum(
+        (F.col("v") * F.col("v")).cast("decimal(30,12)")
+    ).cast("double")
+    n = F.count(F.lit(1))
     return clamped.groupBy("l_returnflag").agg(
-        F.round(F.avg("v"), 4).alias("winsor_mean"),
-        F.round(F.stddev_samp("v"), 4).alias("winsor_std"),
+        F.round(s1 / n, 4).alias("winsor_mean"),
+        F.round(
+            F.sqrt((s2 - (s1 * s1) / n) / (n - 1)), 4
+        ).alias("winsor_std"),
         F.sum(F.col("clipped").cast("long")).alias("n_clipped"),
         F.count("*").alias("n"),
     )
@@ -863,8 +876,15 @@ ORACLES = {
             FROM lineitem l JOIN bounds b USING (l_returnflag)
         )
         SELECT l_returnflag,
-               round(avg(v), 4) AS winsor_mean,
-               round(stddev_samp(v), 4) AS winsor_std,
+               round(CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 4) AS winsor_mean,
+               round(sqrt((CAST(sum(CAST(v * v AS DECIMAL(30,12)))
+                               AS DOUBLE)
+                           - (CAST(sum(CAST(v AS DECIMAL(18,6)))
+                                   AS DOUBLE)
+                              * CAST(sum(CAST(v AS DECIMAL(18,6)))
+                                     AS DOUBLE)) / count(*))
+                          / (count(*) - 1)), 4) AS winsor_std,
                sum(clipped::INT)::BIGINT AS n_clipped,
                count(*) AS n
         FROM c GROUP BY l_returnflag

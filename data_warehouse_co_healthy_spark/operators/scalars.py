@@ -179,7 +179,13 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.window("ts", "1 hour").getField("start").alias("h"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .agg(
+            F.count("*").alias("n"),
+            # exact-decimal re-aggregable partial: the day rollup
+            # re-sums hourly sums, so order-independence matters twice
+            # (functions/numeric.py posture)
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("tv"),
+        )
     )
     return (
         hourly.groupBy(
@@ -187,7 +193,7 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").alias("n_events"),
-            F.round(F.sum("tv"), 2).alias("total_value"),
+            F.round(F.sum("tv"), 2).cast("double").alias("total_value"),
             F.count("*").alias("n_hours"),
         )
     )
@@ -225,12 +231,13 @@ ORACLES = {
     "rollup_multires": """
         WITH hourly AS (
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, event_type,
-                   count(*) AS n, sum(value) AS tv
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS tv
             FROM events GROUP BY 1, 2
         )
         SELECT date_trunc('day', h) AS day, event_type,
                sum(n)::BIGINT AS n_events,
-               round(sum(tv), 2) AS total_value,
+               CAST(round(sum(tv), 2) AS DOUBLE) AS total_value,
                count(*)::BIGINT AS n_hours
         FROM hourly GROUP BY 1, 2
     """,

@@ -236,7 +236,12 @@ def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+        .agg(
+            # exact-decimal sum (functions/numeric.py posture)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("day_value")
+        )
     )
     grid = (
         daily.groupBy("user_id")
@@ -496,14 +501,19 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filled_value",
         F.lag("filled_value", FORECAST_LAG_DAYS).over(w).alias("forecast"),
     ).filter(F.col("forecast").isNotNull())
+    # exact-decimal accumulation: per-row errors are exact 4-decimal
+    # values, so decimal sums make mae/bias order-independent
+    abs_err = F.abs(F.col("filled_value") - F.col("forecast")).cast(
+        "decimal(18,6)"
+    )
+    err = (F.col("filled_value") - F.col("forecast")).cast(
+        "decimal(18,6)"
+    )
+    n = F.count(F.lit(1))
     return scored.groupBy("user_id").agg(
         F.count("*").alias("n_scored"),
-        F.round(
-            F.avg(F.abs(F.col("filled_value") - F.col("forecast"))), 4
-        ).alias("mae"),
-        F.round(F.avg(F.col("filled_value") - F.col("forecast")), 4).alias(
-            "bias"
-        ),
+        F.round(F.sum(abs_err).cast("double") / n, 4).alias("mae"),
+        F.round(F.sum(err).cast("double") / n, 4).alias("bias"),
     )
 
 
@@ -737,7 +747,8 @@ ORACLES = {
     "gapfill_forward": """
         WITH daily AS (
             SELECT user_id, ts::DATE AS day,
-                   round(sum(value), 4) AS day_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4)
+                        AS DOUBLE) AS day_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY 1, 2
         ),
@@ -771,8 +782,12 @@ ORACLES["seasonal_naive_eval"] = f"""
         FROM filled
     )
     SELECT user_id, count(*)::BIGINT AS n_scored,
-           round(avg(abs(filled_value - forecast)), 4) AS mae,
-           round(avg(filled_value - forecast), 4) AS bias
+           round(CAST(sum(CAST(abs(filled_value - forecast)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS mae,
+           round(CAST(sum(CAST(filled_value - forecast
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS bias
     FROM scored WHERE forecast IS NOT NULL
     GROUP BY user_id
 """

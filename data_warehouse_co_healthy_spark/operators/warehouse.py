@@ -59,7 +59,12 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+        .agg(
+            # exact-decimal money sum (functions/numeric.py posture)
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+                "spent_dec"
+            )
+        )
     )
     return (
         c.join(src, c.c_custkey == src.o_custkey, "full_outer")
@@ -67,10 +72,17 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c_custkey", "o_custkey").alias("custkey"),
             F.coalesce("c_name", F.lit("(new)")).alias("name"),
             F.round(
-                F.coalesce("c_acctbal", F.lit(0.0))
-                + F.coalesce("spent", F.lit(0.0)),
+                F.coalesce(
+                    F.col("c_acctbal").cast("decimal(18,6)"),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+                + F.coalesce(
+                    "spent_dec", F.lit(0).cast("decimal(18,6)")
+                ),
                 2,
-            ).alias("balance"),
+            )
+            .cast("double")
+            .alias("balance"),
             F.when(F.col("o_custkey").isNull(), "carried")
             .when(F.col("c_custkey").isNull(), "inserted")
             .otherwise("updated")
@@ -445,14 +457,18 @@ ORACLES = {
     "merge_upsert_balances": """
         SELECT coalesce(c_custkey, o_custkey) AS custkey,
                coalesce(c_name, '(new)') AS name,
-               round(coalesce(c_acctbal, 0.0) + coalesce(spent, 0.0), 2)
-                   AS balance,
+               CAST(round(
+                   coalesce(CAST(c_acctbal AS DECIMAL(18,6)),
+                            CAST(0 AS DECIMAL(18,6)))
+                   + coalesce(spent_dec, CAST(0 AS DECIMAL(18,6))),
+                   2) AS DOUBLE) AS balance,
                CASE WHEN o_custkey IS NULL THEN 'carried'
                     WHEN c_custkey IS NULL THEN 'inserted'
                     ELSE 'updated' END AS merge_action
         FROM customer
         FULL OUTER JOIN (
-            SELECT o_custkey, round(sum(o_totalprice), 2) AS spent
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spent_dec
             FROM orders GROUP BY o_custkey
         ) src ON c_custkey = src.o_custkey
     """,

@@ -158,11 +158,16 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_totalprice")
         .rangeBetween(-5000, Window.currentRow)
     )
+    # exact-decimal frame sum: Spark walks the frame sequentially while
+    # DuckDB uses segment-tree aggregation, so a double sum differs in
+    # the low bits between engines — the money-sum posture applies to
+    # window frames too (functions/numeric.py)
+    spend = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
     return o.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_spend"),
+        F.round(spend, 2).cast("double").alias("nearby_spend"),
         F.count("*").over(w).alias("nearby_orders"),
     )
 
@@ -225,19 +230,27 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     by approx-quantile bucketing if customers outgrow one partition).
     """
     o = load_table(spark, sf_dir, "orders")
+    # exact-decimal revenue: the running share divides two sums whose
+    # double low bits would otherwise depend on summation order
+    # (functions/numeric.py posture); both engines derive identical
+    # doubles from the identical exact decimals.
     per_cust = o.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("revenue")
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias(
+            "revenue_dec"
+        )
     )
-    total = per_cust.agg(F.sum("revenue")).first()[0]
-    w = Window.orderBy(F.desc("revenue"), "o_custkey")
+    total = float(per_cust.agg(F.sum("revenue_dec")).first()[0])
+    w = Window.orderBy(F.desc("revenue_dec"), "o_custkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_cust.select(
         "o_custkey",
-        F.round("revenue", 2).alias("revenue"),
+        F.round("revenue_dec", 2).cast("double").alias("revenue"),
         F.row_number().over(w).cast("long").alias("rk"),
-        F.round(F.sum("revenue").over(wsum) / F.lit(total), 6).alias(
-            "cum_share"
-        ),
+        F.round(
+            F.sum("revenue_dec").over(wsum).cast("double")
+            / F.lit(total),
+            6,
+        ).alias("cum_share"),
     )
 
 
@@ -322,17 +335,21 @@ ORACLES = {
     """,
     "revenue_pareto": """
         WITH per_cust AS (
-            SELECT o_custkey, sum(o_totalprice) AS revenue
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue_dec
             FROM orders GROUP BY o_custkey
         )
-        SELECT o_custkey, round(revenue, 2) AS revenue,
+        SELECT o_custkey,
+               CAST(round(revenue_dec, 2) AS DOUBLE) AS revenue,
                row_number() OVER w AS rk,
-               round(sum(revenue) OVER (
-                   ORDER BY revenue DESC, o_custkey
+               round(CAST(sum(revenue_dec) OVER (
+                   ORDER BY revenue_dec DESC, o_custkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) / (SELECT sum(revenue) FROM per_cust), 6) AS cum_share
+               ) AS DOUBLE)
+               / CAST((SELECT sum(revenue_dec) FROM per_cust)
+                      AS DOUBLE), 6) AS cum_share
         FROM per_cust
-        WINDOW w AS (ORDER BY revenue DESC, o_custkey)
+        WINDOW w AS (ORDER BY revenue_dec DESC, o_custkey)
     """,
     "moving_median": f"""
         SELECT o_custkey, o_orderkey, o_totalprice,
@@ -350,7 +367,8 @@ ORACLES = {
     """,
     "window_range_frame": """
         SELECT o_custkey, o_orderkey, o_totalprice,
-               round(sum(o_totalprice) OVER w, 2) AS nearby_spend,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                          OVER w, 2) AS DOUBLE) AS nearby_spend,
                count(*) OVER w AS nearby_orders
         FROM orders
         WINDOW w AS (

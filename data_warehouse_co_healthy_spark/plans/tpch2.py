@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import money_round_sum, money_round_sum_sql
 
 
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,7 +130,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("l_shipdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(money_round_sum(profit, 2).alias("sum_profit"))
     )
 
 
@@ -375,10 +376,11 @@ ORACLES = {
         )
         GROUP BY o_year
     """,
-    "q9_product_profit": """
+    "q9_product_profit": f"""
         SELECT n_name AS nation, year(l_shipdate) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+               {money_round_sum_sql(
+                   "l_extendedprice * (1 - l_discount)"
+                   " - 0.6 * p_retailprice * l_quantity", 2)} AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
