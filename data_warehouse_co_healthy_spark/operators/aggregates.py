@@ -507,7 +507,14 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (E[x³]-3μE[x²]+2μ³) cancels catastrophically at large magnitudes.
     """
     ev = load_table(spark, sf_dir, "events")
-    means = ev.groupBy("event_type").agg(F.avg("value").alias("mu"))
+    # mean from an exact-decimal sum: every centered power inherits mu,
+    # so its double must be identical on both engines (numeric.py)
+    means = ev.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
     centered = ev.join(F.broadcast(means), on="event_type").select(
         "event_type", (F.col("value") - F.col("mu")).alias("d")
     )
@@ -752,7 +759,9 @@ ORACLES = {
     """,
     "distribution_moments": """
         WITH means AS (
-            SELECT event_type, avg(value) AS mu
+            SELECT event_type,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS mu
             FROM events GROUP BY event_type
         ),
         c AS (

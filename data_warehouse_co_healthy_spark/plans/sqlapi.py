@@ -134,7 +134,8 @@ def sql_api_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH daily AS (
             SELECT user_id, to_date(ts) AS day,
-                   round(sum(value), 4) AS day_value
+                   CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4)
+                        AS DOUBLE) AS day_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY user_id, to_date(ts)
         ),

@@ -295,8 +295,15 @@ def q22_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
+    # exact-decimal average: the threshold decides ROW MEMBERSHIP, so
+    # its double must be identical on both engines (numeric.py posture)
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("ab")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("ab")
     )
     rich = c.join(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("ab")
@@ -530,8 +537,10 @@ ORACLES = {
                CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
                     AS DOUBLE) AS total_bal
         FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                           WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal
+                                               AS DECIMAL(18,6)))
+                                       AS DOUBLE) / count(*)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c.c_custkey
                             AND o_orderpriority = '1-URGENT')

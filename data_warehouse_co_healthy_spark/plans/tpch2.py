@@ -59,8 +59,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            money_round_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
     )
@@ -98,11 +98,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # decimal numerator/denominator -> the ratio divides two
+            # exact values, so the rounded share is order-independent
             F.round(
                 F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0)
-                )
-                / F.sum(vol),
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -148,14 +152,26 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
     )
-    per_part = nat_items.groupBy("l_partkey").agg(F.sum("v").alias("part_value"))
-    total = nat_items.agg((F.sum("v") * 0.001).alias("threshold"))
+    # decimal sums so the HAVING threshold comparison (which decides
+    # ROW MEMBERSHIP, not just a printed digit) is exact on both
+    # engines; the 0.1% fraction becomes an integer multiply
+    # (value*1000 > total) to stay inside decimal arithmetic
+    per_part = nat_items.groupBy("l_partkey").agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("part_value_dec")
+    )
+    total = nat_items.agg(
+        F.sum(F.col("v").cast("decimal(18,6)")).alias("total_dec")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(
+            F.col("part_value_dec") * 1000 > F.col("total_dec")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round("part_value", 2).alias("part_value"),
+            F.round("part_value_dec", 2)
+            .cast("double")
+            .alias("part_value"),
         )
     )
 
@@ -235,8 +251,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(branch).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        money_round_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
@@ -336,7 +352,8 @@ QUERIES = {
 ORACLES = {
     "q7_volume_shipping": """
         SELECT supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) AS revenue
+               CAST(round(sum(CAST(volume AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
         FROM (
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS l_year,
@@ -356,8 +373,11 @@ ORACLES = {
     """,
     "q8_market_share": """
         SELECT o_year,
-               round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                              ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+               round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3'
+                                        THEN volume ELSE 0.0 END
+                                   AS DECIMAL(18,6))) AS DOUBLE)
+                     / CAST(sum(CAST(volume AS DECIMAL(18,6)))
+                            AS DOUBLE), 6) AS mkt_share
         FROM (
             SELECT year(o_orderdate) AS o_year,
                    l_extendedprice * (1 - l_discount) AS volume,
@@ -396,10 +416,13 @@ ORACLES = {
             JOIN nation ON s_nationkey = n_nationkey
             WHERE n_name = 'NATION_5'
         )
-        SELECT l_partkey AS partkey, round(sum(v), 2) AS part_value
+        SELECT l_partkey AS partkey,
+               CAST(round(sum(CAST(v AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS part_value
         FROM nat_items
         GROUP BY l_partkey
-        HAVING sum(v) > (SELECT 0.001 * sum(v) FROM nat_items)
+        HAVING sum(CAST(v AS DECIMAL(18,6))) * 1000 >
+               (SELECT sum(CAST(v AS DECIMAL(18,6))) FROM nat_items)
     """,
     "q12_late_shipments": """
         SELECT l_returnflag AS ship_class,
@@ -425,8 +448,9 @@ ORACLES = {
               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         GROUP BY p_brand, p_type, p_size
     """,
-    "q19_disjunctive_revenue": """
-        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    "q19_disjunctive_revenue": f"""
+        SELECT {money_round_sum_sql(
+            "l_extendedprice * (1 - l_discount)", 2)} AS revenue,
                count(*)::BIGINT AS n_items
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
