@@ -130,6 +130,55 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WIN = 64      # PCM samples (bytes) per energy window
+
+
+def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over opaque binary payloads: per-window
+    RMS energy of the byte stream interpreted as unsigned 8-bit PCM —
+    the windowed-DSP shape (VAD, silence trimming, loudness
+    normalization) on the audio half of the media table.
+
+    Unlike the image decode (stubbed — needs a codec library), this
+    arithmetic is REAL: numpy ``frombuffer`` reads the Arrow binary
+    zero-copy, one reshape + matmul-free reduction per batch. The
+    windowed sum-of-squares is exact integer math and the window width
+    is a power of two, so the RMS double is engine-identical and the
+    oracle recomputes it from the same bytes via ascii codes.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = "media_id long, win_idx long, rms double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            en: list[float] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = len(a) // AUDIO_WIN
+                if n == 0:
+                    continue
+                w = a[: n * AUDIO_WIN].reshape(n, AUDIO_WIN)
+                rms = np.sqrt((w * w).sum(axis=1) / float(AUDIO_WIN))
+                ids.extend([mid] * n)
+                idxs.extend(range(n))
+                en.extend(np.round(rms, 4))
+            yield pd.DataFrame(
+                {"media_id": ids, "win_idx": idxs, "rms": en}
+            )
+
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("kind") == "audio"
+    )
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 TARGET_W = 64       # fake resize target
 TARGET_H = 64
 _RESIZE_BYTES = TARGET_W * TARGET_H // 64  # fake: 1 byte per 64 px
@@ -232,9 +281,31 @@ QUERIES = {
     "frame_sample": frame_sample,
     "resize_media": resize_media,
     "media_phash_buckets": media_phash_buckets,
+    "audio_energy_windows": audio_energy_windows,
 }
 
 ORACLES = {
+    "audio_energy_windows": f"""
+        WITH audio AS (
+            SELECT doc_id AS media_id, text FROM documents
+            WHERE doc_id % 2 = 1
+        ), win AS (
+            SELECT media_id, i AS win_idx,
+                   substr(text, i * {AUDIO_WIN} + 1, {AUDIO_WIN}) AS w
+            FROM audio,
+                 LATERAL (SELECT unnest(generate_series(
+                     0, length(text) // {AUDIO_WIN} - 1)) AS i)
+        ), codes AS (
+            SELECT media_id, win_idx,
+                   ascii(substr(w, j, 1))::BIGINT AS c
+            FROM win,
+                 LATERAL (SELECT unnest(generate_series(1, {AUDIO_WIN}))
+                          AS j)
+        )
+        SELECT media_id, win_idx,
+               round(sqrt(sum(c * c) / {AUDIO_WIN}.0), 4) AS rms
+        FROM codes GROUP BY media_id, win_idx
+    """,
     "binary_metadata": """
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
