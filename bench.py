@@ -73,6 +73,11 @@ def main() -> None:
     # per-query cost.
     timings: dict[str, float] = {}
     for name in names:
+        # isolate queries from each other's JVM state: drop any cache
+        # leftovers and take the GC hit OUTSIDE the timed window, so a
+        # heavy predecessor's garbage doesn't bill the next query
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
