@@ -501,6 +501,252 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8          # product-quantization subspaces (64 dims -> 8x8)
+PQ_K = 16         # codebook entries per subspace (4-bit codes)
+PQ_ITERS = 8      # Lloyd iterations per subspace codebook
+PQ_TRAIN_N = 2048 # training-sample cap (FAISS-style bounded sample)
+
+# codebooks per sf_dir: M x K x (d/M) float lists. Training samples a
+# bounded subset to the driver (production PQ trains codebooks on a
+# ~100k sample regardless of corpus size) — O(PQ_TRAIN_N x d), never
+# corpus-sized, cached like training.trained_centroids.
+_PQ_CODEBOOKS: dict[str, list] = {}
+
+
+def _pq_train(spark: SparkSession, sf_dir: str) -> list:
+    import numpy as np  # noqa: PLC0415
+
+    if sf_dir in _PQ_CODEBOOKS:
+        return _PQ_CODEBOOKS[sf_dir]
+    rows = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(PQ_TRAIN_N)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r.embedding, float) for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    d = mat.shape[1]
+    sub = d // PQ_M
+    books = []
+    for m in range(PQ_M):
+        X = mat[:, m * sub:(m + 1) * sub]
+        # deterministic init: first PQ_K distinct subvectors in vec_id
+        # order; plain Lloyd to a fixed iteration count
+        seen, init = set(), []
+        for v in X:
+            t = tuple(np.round(v, 9))
+            if t not in seen:
+                seen.add(t)
+                init.append(v)
+            if len(init) == PQ_K:
+                break
+        C = np.stack(init)
+        for _ in range(PQ_ITERS):
+            d2 = (
+                (X * X).sum(1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            a = d2.argmin(1)
+            for k in range(PQ_K):
+                mask = a == k
+                if mask.any():
+                    C[k] = X[mask].mean(0)
+        books.append(C.tolist())
+    _PQ_CODEBOOKS[sf_dir] = books
+    return books
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each L2-normalized vector compressed to
+    PQ_M 4-bit codes (nearest codebook entry per subspace) — 64 float32
+    dims become 8 bytes, the 32x compression that makes billion-scale
+    ANN indexes fit in memory (Jégou et al. 2011; FAISS IVFPQ's
+    fine quantizer). Returns codes + per-vector reconstruction MSE (the
+    quantization-quality monitor).
+
+    Scale: codebooks are M x K x (d/M) floats riding along as a
+    closure broadcast; encoding is one Arrow-batched argmin per
+    subspace per batch — embarrassingly parallel, no shuffle. No
+    oracle (codebooks are an iterative fixpoint); code-range,
+    determinism, and MSE invariants are pinned in tests/test_llm.py.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    books = np.asarray(_pq_train(spark, sf_dir))  # M x K x sub
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m0 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m0 /= np.linalg.norm(m0, axis=1, keepdims=True)
+            sub = m0.shape[1] // PQ_M
+            codes = np.empty((len(m0), PQ_M), dtype=np.int32)
+            mse = np.zeros(len(m0))
+            for m in range(PQ_M):
+                X = m0[:, m * sub:(m + 1) * sub]
+                C = books[m]
+                d2 = (
+                    (X * X).sum(1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                codes[:, m] = d2.argmin(1)
+                mse += np.maximum(d2.min(1), 0.0)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": list(codes.tolist()),
+                    "recon_mse": np.round(mse / m0.shape[1], 6),
+                }
+            )
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    return e.mapInPandas(
+        encode, schema="vec_id long, codes array<int>, recon_mse double"
+    )
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ranking: queries stay exact, candidates exist ONLY as PQ
+    codes — per query, a PQ_M x PQ_K lookup table of subspace distances
+    turns each candidate's distance into PQ_M table gathers (asymmetric
+    distance computation), ranked by approximated L2 over unit vectors
+    (= cosine order). THE memory-bound trade at 100 TB: the scan
+    touches 8 bytes per candidate instead of 256.
+
+    Queries (vec_id < N_QUERIES) ride in the closure like
+    ``cosine_topk``'s broadcast query set; scoring is Arrow-batched
+    numpy over the code table; the only shuffle is the final per-query
+    ranking window. Consumed by ``ann_pq_adc`` (top-k) and
+    ``ann_pq_refine`` (shortlist + exact rescore).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    books = np.asarray(_pq_train(spark, sf_dir))  # M x K x sub
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    Q = np.stack([np.asarray(r.embedding, float) for r in qrows])
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = np.asarray([r.vec_id for r in qrows])
+    sub = Q.shape[1] // PQ_M
+    # LUT[q, m, k] = ||query_q subvector m - codebook[m][k]||^2
+    lut = np.stack(
+        [
+            ((Q[:, m * sub:(m + 1) * sub][:, None, :] - books[m][None])
+             ** 2).sum(2)
+            for m in range(PQ_M)
+        ],
+        axis=1,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n, nq = len(codes), len(qids)
+            # gather: dist[q, cand] = sum_m LUT[q, m, codes[cand, m]]
+            d = np.zeros((nq, n))
+            for m in range(PQ_M):
+                d += lut[:, m, :][:, codes[:, m]]
+            cand = pdf["vec_id"].to_numpy()
+            out_q = np.repeat(qids, n)
+            out_c = np.tile(cand, nq)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "cand_id": out_c,
+                    "adc_dist": np.round(d.ravel(), 6),
+                }
+            )
+
+    scored = (
+        pq_encode(spark, sf_dir)
+        .mapInPandas(
+            score,
+            schema="query_id long, cand_id long, adc_dist double",
+        )
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return scored.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-ADC top-k (see _pq_adc_ranked): memory-bound ranking from
+    8-byte codes alone — the recall/bandwidth trade, measured in
+    tests; ``ann_pq_refine`` is the production shape that fixes the
+    recall."""
+    return (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", "adc_dist")
+    )
+
+
+PQ_SHORTLIST = 64  # ADC candidates exact-rescored per query
+
+
+def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with exact refinement — the full production ANN
+    recipe (FAISS IVFPQ + refine): the ADC pass shortlists
+    PQ_SHORTLIST candidates per query from 8-byte codes, then ONLY the
+    shortlist members' true vectors are fetched and exact-cosine
+    rescored for the final top-TOP_K. The expensive exact math touches
+    shortlist x queries rows, never the corpus; the code scan stays
+    memory-bound. Recall vs brute force is bounded by shortlist recall
+    and pinned in tests/test_llm.py.
+    """
+    shortlist = (
+        _pq_adc_ranked(spark, sf_dir)
+        .filter(F.col("rk") <= PQ_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    norm = F.expr(_NORM.format(c="emb"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        norm.alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        norm.alias("c_norm"),
+    )
+    exact = (
+        shortlist.join(c, on="cand_id")
+        .join(F.broadcast(q), on="query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+    )
+
+
 def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean pairwise cosine similarity WITHIN each label — the cluster
     compactness / diversity monitor (how redundant is each slice of
@@ -588,6 +834,9 @@ QUERIES = {
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_centroids": embedding_centroids,
     "intra_label_cosine": intra_label_cosine,
+    "pq_encode": pq_encode,
+    "ann_pq_adc": ann_pq_adc,
+    "ann_pq_refine": ann_pq_refine,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -760,6 +1009,21 @@ ORACLES["ann_ivf"] = f"""
 """
 
 NO_ORACLE = {
+    "pq_encode": (
+        "PQ codebooks are an iterative k-means fixpoint (no "
+        "single-query SQL); code range, determinism and reconstruction-"
+        "MSE bounds are pinned in tests/test_llm.py"
+    ),
+    "ann_pq_adc": (
+        "distances come from trained PQ codebooks (iterative fixpoint); "
+        "recall@k vs the oracle-checked brute force is pinned in "
+        "tests/test_llm.py"
+    ),
+    "ann_pq_refine": (
+        "shortlist comes from trained PQ codebooks (iterative "
+        "fixpoint); recall@k vs the oracle-checked brute force is "
+        "pinned in tests/test_llm.py"
+    ),
     "ann_ivf_kmeans": (
         "the k-means quantizer is an iterative fixpoint (no single-query "
         "SQL); recall@k vs the oracle-checked brute force is pinned in "

@@ -437,3 +437,46 @@ def test_approx_topk_tokens_matches_exact_on_fixture(spark):
     assert set(got.token) == set(exact.w)
     merged = got.merge(exact, left_on="token", right_on="w")
     assert (merged.est_count == merged["count"]).all()
+
+
+def test_pq_encode_invariants(spark):
+    """PQ codes: correct arity and range, deterministic across runs,
+    and reconstruction error bounded (unit vectors => per-dim MSE must
+    sit well below the 1/d energy of the vector itself)."""
+    from data_warehouse_co_healthy_spark.llm.similarity import (
+        PQ_K,
+        PQ_M,
+    )
+
+    a = similarity.pq_encode(spark, SF_DIR).toPandas()
+    b = similarity.pq_encode(spark, SF_DIR).toPandas()
+    assert a.codes.map(len).eq(PQ_M).all()
+    assert a.codes.map(max).lt(PQ_K).all()
+    assert a.codes.map(min).ge(0).all()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )
+    # unit vectors carry 1/64 energy per dim; quantization must beat it
+    assert (a.recon_mse < 1.0 / 64).all(), a.recon_mse.max()
+
+
+def test_pq_refine_recall_vs_brute_force(spark):
+    """The full PQ recipe (ADC shortlist + exact rescore) must recover
+    most of the true top-5; the pure-ADC ranking is allowed the known
+    8-byte-code recall trade but must beat random."""
+    truth = similarity.cosine_topk(spark, SF_DIR).toPandas()
+    refined = similarity.ann_pq_refine(spark, SF_DIR).toPandas()
+    adc = similarity.ann_pq_adc(spark, SF_DIR).toPandas()
+
+    def mean_recall(got):
+        rs = []
+        for qid, grp in truth.groupby("query_id"):
+            g = set(got[got.query_id == qid].cand_id)
+            rs.append(len(g & set(grp.cand_id)) / len(grp))
+        return sum(rs) / len(rs)
+
+    assert mean_recall(refined) >= 0.6, mean_recall(refined)
+    assert mean_recall(adc) >= 0.1, mean_recall(adc)
+    # refine must strictly improve on pure ADC on this fixture
+    assert mean_recall(refined) > mean_recall(adc)
