@@ -55,6 +55,8 @@ PROBES = [
     "intra_label_cosine",
     "cumulative_distinct",
     "length_matched_sample",
+    "audio_energy_windows",
+    "ann_pq_refine",
 ]
 
 
