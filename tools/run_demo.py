@@ -27,7 +27,30 @@ def main() -> None:
     spark = get_spark("co-demo")
     from tests.fixtures_co import make_sources
 
-    tables = run_all(spark, make_sources(spark))
+    sources = make_sources(spark)
+    # parity touch: when the reference's real drug catalog is present,
+    # build dim_medicamento from it via the vendored BIFF8 reader
+    # instead of the synthetic stand-in (reference dimension.py:62-73)
+    real_xls = "/root/reference/medicamentos.xls"
+    if os.path.exists(real_xls):
+        from data_warehouse_co_healthy_spark.schemas import (
+            REFERENCE,
+        )
+        from data_warehouse_co_healthy_spark.sources import readers
+
+        real = readers.read_excel_catalog(
+            spark, real_xls, REFERENCE["medicamentos"]
+        )
+        # keep the synthetic codes the fixture formulas reference —
+        # the star join is INNER (reference semantics), so dropping
+        # them would silently empty fact_medical_formula
+        sources["medicamentos"] = sources["medicamentos"].unionByName(
+            real
+        )
+        print("  dim_medicamento: REAL catalog (medicamentos.xls)"
+              " + fixture codes")
+
+    tables = run_all(spark, sources)
     for name, df in tables.items():
         part = ("fecha",) if "fecha" in df.columns else ()
         write_parquet(df, os.path.join(out_dir, name), partition_by=part)
