@@ -724,6 +724,54 @@ def lsh_eval_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection: LSH candidate pairs where at
+    least one side belongs to the NEW batch (the cross_snapshot_dedup
+    split, doc_id % SNAP_MOD == 0) — the production posture for
+    appending a crawl to an indexed corpus: the standing old×old pair
+    set is NEVER regenerated, only new×index and new×new candidates.
+
+    The in-bucket expansion is restricted BEFORE fan-out: each new doc
+    pairs against its bucket, so per-bucket work is |new|×|bucket|
+    instead of |bucket|² — on a mature corpus (new fraction ε) that is
+    the difference between ε·B² and B² pair candidates. Same banded
+    signatures, same MAX_BUCKET skew cap as minhash_lsh_pairs;
+    pair_type distinguishes new-vs-index from within-batch pairs.
+    """
+    bands = _band_keys(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= MAX_BUCKET))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform("
+                    f"filter(docs, y -> y % {SNAP_MOD} = 0), "
+                    f"y -> transform(filter(docs, x -> x != y), "
+                    f"x -> struct(least(x, y) AS doc_a, "
+                    f"greatest(x, y) AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates()
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                (F.col("doc_a") % SNAP_MOD == 0)
+                & (F.col("doc_b") % SNAP_MOD == 0),
+                "new-new",
+            )
+            .otherwise("new-old")
+            .alias("pair_type"),
+        )
+    )
+
+
 def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-novelty profile: for each document, the fraction of
     its DISTINCT word-3-grams that first appear in the corpus at this
@@ -789,6 +837,7 @@ QUERIES = {
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
     "ngram_novelty": ngram_novelty,
+    "incremental_lsh_pairs": incremental_lsh_pairs,
 }
 
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -874,6 +923,21 @@ ORACLES = {
         ) WHERE rk = 1
     """,
     "minhash_signatures": _SIGNATURES,
+    "incremental_lsh_pairs": f"""
+        WITH bands AS ({_BANDS}),
+        sized AS (
+            SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bn
+            FROM bands
+        ), kept AS (SELECT * FROM sized WHERE bn <= {MAX_BUCKET})
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CASE WHEN a.doc_id % {SNAP_MOD} = 0
+                     AND b.doc_id % {SNAP_MOD} = 0
+                    THEN 'new-new' ELSE 'new-old' END AS pair_type
+        FROM kept a JOIN kept b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {SNAP_MOD} = 0 OR b.doc_id % {SNAP_MOD} = 0
+    """,
     "minhash_lsh_pairs": f"""
         WITH bands AS ({_BANDS}),
         sized AS (
