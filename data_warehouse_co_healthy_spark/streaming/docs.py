@@ -1,0 +1,148 @@
+"""Streaming document near-dedup: an online SimHash duplicate detector
+over a document stream (engine-added capability — the streaming twin of
+llm/dedup.py's batch SimHash pipeline).
+
+The ingestion-time shape every crawl pipeline wants: as documents
+arrive, each is fingerprinted and checked against the documents already
+seen in its SimHash byte-block buckets; near-dups (hamming <= 6) are
+emitted IMMEDIATELY, not in a nightly batch job. State is the per-bucket
+fingerprint list — (doc_id, simhash) longs, never text — bounded by the
+same skew-cap philosophy as the batch LSH bucket cap.
+
+Dataflow: stateless Arrow fingerprinting (mapInPandas — md5 per token,
+bit-majority vote, IDENTICAL values to llm/dedup.simhash_docs) -> 4-way
+block-key fan-out -> applyInPandasWithState keyed by (block, byte): each
+arriving doc compares against its bucket's fingerprints and is appended.
+At-least-once pair emission (a pair sharing two block keys surfaces in
+both buckets) — consumers dedupe downstream, the standard streaming
+contract. Equality with the batch pair set is asserted in
+tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..llm.dedup import HAMMING_MAX, SIMHASH_BITS
+
+N_BLOCKS = 4          # byte blocks of the 32-bit simhash (pigeonhole)
+MAX_BUCKET_STATE = 512  # fingerprints kept per bucket (skew guard)
+
+
+def stage_documents_dir(sf_dir: str) -> str:
+    """File-stream staging for the documents fixture (symlink dir, no
+    copy) — same trick as events.stage_events_dir."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_documents_dir(sf_dir)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(staged)
+        .select("doc_id", "text")
+    )
+
+
+def _simhash_py(text: str) -> int:
+    """Bit-exact Python twin of llm/dedup.simhash_docs: md5-derived
+    32-bit token hash, occurrence-weighted bitwise majority vote."""
+    import hashlib  # noqa: PLC0415
+
+    votes = [0] * SIMHASH_BITS
+    for w in text.lower().split(" "):
+        if not w:
+            continue
+        h = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:8], 16)
+        for b in range(SIMHASH_BITS):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Stateless Arrow fingerprinting stage: (doc_id, simhash)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "simhash": pdf["text"].map(_simhash_py).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id long, simhash long")
+
+
+def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
+    """Online near-dup alerts: (doc_id, dup_of, hamming) emitted the
+    moment a document lands within HAMMING_MAX bits of a previously
+    seen one in any shared byte-block bucket."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    fp = fingerprints(docs)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                F.expr(f"(simhash >> {8 * j}) & 255").alias("byte"),
+            )
+            for j in range(N_BLOCKS)
+        ]
+    )
+    keyed = fp.select(
+        "doc_id", "simhash", F.explode(blocks).alias("b")
+    ).select("doc_id", "simhash", "b.blk", "b.byte")
+
+    out_schema = "doc_id long, dup_of long, hamming integer"
+    state_schema = "ids array<long>, sims array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        ids, sims = state.get if state.exists else ([], [])
+        ids, sims = list(ids), list(sims)
+        out_doc, out_dup, out_ham = [], [], []
+        for pdf in pdfs:
+            # doc_id order within the batch: deterministic replay
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                s = int(row["simhash"])
+                for pid, psim in zip(ids, sims):
+                    ham = bin(s ^ psim).count("1")
+                    if ham <= HAMMING_MAX:
+                        out_doc.append(int(row["doc_id"]))
+                        out_dup.append(pid)
+                        out_ham.append(ham)
+                if len(ids) < MAX_BUCKET_STATE:
+                    ids.append(int(row["doc_id"]))
+                    sims.append(s)
+        state.update((ids, sims))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "dup_of": pd.Series(out_dup, dtype="int64"),
+                "hamming": pd.Series(out_ham, dtype="int32"),
+            }
+        )
+
+    return keyed.groupBy("blk", "byte").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

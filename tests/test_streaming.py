@@ -412,3 +412,35 @@ def test_windowed_distinct_users_tracks_exact(spark, stream):
     assert set(got.index) == set(exact.index)
     rel = ((got - exact).abs() / exact).max()
     assert rel <= 0.10, rel
+
+
+def test_streaming_simhash_dedup_matches_batch(spark):
+    """The online SimHash detector drained over the bounded document
+    stream must surface exactly the batch pipeline's near-dup pair set
+    (after normalizing orientation and at-least-once duplicates)."""
+    from data_warehouse_co_healthy_spark.llm import dedup
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    stream = sd.read_documents_stream(spark, SF_DIR)
+    q = se.run_to_memory(
+        sd.streaming_simhash_dedup(stream), "simdup", output_mode="update"
+    )
+    try:
+        got = spark.sql("SELECT * FROM simdup").toPandas()
+    finally:
+        q.stop()
+    got_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in zip(got.doc_id, got.dup_of)
+    }
+    batch = dedup.simhash_pairs(spark, SF_DIR).toPandas()
+    want_pairs = {(a, b) for a, b in zip(batch.doc_a, batch.doc_b)}
+    assert got_pairs == want_pairs
+    # emitted hamming distances must agree with the fingerprints
+    fps = sd.fingerprints(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    ).toPandas().set_index("doc_id").simhash
+    for _, r in got.iterrows():
+        assert bin(int(fps[r.doc_id]) ^ int(fps[r.dup_of])).count("1") == r.hamming
