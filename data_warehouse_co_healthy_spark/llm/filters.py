@@ -365,6 +365,78 @@ def length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.7   # sampling temperature (multilingual standard)
+ABL_SHORT_CHARS = 100  # ablation flag: short-document threshold
+ABL_DUP_RATIO = 0.3    # ablation flag: duplicated-word-ratio threshold
+
+
+def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting: sampling probability
+    proportional to share^alpha (alpha = 0.7 — the multilingual-corpus
+    standard that up-samples small sources without letting any one
+    source dominate; mT5/XLM-R recipe). Emits, per source, the raw
+    token share, the temperature weight, and the up/down-sampling
+    multiplier a sampler applies to that source's documents.
+
+    One scan -> per-source token counts; everything after operates on
+    the |sources|-row aggregate (windows over it are declared in the
+    lint allowlist). Consumes like ``mix_sources_weighted`` but with a
+    principled curve instead of hand weights.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        ).alias("n_toks")
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_toks") / F.sum("n_toks").over(wall)
+    raw_w = F.pow(share, F.lit(TEMP_ALPHA))
+    weight = raw_w / F.sum(raw_w).over(wall)
+    return per.select(
+        "source",
+        "n_toks",
+        F.round(share, 6).alias("token_share"),
+        F.round(weight, 6).alias("temp_weight"),
+        F.round(weight / share, 6).alias("sample_multiplier"),
+    )
+
+
+def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-attribution telemetry: every corpus filter's hit count
+    AND their overlap, as one row per flag combination — the report a
+    data team reads before tuning thresholds (does the repetition
+    filter only re-remove what the length filter already caught?).
+
+    Three production flags — too-short, repetitive (dup-word ratio),
+    contains-PII (same deterministic fixture enrichment as
+    ``pii_redaction``) — computed in ONE scan as boolean columns, then
+    an 8-row-max groupBy. Adding a flag adds a column, never a scan.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    enriched_text = F.when(
+        F.col("doc_id") % PII_MOD == PII_REM,
+        F.concat(
+            F.col("text"), F.lit(" contact x@y.com 555-123-4567")
+        ),
+    ).otherwise(F.col("text"))
+    ws = F.split(F.lower("text"), " ")
+    dup_ratio = 1 - F.size(F.array_distinct(ws)) / F.size(ws)
+    flagged = d.select(
+        (F.col("n_chars") < ABL_SHORT_CHARS).alias("flag_short"),
+        (dup_ratio > ABL_DUP_RATIO).alias("flag_repetitive"),
+        enriched_text.rlike(
+            f"{EMAIL_RE}|{URL_RE}|{PHONE_RE}"
+        ).alias("flag_pii"),
+    )
+    return (
+        flagged.groupBy("flag_short", "flag_repetitive", "flag_pii")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-balance monitor: per-source token counts, token share of
     the corpus, and each source's Shannon-entropy contribution
@@ -406,11 +478,49 @@ QUERIES = {
     "quota_sample": quota_sample,
     "corpus_mix_entropy": corpus_mix_entropy,
     "length_matched_sample": length_matched_sample,
+    "temperature_sampling_weights": temperature_sampling_weights,
+    "filter_ablation_report": filter_ablation_report,
 }
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
 ORACLES = {
+    "temperature_sampling_weights": f"""
+        WITH per AS (
+            SELECT source,
+                   sum(len(string_split_regex(trim(text), '\\s+')))
+                       ::BIGINT AS n_toks
+            FROM documents GROUP BY source
+        ), sh AS (
+            SELECT source, n_toks,
+                   n_toks / ((sum(n_toks) OVER ())::BIGINT) AS share
+            FROM per
+        ), tw AS (
+            SELECT *, pow(share, {TEMP_ALPHA}) AS raw_w FROM sh
+        ), tot AS (
+            SELECT *, sum(raw_w) OVER () AS w_tot FROM tw
+        )
+        SELECT source, n_toks,
+               round(share, 6) AS token_share,
+               round(raw_w / w_tot, 6) AS temp_weight,
+               round((raw_w / w_tot) / share, 6) AS sample_multiplier
+        FROM tot
+    """,
+    "filter_ablation_report": f"""
+        SELECT n_chars < {ABL_SHORT_CHARS} AS flag_short,
+               1 - len(list_distinct(string_split(lower(text), ' ')))
+                   / len(string_split(lower(text), ' '))
+                   > {ABL_DUP_RATIO} AS flag_repetitive,
+               regexp_matches(
+                   CASE WHEN doc_id % {PII_MOD} = {PII_REM}
+                        THEN text || ' contact x@y.com 555-123-4567'
+                        ELSE text END,
+                   '{EMAIL_RE}|{URL_RE}|{PHONE_RE}')
+                   AS flag_pii,
+               count(*)::BIGINT AS n_docs
+        FROM documents
+        GROUP BY 1, 2, 3
+    """,
     "length_matched_sample": f"""
         WITH docs AS (
             SELECT doc_id, lang,

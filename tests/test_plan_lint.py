@@ -84,6 +84,8 @@ SINGLE_PARTITION_OK = {
                                  # aggregate (one row per source)
     "length_matched_sample",     # global N/quota over the O(buckets)
                                  # stats frame (<= 6 rows)
+    "temperature_sampling_weights",  # global totals over the
+                                     # per-source aggregate
 }
 
 
