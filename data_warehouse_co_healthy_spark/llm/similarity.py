@@ -729,7 +729,9 @@ def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("c_norm"),
     )
     exact = (
-        shortlist.join(c, on="cand_id")
+        # the shortlist (queries x PQ_SHORTLIST rows) broadcasts into
+        # the corpus scan — true-vector reads happen only for hits
+        c.join(F.broadcast(shortlist), on="cand_id")
         .join(F.broadcast(q), on="query_id")
         .select(
             "query_id",
