@@ -174,6 +174,60 @@ BLOOM_BITS = 1 << 13  # filter size: 8192 bits = 128 longs (scale knob)
 BLOOM_HASHES = 3      # k independent xxhash64 seeds per key
 
 
+HOT_KEY_MIN_ROWS = 1000  # fact rows above which a join key is "hot"
+
+
+def skew_hybrid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot/cold hybrid join — per-key skew isolation, the step beyond
+    uniform salting (salted_join): keys whose fact-side row count
+    exceeds HOT_KEY_MIN_ROWS are split off and joined BROADCAST (their
+    dim rows ship to every task, so a hot key's rows never converge on
+    one reducer at all), while the cold long tail takes the normal
+    shuffle join; one unionByName reassembles before the aggregate.
+
+    Uniform salting taxes every key to fix a few; the hybrid split
+    taxes only the measured hot set — the shape AQE's skew-join
+    mitigation approximates at runtime, made explicit for when the
+    skew is known (null buckets, default ids, boilerplate docs).
+    Semantically transparent: the oracle is the plain join+aggregate.
+    The hot-key list is a count aggregate kept in-plan (broadcast
+    semi/anti splits) — nothing collects to the driver.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > HOT_KEY_MIN_ROWS)
+        .select("l_orderkey")
+    )
+    li_hot = li.join(F.broadcast(hot), on="l_orderkey", how="left_semi")
+    li_cold = li.join(F.broadcast(hot), on="l_orderkey", how="left_anti")
+    o_hot = o.join(
+        F.broadcast(hot),
+        o.o_orderkey == hot.l_orderkey,
+        "left_semi",
+    )
+    joined_hot = li_hot.join(
+        F.broadcast(o_hot), li_hot.l_orderkey == o_hot.o_orderkey
+    )
+    joined_cold = li_cold.join(o, li_cold.l_orderkey == o.o_orderkey)
+    cols = ["o_orderpriority", "l_extendedprice", "l_discount"]
+    return (
+        joined_hot.select(*cols)
+        .unionByName(joined_cold.select(*cols))
+        .groupBy("o_orderpriority")
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter pre-filtered join: revenue per supplier of
     two nations. The filtered supplier dim (~10% of suppliers) is
@@ -305,9 +359,18 @@ QUERIES = {
     "anti_join": anti_join,
     "salted_join": salted_join,
     "bloom_prefilter_join": bloom_prefilter_join,
+    "skew_hybrid_join": skew_hybrid_join,
 }
 
 ORACLES = {
+    "skew_hybrid_join": f"""
+        SELECT o_orderpriority,
+               {money_sum_sql("l_extendedprice * (1 - l_discount)")}
+                   AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "bloom_prefilter_join": f"""
         SELECT s_name,
                {money_sum_sql("l_extendedprice * (1 - l_discount)")}
