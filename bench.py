@@ -79,7 +79,11 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         best = float("inf")
-        for _ in range(3):
+        # min-of-5: the shared host has bursty CPU-steal windows that can
+        # inflate an entire min-of-3 triplet; two extra samples reject
+        # noise spikes while min() still reports the honest steady-state
+        # cost (run 1 additionally absorbs plan-specific C2 compilation).
+        for _ in range(5):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
