@@ -90,6 +90,57 @@ def read_orc(
     return r.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw-media ingest via the ``binaryFile`` source: one row per file
+    with (path, modificationTime, length, content BINARY) — the
+    distributed on-ramp that turns a directory of images/audio/video
+    into the opaque-binary multimodal column the llm.multimodal
+    operators consume. File listing and reads are executor-side (no
+    driver loop over files), so a 100 TB media lake ingests at cluster
+    parallelism; ``pathGlobFilter`` prunes non-matching files BEFORE
+    any bytes are read. Pair with
+    ``spark.sql.files.maxPartitionBytes`` so many small media files
+    coalesce into sane tasks."""
+    r = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+    line_sep: str | None = None,
+) -> DataFrame:
+    """Raw text-corpus ingest via the ``text`` source. Default mode is
+    one row per line (``value`` STRING) — splittable, so a single huge
+    file still fans out across tasks. ``whole_file=True`` flips to
+    doc-per-file (``wholetext``), the right grain when each file IS one
+    document — NOT splittable, so use it for many small files, never
+    one giant one. A custom ``line_sep`` handles record-separated dumps
+    (e.g. ``\\0``-delimited corpora)."""
+    r = spark.read.format("text").option("wholetext", str(whole_file).lower())
+    if line_sep is not None:
+        r = r.option("lineSep", line_sep)
+    df = r.load(path)
+    if whole_file:
+        # carry provenance: doc-per-file rows are useless without the
+        # originating path (dedup/audit joins key on it)
+        df = df.select(
+            F.input_file_name().alias("path"), F.col("value").alias("text")
+        )
+    return df
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

@@ -493,3 +493,39 @@ def test_python_datasource_sink_two_phase_commit(spark, tmp_path):
     back = spark.read.json(out + "/part-*.jsonl")
     assert back.count() == 100
     assert set(back.columns) == {"k", "v"}
+
+
+def test_binary_file_ingest_with_glob(spark, tmp_path):
+    """binaryFile source: a directory of raw media files becomes
+    (path, length, content BINARY) rows, glob-pruned before any bytes
+    are read — the multimodal ingest on-ramp."""
+    media = tmp_path / "media" / "day=1"
+    media.mkdir(parents=True)
+    (media / "a.img").write_bytes(b"\x89PNGfake-a")
+    (media / "b.img").write_bytes(b"\x89PNGfake-bb")
+    (media / "skip.txt").write_text("not media")
+    df = readers.read_binary_files(
+        spark, str(tmp_path / "media"), glob="*.img"
+    )
+    rows = {
+        os.path.basename(r.path): (r.length, bytes(r.content))
+        for r in df.collect()
+    }
+    assert rows == {
+        "a.img": (10, b"\x89PNGfake-a"),
+        "b.img": (11, b"\x89PNGfake-bb"),
+    }
+
+
+def test_text_corpus_line_and_wholefile_grain(spark, tmp_path):
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "d1.txt").write_text("alpha\nbeta\n")
+    (corpus / "d2.txt").write_text("gamma\n")
+    lines = readers.read_text_corpus(spark, str(corpus))
+    assert {r.value for r in lines.collect()} == {"alpha", "beta", "gamma"}
+    docs = readers.read_text_corpus(spark, str(corpus), whole_file=True)
+    got = {
+        os.path.basename(r.path): r.text.strip() for r in docs.collect()
+    }
+    assert got == {"d1.txt": "alpha\nbeta", "d2.txt": "gamma"}
