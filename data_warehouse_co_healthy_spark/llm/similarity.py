@@ -823,6 +823,102 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInArrow(norms, "vec_id long, l2_norm double")
 
 
+RRF_K = 60          # standard reciprocal-rank-fusion damping constant
+RRF_SHORTLIST = 20  # per-list shortlist depth fed into the fusion
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical ranking (distinct-token Jaccard between
+    the query document and every candidate) fused with semantic ranking
+    (exact cosine over the aligned ``embeddings`` vectors) by Reciprocal
+    Rank Fusion — score = Σ 1/(K + rank), the standard RAG-stack merge
+    of a keyword index and a vector index (Cormack et al. 2009).
+
+    Scale posture: the query side of both lists is broadcast (query
+    token set and query vectors are O(n_queries)); the candidate scan is
+    map-side. Lexical intersections shuffle at (query, cand) pair grain
+    — bounded by n_queries × docs-sharing-a-token, never all-pairs of
+    the corpus. Both per-query rank windows partition on query_id (one
+    task per query, WindowGroupLimit pushes the shortlist cut down),
+    and the fusion join runs at shortlist grain (≤ 2·R rows per query).
+    At 100 TB the lexical list comes from the same plan over an
+    inverted-index-shaped token table and the semantic list from the
+    IVF/PQ path — the fusion stage is unchanged.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    q_toks = toks.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    q_sizes = sizes.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("n_toks").alias("n_q_toks"),
+    )
+    inter = (
+        toks.join(F.broadcast(q_toks), on="w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes, on="doc_id")
+        .join(F.broadcast(q_sizes), on="query_id")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            (
+                F.col("n_inter")
+                / (F.col("n_toks") + F.col("n_q_toks") - F.col("n_inter"))
+            ).alias("jac"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("jac"), "cand_id")
+    lex = (
+        jac.withColumn("lex_rk", F.row_number().over(w_lex).cast("long"))
+        .filter(F.col("lex_rk") <= RRF_SHORTLIST)
+        .select("query_id", "cand_id", "lex_rk")
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    sem = (
+        _scored(spark, sf_dir)
+        .withColumn("cos_rk", F.row_number().over(w_sem).cast("long"))
+        .filter(F.col("cos_rk") <= RRF_SHORTLIST)
+        .select("query_id", "cand_id", "cos_rk")
+    )
+    fused = lex.join(sem, on=["query_id", "cand_id"], how="full").select(
+        "query_id",
+        "cand_id",
+        "lex_rk",
+        "cos_rk",
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("cos_rk")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "cand_id")
+    return (
+        fused.withColumn("fused_rk", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rk") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "fused_rk",
+            F.round("rrf", 6).alias("rrf"),
+            "lex_rk",
+            "cos_rk",
+        )
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_norms_arrow": embedding_norms_arrow,
@@ -839,6 +935,7 @@ QUERIES = {
     "pq_encode": pq_encode,
     "ann_pq_adc": ann_pq_adc,
     "ann_pq_refine": ann_pq_refine,
+    "hybrid_search_rrf": hybrid_search_rrf,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -1036,6 +1133,63 @@ NO_ORACLE = {
         "fold; agreement with cosine_topk is asserted in tests instead"
     ),
 }
+
+ORACLES["hybrid_search_rrf"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+               count(*) AS n_inter
+        FROM toks q JOIN toks c USING (w)
+        WHERE q.doc_id < {N_QUERIES} AND c.doc_id <> q.doc_id
+        GROUP BY q.doc_id, c.doc_id
+    ), jac AS (
+        SELECT query_id, cand_id,
+               n_inter / (sc.n_toks + sq.n_toks - n_inter) AS jac
+        FROM inter
+        JOIN sizes sc ON sc.doc_id = cand_id
+        JOIN sizes sq ON sq.doc_id = query_id
+    ), lex AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY jac DESC, cand_id) AS lex_rk
+        FROM jac QUALIFY lex_rk <= {RRF_SHORTLIST}
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+               {_SQL_NORM.format(c='embedding')} AS q_norm
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+        SELECT query_id, e.vec_id AS cand_id,
+               list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[])
+                   / (q_norm * {_SQL_NORM.format(c='embedding')}) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ), sem AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS cos_rk
+        FROM scored QUALIFY cos_rk <= {RRF_SHORTLIST}
+    ), fused AS (
+        SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+               coalesce(lex.cand_id, sem.cand_id) AS cand_id,
+               lex_rk, cos_rk,
+               coalesce(1.0 / ({RRF_K} + lex_rk), 0)
+                   + coalesce(1.0 / ({RRF_K} + cos_rk), 0) AS rrf
+        FROM lex FULL OUTER JOIN sem
+          ON lex.query_id = sem.query_id AND lex.cand_id = sem.cand_id
+    )
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rrf DESC, cand_id) AS fused_rk,
+           round(rrf, 6) AS rrf, lex_rk, cos_rk
+    FROM fused
+    QUALIFY fused_rk <= {TOP_K}
+"""
 
 ORACLES["embedding_int8_quantize"] = f"""
     WITH rng AS (

@@ -480,3 +480,25 @@ def test_pq_refine_recall_vs_brute_force(spark):
     assert mean_recall(adc) >= 0.1, mean_recall(adc)
     # refine must strictly improve on pure ADC on this fixture
     assert mean_recall(refined) > mean_recall(adc)
+
+
+def test_hybrid_rrf_fuses_both_rank_lists(spark):
+    """RRF invariants: every fused score equals the recomputed
+    1/(K+lex_rk) + 1/(K+cos_rk) with absent list membership contributing
+    zero; each query returns exactly TOP_K rows; and a candidate ranked
+    top by BOTH lists outscores one present in only one list."""
+    fused = similarity.hybrid_search_rrf(spark, SF_DIR).toPandas()
+    k = similarity.RRF_K
+    for _, r in fused.iterrows():
+        want = 0.0
+        if pd.notna(r.lex_rk):
+            want += 1.0 / (k + r.lex_rk)
+        if pd.notna(r.cos_rk):
+            want += 1.0 / (k + r.cos_rk)
+        assert abs(r.rrf - round(want, 6)) < 1e-9, r
+    counts = fused.groupby("query_id").size()
+    assert (counts == similarity.TOP_K).all(), counts
+    both = fused[fused.lex_rk.notna() & fused.cos_rk.notna()]
+    single = fused[fused.lex_rk.isna() | fused.cos_rk.isna()]
+    if len(both) and len(single):
+        assert both.rrf.max() > single.rrf.min()

@@ -16,6 +16,8 @@ from tests.conftest import SF_DIR
 NESTED_LOOP_OK = {
     "cosine_topk",          # brute-force scoring vs broadcast query set
     "cosine_topk_pandas",   # same, Arrow variant
+    "hybrid_search_rrf",    # semantic list reuses the brute-force
+                            # scoring vs the broadcast query set
     "ann_ivf",              # centroid assignment vs broadcast centroids
     "q22_prospects",        # scalar subquery joined as 1-row broadcast
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
