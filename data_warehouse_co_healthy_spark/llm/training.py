@@ -42,6 +42,52 @@ def shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_EPOCHS = 3  # epochs materialized by epoch_shuffle
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training order: every epoch re-shuffles the corpus
+    deterministically by seeding the shard/position hashes with the
+    epoch number — md5(epoch || ':' || doc_id) — so epoch 0's order is
+    decorrelated from epoch 1's without rand() (resumable, replayable,
+    same plan every run). The per-epoch dataflow is shard_assignment's:
+    shard from one hash slice, in-shard position from a second,
+    decorrelated slice.
+
+    Scale posture: the epoch dimension is a size-N_EPOCHS explode (map
+    side, no join); windows partition on (epoch, shard) — N_EPOCHS ×
+    N_SHARDS independent sort tasks, each 1/N_SHARDS of the corpus. No
+    global sort, no single-partition exchange at any epoch count.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    keyed = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))
+        ).alias("epoch"),
+    ).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.col("epoch"), F.col("doc_id"))
+        ).alias("h"),
+    )
+    shard = (
+        F.conv(F.substring("h", 1, 15), 16, 10).cast("long") % N_SHARDS
+    ).alias("shard")
+    ok = F.conv(F.substring("h", 16, 15), 16, 10).cast("long").alias("ok")
+    w = Window.partitionBy("epoch", "shard").orderBy("ok", "doc_id")
+    return (
+        keyed.select("doc_id", "epoch", shard, ok)
+        .select(
+            "doc_id",
+            "epoch",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
 K_CLUSTERS = 8  # k-means cluster count
 KM_ITERS = 5    # fixed Lloyd iterations (deterministic plan count)
 
@@ -331,6 +377,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "shard_assignment": shard_assignment,
+    "epoch_shuffle": epoch_shuffle,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
@@ -381,6 +428,25 @@ ORACLES = {
                    PARTITION BY shard ORDER BY ok, doc_id
                )::BIGINT AS pos
         FROM keyed
+    """,
+    "epoch_shuffle": f"""
+        WITH keyed AS (
+            SELECT doc_id, epoch,
+                   md5(epoch::VARCHAR || ':' || doc_id::VARCHAR) AS h
+            FROM documents,
+                 generate_series(0, {N_EPOCHS - 1}) AS g(epoch)
+        ), sliced AS (
+            SELECT doc_id, epoch,
+                   ('0x' || substr(h, 1, 15))::BIGINT % {N_SHARDS}
+                       AS shard,
+                   ('0x' || substr(h, 16, 15))::BIGINT AS ok
+            FROM keyed
+        )
+        SELECT doc_id, epoch::INT AS epoch, shard,
+               row_number() OVER (
+                   PARTITION BY epoch, shard ORDER BY ok, doc_id
+               )::BIGINT AS pos
+        FROM sliced
     """,
 }
 

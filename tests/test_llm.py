@@ -502,3 +502,24 @@ def test_hybrid_rrf_fuses_both_rank_lists(spark):
     single = fused[fused.lex_rk.isna() | fused.cos_rk.isna()]
     if len(both) and len(single):
         assert both.rrf.max() > single.rrf.min()
+
+
+def test_epoch_shuffle_orders_are_decorrelated_and_complete(spark):
+    """Each epoch is a complete permutation of the corpus into shards,
+    and different epochs produce different orders (the seed actually
+    changes the shuffle)."""
+    from data_warehouse_co_healthy_spark.llm import training
+
+    out = training.epoch_shuffle(spark, SF_DIR).toPandas()
+    n_docs = out.doc_id.nunique()
+    for e, grp in out.groupby("epoch"):
+        assert len(grp) == n_docs
+        assert grp.doc_id.nunique() == n_docs
+        # positions within each shard are dense 1..n
+        for _, s in grp.groupby("shard"):
+            assert sorted(s.pos) == list(range(1, len(s) + 1))
+    e0 = out[out.epoch == 0].set_index("doc_id")[["shard", "pos"]]
+    e1 = out[out.epoch == 1].set_index("doc_id")[["shard", "pos"]]
+    assert not e0.join(e1, lsuffix="_0", rsuffix="_1").pipe(
+        lambda j: ((j.shard_0 == j.shard_1) & (j.pos_0 == j.pos_1)).all()
+    )
