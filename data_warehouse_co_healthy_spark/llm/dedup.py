@@ -818,8 +818,93 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNM_NEIGHBORS = 2    # sorted-neighborhood lookahead (window w = 3)
+SNM_THRESHOLD = 0.5  # token-Jaccard cutoff for a near-dup pair
+
+
+def snm_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995,
+    the record-linkage classic): canonicalize each document to its
+    sorted distinct-token signature, sort the corpus by that signature
+    within blocks keyed by the first token, and score only each doc
+    against its next SNM_NEIGHBORS neighbors in sort order — similar
+    docs sort together, so a w-row window finds them without all-pairs.
+    Complements MinHash-LSH: no probabilistic recall loss inside a
+    block, at the cost of missing pairs whose signatures diverge on the
+    first token.
+
+    Scale posture: one token-distinct shuffle, one per-block window
+    sort (blocks = distinct leading tokens — thousands of independent
+    tasks, never a global single-partition sort; a production run would
+    widen to multi-pass SNM with rotated keys). The lead() carries the
+    token signature — bounded by doc vocabulary, the same payload class
+    the LSH path shuffles.
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.lower("text"), r"\s+"))
+            ).alias("w"),
+        )
+        .filter(F.length("w") > 0)
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("w")).alias("ts")
+    )
+    keyed = sigs.select(
+        "doc_id",
+        "ts",
+        F.array_join("ts", " ").alias("key"),
+        F.element_at("ts", 1).alias("block"),
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    win = Window.partitionBy("block").orderBy("key", "doc_id")
+    nbr = keyed.select(
+        "doc_id",
+        "ts",
+        *[
+            c
+            for off in range(1, SNM_NEIGHBORS + 1)
+            for c in (
+                F.lead("doc_id", off).over(win).alias(f"id{off}"),
+                F.lead("ts", off).over(win).alias(f"ts{off}"),
+            )
+        ],
+    )
+    pairs = nbr.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"id{off}").alias("b"),
+                        F.col(f"ts{off}").alias("tsb"),
+                    )
+                    for off in range(1, SNM_NEIGHBORS + 1)
+                ]
+            )
+        ).alias("n"),
+    ).filter(F.col("n.b").isNotNull())
+    inter = F.size(F.array_intersect("ts", "n.tsb"))
+    jac = inter / (F.size("ts") + F.size("n.tsb") - inter)
+    return (
+        pairs.select(
+            F.least("doc_id", "n.b").alias("doc_a"),
+            F.greatest("doc_id", "n.b").alias("doc_b"),
+            jac.alias("jac"),
+        )
+        .filter(F.col("jac") >= SNM_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jac"))
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "snm_adjacent_pairs": snm_adjacent_pairs,
     "dedup_connected_components": dedup_connected_components,
     "dedup_decision_matrix": dedup_decision_matrix,
     "cluster_examples": cluster_examples,
@@ -887,6 +972,45 @@ _SIMHASH_DOCS = f"""
 """
 
 ORACLES = {
+    "snm_adjacent_pairs": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, w
+            FROM (SELECT doc_id,
+                         unnest(string_split_regex(lower(text), '\\s+'))
+                             AS w
+                  FROM documents)
+            WHERE length(w) > 0
+        ), sigs AS (
+            SELECT doc_id, list(w ORDER BY w) AS ts
+            FROM toks GROUP BY doc_id
+        ), keyed AS (
+            SELECT doc_id, ts, array_to_string(ts, ' ') AS key,
+                   ts[1] AS block
+            FROM sigs
+        ), nbr AS (
+            SELECT doc_id, ts,
+                   lead(doc_id, 1) OVER win AS id1,
+                   lead(ts, 1) OVER win AS ts1,
+                   lead(doc_id, 2) OVER win AS id2,
+                   lead(ts, 2) OVER win AS ts2
+            FROM keyed
+            WINDOW win AS (PARTITION BY block ORDER BY key, doc_id)
+        ), pairs AS (
+            SELECT doc_id AS a, id1 AS b, ts, ts1 AS tsb
+            FROM nbr WHERE id1 IS NOT NULL
+            UNION ALL
+            SELECT doc_id, id2, ts, ts2
+            FROM nbr WHERE id2 IS NOT NULL
+        ), scored AS (
+            SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+                   len(list_intersect(ts, tsb))
+                       / (len(ts) + len(tsb)
+                          - len(list_intersect(ts, tsb))) AS jac
+            FROM pairs
+        )
+        SELECT doc_a, doc_b, round(jac, 4) AS jac
+        FROM scored WHERE jac >= {SNM_THRESHOLD}
+    """,
     "ngram_novelty": """
         WITH grams AS (
             SELECT DISTINCT doc_id,

@@ -523,3 +523,26 @@ def test_epoch_shuffle_orders_are_decorrelated_and_complete(spark):
     assert not e0.join(e1, lsuffix="_0", rsuffix="_1").pipe(
         lambda j: ((j.shard_0 == j.shard_1) & (j.pos_0 == j.pos_1)).all()
     )
+
+
+def test_snm_finds_exact_duplicates_within_blocks(spark):
+    """Exact duplicates share an identical sorted-token signature, so
+    they sort adjacently — every exact-dup pair (same canonical
+    fingerprint) must be recovered by the SNM window unless more than
+    SNM_NEIGHBORS copies stack up between them."""
+    pairs = dedup.snm_adjacent_pairs(spark, SF_DIR).toPandas()
+    assert (pairs.jac >= dedup.SNM_THRESHOLD).all()
+    assert (pairs.doc_a < pairs.doc_b).all()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    docs["fp"] = docs.text.str.lower().str.strip()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].values))
+    for _, grp in docs.groupby("fp"):
+        ids = sorted(grp.doc_id)
+        if 2 <= len(ids) <= dedup.SNM_NEIGHBORS + 1:
+            # consecutive identical docs must pair with jac = 1
+            for a, b in zip(ids, ids[1:]):
+                assert (a, b) in got, (a, b)
