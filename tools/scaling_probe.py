@@ -57,6 +57,9 @@ PROBES = [
     "length_matched_sample",
     "audio_energy_windows",
     "ann_pq_refine",
+    "hybrid_search_rrf",
+    "snm_adjacent_pairs",
+    "epoch_shuffle",
 ]
 
 
