@@ -11,6 +11,8 @@ k×d centroid floats + one codegen'd scan + one k-cardinality aggregate
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -298,6 +300,115 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DSIR_BUCKETS = 512       # hashed-feature space (scale knob)
+LR_ITERS = 20       # fixed Adam iterations (deterministic plan count)
+LR_RATE = 0.3       # Adam step size
+LR_TARGET_LABEL = 0  # one-vs-rest positive class
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training + corpus scoring: a
+    logistic-regression LINEAR PROBE over the embedding column, fit by
+    batch gradient descent against a weak binary label (embedding
+    cluster == LR_TARGET_LABEL stands in for "looks like the curated
+    target"), then every vector scored. This is the embed-then-linear-
+    head quality-filter recipe of CCNet/GPT-3-era pipelines, with the
+    head trained BY the engine instead of imported.
+
+    Dataflow (MLlib's treeAggregate pattern): each optimizer iteration
+    is one Arrow-batched partial-gradient pass — every batch emits a
+    single (d+1)-dim sum row via mapInPandas (numpy matmul, no per-row
+    Python), the driver reduces the ~n_partitions partials, then takes
+    a class-balanced Adam step (the imbalance-robust choice for a rare
+    "curated" class); driver traffic is O(d) per iteration, never
+    rows. LR_ITERS is fixed, so the plan count is deterministic, and
+    the per-iteration plan is constant-size (weights ride a closure
+    broadcast — no literal-tree recompilation, the same trade
+    ``_assign`` documents). Scoring is one final broadcast-weights
+    pass. At 100 TB: train on a hash-sampled subset
+    (`sample_hash_mod`), score the full corpus — the scoring pass
+    below is already that shape.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        (F.col("label") == LR_TARGET_LABEL).cast("double").alias("y"),
+        F.expr("transform(embedding, x -> cast(x AS double))").alias(
+            "emb"
+        ),
+    )
+    e = e.persist()
+    try:
+        counts = e.agg(
+            F.count("*").alias("n"), F.sum("y").alias("npos")
+        ).collect()[0]
+        n_total, n_pos = counts["n"], counts["npos"]
+        # class-balanced loss weights: each class contributes half the
+        # total gradient mass regardless of its share of the corpus
+        w_pos = n_total / (2.0 * n_pos)
+        w_neg = n_total / (2.0 * (n_total - n_pos))
+        dim = len(e.select("emb").first()["emb"])
+        w = np.zeros(dim + 1)  # bias last
+
+        def grad_partials(w_vec: np.ndarray):
+            def f(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    x = np.stack(pdf["emb"].to_numpy())
+                    y = pdf["y"].to_numpy()
+                    z = x @ w_vec[:-1] + w_vec[-1]
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    err = (p - y) * np.where(y == 1.0, w_pos, w_neg)
+                    g = np.concatenate([err @ x, [err.sum()]])
+                    yield pd.DataFrame({"j": range(len(g)), "g": g})
+
+            return f
+
+        schema = "j long, g double"
+        m = np.zeros(dim + 1)
+        v = np.zeros(dim + 1)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        for it in range(1, LR_ITERS + 1):
+            parts = (
+                e.select("emb", "y")
+                .mapInPandas(grad_partials(w), schema)
+                .groupBy("j")
+                .agg(F.sum("g").alias("g"))
+                .collect()
+            )
+            g = np.zeros(dim + 1)
+            for r in parts:
+                g[r["j"]] = r["g"]
+            g /= n_total
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            m_hat = m / (1 - b1**it)
+            v_hat = v / (1 - b2**it)
+            w = w - LR_RATE * m_hat / (np.sqrt(v_hat) + eps)
+
+        w_final = w
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                x = np.stack(pdf["emb"].to_numpy())
+                z = x @ w_final[:-1] + w_final[-1]
+                p = 1.0 / (1.0 + np.exp(-z))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "label": pdf["y"].astype("int64"),
+                        "score": np.round(p, 4),
+                        "pred": (p >= 0.5).astype("int64"),
+                    }
+                )
+
+        return e.mapInPandas(
+            score, "vec_id long, label long, score double, pred long"
+        )
+    finally:
+        e.unpersist()
+
+
 DSIR_TARGET_LANG = "en"  # the distribution we select TOWARD
 
 
@@ -378,6 +489,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "shard_assignment": shard_assignment,
     "epoch_shuffle": epoch_shuffle,
+    "quality_classifier": quality_classifier,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
@@ -457,4 +569,8 @@ NO_ORACLE = {
     "semantic_dedup": "depends on the k-means fixpoint plus a greedy "
     "sequential in-cell pass; keep-set invariants asserted in "
     "tests/test_llm.py",
+    "quality_classifier": "gradient-descent fixpoint is outside "
+    "single-query SQL (and float gradient sums are partition-order "
+    "sensitive in the last ulp); separation of the label classes and "
+    "accuracy-above-baseline asserted in tests/test_llm.py",
 }

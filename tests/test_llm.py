@@ -546,3 +546,28 @@ def test_snm_finds_exact_duplicates_within_blocks(spark):
             # consecutive identical docs must pair with jac = 1
             for a, b in zip(ids, ids[1:]):
                 assert (a, b) in got, (a, b)
+
+
+def test_quality_classifier_learns_the_weak_label(spark):
+    """The engine-trained linear probe must separate the label classes
+    (mean score of positives well above negatives), beat the
+    majority-class accuracy baseline, and produce predictions that are
+    deterministic at the rounded-score grain across two runs."""
+    from data_warehouse_co_healthy_spark.llm import training
+
+    a = training.quality_classifier(spark, SF_DIR).toPandas()
+    assert len(a) == a.vec_id.nunique()
+    assert a.score.between(0, 1).all()
+    pos, neg = a[a.label == 1], a[a.label == 0]
+    assert pos.score.mean() > neg.score.mean() + 0.2, (
+        pos.score.mean(),
+        neg.score.mean(),
+    )
+    # balanced accuracy: the honest bar for a ~10%-positive class
+    # (plain accuracy is maximized by predicting the majority class)
+    bal = ((pos.pred == 1).mean() + (neg.pred == 0).mean()) / 2
+    assert bal > 0.7, bal
+    b = training.quality_classifier(spark, SF_DIR).toPandas()
+    m = a.merge(b, on="vec_id", suffixes=("_a", "_b"))
+    assert (m.pred_a == m.pred_b).all()
+    assert (m.score_a - m.score_b).abs().max() <= 1e-3
