@@ -328,17 +328,36 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sample_hash_mod`), score the full corpus — the scoring pass
     below is already that shape.
     """
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
+    w_final = train_linear_probe(spark, sf_dir)
+    return score_linear_probe(_probe_inputs(spark, sf_dir), w_final)
 
-    e = spread(load_table(spark, sf_dir, "embeddings")).select(
+
+def _probe_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id",
         (F.col("label") == LR_TARGET_LABEL).cast("double").alias("y"),
         F.expr("transform(embedding, x -> cast(x AS double))").alias(
             "emb"
         ),
     )
-    e = e.persist()
+
+
+_PROBE_WEIGHTS: dict[str, "object"] = {}
+
+
+def train_linear_probe(spark: SparkSession, sf_dir: str):
+    """Distributed trainer behind ``quality_classifier`` (docstring
+    there): class-balanced logistic gradient via Arrow-batched partial
+    sums, Adam updates on the driver, O(d) traffic per iteration.
+    Returns the (d+1) weight vector (bias last); cached per sf_dir so
+    batch scoring and the streaming scorer share one training run."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if sf_dir in _PROBE_WEIGHTS:
+        return _PROBE_WEIGHTS[sf_dir]
+
+    e = _probe_inputs(spark, sf_dir).persist()
     try:
         counts = e.agg(
             F.count("*").alias("n"), F.sum("y").alias("npos")
@@ -386,27 +405,36 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             v_hat = v / (1 - b2**it)
             w = w - LR_RATE * m_hat / (np.sqrt(v_hat) + eps)
 
-        w_final = w
-
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                x = np.stack(pdf["emb"].to_numpy())
-                z = x @ w_final[:-1] + w_final[-1]
-                p = 1.0 / (1.0 + np.exp(-z))
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "label": pdf["y"].astype("int64"),
-                        "score": np.round(p, 4),
-                        "pred": (p >= 0.5).astype("int64"),
-                    }
-                )
-
-        return e.mapInPandas(
-            score, "vec_id long, label long, score double, pred long"
-        )
+        _PROBE_WEIGHTS[sf_dir] = w
+        return w
     finally:
         e.unpersist()
+
+
+def score_linear_probe(e: DataFrame, w_final) -> DataFrame:
+    """Stateless broadcast-weights scoring pass over (vec_id, y, emb)
+    rows — works identically on a batch DataFrame and a streaming one
+    (train-offline / serve-online)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.stack(pdf["emb"].to_numpy())
+            z = x @ w_final[:-1] + w_final[-1]
+            p = 1.0 / (1.0 + np.exp(-z))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["y"].astype("int64"),
+                    "score": np.round(p, 4),
+                    "pred": (p >= 0.5).astype("int64"),
+                }
+            )
+
+    return e.mapInPandas(
+        score, "vec_id long, label long, score double, pred long"
+    )
 
 
 DSIR_TARGET_LANG = "en"  # the distribution we select TOWARD

@@ -146,3 +146,55 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stage_embeddings_dir(sf_dir: str) -> str:
+    """File-stream staging for the embeddings fixture (symlink dir)."""
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix="emb_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding stream shaped like llm.training._probe_inputs rows."""
+    from ..llm.training import LR_TARGET_LABEL  # noqa: PLC0415
+
+    staged = stage_embeddings_dir(sf_dir)
+    schema = spark.read.parquet(staged).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(staged)
+        .select(
+            "vec_id",
+            (F.col("label") == LR_TARGET_LABEL).cast("double").alias("y"),
+            F.expr("transform(embedding, x -> cast(x AS double))").alias(
+                "emb"
+            ),
+        )
+    )
+
+
+def streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-offline / serve-online: fit the quality linear probe in
+    batch (llm.training.train_linear_probe — Arrow partial gradients,
+    O(d) driver traffic per Adam step), then score the ARRIVING
+    embedding stream statelessly with the broadcast weight vector.
+    This is the deployment shape of every quality filter: the model is
+    refreshed by a batch job, ingestion scores each record the moment
+    it lands. Scoring reuses the exact batch scorer
+    (score_linear_probe), so stream and batch scores are bit-identical
+    — asserted in tests/test_streaming.py."""
+    from ..llm.training import (  # noqa: PLC0415
+        score_linear_probe,
+        train_linear_probe,
+    )
+
+    w = train_linear_probe(spark, sf_dir)
+    return score_linear_probe(read_embeddings_stream(spark, sf_dir), w)

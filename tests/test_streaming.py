@@ -444,3 +444,27 @@ def test_streaming_simhash_dedup_matches_batch(spark):
     ).toPandas().set_index("doc_id").simhash
     for _, r in got.iterrows():
         assert bin(int(fps[r.doc_id]) ^ int(fps[r.dup_of])).count("1") == r.hamming
+
+
+def test_streaming_quality_scores_match_batch(spark):
+    """The train-offline/serve-online path: scores emitted over the
+    bounded embedding stream must equal the batch classifier's output
+    exactly (same trained weights via the probe cache, same scorer)."""
+    from data_warehouse_co_healthy_spark.llm import training
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    q = se.run_to_memory(
+        sd.streaming_quality_scores(spark, SF_DIR),
+        "qscores",
+        output_mode="append",
+    )
+    try:
+        got = spark.sql("SELECT * FROM qscores").toPandas()
+    finally:
+        q.stop()
+    batch = training.quality_classifier(spark, SF_DIR).toPandas()
+    m = got.merge(batch, on="vec_id", suffixes=("_s", "_b"))
+    assert len(m) == len(batch) == len(got)
+    assert (m.label_s == m.label_b).all()
+    assert (m.score_s == m.score_b).all()
+    assert (m.pred_s == m.pred_b).all()
