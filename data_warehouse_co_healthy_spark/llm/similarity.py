@@ -827,24 +827,12 @@ RRF_K = 60          # standard reciprocal-rank-fusion damping constant
 RRF_SHORTLIST = 20  # per-list shortlist depth fed into the fusion
 
 
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval: lexical ranking (distinct-token Jaccard between
-    the query document and every candidate) fused with semantic ranking
-    (exact cosine over the aligned ``embeddings`` vectors) by Reciprocal
-    Rank Fusion — score = Σ 1/(K + rank), the standard RAG-stack merge
-    of a keyword index and a vector index (Cormack et al. 2009).
-
-    Scale posture: the query side of both lists is broadcast (query
-    token set and query vectors are O(n_queries)); the candidate scan is
-    map-side. Lexical intersections shuffle at (query, cand) pair grain
-    — bounded by n_queries × docs-sharing-a-token, never all-pairs of
-    the corpus. Both per-query rank windows partition on query_id (one
-    task per query, WindowGroupLimit pushes the shortlist cut down),
-    and the fusion join runs at shortlist grain (≤ 2·R rows per query).
-    At 100 TB the lexical list comes from the same plan over an
-    inverted-index-shaped token table and the semantic list from the
-    IVF/PQ path — the fusion stage is unchanged.
-    """
+def _token_jaccard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval scores shared by ``hybrid_search_rrf`` and
+    ``hard_negatives``: distinct-token Jaccard between each query
+    document (doc_id < N_QUERIES, token set broadcast) and every
+    candidate that shares at least one token. Pair-grain shuffle is
+    bounded by n_queries × docs-sharing-a-token — never all-pairs."""
     d = spread(load_table(spark, sf_dir, "documents"))
     toks = (
         d.select(
@@ -869,7 +857,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("n_inter"))
     )
-    jac = (
+    return (
         inter.join(sizes, on="doc_id")
         .join(F.broadcast(q_sizes), on="query_id")
         .select(
@@ -881,6 +869,27 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jac"),
         )
     )
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: lexical ranking (distinct-token Jaccard between
+    the query document and every candidate) fused with semantic ranking
+    (exact cosine over the aligned ``embeddings`` vectors) by Reciprocal
+    Rank Fusion — score = Σ 1/(K + rank), the standard RAG-stack merge
+    of a keyword index and a vector index (Cormack et al. 2009).
+
+    Scale posture: the query side of both lists is broadcast (query
+    token set and query vectors are O(n_queries)); the candidate scan is
+    map-side. Lexical intersections shuffle at (query, cand) pair grain
+    — bounded by n_queries × docs-sharing-a-token, never all-pairs of
+    the corpus. Both per-query rank windows partition on query_id (one
+    task per query, WindowGroupLimit pushes the shortlist cut down),
+    and the fusion join runs at shortlist grain (≤ 2·R rows per query).
+    At 100 TB the lexical list comes from the same plan over an
+    inverted-index-shaped token table and the semantic list from the
+    IVF/PQ path — the fusion stage is unchanged.
+    """
+    jac = _token_jaccard_scores(spark, sf_dir)
     w_lex = Window.partitionBy("query_id").orderBy(F.desc("jac"), "cand_id")
     lex = (
         jac.withColumn("lex_rk", F.row_number().over(w_lex).cast("long"))
@@ -919,6 +928,40 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HARD_NEG_K = 10      # negatives mined per query
+HARD_NEG_POS_CUTOFF = 0.8  # above this lexical sim = presumed positive
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each query document, the top-HARD_NEG_K candidates by lexical
+    similarity AFTER excluding presumed positives (near-duplicates at
+    jac >= HARD_NEG_POS_CUTOFF). These are the classic BM25-negatives
+    of DPR-style dual-encoder training — lexically close enough to be
+    confusable, excluded only when so close they are probably the same
+    document.
+
+    Scale posture: inherits ``_token_jaccard_scores``'s broadcast-query
+    pair-grain bound; the positive-cutoff filter and per-query top-k
+    window (WindowGroupLimit pushdown) add no shuffle beyond the
+    existing pair grain.
+    """
+    scores = _token_jaccard_scores(spark, sf_dir).filter(
+        F.col("jac") < HARD_NEG_POS_CUTOFF
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jac"), "cand_id")
+    return (
+        scores.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            "rk",
+            F.round("jac", 4).alias("jac"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_norms_arrow": embedding_norms_arrow,
@@ -936,6 +979,7 @@ QUERIES = {
     "ann_pq_adc": ann_pq_adc,
     "ann_pq_refine": ann_pq_refine,
     "hybrid_search_rrf": hybrid_search_rrf,
+    "hard_negatives": hard_negatives,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -1189,6 +1233,37 @@ ORACLES["hybrid_search_rrf"] = f"""
            round(rrf, 6) AS rrf, lex_rk, cos_rk
     FROM fused
     QUALIFY fused_rk <= {TOP_K}
+"""
+
+ORACLES["hard_negatives"] = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+    ), sizes AS (
+        SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), inter AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+               count(*) AS n_inter
+        FROM toks q JOIN toks c USING (w)
+        WHERE q.doc_id < {N_QUERIES} AND c.doc_id <> q.doc_id
+        GROUP BY q.doc_id, c.doc_id
+    ), jac AS (
+        SELECT query_id, cand_id,
+               n_inter / (sc.n_toks + sq.n_toks - n_inter) AS jac
+        FROM inter
+        JOIN sizes sc ON sc.doc_id = cand_id
+        JOIN sizes sq ON sq.doc_id = query_id
+    )
+    SELECT query_id, cand_id AS neg_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY jac DESC, cand_id) AS rk,
+           round(jac, 4) AS jac
+    FROM jac
+    WHERE jac < {HARD_NEG_POS_CUTOFF}
+    QUALIFY rk <= {HARD_NEG_K}
 """
 
 ORACLES["embedding_int8_quantize"] = f"""
