@@ -831,35 +831,34 @@ def _token_jaccard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical retrieval scores shared by ``hybrid_search_rrf`` and
     ``hard_negatives``: distinct-token Jaccard between each query
     document (doc_id < N_QUERIES, token set broadcast) and every
-    candidate that shares at least one token. Pair-grain shuffle is
-    bounded by n_queries × docs-sharing-a-token — never all-pairs."""
+    candidate that shares at least one token.
+
+    ONE pair-grain shuffle total: token-set sizes are computed map-side
+    BEFORE the explode and ride each token row, so no per-doc size
+    aggregate and no post-aggregation size joins exist in the plan.
+    Pair fan-out is bounded by n_queries × docs-sharing-a-token —
+    never all-pairs of the corpus."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(F.split(F.lower("text"), r"\s+"))
-            ).alias("w"),
-        )
-        .filter(F.length("w") > 0)
+    sig = d.select(
+        "doc_id",
+        F.expr(
+            "filter(array_distinct(split(lower(text), '\\\\s+')), "
+            "x -> length(x) > 0)"
+        ).alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").alias("n_toks"))
+    toks = sig.select(
+        "doc_id", "n_toks", F.explode("ws").alias("w")
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
     q_toks = toks.filter(F.col("doc_id") < N_QUERIES).select(
-        F.col("doc_id").alias("query_id"), "w"
-    )
-    q_sizes = sizes.filter(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("query_id"),
         F.col("n_toks").alias("n_q_toks"),
-    )
-    inter = (
-        toks.join(F.broadcast(q_toks), on="w")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("n_inter"))
+        "w",
     )
     return (
-        inter.join(sizes, on="doc_id")
-        .join(F.broadcast(q_sizes), on="query_id")
+        toks.join(F.broadcast(q_toks), on="w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "n_toks", "n_q_toks")
+        .agg(F.count("*").alias("n_inter"))
         .select(
             "query_id",
             F.col("doc_id").alias("cand_id"),

@@ -36,6 +36,14 @@ SHOWCASE = [
         "supplier_scorecard",
         "multi-metric entity rollup with exact-decimal money sums",
     ),
+    (
+        "hybrid_search_rrf",
+        "RRF fusion: broadcast query sets, shortlist-grain full join",
+    ),
+    (
+        "snm_adjacent_pairs",
+        "sorted-neighborhood dedup: blocked window, signature lead()",
+    ),
 ]
 
 
