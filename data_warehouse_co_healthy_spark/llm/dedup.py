@@ -295,7 +295,14 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard near-dup pairs. Shingles above MAX_DOCFREQ
     document frequency are dropped (stopword-phrase skew guard), pairs
-    blocked on shared shingles, Jaccard = |∩| / |∪| ≥ 0.2."""
+    blocked on shared shingles, Jaccard = |∩| / |∪| ≥ 0.2.
+
+    Doc-local work stays map-side: per-doc gram dedup is an
+    ``array_distinct`` on the gram array (no dropDuplicates shuffle)
+    and each doc's distinct-gram count rides the exploded rows (no
+    per-doc size aggregate, no size joins). The plan shuffles only at
+    gram grain (doc-frequency window) and pair grain (the bounded
+    intersection count)."""
     d = spread(load_table(spark, sf_dir, "documents"))
     # Tokenize once per doc; the transform lambda slices the cached
     # array instead of re-splitting the text per gram position.
@@ -304,34 +311,35 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.filter(F.size("ws") >= 3)
         .select(
             "doc_id",
-            F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, size(ws) - 2), "
                     "i -> array_join(slice(ws, i, 3), ' '))"
                 )
-            ).alias("g"),
+            ).alias("gs"),
         )
-        .dropDuplicates(["doc_id", "g"])
+        .select(
+            "doc_id",
+            F.size("gs").alias("n"),
+            F.explode("gs").alias("g"),
+        )
     )
     from pyspark.sql.window import Window
 
     rare = grams.withColumn(
         "df", F.count("*").over(Window.partitionBy("g"))
     ).filter(F.col("df") <= MAX_DOCFREQ)
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rare.select(F.col("g"), F.col("doc_id").alias("doc_a"))
-    b = rare.select(F.col("g"), F.col("doc_id").alias("doc_b"))
-    inter = (
+    a = rare.select(
+        "g", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = rare.select(
+        "g", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
         a.join(b, on="g")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, on="doc_a")
-        .join(nb, on="doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -484,21 +484,26 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: term frequencies are computed only for query terms
     (the isin filter prunes the explode before the shuffle); document
-    length and corpus stats reduce to one broadcast row; per-term df is
-    a |terms|-row broadcast. One vocabulary-free shuffle at (doc, term)
+    length is computed MAP-SIDE (size of the token array, riding each
+    row — no per-doc length aggregate and no length join in the plan);
+    corpus stats reduce to one broadcast row; per-term df is a
+    |terms|-row broadcast. One vocabulary-free shuffle at (doc, term)
     grain, one final per-doc sum."""
     d = spread(load_table(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
-    ).filter(F.length("w") > 0)
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    base = d.select(
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)"
+        ).alias("ws"),
+    ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
+    stats = base.agg(
         F.avg("dl").alias("avgdl"),
         F.count("*").cast("double").alias("n_docs"),
     )
     tf = (
-        tok.filter(F.col("w").isin(*BM25_TERMS))
-        .groupBy("doc_id", "w")
+        base.select("doc_id", "dl", F.explode("ws").alias("w"))
+        .filter(F.col("w").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "w")
         .agg(F.count("*").alias("tf"))
     )
     df_ = tf.groupBy("w").agg(
@@ -513,8 +518,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "w")
+        tf.join(F.broadcast(df_), "w")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", (idf * tf_norm).alias("s"))
         .groupBy("doc_id")
