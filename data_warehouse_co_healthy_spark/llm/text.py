@@ -383,7 +383,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("docfreq")
     )
     scored = (
-        tf.join(df_, "token")
+        # vocab ≪ corpus (the same trade unigram_surprisal documents):
+        # broadcasting df avoids re-shuffling the (doc, token) frame
+        tf.join(F.broadcast(df_), "token")
         .groupBy("source", "token")
         .agg(
             F.round(
