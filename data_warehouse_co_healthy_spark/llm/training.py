@@ -437,6 +437,92 @@ def score_linear_probe(e: DataFrame, w_final) -> DataFrame:
     )
 
 
+BPE_MERGES = 8  # merge rules learned (fixed → deterministic plan count)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    the first BPE_MERGES merge rules from the corpus. Each iteration
+    counts adjacent symbol pairs across the WORD-grain vocabulary
+    (occurrence-weighted), picks the most frequent pair (ties broken
+    count-desc, then lexicographically — deterministic), and rewrites
+    the vocabulary with that pair merged via a left-to-right codegen
+    fold. Returns the merge table — the tokenizer artifact every
+    in-house data pipeline ends up training on its own corpus.
+
+    Scale posture: the corpus collapses to word-grain counts in ONE
+    occurrence shuffle up front; every subsequent iteration works on
+    the vocabulary frame (|vocab| rows, Zipf-bounded ≪ corpus), pair
+    counts partial-agg map-side, and the driver sees ONE argmax row
+    per iteration (max_by aggregate — no sort, no top-k exchange).
+    Lineage is truncated per iteration (localCheckpoint) so the plan
+    stays constant-size across merges. The merge list itself is O(1).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.expr("transform(split(word, ''), x -> x)").alias("s"),
+            "cnt",
+        )
+        .filter(F.size("s") > 0)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        # size >= 2 guard: Spark's sequence() runs DESCENDING when the
+        # stop is below the start, so size-1 words would index 0
+        pairs = vocab.filter(F.size("s") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> struct(element_at(s, i) AS l, "
+                    "element_at(s, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "cnt",
+        ).groupBy("p.l", "p.r").agg(F.sum("cnt").alias("pc"))
+        best = pairs.agg(
+            F.min(F.struct((-F.col("pc")).alias("neg"), "l", "r")).alias(
+                "b"
+            )
+        ).collect()[0]["b"]
+        left, right, count = best["l"], best["r"], -best["neg"]
+        merges.append((rank, left, right, int(count)))
+        merged_lit = left + right
+        # left-to-right adjacent-pair merge as a codegen fold: append
+        # each symbol unless it completes the (l, r) pair with the
+        # accumulator's tail, in which case the tail is replaced by the
+        # merged symbol (standard leftmost-first BPE semantics)
+        l_sql = left.replace("'", "\\'")
+        r_sql = right.replace("'", "\\'")
+        m_sql = merged_lit.replace("'", "\\'")
+        vocab = vocab.select(
+            F.expr(
+                "aggregate(s, cast(array() AS array<string>), "
+                "(acc, x) -> IF(size(acc) > 0 AND "
+                f"element_at(acc, -1) = '{l_sql}' AND x = '{r_sql}', "
+                f"concat(slice(acc, 1, size(acc) - 1), array('{m_sql}')), "
+                "concat(acc, array(x))))"
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    ).select(
+        "rank",
+        "left",
+        "right",
+        F.concat("left", "right").alias("merged"),
+        "pair_count",
+    )
+
+
 DSIR_TARGET_LANG = "en"  # the distribution we select TOWARD
 
 
@@ -518,6 +604,7 @@ QUERIES = {
     "shard_assignment": shard_assignment,
     "epoch_shuffle": epoch_shuffle,
     "quality_classifier": quality_classifier,
+    "bpe_merges": bpe_merges,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
@@ -601,4 +688,8 @@ NO_ORACLE = {
     "single-query SQL (and float gradient sums are partition-order "
     "sensitive in the last ulp); separation of the label classes and "
     "accuracy-above-baseline asserted in tests/test_llm.py",
+    "bpe_merges": "iterative argmax-and-rewrite (each merge depends on "
+    "the previous rewrite) is outside single-query SQL; the first "
+    "merge is asserted equal to an independent exact pair count and "
+    "the run is deterministic — tests/test_llm.py",
 }

@@ -571,3 +571,32 @@ def test_quality_classifier_learns_the_weak_label(spark):
     m = a.merge(b, on="vec_id", suffixes=("_a", "_b"))
     assert (m.pred_a == m.pred_b).all()
     assert (m.score_a - m.score_b).abs().max() <= 1e-3
+
+
+def test_bpe_merges_first_rule_exact_and_deterministic(spark):
+    """Merge 1 must be the exact most-frequent adjacent character pair
+    (independent pandas recount); later merges may only use symbols
+    available at their rank; two runs agree exactly."""
+    from collections import Counter
+
+    from data_warehouse_co_healthy_spark.llm import training
+
+    got = training.bpe_merges(spark, SF_DIR).toPandas()
+    assert list(got["rank"]) == list(range(1, training.BPE_MERGES + 1))
+    assert (got.merged == got.left + got.right).all()
+    assert (got.pair_count > 0).all()
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    pairs = Counter()
+    for text in docs.text:
+        for w in text.lower().split():
+            for a, b in zip(w, w[1:]):
+                pairs[(a, b)] += 1
+    # engine tie-break: count desc, then (left, right) asc
+    best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    r1 = got.iloc[0]
+    assert (r1.left, r1.right) == best[0], (r1.left, r1.right, best)
+    assert r1.pair_count == best[1]
+
+    again = training.bpe_merges(spark, SF_DIR).toPandas()
+    assert got.equals(again)
