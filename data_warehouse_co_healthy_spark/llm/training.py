@@ -523,6 +523,77 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _merge_fold_sql(inner: str, left: str, right: str) -> str:
+    """One BPE merge applied to the symbol-array expression ``inner``
+    as a left-to-right adjacent-pair fold (leftmost-first semantics)."""
+    l_sql = left.replace("'", "\\'")
+    r_sql = right.replace("'", "\\'")
+    m_sql = (left + right).replace("'", "\\'")
+    return (
+        f"aggregate({inner}, cast(array() AS array<string>), "
+        "(acc, x) -> IF(size(acc) > 0 AND "
+        f"element_at(acc, -1) = '{l_sql}' AND x = '{r_sql}', "
+        f"concat(slice(acc, 1, size(acc) - 1), array('{m_sql}')), "
+        "concat(acc, array(x))))"
+    )
+
+
+def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the engine-trained BPE merge table to segment the corpus
+    and report per-source tokenization stats (token count, tokens per
+    word, chars per token — the compression numbers that decide
+    whether a tokenizer fits a corpus). The trainer↔consumer pair
+    mirrors quality_classifier/streaming_quality_scores: train once,
+    apply everywhere.
+
+    Scale posture: segmentation runs once per DISTINCT word (vocab
+    grain, Zipf-bounded ≪ corpus) as BPE_MERGES chained codegen folds;
+    the corpus word stream then broadcast-joins the segmented vocab
+    (vocab ≪ corpus, the unigram_surprisal trade) and reduces per
+    source. The merge list itself is O(BPE_MERGES) driver rows."""
+    rules = [
+        (r["left"], r["right"])
+        for r in bpe_merges(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    ]
+    expr = "ws"
+    for left, right in rules:
+        expr = _merge_fold_sql(expr, left, right)
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
+    ).filter(F.length("word") > 0)
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("_unused"))
+        .select(
+            "word",
+            F.expr("transform(split(word, ''), x -> x)").alias("ws"),
+        )
+        .select(
+            "word",
+            F.size(F.expr(expr)).cast("long").alias("n_tokens"),
+            F.length("word").cast("long").alias("n_chars"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), on="word")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.count("*"), 4).alias(
+                "tokens_per_word"
+            ),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
 DSIR_TARGET_LANG = "en"  # the distribution we select TOWARD
 
 
@@ -605,6 +676,7 @@ QUERIES = {
     "epoch_shuffle": epoch_shuffle,
     "quality_classifier": quality_classifier,
     "bpe_merges": bpe_merges,
+    "bpe_segment": bpe_segment,
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
@@ -692,4 +764,7 @@ NO_ORACLE = {
     "the previous rewrite) is outside single-query SQL; the first "
     "merge is asserted equal to an independent exact pair count and "
     "the run is deterministic — tests/test_llm.py",
+    "bpe_segment": "consumes the iteratively-trained merge table; "
+    "segmentation is asserted equal to an independent Python BPE "
+    "apply on sample words — tests/test_llm.py",
 }

@@ -600,3 +600,52 @@ def test_bpe_merges_first_rule_exact_and_deterministic(spark):
 
     again = training.bpe_merges(spark, SF_DIR).toPandas()
     assert got.equals(again)
+
+
+def test_bpe_segment_matches_python_apply(spark):
+    """Corpus stats are internally consistent and the engine's fold
+    segmentation agrees with an independent Python BPE apply over the
+    learned merge table on every distinct word of a sample doc."""
+    from data_warehouse_co_healthy_spark.llm import training
+
+    stats = training.bpe_segment(spark, SF_DIR).toPandas()
+    assert (stats.n_tokens <= stats.n_words * 64).all()
+    assert (stats.tokens_per_word >= 1).all()
+    assert (stats.chars_per_token >= 1).all()
+
+    merges = training.bpe_merges(spark, SF_DIR).toPandas()
+    rules = list(zip(merges.left, merges.right))
+
+    def apply_bpe(word):
+        s = list(word)
+        for left, right in rules:
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            s = out
+        return s
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    tok_cache = {}
+    want = {}
+    for _, row in docs.iterrows():
+        words = [w for w in row.text.lower().split() if w]
+        agg = want.setdefault(row.source, [0, 0, 0])  # words, toks, chars
+        for w in words:
+            if w not in tok_cache:
+                segs = apply_bpe(w)
+                assert "".join(segs) == w  # chars conserved
+                tok_cache[w] = len(segs)
+            agg[0] += 1
+            agg[1] += tok_cache[w]
+            agg[2] += len(w)
+    for _, r in stats.iterrows():
+        ww, tt, cc = want[r.source]
+        assert r.n_words == ww, (r.source, r.n_words, ww)
+        assert r.n_tokens == tt, (r.source, r.n_tokens, tt)
+        assert r.tokens_per_word == round(tt / ww, 4)
+        assert r.chars_per_token == round(cc / tt, 4)
+    assert set(stats.source) == set(want)
