@@ -468,6 +468,85 @@ def corpus_mix_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOT_R = 50  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities) — the
+# same literals appear in the DuckDB oracle so both engines draw
+# identical deterministic weights from identical md5 uniforms
+_POIS_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9998167774581284,
+    0.9999684972373107,
+)
+
+
+def _poisson_case(u_col: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_col} < {p!r} THEN {k}"
+        for k, p in enumerate(_POIS_CDF)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_CDF)} END"
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bootstrap confidence interval for mean document
+    length: the online-Poisson bootstrap (Oza 2001 / Chamandy et al.
+    2012 "Estimating Uncertainty for Massive Data Streams") — every
+    document contributes a DETERMINISTIC Poisson(1) weight per
+    replicate, drawn from an md5 uniform, so each replicate is a
+    resample-with-replacement computed in one streaming pass with no
+    data movement per replicate and the whole query is replayable
+    (and DuckDB-oracle-checkable, unlike rand()-based bootstraps).
+
+    Scale posture: the ×BOOT_R fan-out is map-side (explode of a
+    sequence literal); the first aggregate collapses straight to
+    (source, replicate) grain — BOOT_R rows per source cross the wire,
+    not BOOT_R copies of the corpus; the percentile pass runs on
+    BOOT_R-row groups."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    reps = d.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("double").alias("m"),
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("rep"),
+    ).select(
+        "source",
+        "rep",
+        "m",
+        F.expr(
+            _poisson_case(
+                "(conv(substring(md5(concat(rep, ':', doc_id)), 1, 8), "
+                "16, 10) / 4294967296.0)"
+            )
+        ).alias("k"),
+    )
+    rep_means = (
+        reps.groupBy("source", "rep")
+        .agg(
+            F.sum(F.col("k") * F.col("m")).alias("wm"),
+            F.sum("k").alias("wt"),
+        )
+        .filter(F.col("wt") > 0)
+        .select("source", "rep", (F.col("wm") / F.col("wt")).alias("rm"))
+    )
+    point = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+    )
+    ci = rep_means.groupBy("source").agg(
+        F.round(F.expr("percentile(rm, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(rm, 0.5)"), 4).alias("ci_mid"),
+        F.round(F.expr("percentile(rm, 0.975)"), 4).alias("ci_hi"),
+    )
+    return point.join(ci, on="source").select(
+        "source", "n_docs", "mean_chars", "ci_lo", "ci_mid", "ci_hi"
+    )
+
+
 QUERIES = {
     "repetition_ratio": repetition_ratio,
     "train_val_test_split": train_val_test_split,
@@ -480,11 +559,41 @@ QUERIES = {
     "length_matched_sample": length_matched_sample,
     "temperature_sampling_weights": temperature_sampling_weights,
     "filter_ablation_report": filter_ablation_report,
+    "bootstrap_ci": bootstrap_ci,
 }
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
+_SQL_POIS = _poisson_case(
+    "(('0x' || substr(md5(rep::VARCHAR || ':' || doc_id::VARCHAR), "
+    "1, 8))::BIGINT / 4294967296.0)"
+)
+
 ORACLES = {
+    "bootstrap_ci": f"""
+        WITH reps AS (
+            SELECT source, rep, n_chars::DOUBLE AS m,
+                   {_SQL_POIS} AS k
+            FROM documents,
+                 generate_series(0, {BOOT_R - 1}) AS g(rep)
+        ), rep_means AS (
+            SELECT source, rep, sum(k * m) / sum(k) AS rm
+            FROM reps GROUP BY source, rep
+            HAVING sum(k) > 0
+        ), ci AS (
+            SELECT source,
+                   round(quantile_cont(rm, 0.025), 4) AS ci_lo,
+                   round(quantile_cont(rm, 0.5), 4) AS ci_mid,
+                   round(quantile_cont(rm, 0.975), 4) AS ci_hi
+            FROM rep_means GROUP BY source
+        ), pt AS (
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   round(avg(n_chars), 4) AS mean_chars
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, mean_chars, ci_lo, ci_mid, ci_hi
+        FROM pt JOIN ci USING (source)
+    """,
     "temperature_sampling_weights": f"""
         WITH per AS (
             SELECT source,

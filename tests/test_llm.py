@@ -649,3 +649,18 @@ def test_bpe_segment_matches_python_apply(spark):
         assert r.tokens_per_word == round(tt / ww, 4)
         assert r.chars_per_token == round(cc / tt, 4)
     assert set(stats.source) == set(want)
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark):
+    """Bootstrap interval sanity: lo <= mid <= hi, the point estimate
+    falls inside the 95% interval for every source, and the interval
+    has nonzero width (the resampling actually varied)."""
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.bootstrap_ci(spark, SF_DIR).toPandas()
+    assert len(out) == out.source.nunique()
+    assert (out.ci_lo <= out.ci_mid).all()
+    assert (out.ci_mid <= out.ci_hi).all()
+    assert (out.ci_lo <= out.mean_chars).all()
+    assert (out.mean_chars <= out.ci_hi).all()
+    assert (out.ci_hi > out.ci_lo).all()
