@@ -547,8 +547,57 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PSI_BINS = 8        # equal-width n_chars bins for the drift histogram
+PSI_SNAP_MOD = 3    # doc_id % 3 == 0 models the new snapshot (llm/dedup)
+PSI_SMOOTH = 0.0005  # add-ε on bin shares (avoids ln(0) on empty bins)
+
+
+def population_stability_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-drift monitor between corpus snapshots: the
+    Population Stability Index of the document-length distribution,
+    per source — PSI = Σ_bins (p_new − p_old)·ln(p_new/p_old), the
+    standard before/after-ingest alarm (rule of thumb: < 0.1 stable,
+    > 0.25 investigate). Snapshots follow the cross_snapshot_dedup
+    convention (doc_id % PSI_SNAP_MOD == 0 = newly-crawled batch).
+
+    Scale posture: bin boundaries are fixed equal-width literals (no
+    quantile pass); the whole query is one (source, bin) aggregate with
+    map-side partials plus a per-source reduce — two vocabulary-free
+    shuffles carrying O(sources × bins) rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    width = 1000.0 / PSI_BINS
+    binned = d.select(
+        "source",
+        ((F.col("doc_id") % PSI_SNAP_MOD) == 0).alias("is_new"),
+        F.least(
+            F.floor(F.col("n_chars") / width), F.lit(PSI_BINS - 1)
+        ).cast("long").alias("bin"),
+    )
+    counts = binned.groupBy("source", "bin").agg(
+        F.sum(F.col("is_new").cast("long")).alias("n_new"),
+        F.sum((~F.col("is_new")).cast("long")).alias("n_old"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("n_new").alias("t_new"), F.sum("n_old").alias("t_old")
+    )
+    p_new = F.col("n_new") / F.col("t_new") + PSI_SMOOTH
+    p_old = F.col("n_old") / F.col("t_old") + PSI_SMOOTH
+    return (
+        counts.join(totals, on="source")
+        .select(
+            "source",
+            ((p_new - p_old) * F.log(p_new / p_old)).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
 QUERIES = {
     "repetition_ratio": repetition_ratio,
+    "population_stability_index": population_stability_index,
     "train_val_test_split": train_val_test_split,
     "mix_sources_weighted": mix_sources_weighted,
     "contamination_overlap": contamination_overlap,
@@ -570,6 +619,32 @@ _SQL_POIS = _poisson_case(
 )
 
 ORACLES = {
+    "population_stability_index": f"""
+        WITH binned AS (
+            SELECT source,
+                   (doc_id % {PSI_SNAP_MOD} = 0) AS is_new,
+                   least(floor(n_chars / {1000.0 / PSI_BINS}),
+                         {PSI_BINS - 1})::BIGINT AS bin
+            FROM documents
+        ), counts AS (
+            SELECT source, bin,
+                   sum(is_new::BIGINT) AS n_new,
+                   sum((NOT is_new)::BIGINT) AS n_old
+            FROM binned GROUP BY source, bin
+        ), totals AS (
+            SELECT source, sum(n_new) AS t_new, sum(n_old) AS t_old
+            FROM counts GROUP BY source
+        ), terms AS (
+            SELECT c.source,
+                   ((n_new / t_new + {PSI_SMOOTH})
+                    - (n_old / t_old + {PSI_SMOOTH}))
+                   * ln((n_new / t_new + {PSI_SMOOTH})
+                        / (n_old / t_old + {PSI_SMOOTH})) AS term
+            FROM counts c JOIN totals t ON c.source = t.source
+        )
+        SELECT source, round(sum(term), 6) AS psi
+        FROM terms GROUP BY source
+    """,
     "bootstrap_ci": f"""
         WITH reps AS (
             SELECT source, rep, n_chars::DOUBLE AS m,

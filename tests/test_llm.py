@@ -664,3 +664,21 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark):
     assert (out.ci_lo <= out.mean_chars).all()
     assert (out.mean_chars <= out.ci_hi).all()
     assert (out.ci_hi > out.ci_lo).all()
+
+
+def test_psi_nonnegative_and_complete(spark):
+    """PSI is a symmetrized KL divergence — every term
+    (p−q)·ln(p/q) >= 0, so the sum must be nonnegative and finite for
+    every source. (Magnitude is not asserted at this fixture scale:
+    sf0.001 holds ~3 docs per source, where bin-share noise lawfully
+    produces large PSI values; the sf0.01 oracle hash pins the exact
+    arithmetic.)"""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.population_stability_index(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    assert set(out.source) == set(docs.source)
+    assert (out.psi >= 0).all()
+    assert np.isfinite(out.psi).all()
