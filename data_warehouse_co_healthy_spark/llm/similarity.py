@@ -961,6 +961,65 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the hybrid ranking: NDCG@TOP_K
+    and MRR per query, judged against exact-cosine ground truth (gain =
+    max(cos, 0); ideal ordering = cosine-desc). The eval harness that
+    closes the retrieval loop — build (ann_*), fuse (hybrid_search_rrf),
+    then MEASURE, all in-engine and oracle-checked.
+
+    Scale posture: joins run at result-list grain (TOP_K rows per
+    query); the only corpus-sized work is the cosine scoring pass both
+    the ranking and the judge already share."""
+    hybrid = hybrid_search_rrf(spark, sf_dir).select(
+        "query_id", "cand_id", "fused_rk"
+    )
+    scored = _scored(spark, sf_dir)
+    gains = hybrid.join(scored, on=["query_id", "cand_id"]).select(
+        "query_id",
+        "cand_id",
+        "fused_rk",
+        F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.sum(F.col("gain") / F.log2(F.col("fused_rk") + 1)).alias("dcg")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    ideal = (
+        scored.withColumn("irk", F.row_number().over(w).cast("long"))
+        .filter(F.col("irk") <= TOP_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "irk",
+            F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
+        )
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.col("gain") / F.log2(F.col("irk") + 1)).alias("idcg")
+    )
+    hits = (
+        hybrid.join(
+            ideal.select("query_id", "cand_id"),
+            on=["query_id", "cand_id"],
+            how="left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.min("fused_rk").alias("first_hit"))
+    )
+    return (
+        dcg.join(idcg, on="query_id")
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 4
+            ).alias("mrr"),
+        )
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_norms_arrow": embedding_norms_arrow,
@@ -979,6 +1038,7 @@ QUERIES = {
     "ann_pq_refine": ann_pq_refine,
     "hybrid_search_rrf": hybrid_search_rrf,
     "hard_negatives": hard_negatives,
+    "retrieval_ndcg": retrieval_ndcg,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -1177,8 +1237,7 @@ NO_ORACLE = {
     ),
 }
 
-ORACLES["hybrid_search_rrf"] = f"""
-    WITH toks AS (
+_SQL_HYBRID_CTES = f"""toks AS (
         SELECT DISTINCT doc_id, w
         FROM (SELECT doc_id,
                      unnest(string_split_regex(lower(text), '\\s+')) AS w
@@ -1225,13 +1284,54 @@ ORACLES["hybrid_search_rrf"] = f"""
                    + coalesce(1.0 / ({RRF_K} + cos_rk), 0) AS rrf
         FROM lex FULL OUTER JOIN sem
           ON lex.query_id = sem.query_id AND lex.cand_id = sem.cand_id
+    ), hybrid AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rrf DESC, cand_id)
+                   AS fused_rk,
+               rrf, lex_rk, cos_rk
+        FROM fused
+        QUALIFY fused_rk <= {TOP_K}
+    )"""
+
+ORACLES["hybrid_search_rrf"] = f"""
+    WITH {_SQL_HYBRID_CTES}
+    SELECT query_id, cand_id, fused_rk, round(rrf, 6) AS rrf,
+           lex_rk, cos_rk
+    FROM hybrid
+"""
+
+ORACLES["retrieval_ndcg"] = f"""
+    WITH {_SQL_HYBRID_CTES}, gains AS (
+        SELECT h.query_id, h.fused_rk, greatest(s.cos, 0) AS gain
+        FROM hybrid h JOIN scored s
+          ON h.query_id = s.query_id AND h.cand_id = s.cand_id
+    ), dcg AS (
+        SELECT query_id, sum(gain / log2(fused_rk + 1)) AS dcg
+        FROM gains GROUP BY query_id
+    ), ideal AS (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS irk,
+               greatest(cos, 0) AS gain
+        FROM scored QUALIFY irk <= {TOP_K}
+    ), idcg AS (
+        SELECT query_id, sum(gain / log2(irk + 1)) AS idcg
+        FROM ideal GROUP BY query_id
+    ), hits AS (
+        SELECT h.query_id, min(h.fused_rk) AS first_hit
+        FROM hybrid h
+        WHERE EXISTS (SELECT 1 FROM ideal i
+                      WHERE i.query_id = h.query_id
+                        AND i.cand_id = h.cand_id)
+        GROUP BY h.query_id
     )
-    SELECT query_id, cand_id,
-           row_number() OVER (PARTITION BY query_id
-                              ORDER BY rrf DESC, cand_id) AS fused_rk,
-           round(rrf, 6) AS rrf, lex_rk, cos_rk
-    FROM fused
-    QUALIFY fused_rk <= {TOP_K}
+    SELECT d.query_id,
+           round(d.dcg / i.idcg, 4) AS ndcg,
+           round(coalesce(1.0 / h.first_hit, 0), 4) AS mrr
+    FROM dcg d
+    JOIN idcg i ON d.query_id = i.query_id
+    LEFT JOIN hits h ON d.query_id = h.query_id
 """
 
 ORACLES["hard_negatives"] = f"""

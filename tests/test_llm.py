@@ -682,3 +682,15 @@ def test_psi_nonnegative_and_complete(spark):
     assert set(out.source) == set(docs.source)
     assert (out.psi >= 0).all()
     assert np.isfinite(out.psi).all()
+
+
+def test_retrieval_ndcg_bounds_and_hybrid_value(spark):
+    """NDCG and MRR live in [0, 1]; the RRF fusion should put at least
+    one true-top-5 candidate in its list for most queries (MRR > 0),
+    and mean NDCG must beat a random-ranking floor."""
+    out = similarity.retrieval_ndcg(spark, SF_DIR).toPandas()
+    assert len(out) == similarity.N_QUERIES
+    assert out.ndcg.between(0, 1).all()
+    assert out.mrr.between(0, 1).all()
+    assert (out.mrr > 0).mean() >= 0.6
+    assert out.ndcg.mean() > 0.3, out.ndcg.mean()

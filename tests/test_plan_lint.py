@@ -18,6 +18,8 @@ NESTED_LOOP_OK = {
     "cosine_topk_pandas",   # same, Arrow variant
     "hybrid_search_rrf",    # semantic list reuses the brute-force
                             # scoring vs the broadcast query set
+    "retrieval_ndcg",       # judge gains reuse the same brute-force
+                            # scoring vs the broadcast query set
     "ann_ivf",              # centroid assignment vs broadcast centroids
     "q22_prospects",        # scalar subquery joined as 1-row broadcast
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
