@@ -858,9 +858,12 @@ def snm_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("w") > 0)
     )
+    # empty-signature docs (no tokens) are dropped: they cannot be
+    # near-dups of anything and would make the Jaccard denominator 0
+    # (an error under ANSI division)
     sigs = toks.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("w")).alias("ts")
-    )
+    ).filter(F.size("ts") > 0)
     keyed = sigs.select(
         "doc_id",
         "ts",
