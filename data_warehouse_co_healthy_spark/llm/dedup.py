@@ -913,9 +913,46 @@ def snm_adjacent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl forensics: for every pair of sources, how many distinct
+    contents (canonical fingerprints) appear in BOTH — the
+    which-source-mirrors-which matrix that decides dedup ordering and
+    source-level provenance policy in a multi-crawl corpus.
+
+    One fp-grain aggregate collapses the corpus to (fp, distinct
+    sources); pair fan-out is per-fp over that doc's source set —
+    bounded by sources² per fingerprint, never by corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    fp_sources = (
+        d.select(F.md5(_doc_canon(F.col("text"))).alias("fp"), "source")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = fp_sources.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a AS src_a, b AS src_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.src_a", "p.src_b")
+        .agg(F.count("*").alias("n_shared_contents"))
+        .select(
+            F.col("src_a").alias("source_a"),
+            F.col("src_b").alias("source_b"),
+            "n_shared_contents",
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "snm_adjacent_pairs": snm_adjacent_pairs,
+    "source_overlap_matrix": source_overlap_matrix,
     "dedup_connected_components": dedup_connected_components,
     "dedup_decision_matrix": dedup_decision_matrix,
     "cluster_examples": cluster_examples,
@@ -983,6 +1020,19 @@ _SIMHASH_DOCS = f"""
 """
 
 ORACLES = {
+    "source_overlap_matrix": f"""
+        WITH fps AS (
+            SELECT md5({_CANON}) AS fp, source
+            FROM documents GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.source AS source_a, b.source AS source_b, a.fp
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+        )
+        SELECT source_a, source_b,
+               count(*)::BIGINT AS n_shared_contents
+        FROM pairs GROUP BY source_a, source_b
+    """,
     "snm_adjacent_pairs": f"""
         WITH toks AS (
             SELECT DISTINCT doc_id, w
