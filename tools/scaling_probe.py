@@ -60,6 +60,12 @@ PROBES = [
     "hybrid_search_rrf",
     "snm_adjacent_pairs",
     "epoch_shuffle",
+    "hard_negatives",
+    "bootstrap_ci",
+    "retrieval_ndcg",
+    "bpe_segment",
+    "source_overlap_matrix",
+    "population_stability_index",
 ]
 
 
