@@ -1,0 +1,188 @@
+"""Vendored pure-Python image codec: 24-bit uncompressed BMP and
+binary PPM (P6) — the two public raster formats whose specs are simple
+enough to implement exactly (Windows BITMAPINFOHEADER layout; netpbm
+P6). This closes the engine's last decode stub with REAL pixel math:
+``decode`` parses actual file bytes (headers, bottom-up BGR rows,
+4-byte row padding, P6 whitespace/comment grammar) into an H×W×3 RGB
+uint8 array.
+
+Scope is deliberately narrow and loudly checked: 24 bpp, BI_RGB
+(uncompressed) BMP only, maxval-255 P6 only. Anything else raises
+``ValueError`` naming the unsupported feature — JPEG/PNG/WebP need a
+codec library this container doesn't ship, and pretending otherwise
+would be the stub this module replaces.
+
+Everything here runs executor-side inside Arrow-batched pandas
+functions (see ``multimodal.image_decode_stats``); payloads never
+route through the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- BMP
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")   # magic, size, res, res, off
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(rgb: np.ndarray) -> bytes:
+    """Encode an H×W×3 RGB uint8 array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up BGR rows, rows padded to 4 bytes)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected H x W x 3 array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    row_size = (w * 3 + 3) // 4 * 4
+    image_size = row_size * h
+    off = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    out = bytearray()
+    out += _BMP_FILE_HEADER.pack(b"BM", off + image_size, 0, 0, off)
+    out += _BMP_INFO_HEADER.pack(
+        40, w, h, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):          # bottom-up row order
+        out += rgb[y, :, ::-1].tobytes()    # BGR channel order
+        out += pad
+    return bytes(out)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an H×W×3 RGB uint8 array.
+    Handles bottom-up (positive height) and top-down (negative height)
+    row order and the 4-byte row padding."""
+    if len(data) < _BMP_FILE_HEADER.size + 4:
+        raise ValueError("truncated BMP: no file header")
+    magic, _fsize, _r1, _r2, off = _BMP_FILE_HEADER.unpack_from(data, 0)
+    if magic != b"BM":
+        raise ValueError(f"not a BMP: magic {magic!r}")
+    (hdr_size,) = struct.unpack_from("<I", data, _BMP_FILE_HEADER.size)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    (
+        _sz,
+        w,
+        h_signed,
+        planes,
+        bpp,
+        compression,
+        _img_size,
+        _xppm,
+        _yppm,
+        _ncol,
+        _nimp,
+    ) = _BMP_INFO_HEADER.unpack_from(data, _BMP_FILE_HEADER.size)
+    if planes != 1:
+        raise ValueError(f"unsupported BMP planes {planes}")
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bit depth {bpp} (24 only)")
+    if compression != 0:
+        raise ValueError(
+            f"unsupported BMP compression {compression} (BI_RGB only)"
+        )
+    top_down = h_signed < 0
+    h = -h_signed if top_down else h_signed
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
+    row_size = (w * 3 + 3) // 4 * 4
+    need = off + row_size * h
+    if len(data) < need:
+        raise ValueError(
+            f"truncated BMP raster: need {need} bytes, have {len(data)}"
+        )
+    raster = np.frombuffer(data, dtype=np.uint8, count=row_size * h,
+                           offset=off).reshape(h, row_size)
+    bgr = raster[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]                     # bottom-up → top-down
+    return np.ascontiguousarray(bgr[:, :, ::-1])  # BGR → RGB
+
+
+# ---------------------------------------------------------------- PPM
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an H×W×3 RGB uint8 array as binary PPM (P6, maxval 255,
+    top-down unpadded RGB raster)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected H x W x 3 array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def _ppm_tokens(data: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer tokens from the PPM
+    header starting at ``start``, honoring '#' comments (netpbm
+    grammar). Returns (tokens, offset just past the final token's
+    single trailing whitespace byte)."""
+    toks: list[int] = []
+    i = start
+    while len(toks) < n:
+        if i >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < len(data) and data[j : j + 1].isdigit():
+                j += 1
+            toks.append(int(data[i:j]))
+            i = j
+            if len(toks) == n:
+                # exactly ONE whitespace byte separates the maxval
+                # from the raster (netpbm spec)
+                if i >= len(data) or not data[i : i + 1].isspace():
+                    raise ValueError("PPM: missing raster separator")
+                i += 1
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    return toks, i
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) into an H×W×3 RGB uint8 array."""
+    if data[:2] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {data[:2]!r}")
+    (w, h, maxval), off = _ppm_tokens(data, 3, 2)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (255 only)")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    need = off + w * h * 3
+    if len(data) < need:
+        raise ValueError(
+            f"truncated PPM raster: need {need} bytes, have {len(data)}"
+        )
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+# ------------------------------------------------------------ dispatch
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Decode an image payload by magic-byte dispatch: BMP ('BM') or
+    binary PPM ('P6'). Other formats (JPEG/PNG/...) need a codec
+    library this container doesn't ship → ValueError, loudly."""
+    data = bytes(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    raise ValueError(
+        f"unsupported image format (magic {data[:4]!r}); this vendored "
+        "codec handles 24-bit BMP and binary PPM — plug a codec "
+        "library in for JPEG/PNG/WebP"
+    )

@@ -35,13 +35,16 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real image decode — requires an imaging library not present in
-    this environment. STUB by design."""
-    raise NotImplementedError(
-        "image decode requires an imaging library (e.g. PIL); "
-        "this environment ships none — plug one in here"
-    )
+def decode_image(payload: bytes):
+    """REAL image decode via the vendored pure-Python codec
+    (``llm.imagecodec``): 24-bit uncompressed BMP and binary PPM (P6)
+    parse to an H×W×3 RGB uint8 numpy array — headers, bottom-up BGR
+    rows, 4-byte row padding, and the P6 comment grammar are all
+    handled for real. Formats needing a codec library the container
+    doesn't ship (JPEG/PNG/WebP) raise ValueError loudly."""
+    from . import imagecodec  # noqa: PLC0415
+
+    return imagecodec.decode(payload)
 
 
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,8 +279,124 @@ def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- image decode
+#
+# The decode path is REAL (vendored BMP/PPM codec, llm/imagecodec.py);
+# what's synthetic is only the IMAGES, generated executor-side from a
+# closed-form pixel formula so DuckDB can verify the decoded stats by
+# arithmetic alone. If the decoder misreads row order (BMP is
+# bottom-up), channel order (BMP is BGR), or row padding (BMP rows pad
+# to 4 bytes — widths 5/6/7 exercise all three pad sizes), the
+# position- and channel-weighted checksum diverges from the oracle.
+
+IMG_W_BASE, IMG_W_MOD = 5, 4   # width  5..8: pad 1/2/3/0 bytes
+IMG_H_BASE, IMG_H_MOD = 3, 3   # height 3..5
+
+
+def _synth_rgb(media_id: int):
+    """Deterministic image for a media id: pixel i (row-major,
+    top-down) has r=(D+3i)%256, g=(2D+7i)%256, b=(5D+11i)%256."""
+    import numpy as np  # noqa: PLC0415
+
+    w = IMG_W_BASE + media_id % IMG_W_MOD
+    h = IMG_H_BASE + media_id % IMG_H_MOD
+    i = np.arange(w * h, dtype=np.int64)
+    rgb = np.stack(
+        [
+            (media_id + 3 * i) % 256,
+            (2 * media_id + 7 * i) % 256,
+            (5 * media_id + 11 * i) % 256,
+        ],
+        axis=1,
+    ).astype("uint8")
+    return rgb.reshape(h, w, 3)
+
+
+def media_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary image column: one real encoded file per document — BMP
+    for even ids, PPM for odd — built executor-side (Arrow binary
+    batches, never via the driver)."""
+    from . import imagecodec  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            fmts = ["bmp" if d % 2 == 0 else "ppm" for d in ids]
+            payloads = [
+                imagecodec.encode_bmp(_synth_rgb(d))
+                if f == "bmp"
+                else imagecodec.encode_ppm(_synth_rgb(d))
+                for d, f in zip(ids, fmts)
+            ]
+            yield pd.DataFrame(
+                {"media_id": ids, "fmt": fmts, "payload": payloads}
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(
+        run, schema="media_id long, fmt string, payload binary"
+    )
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query: REAL image decode over the binary column —
+    each payload round-trips through ``decode_image`` (magic-byte
+    dispatch → BMP or PPM parser) and the decoded pixels reduce to
+    exact-integer stats the DuckDB oracle recomputes from the pixel
+    formula. ``pos_weighted`` = Σ (i+1)·(r+2g+3b) is sensitive to any
+    positional or channel misread.
+
+    Scale posture: two chained mapInPandas stages (encode, decode) —
+    narrow, partition-parallel, no shuffle at all; payload bytes live
+    only inside executor Arrow batches."""
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = (
+        "media_id long, fmt string, width int, height int, "
+        "sum_r long, sum_g long, sum_b long, pos_weighted long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "pos_weighted",
+                )
+            }
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["fmt"], pdf["payload"]
+            ):
+                img = decode_image(payload).astype(np.int64)
+                h, w = img.shape[:2]
+                flat = img.reshape(-1, 3)
+                pos = np.arange(1, len(flat) + 1, dtype=np.int64)
+                mix = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                rows["media_id"].append(int(mid))
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(flat[:, 0].sum()))
+                rows["sum_g"].append(int(flat[:, 1].sum()))
+                rows["sum_b"].append(int(flat[:, 2].sum()))
+                rows["pos_weighted"].append(int((pos * mix).sum()))
+            yield pd.DataFrame(rows).astype(
+                {"width": "int32", "height": "int32"}
+            )
+
+    return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
+
+
 QUERIES = {
     "binary_metadata": binary_metadata,
+    "image_decode_stats": image_decode_stats,
     "frame_sample": frame_sample,
     "resize_media": resize_media,
     "media_phash_buckets": media_phash_buckets,
@@ -334,6 +453,33 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["image_decode_stats"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               ({IMG_W_BASE} + doc_id % {IMG_W_MOD})::INTEGER AS width,
+               ({IMG_H_BASE} + doc_id % {IMG_H_MOD})::INTEGER AS height
+        FROM documents
+    ), px AS (
+        SELECT media_id, fmt, width, height, i,
+               (media_id + 3 * i) % 256 AS r,
+               (2 * media_id + 7 * i) % 256 AS g,
+               (5 * media_id + 11 * i) % 256 AS b
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(
+                 0, width * height - 1)) AS i)
+    )
+    SELECT media_id,
+           any_value(fmt) AS fmt,
+           any_value(width) AS width,
+           any_value(height) AS height,
+           sum(r)::BIGINT AS sum_r,
+           sum(g)::BIGINT AS sum_g,
+           sum(b)::BIGINT AS sum_b,
+           sum((i + 1) * (r + 2 * g + 3 * b))::BIGINT AS pos_weighted
+    FROM px GROUP BY media_id
+"""
 
 ORACLES["media_phash_buckets"] = f"""
     WITH s AS (

@@ -498,7 +498,12 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "filter(split(lower(text), '\\\\s+'), x -> length(x) > 0)"
         ).alias("ws"),
     ).select("doc_id", "ws", F.size("ws").cast("long").alias("dl"))
-    stats = base.agg(
+    # Corpus stats run over docs with >=1 token only: a zero-token doc
+    # (empty/whitespace text) can never score, and the DuckDB oracle's
+    # dl CTE — a groupBy over the exploded token stream — naturally
+    # drops it, so including dl=0 rows here would skew avgdl/n_docs on
+    # corpora with empty documents.
+    stats = base.filter(F.col("dl") > 0).agg(
         F.avg("dl").alias("avgdl"),
         F.count("*").cast("double").alias("n_docs"),
     )

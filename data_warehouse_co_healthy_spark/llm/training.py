@@ -342,20 +342,53 @@ def _probe_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PROBE_WEIGHTS: dict[str, "object"] = {}
+_PROBE_WEIGHTS: dict[tuple, "object"] = {}
+
+
+def _probe_cache_key(sf_dir: str) -> tuple:
+    """Cache key for trained probe weights: (path, data fingerprint).
+    The fingerprint folds in mtime+size of the embeddings fixture
+    (file or directory of part-files), so rewriting the data at the
+    same path invalidates the cache instead of silently reusing stale
+    weights."""
+    import os  # noqa: PLC0415
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    parts: list[tuple[str, int, int]] = []
+    try:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append((f, st.st_mtime_ns, st.st_size))
+        else:
+            st = os.stat(p)
+            parts.append(("", st.st_mtime_ns, st.st_size))
+    except OSError:
+        pass
+    return (sf_dir, tuple(parts))
+
+
+def clear_probe_cache() -> None:
+    """Drop all cached probe weights (tests use this to force a real
+    retrain when asserting determinism)."""
+    _PROBE_WEIGHTS.clear()
 
 
 def train_linear_probe(spark: SparkSession, sf_dir: str):
     """Distributed trainer behind ``quality_classifier`` (docstring
     there): class-balanced logistic gradient via Arrow-batched partial
     sums, Adam updates on the driver, O(d) traffic per iteration.
-    Returns the (d+1) weight vector (bias last); cached per sf_dir so
-    batch scoring and the streaming scorer share one training run."""
+    Returns the (d+1) weight vector (bias last); cached per
+    (sf_dir, data fingerprint) so batch scoring and the streaming
+    scorer share one training run without ever serving stale weights
+    after a rewrite."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    if sf_dir in _PROBE_WEIGHTS:
-        return _PROBE_WEIGHTS[sf_dir]
+    cache_key = _probe_cache_key(sf_dir)
+    if cache_key in _PROBE_WEIGHTS:
+        return _PROBE_WEIGHTS[cache_key]
 
     e = _probe_inputs(spark, sf_dir).persist()
     try:
@@ -405,7 +438,7 @@ def train_linear_probe(spark: SparkSession, sf_dir: str):
             v_hat = v / (1 - b2**it)
             w = w - LR_RATE * m_hat / (np.sqrt(v_hat) + eps)
 
-        _PROBE_WEIGHTS[sf_dir] = w
+        _PROBE_WEIGHTS[cache_key] = w
         return w
     finally:
         e.unpersist()
@@ -492,24 +525,20 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "b"
             )
         ).collect()[0]["b"]
+        if best is None:
+            # corpus exhausted its adjacent pairs before BPE_MERGES
+            # iterations (all-single-char words, or fully merged):
+            # return the merges learned so far instead of crashing on
+            # the NULL argmax struct
+            break
         left, right, count = best["l"], best["r"], -best["neg"]
         merges.append((rank, left, right, int(count)))
-        merged_lit = left + right
         # left-to-right adjacent-pair merge as a codegen fold: append
         # each symbol unless it completes the (l, r) pair with the
         # accumulator's tail, in which case the tail is replaced by the
         # merged symbol (standard leftmost-first BPE semantics)
-        l_sql = left.replace("'", "\\'")
-        r_sql = right.replace("'", "\\'")
-        m_sql = merged_lit.replace("'", "\\'")
         vocab = vocab.select(
-            F.expr(
-                "aggregate(s, cast(array() AS array<string>), "
-                "(acc, x) -> IF(size(acc) > 0 AND "
-                f"element_at(acc, -1) = '{l_sql}' AND x = '{r_sql}', "
-                f"concat(slice(acc, 1, size(acc) - 1), array('{m_sql}')), "
-                "concat(acc, array(x))))"
-            ).alias("s"),
+            F.expr(_merge_fold_sql("s", left, right)).alias("s"),
             "cnt",
         ).localCheckpoint()
     return spark.createDataFrame(
@@ -523,12 +552,19 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_str(s: str) -> str:
+    """Escape a symbol for embedding in a Spark SQL single-quoted
+    string literal: backslashes FIRST (else the quote-escape's own
+    backslash would be doubled), then single quotes."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def _merge_fold_sql(inner: str, left: str, right: str) -> str:
     """One BPE merge applied to the symbol-array expression ``inner``
     as a left-to-right adjacent-pair fold (leftmost-first semantics)."""
-    l_sql = left.replace("'", "\\'")
-    r_sql = right.replace("'", "\\'")
-    m_sql = (left + right).replace("'", "\\'")
+    l_sql = _sql_str(left)
+    r_sql = _sql_str(right)
+    m_sql = _sql_str(left + right)
     return (
         f"aggregate({inner}, cast(array() AS array<string>), "
         "(acc, x) -> IF(size(acc) > 0 AND "

@@ -67,14 +67,21 @@ for _m in _MODULES:
 # highest-value LLM-pipeline operators. Redundant within-family
 # variants stay registered (and locally oracle-tested) after slot 50.
 # tests/test_registry.py pins len == 50, registration, and oracles.
+#
+# Round-4 rotation (VERDICT r3 item 8): five green-forever trivial
+# slots (project_drop, project_rename, lit_tag, distinct_single,
+# cast_bool — each a one-expression variant of a family still
+# represented in-window) rotated out for never-driver-graded heavies:
+# image_decode_stats (NEW: real BMP/PPM decode), scd2_user_state,
+# dedup_connected_components, bm25_search, hybrid_search_rrf. All five
+# incoming slots carry full DuckDB oracles, so the window stays
+# hash-graded end to end; the rotated-out five remain oracle-tested
+# locally (tests/test_oracle.py runs the whole registry).
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
     # §2.3 projections / filters / column ops (P1-P8)
     "project_select",
-    "project_drop",
-    "project_rename",
-    "lit_tag",
     "case_when_bucket",
     "fillna_left_join",
     "filter_rows",
@@ -92,7 +99,6 @@ PRIORITY: tuple[str, ...] = (
     "union_by_name",
     "union_positional",
     "dedup_rows",
-    "distinct_single",
     "intersect_keys",
     "except_keys",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
@@ -102,7 +108,6 @@ PRIORITY: tuple[str, ...] = (
     "month_name_mapping",
     "date_dim_generate",
     "hour_dim_generate",
-    "cast_bool",
     "time_label",
     # §1.1/O3 in-plan surrogate keys
     "surrogate_keys",
@@ -129,6 +134,13 @@ PRIORITY: tuple[str, ...] = (
     "cosine_topk",
     "token_count",
     "text_quality",
+    # round-4 rotation: heavies never driver-graded before (all with
+    # full DuckDB oracles)
+    "image_decode_stats",
+    "scd2_user_state",
+    "dedup_connected_components",
+    "bm25_search",
+    "hybrid_search_rrf",
 )
 
 

@@ -148,16 +148,35 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+_STAGED_DIRS: dict[str, str] = {}
+
+
 def stage_embeddings_dir(sf_dir: str) -> str:
-    """File-stream staging for the embeddings fixture (symlink dir)."""
+    """File-stream staging for the embeddings fixture (symlink dir).
+    Cached per sf_dir and cleaned up at interpreter exit — repeated
+    streaming calls share one staging dir instead of leaking a
+    mkdtemp per call."""
+    import atexit  # noqa: PLC0415
     import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
+    cached = _STAGED_DIRS.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     d = tempfile.mkdtemp(prefix="emb_stream_")
     os.symlink(
         os.path.join(sf_dir, "embeddings.parquet"),
         os.path.join(d, "embeddings.parquet"),
     )
+    if not _STAGED_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _STAGED_DIRS.values()
+            ]
+        )
+    _STAGED_DIRS[sf_dir] = d
     return d
 
 

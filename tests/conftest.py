@@ -15,7 +15,11 @@ import pytest
 from data_warehouse_co_healthy_spark.schemas import TESTDATA_TABLES
 from data_warehouse_co_healthy_spark.session import get_spark
 
-SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# Default the local oracle mirror to the DRIVER's scale (sf0.01) so
+# summation-order / precision flakes surface locally before the driver
+# sees them; export SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a
+# fast opt-in iteration loop.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -24,6 +24,13 @@ EDGE_DOCS = [
     (7, "a a a a a a a a a a a a a a a a", "en", "srcC"),  # repetition
     (8, "tab\tseparated\twords and\nnewline split", "en", "srcC"),
     (9, "the quick brown fox jumps over the lazy cat", "en", "srcC"),
+    # backslash-bearing tokens: the SQL-literal escaping trap for any
+    # operator that inlines corpus symbols into generated SQL (BPE)
+    (10, "c:\\dir\\file back\\slash \\ end\\", "en", "srcC"),
+    # BM25 query terms present → the edge-corpus oracle-equality test
+    # for bm25_search compares real scores, not empty-vs-empty
+    (11, "spark merge vector spark spark merge plan", "en", "srcA"),
+    (12, "vector search with spark", "en", "srcB"),
 ]
 
 
@@ -106,11 +113,124 @@ def test_edge_exact_dup_pair_found(spark, edge_dir):
 
 
 def test_edge_bpe_handles_apostrophes(spark, edge_dir):
-    """Apostrophe-bearing tokens flow through the fold-SQL escaping:
-    segmentation conserves characters for every word in doc 5."""
+    """Apostrophe- AND backslash-bearing tokens flow through the
+    fold-SQL escaping (backslashes must be escaped BEFORE quotes):
+    segmentation conserves characters for every word in docs 5/10."""
     from data_warehouse_co_healthy_spark.llm import training
 
     stats = training.bpe_segment(spark, edge_dir).toPandas()
     assert (stats.n_tokens >= stats.n_words).all()
     merges = training.bpe_merges(spark, edge_dir).toPandas()
     assert len(merges) == training.BPE_MERGES
+
+
+def test_edge_bpe_backslash_merge_is_exact(spark, edge_dir):
+    """Force merges whose symbols CONTAIN backslashes by training on a
+    backslash-dense corpus; the learned merge table must match an
+    independent pure-Python BPE trainer exactly. This is the guard for
+    the fold-SQL literal escaping (backslash-then-quote order)."""
+    import os
+    import tempfile
+
+    from data_warehouse_co_healthy_spark.llm import training
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a\\b a\\b a\\b a\\b",
+                "a\\b a\\b c'd c'd",
+                "a\\b \\'x \\'x",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="edge_bs_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    got = training.bpe_merges(spark, d).toPandas()
+
+    # independent reference trainer (pure python, same tie-break)
+    from collections import Counter
+
+    vocab = Counter()
+    for text in docs.text:
+        for w in text.lower().split():
+            vocab[tuple(w)] += 1
+    want = []
+    for rank in range(1, training.BPE_MERGES + 1):
+        pairs: Counter = Counter()
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        want.append((rank, l, r, c))
+        new_vocab: Counter = Counter()
+        for sym, cnt in vocab.items():
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+
+    got_rules = list(zip(got["rank"], got.left, got.right, got.pair_count))
+    assert [(int(a), b, c, int(d2)) for a, b, c, d2 in got_rules] == want
+
+
+def test_edge_bpe_pair_exhaustion_returns_partial(spark):
+    """A corpus of all single-char words has ZERO adjacent pairs —
+    bpe_merges must return an empty merge table, not crash on the NULL
+    argmax (ADVICE r3)."""
+    import os
+    import tempfile
+
+    from data_warehouse_co_healthy_spark.llm import training
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a b c", "x y z"],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="edge_1ch_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    got = training.bpe_merges(spark, d).toPandas()
+    assert len(got) == 0
+    # and the consumer still segments: every word is its single char
+    stats = training.bpe_segment(spark, d).toPandas()
+    assert (stats.n_tokens == stats.n_words).all()
+
+
+def test_edge_bm25_matches_oracle(spark, edge_dir):
+    """bm25_search must agree with the DuckDB oracle ON THE EDGE CORPUS
+    — the zero-token docs (2, 3) must not skew avgdl/n_docs (ADVICE
+    r3: stats run over dl>0 docs on both engines)."""
+    import duckdb
+
+    from data_warehouse_co_healthy_spark.llm import text as llm_text
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{edge_dir}/documents.parquet')"
+    )
+    try:
+        got = llm_text.bm25_search(spark, edge_dir).toPandas()
+        want = con.sql(llm_text.ORACLES["bm25_search"]).df()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert len(got) > 0, "edge corpus must hit the BM25 query terms"
+        assert list(got.doc_id) == list(want.doc_id)
+        assert (got.bm25 - want.bm25).abs().max() <= 1e-3
+    finally:
+        con.close()

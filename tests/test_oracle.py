@@ -1,7 +1,7 @@
 """The local mirror of the driver's t2 gate: every registered query with
-an oracle must hash-match DuckDB on the fixture parquet (sf0.001 by
-default — fast; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 for
-the driver-scale check)."""
+an oracle must hash-match DuckDB on the fixture parquet (sf0.01 — the
+driver's own scale — by default; set
+SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.001 for a faster opt-in)."""
 
 from __future__ import annotations
 
@@ -40,5 +40,7 @@ def test_query_matches_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
 def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, "/root/testdata/sf0.001")
+    from tests.conftest import SF_DIR
+
+    df = QUERIES[name](spark, SF_DIR)
     assert df.count() >= 0

@@ -150,15 +150,97 @@ def test_multimodal_feature_extraction(spark):
     feats = multimodal.extract_features(
         multimodal.media_from_documents(spark, SF_DIR)
     ).toPandas()
-    assert len(feats) == 500
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(feats) == n_docs
     assert (feats.byte_len > 0).all()
     assert feats.checksum.str.len().eq(32).all()
     assert set(feats.kind) == {"image", "audio"}
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG...")
+def test_multimodal_decode_unsupported_format_raises():
+    """Formats needing a codec library (PNG here) fail LOUDLY, never
+    silently — the honest boundary of the vendored BMP/PPM codec."""
+    with pytest.raises(ValueError, match="unsupported image format"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n...")
+
+
+def test_image_codec_roundtrip_all_paddings():
+    """encode→decode is the identity for every BMP row-padding case
+    (widths 5/6/7/8 → pad 3/2/1/0... i.e. 1/2/3/0 bytes) and for PPM."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    rng = np.random.default_rng(7)
+    for w in (5, 6, 7, 8, 1, 64):
+        for h in (1, 3, 4):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            assert (imagecodec.decode_bmp(
+                imagecodec.encode_bmp(img)) == img).all(), (w, h)
+            assert (imagecodec.decode_ppm(
+                imagecodec.encode_ppm(img)) == img).all(), (w, h)
+            # magic-byte dispatch picks the right parser
+            assert (imagecodec.decode(
+                imagecodec.encode_bmp(img)) == img).all()
+            assert (imagecodec.decode(
+                imagecodec.encode_ppm(img)) == img).all()
+
+
+def test_image_codec_topdown_bmp_and_ppm_comments():
+    """Decoder-only paths an encoder round-trip can't reach: top-down
+    BMP (negative height) and PPM header comments."""
+    import struct
+
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(imagecodec.encode_bmp(img))
+    # rewrite height to -h and flip the raster rows to top-down order
+    (h,) = struct.unpack_from("<i", data, 22)
+    struct.pack_into("<i", data, 22, -h)
+    off = 54
+    row_size = (3 * 3 + 3) // 4 * 4
+    rows = [
+        bytes(data[off + i * row_size : off + (i + 1) * row_size])
+        for i in range(h)
+    ]
+    data[off:] = b"".join(reversed(rows))
+    assert (imagecodec.decode_bmp(bytes(data)) == img).all()
+
+    ppm = b"P6 # comment\n# another comment\n 3\n2 # dims done\n255\n" + \
+        img.tobytes()
+    assert (imagecodec.decode_ppm(ppm) == img).all()
+
+
+def test_image_codec_rejects_malformed():
+    import pytest as _pytest
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    with _pytest.raises(ValueError, match="truncated BMP raster"):
+        imagecodec.decode_bmp(
+            imagecodec.encode_bmp(
+                __import__("numpy").zeros((4, 4, 3), dtype="uint8")
+            )[:-5]
+        )
+    with _pytest.raises(ValueError, match="maxval"):
+        imagecodec.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="truncated PPM raster"):
+        imagecodec.decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
+
+
+def test_image_decode_stats_spark_path(spark):
+    """The registered query end-to-end on Spark: every document gets a
+    decoded image whose dims follow the synthesis formula."""
+    stats = multimodal.image_decode_stats(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(stats) == n_docs
+    assert (stats.width == 5 + stats.media_id % 4).all()
+    assert (stats.height == 3 + stats.media_id % 3).all()
+    assert set(stats.fmt) == {"bmp", "ppm"}
+    assert (stats[stats.media_id % 2 == 0].fmt == "bmp").all()
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
