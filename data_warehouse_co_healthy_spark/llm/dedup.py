@@ -515,6 +515,135 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def _edge_signature(e: DataFrame) -> tuple[int, int]:
+    """Fixpoint detector for edge SETS: (count, sum of xxhash64(s,d)).
+    Two scalar aggregates to the driver per round — never rows."""
+    r = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(
+            # decimal accumulator: a sum of 64-bit hashes overflows
+            # BIGINT (ANSI mode raises), decimal(38,0) cannot
+            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
+    ).first()
+    return int(r["n"]), int(r["h"])
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond', SoCC 2014): every node links its LARGER neighbors to
+    the minimum of its closed neighborhood. Input is the symmetric
+    edge list; output directed child→parent edges (s > d)."""
+    mins = sym.groupBy("s").agg(F.min("d").alias("mn"))
+    mins = mins.select("s", F.least("s", "mn").alias("m"))
+    return (
+        sym.join(mins, "s")
+        .filter(F.col("d") > F.col("s"))
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node links its SMALLER-or-equal neighbors
+    (and itself) to the minimum among them. Input/output directed
+    child→parent edges (s > d)."""
+    mins = edges.groupBy("s").agg(F.min("d").alias("m"))
+    return (
+        edges.join(mins, "s")
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        .unionByName(mins.select("s", F.col("m").alias("d")))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+MAX_STAR_ROUNDS = 25  # LS+SS rounds ≈ O(log² n) — generous for any n
+
+
+def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING large-star/small-star
+    contraction — the scale path beside the fixpoint label propagation
+    of ``dedup_connected_components``: label propagation needs
+    ~diameter rounds (a 1000-link chain needs 1000 shuffles), star
+    contraction provably converges in O(log² n) rounds regardless of
+    diameter, because every round HALVES tree heights instead of
+    walking them.
+
+    ``edges``: undirected edge list as (s, d) long columns (self-loops
+    ignored). Returns (parents, rounds): parents maps every non-root
+    node to its component's minimum node id (roots are absent — they
+    are their own label), and rounds is the number of LS+SS rounds to
+    the fixpoint. Per round: two groupBy-min shuffles + two joins on
+    the node key, lineage truncated with localCheckpoint; the driver
+    sees only the 2-scalar edge signature. The star-forest invariant
+    is VERIFIED at the end (no node both child and parent) — a failed
+    contraction raises instead of shipping wrong labels."""
+    e = (
+        edges.select(
+            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _edge_signature(e)
+    rounds = 0
+    converged = False
+    for _ in range(MAX_STAR_ROUNDS):
+        sym = e.unionByName(
+            e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        )
+        e = _small_star(_large_star(sym)).localCheckpoint()
+        rounds += 1
+        cur = _edge_signature(e)
+        if cur == sig:
+            converged = True
+            break
+        sig = cur
+    if not converged:
+        raise RuntimeError(
+            f"star_contraction: no fixpoint after {MAX_STAR_ROUNDS} "
+            "LS+SS rounds — raise MAX_STAR_ROUNDS"
+        )
+    # star-forest check: a parent must never itself have a parent
+    non_star = (
+        e.select(F.col("d").alias("n"))
+        .distinct()
+        .join(e.select(F.col("s").alias("n")).distinct(), "n")
+        .count()
+    )
+    if non_star:
+        raise RuntimeError(
+            f"star_contraction: {non_star} nodes are both child and "
+            "parent at fixpoint — contraction failed"
+        )
+    return e.select(F.col("s").alias("node"), F.col("d").alias("root")), (
+        rounds
+    )
+
+
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star contraction over the
+    LSH candidate-pair graph — identical labels to
+    ``dedup_connected_components`` (same DuckDB oracle), different
+    round complexity: O(log² n) rounds vs O(diameter). This is the
+    100 TB path: a pathological chain-shaped component costs label
+    propagation one shuffle per link, star contraction a handful
+    total (tests pin a 200-link chain converging in <10 rounds)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
+    )
+    parents, _rounds = star_contraction(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        parents, docs.doc_id == parents.node, "left"
+    ).select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster_id")
+    )
+
+
 CHUNK_WORDS = 10    # chunk granularity for corpus-level span dedup
 CHUNK_MAX_FREQ = 2  # keep chunks occurring at most this often corpus-wide
 
@@ -954,6 +1083,7 @@ QUERIES = {
     "snm_adjacent_pairs": snm_adjacent_pairs,
     "source_overlap_matrix": source_overlap_matrix,
     "dedup_connected_components": dedup_connected_components,
+    "dedup_cc_star": dedup_cc_star,
     "dedup_decision_matrix": dedup_decision_matrix,
     "cluster_examples": cluster_examples,
     "chunk_copy_pairs": chunk_copy_pairs,
@@ -1241,6 +1371,10 @@ ORACLES["dedup_connected_components"] = f"""
     SELECT node AS doc_id, min(comp)::BIGINT AS cluster_id
     FROM reach GROUP BY node
 """
+
+# star contraction computes exactly the connected-components labels —
+# same oracle as the fixpoint label propagation
+ORACLES["dedup_cc_star"] = ORACLES["dedup_connected_components"]
 
 ORACLES["chunk_dedup_reassemble"] = f"""
     WITH w AS (

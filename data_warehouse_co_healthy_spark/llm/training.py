@@ -196,8 +196,9 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
 
             def partials(batches, C=C):
                 # per-Arrow-batch partial (sum, count) per cluster —
-                # the map-side combine of the centroid update; the
-                # driver sees O(batches × k) tiny rows, never data
+                # the map-side combine of the centroid update; these
+                # rows reduce again in-engine (groupBy(cid) below)
+                # before the driver sees the final k rows
                 for pdf in batches:
                     if not len(pdf):
                         continue
@@ -220,14 +221,33 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
                         rows, columns=["cid", "s", "n"]
                     )
 
-            parts = cached.mapInPandas(
-                partials, schema="cid int, s array<double>, n long"
-            ).collect()
+            # two-level combine: per-batch partials reduce IN-ENGINE to
+            # one (sum-vector, count) row per cluster before the
+            # collect, so driver traffic is O(k·d) regardless of
+            # partition count (a treeAggregate, expressed as groupBy +
+            # an element-wise zip_with fold over the partial vectors)
+            parts = (
+                cached.mapInPandas(
+                    partials, schema="cid int, s array<double>, n long"
+                )
+                .groupBy("cid")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.aggregate(
+                        F.collect_list("s"),
+                        F.array_repeat(F.lit(0.0), dim),
+                        lambda acc, x: F.zip_with(
+                            acc, x, lambda a, b: a + b
+                        ),
+                    ).alias("s"),
+                )
+                .collect()
+            )
             sums = np.zeros((K_CLUSTERS, dim))
             counts = np.zeros(K_CLUSTERS, dtype=np.int64)
             for r in parts:
-                sums[r.cid] += np.asarray(r.s)
-                counts[r.cid] += r.n
+                sums[r.cid] = np.asarray(r.s)
+                counts[r.cid] = r.n
             # empty clusters keep their previous centroid
             centroids = [
                 (sums[c] / counts[c]).tolist()

@@ -61,30 +61,23 @@ def overwrite_partitions_dynamic(df: DataFrame, path: str) -> None:
 
 def _partition_cols_of(spark, path: str) -> list[str]:
     """Partition columns of an existing parquet table, read from the
-    directory layout (hive-style key=value dirs).
-
-    LOCAL-FS ONLY: walks the directory with ``os.listdir``, which
-    requires driver and storage to share a filesystem (local mode /
-    NFS). On a cluster against HDFS/S3, resolve partition columns from
-    the catalog (``spark.catalog.listColumns``) or the Hadoop
-    FileSystem API instead — same contract, different directory walk.
-    (The same limitation applies to ``vacuum_versions`` and the JSONL
-    sink below.)"""
-    import os
-    import re
+    directory layout (hive-style key=value dirs) via the Hadoop
+    FileSystem API — scheme-resolved, so the same walk works on local
+    FS, HDFS, and S3A (O(depth) metadata listings, no data reads)."""
+    from . import hadoopfs  # noqa: PLC0415
 
     cols = []
     cur = path
     while True:
-        subdirs = [
-            d for d in os.listdir(cur)
-            if os.path.isdir(os.path.join(cur, d)) and "=" in d
-        ]
+        subdirs = sorted(
+            d
+            for d in hadoopfs.list_children(spark, cur, dirs_only=True)
+            if "=" in d
+        )
         if not subdirs:
             return cols
-        m = re.match(r"([^=]+)=", sorted(subdirs)[0])
-        cols.append(m.group(1))
-        cur = os.path.join(cur, sorted(subdirs)[0])
+        cols.append(subdirs[0].split("=", 1)[0])
+        cur = f"{cur.rstrip('/')}/{subdirs[0]}"
 
 
 def write_bucketed(
@@ -154,17 +147,16 @@ def write_versioned(df: DataFrame, path: str) -> int:
     ones, so historical reads stay consistent while writers proceed —
     the minimal time-travel contract (swap in Delta/Iceberg for
     transactional metadata; the layout and read API stay the same).
-    Returns the new version number."""
-    import glob as _glob
-    import os as _os
+    Returns the new version number. Version discovery goes through the
+    Hadoop FileSystem API, so the layout works on HDFS/S3A exactly as
+    on local FS; ``errorifexists`` keeps two racing writers from
+    silently clobbering the same version number."""
+    from . import hadoopfs  # noqa: PLC0415
 
-    existing = [
-        int(p.rsplit("=", 1)[1])
-        for p in _glob.glob(_os.path.join(path, "version=*"))
-    ]
-    version = max(existing, default=0) + 1
+    existing = hadoopfs.versions_in(df.sparkSession, path)
+    version = (existing[-1] if existing else 0) + 1
     df.write.mode("errorifexists").parquet(
-        _os.path.join(path, f"version={version}")
+        f"{path.rstrip('/')}/version={version}"
     )
     return version
 
@@ -205,7 +197,9 @@ def snapshot_diff(
     ).filter(F.col("change") != "unchanged")
 
 
-def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
+def vacuum_versions(
+    path: str, keep_last: int = 2, spark=None
+) -> list[int]:
     """Retention for the versioned-snapshot layout: delete all but the
     newest ``keep_last`` ``version=N`` directories (the VACUUM step that
     keeps time travel from growing unboundedly). Returns the versions
@@ -213,22 +207,18 @@ def vacuum_versions(path: str, keep_last: int = 2) -> list[int]:
     immutable until the moment they are dropped, so set retention to
     cover the longest-running query (same contract as Delta VACUUM).
 
-    LOCAL-FS ONLY (glob/shutil walk): on HDFS/S3 route the same steps
-    through the Hadoop FileSystem API — see ``_partition_cols_of``.
-    """
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
+    Listing and deletion go through the Hadoop FileSystem API
+    (scheme-resolved), so retention runs against HDFS/S3A with the
+    identical code path the tests exercise on local FS. ``spark``
+    defaults to the active session."""
+    from . import hadoopfs  # noqa: PLC0415
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = sorted(
-        int(p.rsplit("=", 1)[1])
-        for p in _glob.glob(_os.path.join(path, "version=*"))
-    )
+    versions = hadoopfs.versions_in(spark, path)
     drop = versions[:-keep_last]
     for v in drop:
-        _shutil.rmtree(_os.path.join(path, f"version={v}"))
+        hadoopfs.delete(spark, f"{path.rstrip('/')}/version={v}")
     return drop
 
 
@@ -242,17 +232,16 @@ def read_evolved(spark, path: str):
 
 
 def read_version(spark, path: str, version: int | None = None):
-    """Read one snapshot (default: latest)."""
-    import glob as _glob
-    import os as _os
+    """Read one snapshot (default: latest, discovered via the Hadoop
+    FileSystem API)."""
+    from . import hadoopfs  # noqa: PLC0415
 
     if version is None:
-        versions = [
-            int(p.rsplit("=", 1)[1])
-            for p in _glob.glob(_os.path.join(path, "version=*"))
-        ]
-        version = max(versions)
-    return spark.read.parquet(_os.path.join(path, f"version={version}"))
+        versions = hadoopfs.versions_in(spark, path)
+        if not versions:
+            raise FileNotFoundError(f"no version=N snapshots under {path}")
+        version = versions[-1]
+    return spark.read.parquet(f"{path.rstrip('/')}/version={version}")
 
 
 def compact_parquet(
@@ -266,9 +255,13 @@ def compact_parquet(
     row-group stats make range filters skip data (poor man's Z-order
     on one dimension). The everyday maintenance job that keeps a
     100 TB table scannable after streaming/incremental ingest; returns
-    the new file count."""
-    import glob as _glob
-    import os as _os
+    the new file count.
+
+    The write-to-temp → double-rename → drop-old swap goes through the
+    Hadoop FileSystem API: atomic on HDFS; on S3A rename is copy+delete,
+    so there layer a manifest/catalog commit (a table format) for
+    strict atomicity — the dataflow here is unchanged."""
+    from . import hadoopfs  # noqa: PLC0415
 
     df = spark.read.parquet(path)
     if sort_cols:
@@ -278,12 +271,14 @@ def compact_parquet(
     tmp = path.rstrip("/") + "__compacting"
     out.write.mode("overwrite").parquet(tmp)
     swap = path.rstrip("/") + "__old"
-    _os.rename(path, swap)
-    _os.rename(tmp, path)
-    import shutil as _shutil
-
-    _shutil.rmtree(swap)
-    return len(_glob.glob(_os.path.join(path, "*.parquet")))
+    hadoopfs.rename(spark, path, swap)
+    hadoopfs.rename(spark, tmp, path)
+    hadoopfs.delete(spark, swap)
+    return sum(
+        1
+        for name in hadoopfs.list_children(spark, path)
+        if name.endswith(".parquet")
+    )
 
 
 def write_zordered(
@@ -356,7 +351,12 @@ def table_report(path: str, stat_cols: tuple[str, ...] = ()) -> dict:
     ``clustering overlap`` per column = mean fraction of OTHER files
     whose [min,max] interval intersects each file's (1.0 ≈ every file
     overlaps every other → no skipping; → 0 ≈ disjoint → near-perfect
-    skipping)."""
+    skipping).
+
+    Footer reads use pyarrow on a direct path (local/NFS); for object
+    stores hand pyarrow an fsspec filesystem — unlike the maintenance
+    utilities above this function must read FILE BYTES (footers), not
+    just listings, so the Hadoop-FS metadata wrapper doesn't apply."""
     import glob as _glob
     import os as _os
 

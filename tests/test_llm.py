@@ -336,6 +336,47 @@ def test_connected_components_refines_bounded_propagation(spark):
     assert (grp.index == grp.values).all()
 
 
+def test_star_contraction_equals_fixpoint_labels(spark):
+    """The large-star/small-star scale path must produce EXACTLY the
+    labels of the fixpoint label propagation on the fixture graph."""
+    a = (
+        dedup.dedup_connected_components(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        dedup.dedup_cc_star(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (a.doc_id == b.doc_id).all()
+    assert (a.cluster_id == b.cluster_id).all()
+
+
+def test_star_contraction_chain_converges_logarithmically(spark):
+    """Adversarial high-diameter component: a 200-link chain. Label
+    propagation would need ~200 rounds (beyond its cap); star
+    contraction must converge in <10 LS+SS rounds and still label
+    every node with the chain's minimum."""
+    n = 201
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)] + [(500, 501), (502, 502)],
+        "s long, d long",
+    )
+    parents, rounds = dedup.star_contraction(edges)
+    assert rounds < 10, rounds
+    pm = parents.toPandas()
+    chain = pm[pm.node < 500]
+    # every chain node except the root (0) points at 0
+    assert sorted(chain.node) == list(range(1, n))
+    assert (chain.root == 0).all()
+    assert (pm[pm.node == 501].root == 500).all()
+    # self-loop-only node 502 is a root: absent from the parent map
+    assert 502 not in set(pm.node)
+
+
 def test_chunk_dedup_preserves_unique_docs(spark):
     """A doc made of corpus-unique chunks must reassemble to its exact
     original text; docs sharing all chunks with >CHUNK_MAX_FREQ copies

@@ -497,6 +497,36 @@ def test_vacuum_keeps_newest_versions_only(spark, tmp_path):
     assert writers.read_version(spark, path, 3).count() == 5
 
 
+def test_snapshot_utilities_resolve_uri_schemes(spark, tmp_path):
+    """The maintenance utilities run through the Hadoop FileSystem API:
+    a scheme-qualified path (file://) must behave exactly like a bare
+    local path — the same code path a cluster takes for hdfs:// or
+    s3a:// (only the resolved FileSystem class differs)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.sources import hadoopfs
+
+    path = f"file://{tmp_path}/versioned_uri"
+    base = spark.range(7).select(F.col("id").alias("k"))
+    for _ in range(3):
+        writers.write_versioned(base, path)
+    assert hadoopfs.versions_in(spark, path) == [1, 2, 3]
+    assert writers.vacuum_versions(path, keep_last=1, spark=spark) == [1, 2]
+    assert writers.read_version(spark, path).count() == 7
+    # compaction's rename/delete swap also goes through the FS API
+    flat = f"file://{tmp_path}/compact_uri"
+    spark.range(100).repartition(8).write.parquet(flat)
+    n = writers.compact_parquet(spark, flat, 2)
+    assert n == 2
+    assert spark.read.parquet(flat).count() == 100
+    # partition-layout discovery walks key=value dirs via listStatus
+    part = f"file://{tmp_path}/part_uri"
+    spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).write.partitionBy("p").parquet(part)
+    assert writers._partition_cols_of(spark, part) == ["p"]
+
+
 def test_schema_evolution_merge_read(spark, tmp_path):
     """Files written before a column existed must surface NULL for it
     under the merged-schema read, and the new column's values survive."""
