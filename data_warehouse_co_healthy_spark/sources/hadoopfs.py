@@ -87,3 +87,13 @@ def versions_in(spark: SparkSession | None, path: str) -> list[int]:
         for name in list_children(spark, path, dirs_only=True)
         if name.startswith("version=")
     )
+
+
+def touch(spark: SparkSession | None, path: str) -> None:
+    """Create an empty file (the atomic-commit primitive: one file
+    CREATE is atomic on HDFS and a single PUT on S3, unlike directory
+    renames)."""
+    s = _active_spark(spark)
+    fs, jpath = _fs_path(s, path)
+    out = fs.create(jpath, True)
+    out.close()

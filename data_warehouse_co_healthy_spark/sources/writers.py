@@ -219,7 +219,81 @@ def vacuum_versions(
     drop = versions[:-keep_last]
     for v in drop:
         hadoopfs.delete(spark, f"{path.rstrip('/')}/version={v}")
+        # retire the commit marker with its snapshot (no-op when the
+        # layout never used atomic commits)
+        hadoopfs.delete(spark, _marker(path, v))
     return drop
+
+
+def _marker(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/_committed_v{version}"
+
+
+def write_versioned_committed(df: DataFrame, path: str) -> int:
+    """Versioned snapshot write with an ATOMIC commit: the data dir is
+    written first, then a zero-byte ``_committed_vN`` marker makes the
+    snapshot visible. A writer that dies mid-write leaves an orphan
+    ``version=N`` directory that committed readers never see — no
+    torn snapshot can be observed. Marker creation is a single file
+    CREATE (atomic on HDFS, a single PUT on S3A), which is exactly why
+    the commit is a marker and not a directory rename (S3 renames are
+    copy+delete, not atomic). This is the same contract Spark's own
+    ``_SUCCESS`` files and table-format commit logs provide."""
+    version = write_versioned(df, path)
+    from . import hadoopfs  # noqa: PLC0415
+
+    hadoopfs.touch(df.sparkSession, _marker(path, version))
+    return version
+
+
+def committed_versions(spark, path: str) -> list[int]:
+    """Snapshot numbers whose commit marker exists (sorted)."""
+    from . import hadoopfs  # noqa: PLC0415
+
+    present = set(hadoopfs.versions_in(spark, path))
+    return sorted(
+        v
+        for name in hadoopfs.list_children(spark, path)
+        if name.startswith("_committed_v")
+        and (v := int(name[len("_committed_v"):])) in present
+    )
+
+
+def read_committed(spark, path: str, version: int | None = None):
+    """Read the latest COMMITTED snapshot (or a specific committed
+    one): uncommitted / torn writes are invisible."""
+    committed = committed_versions(spark, path)
+    if version is None:
+        if not committed:
+            raise FileNotFoundError(
+                f"no committed snapshots under {path}"
+            )
+        version = committed[-1]
+    elif version not in committed:
+        raise FileNotFoundError(
+            f"version {version} is not committed under {path}"
+        )
+    return spark.read.parquet(f"{path.rstrip('/')}/version={version}")
+
+
+def vacuum_uncommitted(path: str, spark=None) -> list[int]:
+    """Drop orphan snapshot dirs a dead writer left behind (present as
+    ``version=N`` but never committed). Run it with the same retention
+    cadence as ``vacuum_versions``; the CURRENTLY-writing snapshot is
+    also uncommitted, so schedule this with a grace period or after
+    writer quiescence (same operational rule as Delta VACUUM's
+    retention window)."""
+    from . import hadoopfs  # noqa: PLC0415
+
+    committed = set(committed_versions(spark, path))
+    orphans = [
+        v
+        for v in hadoopfs.versions_in(spark, path)
+        if v not in committed
+    ]
+    for v in orphans:
+        hadoopfs.delete(spark, f"{path.rstrip('/')}/version={v}")
+    return orphans
 
 
 def read_evolved(spark, path: str):

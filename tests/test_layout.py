@@ -233,3 +233,36 @@ def test_table_report_detects_clustering_quality(spark, tmp_path):
         zr["clustering_overlap"]["l_orderkey"]
         < hr["clustering_overlap"]["l_orderkey"]
     )
+
+
+def test_dynamic_partition_pruning_star_join(spark, tmp_path):
+    """A dim-side filter must prune the partitioned fact scan at
+    RUNTIME: the fact scan's PartitionFilters carries a
+    dynamicpruningexpression subquery, and the result equals the
+    statically-filtered compute (so the pruning is correct, not just
+    present)."""
+    from data_warehouse_co_healthy_spark.operators import warehouse
+
+    path = str(tmp_path / "dpp")
+    warehouse.build_partitioned_sales(spark, SF_DIR, path)
+    q = warehouse.partition_pruned_revenue(spark, path, "1995")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression" in plan, plan[:2000]
+    assert "PartitionFilters" in plan
+    got = q.collect()
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    want = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .collect()[0]
+    )
+    assert len(got) == 1
+    assert got[0]["n_orders"] == want["n_orders"]
+    assert abs(got[0]["revenue"] - want["revenue"]) < 0.01

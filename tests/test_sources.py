@@ -497,6 +497,40 @@ def test_vacuum_keeps_newest_versions_only(spark, tmp_path):
     assert writers.read_version(spark, path, 3).count() == 5
 
 
+def test_atomic_commit_hides_torn_snapshots(spark, tmp_path):
+    """Commit protocol: a snapshot is visible to committed readers ONLY
+    after its marker lands — a writer dying between the data write and
+    the marker leaves an orphan that read_committed never serves and
+    vacuum_uncommitted reclaims."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "committed")
+    base = spark.range(10).select(F.col("id").alias("k"))
+    v1 = writers.write_versioned_committed(base, path)
+    assert v1 == 1
+    # simulate a crash: data dir written, marker never created
+    v2 = writers.write_versioned(base.limit(3), path)
+    assert v2 == 2
+    assert writers.committed_versions(spark, path) == [1]
+    assert writers.read_committed(spark, path).count() == 10  # not 3
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        writers.read_committed(spark, path, 2)
+    # the plain (non-committed) reader still sees the torn dir — the
+    # two read APIs differ exactly on this point
+    assert writers.read_version(spark, path).count() == 3
+    assert writers.vacuum_uncommitted(path, spark=spark) == [2]
+    assert writers.read_version(spark, path).count() == 10
+    # a later committed write resumes normally and becomes latest
+    v3 = writers.write_versioned_committed(base.limit(5), path)
+    assert writers.committed_versions(spark, path) == [1, v3]
+    assert writers.read_committed(spark, path).count() == 5
+    # retention retires markers together with their snapshots
+    v4 = writers.write_versioned_committed(base, path)
+    dropped = writers.vacuum_versions(path, keep_last=1, spark=spark)
+    assert v1 in dropped and v3 in dropped
+    assert writers.committed_versions(spark, path) == [v4]
+
+
 def test_snapshot_utilities_resolve_uri_schemes(spark, tmp_path):
     """The maintenance utilities run through the Hadoop FileSystem API:
     a scheme-qualified path (file://) must behave exactly like a bare

@@ -59,14 +59,41 @@ def main() -> None:
         "Plans are pre-execution (AQE initial); runtime re-planning can "
         "only improve them.\n"
     )
-    for name, why in SHOWCASE:
-        df = queries[name](spark, "/root/testdata/sf0.1")
-        plan = df._jdf.queryExecution().explainString(
+    def fmt(df):
+        return df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-        out.write(f"\n## {name} — {why}\n\n```\n{plan.strip()}\n```\n")
+
+    for name, why in SHOWCASE:
+        df = queries[name](spark, "/root/testdata/sf0.1")
+        out.write(f"\n## {name} — {why}\n\n```\n{fmt(df).strip()}\n```\n")
+
+    # dynamic partition pruning: needs a PARTITIONED fact on disk, so
+    # it is built here rather than read from the flat fixture parquet
+    import re
+    import tempfile
+
+    from data_warehouse_co_healthy_spark.operators import warehouse
+
+    dpp_dir = tempfile.mkdtemp(prefix="dpp_plan_")
+    warehouse.build_partitioned_sales(
+        spark, "/root/testdata/sf0.1", dpp_dir
+    )
+    q = warehouse.partition_pruned_revenue(spark, dpp_dir, "1995")
+    plan = re.sub(re.escape(dpp_dir), "<dpp_dir>", fmt(q))
+    out.write(
+        "\n## partition_pruned_revenue — dynamic partition pruning: "
+        "dim filter prunes the partitioned fact scan at runtime\n\n"
+        "The fact scan's `PartitionFilters` carries a "
+        "`dynamicpruningexpression(order_month IN dynamicpruning#N)` "
+        "subquery fed by the filtered month dim — only matching "
+        "`order_month=` directories are listed and read "
+        "(tests/test_layout.py additionally pins result equality vs "
+        "the statically-filtered compute).\n\n"
+        f"```\n{plan.strip()}\n```\n"
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(out.getvalue())
     print("wrote PLANS.md")

@@ -66,6 +66,9 @@ PROBES = [
     "bpe_segment",
     "source_overlap_matrix",
     "population_stability_index",
+    "dedup_cc_star",
+    "image_decode_stats",
+    "bm25_search",
 ]
 
 
