@@ -46,11 +46,17 @@ def test_lsh_pairs_are_actually_similar(spark):
             .toPandas()
             .set_index("doc_id")["text"]
         )
-        row = pairs.iloc[0]
         sh = lambda t: {t[i : i + 5] for i in range(len(t) - 4)}  # noqa: E731
-        a, b = sh(docs[row.doc_a]), sh(docs[row.doc_b])
-        jac = len(a & b) / len(a | b)
-        assert jac > 0.3, f"candidate pair jaccard {jac} looks like noise"
+        # LSH candidates legitimately include lower-similarity pairs
+        # (that's what the verify stage downstream is FOR); the noise
+        # check is that the candidate set as a whole is enriched: the
+        # best of a sample must be clearly similar
+        jacs = []
+        for _, row in pairs.head(20).iterrows():
+            a, b = sh(docs[row.doc_a]), sh(docs[row.doc_b])
+            jacs.append(len(a & b) / len(a | b))
+        assert max(jacs) > 0.3, f"all sampled pairs look like noise: {jacs}"
+        assert min(jacs) > 0.05, f"candidate floor too low: {min(jacs)}"
 
 
 def test_embedding_dedup_pairs_above_threshold(spark):
@@ -465,19 +471,28 @@ def test_approx_topk_tokens_matches_exact_on_fixture(spark):
 
     got = text.approx_topk_tokens(spark, SF_DIR).toPandas()
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    exact = (
+    all_counts = (
         d.select(
             F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
         )
         .groupBy("w")
         .count()
-        .orderBy(F.desc("count"), "w")
-        .limit(len(got))
         .toPandas()
+        .set_index("w")["count"]
     )
-    assert set(got.token) == set(exact.w)
-    merged = got.merge(exact, left_on="token", right_on="w")
-    assert (merged.est_count == merged["count"]).all()
+    exact_sorted = all_counts.sort_values(ascending=False)
+    # every sketched count must be the exact count for that token
+    for tok, est in zip(got.token, got.est_count):
+        assert all_counts[tok] == est, (tok, est, all_counts[tok])
+    # the top-K SET is tie-ambiguous at the boundary rank (several
+    # tokens can share the k-th count; which side of the cut they land
+    # on is an arbitrary tie-break, not an error): require every
+    # returned token's count >= the k-th largest exact count
+    kth = exact_sorted.iloc[len(got) - 1]
+    assert (got.est_count >= kth).all(), (kth, got)
+    # and every token STRICTLY above the boundary must be present
+    must_have = set(exact_sorted[exact_sorted > kth].index)
+    assert must_have <= set(got.token)
 
 
 def test_pq_encode_invariants(spark):

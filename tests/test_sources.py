@@ -231,7 +231,38 @@ def test_image_codec_rejects_malformed():
         imagecodec.decode_ppm(b"P6\n2 2\n255\n\x00\x00\x00")
 
 
-def test_image_decode_stats_spark_path(spark):
+def test_image_files_roundtrip_binaryfile_source(spark, tmp_path):
+    """End to end on REAL files: encoded .bmp/.ppm images written to
+    disk, ingested via the binaryFile source (glob-pruned so a stray
+    non-image is never read), decoded executor-side with the vendored
+    codec — dims and pixels must survive the full trip."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec, multimodal
+
+    rng = np.random.default_rng(3)
+    imgs = {}
+    for i in range(4):
+        img = rng.integers(0, 256, size=(3 + i, 5 + i, 3), dtype=np.uint8)
+        ext = "bmp" if i % 2 == 0 else "ppm"
+        enc = (
+            imagecodec.encode_bmp(img)
+            if ext == "bmp"
+            else imagecodec.encode_ppm(img)
+        )
+        (tmp_path / f"img_{i}.{ext}").write_bytes(enc)
+        imgs[f"img_{i}.{ext}"] = img
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = readers.read_binary_files(
+        spark, str(tmp_path), glob="*.{bmp,ppm}"
+    )
+    rows = df.select("path", "content").collect()
+    assert len(rows) == 4  # the .txt was glob-pruned
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[1]
+        decoded = multimodal.decode_image(bytes(r["content"]))
+        assert (decoded == imgs[name]).all(), name
     """The registered query end-to-end on Spark: every document gets a
     decoded image whose dims follow the synthesis formula."""
     stats = multimodal.image_decode_stats(spark, SF_DIR).toPandas()
