@@ -431,9 +431,10 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list WITH self-loops (so a node's own label competes in the
     same aggregate — no second self-reference needed). Bounded rounds
     keep it deterministic and SQL-mirrorable (the oracle unrolls the
-    same 3 rounds); at 100 TB this is the standard iterative
-    connected-components shape (alternating large-star/small-star),
-    each round a shuffle on doc_id."""
+    same 3 rounds). For CONVERGED labels use
+    ``dedup_connected_components`` (fixpoint propagation) or, at
+    scale, ``dedup_cc_star`` (large-star/small-star contraction —
+    O(log² n) rounds regardless of component diameter)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -471,9 +472,9 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``localCheckpoint`` truncates the growing lineage each round — on a
     real cluster use ``checkpoint`` to HDFS for fault tolerance. Rounds
     scale with component diameter, which for near-dup graphs is tiny
-    (dup clusters are dense); the 100 TB upgrade is alternating
-    large-star/small-star, which halves round count but keeps exactly
-    this per-round shape (shuffle on the label key).
+    (dup clusters are dense); for diameter-proof round counts use the
+    implemented scale path ``dedup_cc_star`` (alternating large-star/
+    small-star contraction, O(log² n) rounds, same labels and oracle).
     """
     pairs = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
