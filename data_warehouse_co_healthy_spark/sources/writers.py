@@ -225,6 +225,79 @@ def vacuum_versions(
     return drop
 
 
+def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
+    """Targeted delete (GDPR "right to erasure" shape) on a
+    partitioned parquet table: remove every row whose ``key_col`` is
+    in ``keys_df``, rewriting ONLY the partitions that contain a hit.
+
+    At 100 TB the naive anti-join-and-rewrite rewrites the whole
+    table; here the delete set (small by nature — it's an erasure
+    request, broadcast twice) first identifies the affected partition
+    values, then (1) partitions left EMPTY by the delete are dropped
+    via the Hadoop FileSystem API and (2) the surviving affected
+    partitions are rewritten through dynamic partition overwrite —
+    untouched partitions keep their files byte-identical (test-pinned
+    via directory mtimes). Returns the number of rows deleted.
+
+    Plain parquet gives no snapshot isolation across the two steps;
+    for concurrent readers layer this on the versioned layout (write
+    the cleaned table as a new committed snapshot) — the dataflow is
+    identical."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from . import hadoopfs  # noqa: PLC0415
+
+    part_cols = _partition_cols_of(spark, path)
+    if not part_cols:
+        raise ValueError(
+            f"{path} is not hive-partitioned; use an anti-join rewrite"
+        )
+    tbl = spark.read.parquet(path)
+    keys = keys_df.select(key_col).distinct()
+    # partition values with at least one key hit (partition-grain rows)
+    hit_parts = (
+        tbl.join(F.broadcast(keys), key_col, "left_semi")
+        .select(*part_cols)
+        .distinct()
+        .collect()
+    )
+    if not hit_parts:
+        return 0
+    # restrict to affected partitions (static pruning: the filter is
+    # on partition columns only), then drop the keys
+    cond = None
+    for r in hit_parts:
+        clause = None
+        for c in part_cols:
+            eq = F.col(c) == F.lit(r[c])
+            clause = eq if clause is None else (clause & eq)
+        cond = clause if cond is None else (cond | clause)
+    affected = tbl.filter(cond)
+    n_before = affected.count()
+    # MATERIALIZE the survivors before mutating any directory: the
+    # rewrite must not re-read files this function is about to delete
+    # or overwrite (localCheckpoint here; on a cluster use
+    # ``checkpoint()`` to durable storage — same contract)
+    cleaned = affected.join(
+        F.broadcast(keys), key_col, "left_anti"
+    ).localCheckpoint()
+    n_after = cleaned.count()
+    # partitions wiped entirely: dynamic overwrite writes nothing for
+    # them, so they must be dropped explicitly
+    survivors = {
+        tuple(r[c] for c in part_cols)
+        for r in cleaned.select(*part_cols).distinct().collect()
+    }
+    for r in hit_parts:
+        key = tuple(r[c] for c in part_cols)
+        if key not in survivors:
+            sub = "/".join(f"{c}={r[c]}" for c in part_cols)
+            hadoopfs.delete(spark, f"{path.rstrip('/')}/{sub}")
+    if n_after > 0:
+        overwrite_partitions_dynamic(cleaned, path)
+    return n_before - n_after
+
+
 def _marker(path: str, version: int) -> str:
     return f"{path.rstrip('/')}/_committed_v{version}"
 

@@ -528,6 +528,47 @@ def test_vacuum_keeps_newest_versions_only(spark, tmp_path):
     assert writers.read_version(spark, path, 3).count() == 5
 
 
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """Targeted erasure: deleting keys confined to two partitions must
+    (a) remove exactly those rows, (b) drop a fully-wiped partition
+    directory, and (c) leave every unaffected partition's files
+    UNTOUCHED on disk (mtime-pinned) — the property that makes the op
+    affordable on a 100 TB table."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "erasure")
+    df = spark.createDataFrame(
+        [(uid, f"u{uid}", uid % 4) for uid in range(40)],
+        "user_id long, name string, p int",
+    )
+    df.write.partitionBy("p").parquet(path)
+    # keys: all of partition p=3 (full wipe) + two rows of p=1
+    keys = spark.createDataFrame(
+        [(u,) for u in range(40) if u % 4 == 3] + [(1,), (5,)],
+        "user_id long",
+    )
+    mtimes_before = {
+        d: os.stat(os.path.join(path, d)).st_mtime_ns
+        for d in os.listdir(path)
+        if d.startswith("p=")
+    }
+    n = writers.delete_keys_partitioned(spark, path, keys, "user_id")
+    assert n == 12  # 10 rows of p=3 + 2 rows of p=1
+    back = spark.read.parquet(path)
+    assert back.count() == 28
+    assert back.filter(F.col("user_id").isin(1, 5)).count() == 0
+    assert not os.path.isdir(os.path.join(path, "p=3"))
+    # unaffected partitions byte-untouched
+    for d in ("p=0", "p=2"):
+        assert (
+            os.stat(os.path.join(path, d)).st_mtime_ns
+            == mtimes_before[d]
+        ), d
+    # deleting absent keys is a no-op
+    ghost = spark.createDataFrame([(999,)], "user_id long")
+    assert writers.delete_keys_partitioned(spark, path, ghost, "user_id") == 0
+
+
 def test_atomic_commit_hides_torn_snapshots(spark, tmp_path):
     """Commit protocol: a snapshot is visible to committed readers ONLY
     after its marker lands — a writer dying between the data write and
