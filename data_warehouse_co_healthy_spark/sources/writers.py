@@ -254,25 +254,25 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
         )
     tbl = spark.read.parquet(path)
     keys = keys_df.select(key_col).distinct()
-    # partition values with at least one key hit (partition-grain rows)
-    hit_parts = (
+    # partition values with at least one key hit (partition-grain
+    # frame — small by construction, one row per affected partition)
+    hit_parts_df = (
         tbl.join(F.broadcast(keys), key_col, "left_semi")
         .select(*part_cols)
         .distinct()
-        .collect()
+        .localCheckpoint()
     )
+    hit_parts = hit_parts_df.collect()
     if not hit_parts:
         return 0
-    # restrict to affected partitions (static pruning: the filter is
-    # on partition columns only), then drop the keys
-    cond = None
-    for r in hit_parts:
-        clause = None
-        for c in part_cols:
-            eq = F.col(c) == F.lit(r[c])
-            clause = eq if clause is None else (clause & eq)
-        cond = clause if cond is None else (cond | clause)
-    affected = tbl.filter(cond)
+    # restrict to affected partitions via a broadcast semi-join ON THE
+    # PARTITION COLUMNS: dynamic partition pruning cuts the fact scan
+    # to the hit partitions at runtime, and unlike an OR-chain of
+    # literals the plan stays constant-size however many partitions an
+    # erasure request touches
+    affected = tbl.join(
+        F.broadcast(hit_parts_df), on=list(part_cols), how="left_semi"
+    )
     n_before = affected.count()
     # MATERIALIZE the survivors before mutating any directory: the
     # rewrite must not re-read files this function is about to delete
@@ -320,16 +320,20 @@ def write_versioned_committed(df: DataFrame, path: str) -> int:
 
 
 def committed_versions(spark, path: str) -> list[int]:
-    """Snapshot numbers whose commit marker exists (sorted)."""
+    """Snapshot numbers whose commit marker exists (sorted). Foreign
+    files that merely share the marker prefix are ignored, never a
+    crash."""
     from . import hadoopfs  # noqa: PLC0415
 
     present = set(hadoopfs.versions_in(spark, path))
-    return sorted(
-        v
-        for name in hadoopfs.list_children(spark, path)
-        if name.startswith("_committed_v")
-        and (v := int(name[len("_committed_v"):])) in present
-    )
+    out = []
+    for name in hadoopfs.list_children(spark, path):
+        suffix = name[len("_committed_v"):]
+        if name.startswith("_committed_v") and suffix.isdigit():
+            v = int(suffix)
+            if v in present:
+                out.append(v)
+    return sorted(out)
 
 
 def read_committed(spark, path: str, version: int | None = None):

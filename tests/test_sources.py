@@ -569,6 +569,17 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert writers.delete_keys_partitioned(spark, path, ghost, "user_id") == 0
 
 
+def test_committed_versions_ignores_foreign_marker_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "cv")
+    base = spark.range(3).select(F.col("id").alias("k"))
+    writers.write_versioned_committed(base, path)
+    (tmp_path / "cv" / "_committed_vNOTANUMBER").write_text("")
+    (tmp_path / "cv" / "_committed_v99").write_text("")  # no data dir
+    assert writers.committed_versions(spark, path) == [1]
+
+
 def test_atomic_commit_hides_torn_snapshots(spark, tmp_path):
     """Commit protocol: a snapshot is visible to committed readers ONLY
     after its marker lands — a writer dying between the data write and
