@@ -42,6 +42,42 @@ def test_driver_window_is_the_priority_list():
     )
 
 
+def test_driver_window_keeps_family_representation():
+    """Rotating heavies into the 50-slot window must never drop a
+    SURVEY §2 family from driver grading: at least one representative
+    of each family group below stays in PRIORITY."""
+    families = {
+        "projections": {"project_select", "case_when_bucket",
+                        "fillna_left_join", "filter_rows"},
+        "joins": {"star_join_revenue", "multi_key_join",
+                  "left_join_miss", "role_playing_dim"},
+        "co_pipelines": {"fact_formula_star", "fact_facturacion_star",
+                         "fact_retiro_star", "fact_service_star"},
+        "setops": {"union_by_name", "union_positional", "dedup_rows",
+                   "intersect_keys", "except_keys"},
+        "scalars_dates": {"split_explode", "date_parts",
+                          "month_name_mapping", "date_dim_generate",
+                          "time_label"},
+        "aggregates": {"q1_pricing_summary", "supplier_scorecard",
+                       "rollup_sales", "pivot_status"},
+        "windows": {"window_range_frame", "window_topk_per_group",
+                    "order_limit_topk"},
+        "tpch": {"q3_shipping_priority", "q5_local_supplier"},
+        "temporal": {"asof_join"},
+        "llm_dedup": {"dedup_exact", "minhash_lsh_pairs",
+                      "simhash_pairs", "dedup_connected_components",
+                      "dedup_cc_star"},
+        "llm_text": {"token_count", "text_quality", "bm25_search"},
+        "llm_similarity": {"cosine_topk", "hybrid_search_rrf"},
+        "multimodal": {"image_decode_stats"},
+        "warehouse": {"scd2_user_state", "surrogate_keys"},
+    }
+    window = set(reg.PRIORITY)
+    missing = [fam for fam, names in families.items()
+               if not (names & window)]
+    assert not missing, f"families with no driver-window slot: {missing}"
+
+
 def test_entry_module_exports_registry():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert set(oracles) <= set(qs)
