@@ -394,6 +394,49 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
 
 
+def file_decode_stats(files: DataFrame) -> DataFrame:
+    """Decoded-image stats over a (path, content) frame — the shape
+    both the batch ``binaryFile`` reader and the STREAMING binaryFile
+    source produce, so one transform serves ingest-time decode on a
+    stream and backfill decode in batch with bit-identical outputs
+    (tests/test_streaming.py pins the equality). Payload bytes stay
+    inside executor Arrow batches; the magic-byte dispatch decodes BMP
+    and PPM for real and fails loudly on anything else."""
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = (
+        "file_name string, width int, height int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "file_name", "width", "height",
+                    "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                img = decode_image(bytes(payload)).astype(np.int64)
+                h, w = img.shape[:2]
+                flat = img.reshape(-1, 3)
+                out["file_name"].append(path.rsplit("/", 1)[1])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(flat[:, 0].sum()))
+                out["sum_g"].append(int(flat[:, 1].sum()))
+                out["sum_b"].append(int(flat[:, 2].sum()))
+            yield pd.DataFrame(out).astype(
+                {"width": "int32", "height": "int32"}
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 QUERIES = {
     "binary_metadata": binary_metadata,
     "image_decode_stats": image_decode_stats,

@@ -217,3 +217,69 @@ def streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = train_linear_probe(spark, sf_dir)
     return score_linear_probe(read_embeddings_stream(spark, sf_dir), w)
+
+
+_MEDIA_DIRS: dict[str, str] = {}
+MEDIA_STAGE_N = 60  # files staged per fixture dir (bounded, cached)
+
+
+def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a bounded directory of REAL encoded image files
+    (.bmp/.ppm via the vendored codec) derived from the documents
+    fixture — the on-disk media lake both the batch binaryFile reader
+    and the streaming source ingest. Cached per sf_dir, cleaned at
+    interpreter exit."""
+    import atexit  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    cached = _MEDIA_DIRS.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from ..llm import multimodal  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix="media_stream_")
+    rows = (
+        multimodal.media_images(spark, sf_dir)
+        .limit(MEDIA_STAGE_N)
+        .collect()  # bounded by MEDIA_STAGE_N tiny files
+    )
+    for r in rows:
+        with open(
+            os.path.join(d, f"media_{r['media_id']}.{r['fmt']}"), "wb"
+        ) as f:
+            f.write(bytes(r["payload"]))
+    if not _MEDIA_DIRS:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True)
+                for p in _MEDIA_DIRS.values()
+            ]
+        )
+    _MEDIA_DIRS[sf_dir] = d
+    return d
+
+
+def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time image decode: a binaryFile STREAM over the staged
+    media lake, each arriving file's bytes parsed by the vendored
+    BMP/PPM codec the moment it lands — the media analog of
+    streaming_quality_scores' train-offline/serve-online shape. The
+    transform is the SAME ``file_decode_stats`` the batch reader uses,
+    so stream and batch outputs are bit-identical (asserted in
+    tests/test_streaming.py). Per-file work is stateless; a 100 TB
+    media lake streams through at source-discovery parallelism with
+    maxFilesPerTrigger as the batch-size knob."""
+    from ..llm.multimodal import file_decode_stats  # noqa: PLC0415
+
+    media_dir = stage_media_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(media_dir)
+    )
+    return file_decode_stats(stream)

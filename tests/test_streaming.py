@@ -473,3 +473,41 @@ def test_streaming_quality_scores_match_batch(spark):
     assert (m.label_s == m.label_b).all()
     assert (m.score_s == m.score_b).all()
     assert (m.pred_s == m.pred_b).all()
+
+
+def test_streaming_media_decode_bit_equal_to_batch(spark):
+    """Ingest-time image decode: the binaryFile STREAM over the staged
+    media lake must produce bit-identical decoded stats to the batch
+    binaryFile read of the same directory (shared file_decode_stats
+    transform, shared vendored codec)."""
+    from data_warehouse_co_healthy_spark.llm.multimodal import (
+        file_decode_stats,
+    )
+    from data_warehouse_co_healthy_spark.sources.readers import (
+        read_binary_files,
+    )
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    got = (
+        _drain(
+            spark,
+            sd.streaming_media_decode(spark, SF_DIR),
+            "media_decode",
+            mode="append",
+        )
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    media_dir = sd.stage_media_dir(spark, SF_DIR)
+    want = (
+        file_decode_stats(read_binary_files(spark, media_dir))
+        .toPandas()
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    assert len(got) == sd.MEDIA_STAGE_N
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the decoded dims follow the synthesis formula (real parse proof)
+    ids = got.file_name.str.extract(r"media_(\d+)\.")[0].astype(int)
+    assert (got.width.values == 5 + ids % 4).all()
+    assert (got.height.values == 3 + ids % 3).all()
