@@ -353,6 +353,81 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ESS_K = 12           # char-gram width for exact-substring matching
+ESS_MIN_RUN = 20     # minimum shared-run length (chars) to report
+ESS_MAX_OCC = 200    # corpus occurrence cap per gram (skew guard)
+
+
+def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans between documents (the
+    'Deduplicating Training Data Makes Language Models Better'
+    Lee et al. 2021 shape, Spark-expressed): every maximal run of
+    ESS_MIN_RUN+ characters appearing VERBATIM in two documents, with
+    both start offsets and the run length — the operator that catches
+    boilerplate/licence blocks and copied passages that token-level
+    Jaccard smooths over.
+
+    Dataflow instead of a suffix array: overlapping ESS_K-char grams
+    with their positions, a corpus occurrence cap (ESS_MAX_OCC — the
+    same visible skew guard as MAX_DOCFREQ; at 100 TB also swap the
+    raw gram string for a 64-bit fingerprint before the shuffle, the
+    chunk_dedup trade), an in-bucket pair join, then gaps-and-islands
+    per (pair, diagonal): consecutive matching positions on one
+    diagonal (pos_a - pos_b constant) collapse into ONE maximal run
+    via pos - row_number islands. Shuffles: gram window, pair join,
+    island window at matched-position grain — no all-pairs stage
+    anywhere."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.lower("text").alias("t")).filter(
+        F.length("t") >= ESS_K
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {ESS_K - 1}), "
+                f"i -> substr(t, i, {ESS_K}))"
+            )
+        ).alias("p0", "g"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
+    capped = grams.withColumn(
+        "oc", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("oc") <= ESS_MAX_OCC)
+    a = capped.select(
+        "g", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+    )
+    b = capped.select(
+        "g", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+    )
+    m = (
+        a.join(b, on="g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    iw = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(iw)
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + ESS_K).alias("run_len"),
+        )
+        .filter(F.col("run_len") >= ESS_MIN_RUN)
+        .select("doc_a", "doc_b", "a_start", "b_start", "run_len")
+    )
+
+
 # Cross-snapshot split: docs with doc_id % SNAP_MOD == 0 model the
 # newly-crawled batch; the rest model the previously-ingested corpus.
 SNAP_MOD = 3
@@ -1089,6 +1164,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "exact_substring_matches": exact_substring_matches,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
     "ngram_novelty": ngram_novelty,
@@ -1367,6 +1443,38 @@ ORACLES["dedup_connected_components"] = f"""
 # star contraction computes exactly the connected-components labels —
 # same oracle as the fixpoint label propagation
 ORACLES["dedup_cc_star"] = ORACLES["dedup_connected_components"]
+
+ORACLES["exact_substring_matches"] = f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(lower(text)) >= {ESS_K}
+    ), g AS (
+        SELECT doc_id, i::BIGINT AS pos, substr(t, i, {ESS_K}) AS g
+        FROM t,
+             LATERAL (SELECT unnest(generate_series(
+                 1, length(t) - {ESS_K - 1})) AS i)
+    ), capped AS (
+        SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY g) AS oc FROM g
+        ) WHERE oc <= {ESS_MAX_OCC}
+    ), m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b,
+               a.pos - b.pos AS diag
+        FROM capped a JOIN capped b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ), isl AS (
+        SELECT *, pos_a - row_number() OVER (
+            PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+        ) AS island FROM m
+    )
+    SELECT doc_a, doc_b,
+           min(pos_a)::BIGINT AS a_start,
+           min(pos_b)::BIGINT AS b_start,
+           (max(pos_a) - min(pos_a) + {ESS_K})::BIGINT AS run_len
+    FROM isl GROUP BY doc_a, doc_b, diag, island
+    HAVING max(pos_a) - min(pos_a) + {ESS_K} >= {ESS_MIN_RUN}
+"""
 
 ORACLES["chunk_dedup_reassemble"] = f"""
     WITH w AS (

@@ -342,6 +342,45 @@ def test_connected_components_refines_bounded_propagation(spark):
     assert (grp.index == grp.values).all()
 
 
+def test_exact_substring_matches_exact_offsets(spark, tmp_path):
+    """A planted verbatim passage must be reported as ONE maximal run
+    with exact 1-based offsets and length; sub-threshold overlaps and
+    self-pairs must not appear."""
+    shared = "the identical boilerplate passage xyz"  # 37 chars
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "AAAA " + shared + " tail-one distinct ending here",
+                "prefix-two BB " + shared + " other suffix text",
+                "completely unrelated content with no overlap at all",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    out = dedup.exact_substring_matches(spark, d).toPandas()
+    # only the (0, 1) pair shares a >=ESS_MIN_RUN run
+    assert set(zip(out.doc_a, out.doc_b)) == {(0, 1)}
+    run = out[(out.doc_a == 0) & (out.doc_b == 1)]
+    # the shared region includes the flanking spaces both docs share
+    # (' ' + shared + ' '), so expect the maximal run to cover it
+    a_expected = docs.text[0].lower().find(shared) + 1  # 1-based
+    b_expected = docs.text[1].lower().find(shared) + 1
+    best = run.sort_values("run_len", ascending=False).iloc[0]
+    assert best.run_len >= len(shared)
+    assert abs(best.a_start - a_expected) <= 1  # flanking space
+    assert abs(best.b_start - b_expected) <= 1
+    # offsets are consistent: the reported spans are IDENTICAL text
+    for _, r in run.iterrows():
+        sa = docs.text[0].lower()[r.a_start - 1 : r.a_start - 1 + r.run_len]
+        sb = docs.text[1].lower()[r.b_start - 1 : r.b_start - 1 + r.run_len]
+        assert sa == sb and len(sa) == r.run_len
+
+
 def test_star_contraction_equals_fixpoint_labels(spark):
     """The large-star/small-star scale path must produce EXACTLY the
     labels of the fixpoint label propagation on the fixture graph."""

@@ -69,6 +69,7 @@ PROBES = [
     "dedup_cc_star",
     "image_decode_stats",
     "bm25_search",
+    "exact_substring_matches",
 ]
 
 
