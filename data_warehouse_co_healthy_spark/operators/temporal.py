@@ -517,6 +517,50 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREND_HALF_WIN = 12  # centered moving-average half-width (rows/hours)
+
+
+def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly event
+    series, per event type: trend (centered 25-hour moving average),
+    seasonal (mean detrended value per hour-of-day), residual (what
+    anomaly detection should actually look at — ``rolling_zscore``
+    over raw values flags every rush hour; over residuals it flags
+    genuine surprises).
+
+    All window arithmetic, grouped by event_type: one shuffle to the
+    hourly grain, one ordered window per type for the moving average
+    (a type's series is time-range-sized, never corpus-sized), one
+    hour-of-day partition for the seasonal means. Deterministic —
+    buckets are unique within a type, so the frame contents are exact.
+    Row-frame MA assumes a dense series; compose with the gap-fill
+    operator first when hours can be missing."""
+    ev = load_table(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-TREND_HALF_WIN, TREND_HALF_WIN)
+    )
+    t = series.withColumn("trend", F.avg("n").over(wma))
+    ws = Window.partitionBy("event_type", F.hour("bucket"))
+    s = t.withColumn(
+        "seasonal", F.avg(F.col("n") - F.col("trend")).over(ws)
+    )
+    return s.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 4
+        ).alias("resid"),
+    )
+
+
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order behavioral transition matrix: counts and row-
     normalized probabilities of consecutive event-type transitions per
@@ -613,6 +657,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "funnel_stages": funnel_stages,
     "ewma_smoother": ewma_smoother,
+    "seasonal_decompose_hourly": seasonal_decompose_hourly,
 }
 
 ORACLES = {
@@ -829,4 +874,27 @@ ORACLES["event_transition_matrix"] = """
     SELECT c.from_type, c.to_type, c.n,
            round(c.n / t.n_from, 6) AS p
     FROM counted c JOIN totals t USING (from_type)
+"""
+
+ORACLES["seasonal_decompose_hourly"] = f"""
+    WITH series AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ), tr AS (
+        SELECT *, avg(n) OVER (
+            PARTITION BY event_type ORDER BY bucket
+            ROWS BETWEEN {TREND_HALF_WIN} PRECEDING
+                     AND {TREND_HALF_WIN} FOLLOWING
+        ) AS trend FROM series
+    ), se AS (
+        SELECT *, avg(n - trend) OVER (
+            PARTITION BY event_type, extract(hour FROM bucket)
+        ) AS seasonal FROM tr
+    )
+    SELECT event_type, bucket, n,
+           round(trend, 4) AS trend,
+           round(seasonal, 4) AS seasonal,
+           round(n - trend - seasonal, 4) AS resid
+    FROM se
 """

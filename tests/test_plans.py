@@ -240,3 +240,25 @@ def test_intra_label_cosine_matches_bruteforce(spark):
         # pairs — means coincide
         assert abs(got[label][1] - mean) < 1e-3, (label, got[label], mean)
         assert got[label][0] == n
+
+
+def test_seasonal_decompose_identity_and_centering(spark):
+    """Decomposition invariants: trend+seasonal+resid reconstructs the
+    series exactly (to rounding); seasonal means are centered near
+    zero per event type; the trend is smoother than the raw series
+    (lower lag-1 difference variance)."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        seasonal_decompose_hourly,
+    )
+
+    out = seasonal_decompose_hourly(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    recon = out.trend + out.seasonal + out.resid
+    assert (recon - out.n).abs().max() <= 2e-4
+    for _, g in out.groupby("event_type"):
+        # mean of seasonal over the series ~ 0 (centered effects)
+        assert abs(g.seasonal.mean()) < 1.0, g.seasonal.mean()
+        s = g.sort_values("bucket")
+        raw_rough = s.n.diff().var()
+        trend_rough = s.trend.diff().var()
+        assert trend_rough < raw_rough, (trend_rough, raw_rough)
