@@ -91,6 +91,39 @@ EDGE_QUERIES = [
     "cosine_topk",
     "retrieval_ndcg",
     "embedding_norms",
+    "clean_corpus",
+    "heavy_hitters_tokens",
+    "pmi_bigrams",
+    "tfidf_top_terms",
+    "approx_topk_tokens",
+    "chunk_dedup_reassemble",
+    "chunk_copy_pairs",
+    "chunk_documents",
+    "pack_sequences",
+    "pack_sequences_text",
+    "pii_redaction",
+    "dedup_editdist_rerank",
+    "dedup_keep_best",
+    "dedup_cluster_labels",
+    "dedup_connected_components",
+    "dedup_cc_star",
+    "token_length_histogram",
+    "corpus_mix_entropy",
+    "mix_sources_weighted",
+    "contamination_overlap",
+    "dsir_importance",
+    "temperature_sampling_weights",
+    "train_val_test_split",
+    "quality_classifier",
+    "semantic_dedup",
+    "dedup_embedding_cosine",
+    "minhash_jaccard_estimate",
+    "lsh_bucket_stats",
+    "lsh_eval_vs_exact",
+    "incremental_lsh_pairs",
+    "cross_snapshot_dedup",
+    "source_overlap_matrix",
+    "filter_ablation_report",
 ]
 
 
