@@ -592,21 +592,39 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _non_star_count(e: DataFrame) -> int:
-    """Number of nodes appearing BOTH as a child (s) and a parent (d)
-    in the directed (s > d) edge set. Zero ⇔ the edges form a forest
-    of stars each centered at its component minimum — the TRUE
-    termination condition of star contraction (a star centered off
-    the minimum always leaves its center as both child and parent
-    under the s > d invariant, so it cannot fool this check). One
-    role-tagged union + one groupBy — a single shuffle per round."""
+    """Number of star-forest VIOLATIONS in the directed (s > d) edge
+    set. Zero ⇔ the edges form a forest of stars each centered at its
+    component minimum — the TRUE termination condition of star
+    contraction. Two conditions, both required:
+
+    - no node appears BOTH as a child (s) and a parent (d): a star
+      centered off the minimum always leaves its center in both roles
+      under the s > d invariant;
+    - every child has exactly ONE parent: a child with two parents
+      (e.g. {(2,0), (2,1)}) still BRIDGES two would-be components —
+      no node holds both roles, yet the graph is not a union of
+      disjoint stars (a hypothesis-found counterexample; checking
+      roles alone terminated one round early with split labels).
+
+    One role-tagged union + one groupBy — a single shuffle per call:
+    sum of child-tags per node counts its parent edges (e is
+    distinct), max of each role tag detects double-role nodes."""
+    flat = e.select(
+        F.col("s").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
+    ).unionByName(
+        e.select(F.col("d").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+    )
     return (
-        e.select(F.col("s").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p"))
-        .unionByName(
-            e.select(F.col("d").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
+        flat.groupBy("n")
+        .agg(
+            F.sum("c").alias("n_parents"),
+            F.max("c").alias("c"),
+            F.max("p").alias("p"),
         )
-        .groupBy("n")
-        .agg(F.max("c").alias("c"), F.max("p").alias("p"))
-        .filter((F.col("c") == 1) & (F.col("p") == 1))
+        .filter(
+            ((F.col("c") == 1) & (F.col("p") == 1))
+            | (F.col("n_parents") > 1)
+        )
         .count()
     )
 

@@ -400,6 +400,17 @@ def test_star_contraction_equals_fixpoint_labels(spark):
     assert (a.cluster_id == b.cluster_id).all()
 
 
+def test_star_contraction_bridge_node_not_a_premature_star(spark):
+    """Regression (hypothesis-found): edges {(0,2), (1,2)} have no
+    node in both child and parent roles, yet node 2 bridges 0 and 1 —
+    the termination check must ALSO require one parent per child, or
+    contraction stops a round early with split labels."""
+    edges = spark.createDataFrame([(0, 2), (1, 2)], "s long, d long")
+    parents, _ = dedup.star_contraction(edges)
+    got = {int(r["node"]): int(r["root"]) for r in parents.collect()}
+    assert got == {1: 0, 2: 0}
+
+
 def test_star_contraction_chain_converges_logarithmically(spark):
     """Adversarial high-diameter component: a 200-link chain. Label
     propagation would need ~200 rounds (beyond its cap); star

@@ -142,3 +142,46 @@ def test_connected_components_labels_are_roots(spark, data):
     for a, b in edges:
         assert lab[a] == lab[b]
     assert all(lab[lab[n]] == lab[n] for n in nodes)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=0, max_value=15),
+        ),
+        max_size=25,
+    )
+)
+def test_star_contraction_matches_union_find(spark, data):
+    """Large-star/small-star contraction on arbitrary small graphs must
+    produce exactly the components of a reference union-find, labeled
+    by each component's minimum node."""
+    from data_warehouse_co_healthy_spark.llm.dedup import star_contraction
+
+    edges = [(a, b) for a, b in data if a != b]
+    nodes = sorted({n for e in edges for n in e})
+    # reference union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in nodes}
+
+    if edges:
+        edf = spark.createDataFrame(edges, "s long, d long")
+    else:
+        edf = spark.createDataFrame([], "s long, d long")
+    parents, _rounds = star_contraction(edf)
+    got = {int(r["node"]): int(r["root"]) for r in parents.collect()}
+    for n in nodes:
+        assert got.get(n, n) == want[n], (n, got.get(n, n), want[n])
