@@ -185,3 +185,71 @@ def test_star_contraction_matches_union_find(spark, data):
     got = {int(r["node"]): int(r["root"]) for r in parents.collect()}
     for n in nodes:
         assert got.get(n, n) == want[n], (n, got.get(n, n), want[n])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=60),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_exact_substring_matches_bruteforce(spark, texts):
+    """The gram-diagonal islands operator must report exactly the
+    maximal shared character runs >= ESS_MIN_RUN that a brute-force
+    per-diagonal scan finds — including offsets and lengths — on
+    low-entropy random strings (maximum gram collision pressure)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        ESS_MIN_RUN,
+        exact_substring_matches,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="ess_prop_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    def brute(sa: str, sb: str) -> set:
+        out = set()
+        for diag in range(-(len(sb) - 1), len(sa)):
+            run, start = 0, 0
+            lo = max(0, diag)
+            hi = min(len(sa), len(sb) + diag)
+            for i in range(lo, hi):
+                if sa[i] == sb[i - diag]:
+                    if run == 0:
+                        start = i
+                    run += 1
+                else:
+                    if run >= ESS_MIN_RUN:
+                        out.add((start + 1, start - diag + 1, run))
+                    run = 0
+            if run >= ESS_MIN_RUN:
+                out.add((start + 1, start - diag + 1, run))
+        return out
+
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            for sa, sb, rl in brute(texts[a].lower(), texts[b].lower()):
+                want.add((a, b, sa, sb, rl))
+
+    got = {
+        (int(r.doc_a), int(r.doc_b), int(r.a_start), int(r.b_start),
+         int(r.run_len))
+        for r in exact_substring_matches(spark, d).collect()
+    }
+    assert got == want
