@@ -253,3 +253,130 @@ def test_exact_substring_matches_bruteforce(spark, texts):
         for r in exact_substring_matches(spark, d).collect()
     }
     assert got == want
+
+
+def _events_parquet(rows):
+    """Write a synthetic events fixture; rows = (user_id, event_type,
+    offset_sec). Returns the directory."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 1, 1)
+    df = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [
+                base + datetime.timedelta(seconds=off)
+                for _, _, off in rows
+            ],
+            "user_id": [u for u, _, _ in rows],
+            "event_type": [t for _, t, _ in rows],
+            "value": [float(i) for i in range(len(rows))],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="ev_prop_")
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+    return d
+
+
+# offsets cluster around bucket multiples (300/600) to probe the
+# bucketized joins' boundary arithmetic
+_offsets = st.one_of(
+    st.integers(min_value=0, max_value=1800),
+    st.builds(
+        lambda k, d: k * 300 + d,
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=-1, max_value=1),
+    ),
+)
+_ev_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),
+        st.sampled_from(["signup", "click", "error"]),
+        _offsets,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_ev_rows)
+def test_range_join_activity_matches_bruteforce(spark, rows):
+    """The bucketized point-in-window range join must count exactly
+    the events in (signup_ts, signup_ts + W] per signup — boundary
+    offsets at bucket multiples included."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        RANGE_WINDOW_SEC,
+        range_join_activity,
+    )
+
+    d = _events_parquet(rows)
+    got = {
+        int(r["signup_id"]): int(r["n_follow"])
+        for r in range_join_activity(spark, d).collect()
+    }
+    want = {}
+    for i, (u, t, off) in enumerate(rows):
+        if t != "signup":
+            continue
+        want[i] = sum(
+            1
+            for j, (u2, _, off2) in enumerate(rows)
+            if u2 == u and off < off2 <= off + RANGE_WINDOW_SEC
+        )
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_ev_rows)
+def test_interval_overlap_join_matches_bruteforce(spark, rows):
+    """The interval×interval bucketized join must find exactly the
+    (session, incident) overlaps with exact overlap durations that a
+    brute-force all-pairs scan finds (sessions re-derived in Python
+    with the same gap rule)."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        INCIDENT_PAD_SEC,
+        SESSION_GAP_SEC,
+        interval_overlap_join,
+    )
+
+    d = _events_parquet(rows)
+    # brute sessions: per user, sort by (offset, event_id), split on
+    # gap > SESSION_GAP_SEC; session_id = running break count
+    by_user: dict = {}
+    for i, (u, t, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off, i))
+    sessions = []  # (user, session_id, start, end)
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, start, end = 0, None, None
+        for off, _i in evs:
+            if start is None:
+                start, end = off, off
+            elif off - end > SESSION_GAP_SEC:
+                sessions.append((u, sid, start, end))
+                sid += 1
+                start, end = off, off
+            else:
+                end = off
+        sessions.append((u, sid, start, end))
+    want = set()
+    for i, (u, t, off) in enumerate(rows):
+        if t != "error":
+            continue
+        i_start, i_end = off - INCIDENT_PAD_SEC, off + INCIDENT_PAD_SEC
+        for (su, sid, s0, s1) in sessions:
+            if su == u and s0 <= i_end and i_start <= s1:
+                ov = min(s1, i_end) - max(s0, i_start)
+                want.add((u, sid, i, ov))
+    got = {
+        (int(r["user_id"]), int(r["session_id"]), int(r["incident_id"]),
+         int(r["overlap_sec"]))
+        for r in interval_overlap_join(spark, d).collect()
+    }
+    assert got == want
