@@ -380,3 +380,36 @@ def test_interval_overlap_join_matches_bruteforce(spark, rows):
         for r in interval_overlap_join(spark, d).collect()
     }
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_ev_rows)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """Union-merge as-of join semantics on random data with timestamp
+    ties: every purchase must attribute to the latest click
+    AT-or-before it (>= tie rule), NULL when none exists."""
+    from data_warehouse_co_healthy_spark.operators.temporal import asof_join
+
+    # reuse signup as 'purchase' stand-in by remapping types
+    remapped = [
+        (u, {"signup": "purchase", "click": "click", "error": "view"}[t], o)
+        for u, t, o in rows
+    ]
+    d = _events_parquet(remapped)
+    got = {
+        int(r["event_id"]): (
+            None if r["click_ts"] is None else int(r["gap_sec"])
+        )
+        for r in asof_join(spark, d).collect()
+    }
+    want = {}
+    for i, (u, t, off) in enumerate(remapped):
+        if t != "purchase":
+            continue
+        clicks = [
+            o2
+            for (u2, t2, o2) in remapped
+            if u2 == u and t2 == "click" and o2 <= off
+        ]
+        want[i] = (off - max(clicks)) if clicks else None
+    assert got == want
