@@ -11,6 +11,8 @@ per-file bounding boxes.
 from __future__ import annotations
 
 import glob
+
+import pandas as pd
 import os
 
 import pyarrow.parquet as pq
@@ -266,3 +268,52 @@ def test_dynamic_partition_pruning_star_join(spark, tmp_path):
     assert len(got) == 1
     assert got[0]["n_orders"] == want["n_orders"]
     assert abs(got[0]["revenue"] - want["revenue"]) < 0.01
+
+
+def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
+    """File-level Bloom sidecar: a point lookup on an unclustered
+    high-cardinality key must (a) return exactly the full-scan result
+    for present AND absent keys, and (b) prune a large fraction of
+    files — the skipping zone maps cannot provide when every file's
+    [min,max] overlaps."""
+    from data_warehouse_co_healthy_spark.sources import bloomindex
+
+    path = str(tmp_path / "facts")
+    # hash-scattered layout: every file spans the whole key range, so
+    # min/max pruning is useless by construction
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    li.repartition(16).write.parquet(path)
+    n_files = bloomindex.build_bloom_index(spark, path, "l_orderkey")
+    assert n_files == 16
+
+    key = li.select("l_orderkey").first()["l_orderkey"]
+    got = (
+        bloomindex.read_point_lookup(spark, path, "l_orderkey", key)
+        .toPandas()
+        .sort_values(["l_partkey", "l_quantity"])
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(path)
+        .filter(F.col("l_orderkey") == key)
+        .toPandas()
+        .sort_values(["l_partkey", "l_quantity"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    kept, total = bloomindex.bloom_prune_files(
+        spark, path, "l_orderkey", key
+    )
+    assert total == 16
+    # one order's rows live in few files; bloom must skip most others
+    assert len(kept) <= total // 2, (len(kept), total)
+
+    # absent key: correct empty result, and (usually) zero files read
+    missing = bloomindex.read_point_lookup(
+        spark, path, "l_orderkey", -12345
+    )
+    assert missing.count() == 0
