@@ -70,6 +70,7 @@ PROBES = [
     "image_decode_stats",
     "bm25_search",
     "exact_substring_matches",
+    "seasonal_decompose_hourly",
 ]
 
 
