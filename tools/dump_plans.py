@@ -44,6 +44,14 @@ SHOWCASE = [
         "snm_adjacent_pairs",
         "sorted-neighborhood dedup: blocked window, signature lead()",
     ),
+    (
+        "exact_substring_matches",
+        "verbatim shared runs: gram join + per-diagonal islands, no all-pairs",
+    ),
+    (
+        "seasonal_decompose_hourly",
+        "trend/seasonal/residual: two windows over one hourly grain",
+    ),
 ]
 
 
