@@ -413,3 +413,150 @@ def test_asof_join_matches_bruteforce(spark, rows):
         ]
         want[i] = (off - max(clicks)) if clicks else None
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_ev_rows)
+def test_scd2_matches_bruteforce(spark, rows):
+    """SCD2 state history on random change streams: consecutive
+    duplicate states collapse, intervals chain with no gaps, exactly
+    one current row per user, and the version list equals a direct
+    Python scan (ties broken by event_id, same as the engine)."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        scd2_user_state,
+    )
+
+    d = _events_parquet(rows)
+    got = sorted(
+        (int(r["user_id"]), r["state"], r["valid_from"],
+         r["valid_to"], bool(r["is_current"]))
+        for r in scd2_user_state(spark, d).collect()
+    )
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    by_user: dict = {}
+    for i, (u, t, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off, i, t))
+    want = []
+    for u, evs in by_user.items():
+        evs.sort()
+        versions = []
+        for off, _i, t in evs:
+            if not versions or versions[-1][1] != t:
+                versions.append((off, t))
+        for k, (off, t) in enumerate(versions):
+            nxt = (
+                base + datetime.timedelta(seconds=versions[k + 1][0])
+                if k + 1 < len(versions)
+                else None
+            )
+            want.append(
+                (u, t, base + datetime.timedelta(seconds=off), nxt,
+                 nxt is None)
+            )
+    assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=30,
+        ).map(lambda ws: " ".join(ws)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_chunk_dedup_roundtrip_on_unique_docs(spark, texts):
+    """chunk_dedup_reassemble on docs whose chunks are corpus-unique
+    must reproduce every original text byte-for-byte; docs losing all
+    chunks must vanish entirely (never emit an empty shell)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        CHUNK_MAX_FREQ,
+        CHUNK_WORDS,
+        chunk_dedup_reassemble,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="chunk_prop_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+    out = chunk_dedup_reassemble(spark, d).toPandas().set_index("doc_id")
+
+    # brute: chunk every doc, count corpus-wide, keep rare chunks
+    from collections import Counter
+
+    def chunks(t):
+        ws = t.split(" ")
+        return [
+            " ".join(ws[i : i + CHUNK_WORDS])
+            for i in range(0, len(ws), CHUNK_WORDS)
+        ]
+
+    freq = Counter(c for t in texts for c in chunks(t))
+    for i, t in enumerate(texts):
+        kept = [c for c in chunks(t) if freq[c] <= CHUNK_MAX_FREQ]
+        if not kept:
+            assert i not in out.index
+        else:
+            assert out.loc[i, "cleaned_text"] == " ".join(kept)
+            assert out.loc[i, "kept_chunks"] == len(kept)
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=0, max_size=300))
+def test_image_codec_never_crashes_on_fuzz(data):
+    """The vendored decoder on arbitrary bytes must either raise
+    ValueError (the documented contract) or return a valid H x W x 3
+    uint8 array — never any other exception, hang, or huge
+    allocation."""
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    try:
+        img = imagecodec.decode(data)
+    except ValueError:
+        return
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == "uint8"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    flip_at=st.integers(min_value=0, max_value=120),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+def test_image_codec_header_mutations_fail_loudly_or_decode(w, h, flip_at, flip_to):
+    """Single-byte mutations of a valid BMP must decode (possibly to
+    different pixels) or raise ValueError — nothing else. Mutating
+    raster bytes must never change the decoded SHAPE."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    enc = bytearray(imagecodec.encode_bmp(img))
+    if flip_at >= len(enc):
+        return
+    enc[flip_at] = flip_to
+    try:
+        out = imagecodec.decode_bmp(bytes(enc))
+    except ValueError:
+        return
+    if flip_at >= 54:  # raster-only mutation: shape must be intact
+        assert out.shape == (h, w, 3)
