@@ -686,36 +686,45 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for left, right in rules:
         expr = _merge_fold_sql(expr, left, right)
     d = spread(load_table(spark, sf_dir, "documents"))
-    words = d.select(
-        "source",
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
-    ).filter(F.length("word") > 0)
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("_unused"))
-        .select(
-            "word",
-            F.expr("transform(split(word, ''), x -> x)").alias("ws"),
+    # occurrence-weighted rollup: the corpus collapses to
+    # (source, word, n_occ) in its ONE shuffle; segmentation folds run
+    # once per (source, word) — Zipf-bounded — and the final stats are
+    # weighted sums, so nothing downstream of the first aggregate is
+    # corpus-sized (previously the vocab join ran at exploded-word
+    # grain: identical results, one corpus-sized join more)
+    wc = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word"),
         )
-        .select(
-            "word",
-            F.size(F.expr(expr)).cast("long").alias("n_tokens"),
-            F.length("word").cast("long").alias("n_chars"),
-        )
+        .filter(F.length("word") > 0)
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("n_occ"))
     )
-    return (
-        words.join(F.broadcast(vocab), on="word")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_words"),
-            F.sum("n_tokens").alias("n_tokens"),
-            F.round(F.sum("n_tokens") / F.count("*"), 4).alias(
-                "tokens_per_word"
-            ),
-            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
-                "chars_per_token"
-            ),
-        )
+    per_word = wc.select(
+        "source",
+        "n_occ",
+        F.expr("transform(split(word, ''), x -> x)").alias("ws"),
+        F.length("word").cast("long").alias("n_chars"),
+    ).select(
+        "source",
+        "n_occ",
+        F.size(F.expr(expr)).cast("long").alias("n_tokens"),
+        "n_chars",
+    )
+    return per_word.groupBy("source").agg(
+        F.sum("n_occ").alias("n_words"),
+        F.sum(F.col("n_occ") * F.col("n_tokens")).alias("n_tokens"),
+        F.round(
+            F.sum(F.col("n_occ") * F.col("n_tokens"))
+            / F.sum("n_occ"),
+            4,
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("n_occ") * F.col("n_chars"))
+            / F.sum(F.col("n_occ") * F.col("n_tokens")),
+            4,
+        ).alias("chars_per_token"),
     )
 
 
