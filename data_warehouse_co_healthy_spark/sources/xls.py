@@ -36,7 +36,12 @@ def _workbook_stream(data: bytes) -> bytes:
     """Extract the ``Workbook`` stream from the OLE2 container."""
     if data[:8] != _OLE_MAGIC:
         raise ValueError("not an OLE2 (.xls) file")
-    sector_size = 1 << struct.unpack("<H", data[30:32])[0]
+    shift = struct.unpack("<H", data[30:32])[0]
+    if not 6 <= shift <= 16:
+        # spec values are 9 (512) or 12 (4096); anything wild is a
+        # malformed header, and 1 << 65535 must never be attempted
+        raise ValueError(f"implausible OLE2 sector shift {shift}")
+    sector_size = 1 << shift
     n_fat = struct.unpack("<I", data[44:48])[0]
     dir_start = struct.unpack("<I", data[48:52])[0]
 
@@ -50,11 +55,17 @@ def _workbook_stream(data: bytes) -> bytes:
     fat: list[int] = []
     per = sector_size // 4
     for s in difat:
-        fat.extend(struct.unpack(f"<{per}I", sector(s)))
+        sec = sector(s)
+        if len(sec) < sector_size:
+            raise ValueError("FAT sector beyond end of file")
+        fat.extend(struct.unpack(f"<{per}I", sec))
 
     def chain(start: int) -> bytes:
-        out, cur = [], start
+        out, cur, seen = [], start, set()
         while cur not in _FAT_END and cur < len(fat):
+            if cur in seen:
+                raise ValueError("cyclic FAT chain")
+            seen.add(cur)
             out.append(sector(cur))
             cur = fat[cur]
         return b"".join(out)
@@ -157,17 +168,41 @@ def read_xls_rows(
     Row 0 is the header (string cells); remaining rows come back as
     dense lists padded with None — the shape ``createDataFrame`` with
     an explicit schema expects.
+
+    Error contract: malformed/truncated/corrupt input raises
+    ``ValueError`` (low-level struct/index/decode errors are wrapped —
+    a fuzz test pins that nothing else escapes); a sheet index past
+    the sheet list raises ``IndexError``.
     """
     with open(path, "rb") as f:
-        wb = _workbook_stream(f.read())
-    recs = _records(wb)
-    strings = _parse_sst(recs)
-    sheets = []
-    for rid, _, body in recs:
-        if rid == _BOUNDSHEET:
-            sheets.append(struct.unpack("<I", body[:4])[0])
+        data = f.read()
+    try:
+        wb = _workbook_stream(data)
+        recs = _records(wb)
+        strings = _parse_sst(recs)
+        sheets = []
+        for rid, _, body in recs:
+            if rid == _BOUNDSHEET:
+                sheets.append(struct.unpack("<I", body[:4])[0])
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError, UnicodeError) as e:
+        raise ValueError(
+            f"malformed .xls: {type(e).__name__}: {e}"
+        ) from e
     if sheet >= len(sheets):
         raise IndexError(f"sheet {sheet} of {len(sheets)}")
+    try:
+        return _read_sheet(wb, strings, sheets[sheet])
+    except (struct.error, IndexError, OverflowError, UnicodeError) as e:
+        raise ValueError(
+            f"malformed .xls: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _read_sheet(
+    wb: bytes, strings: list[str], start: int
+) -> tuple[list[str], list[list[object]]]:
 
     cells: dict[tuple[int, int], object] = {}
     maxrow = maxcol = 0
@@ -177,7 +212,7 @@ def read_xls_rows(
         cells[(r, c)] = v
         maxrow, maxcol = max(maxrow, r), max(maxcol, c)
 
-    pos = sheets[sheet]
+    pos = start
     while pos + 4 <= len(wb):
         rid, ln = struct.unpack("<HH", wb[pos : pos + 4])
         body = wb[pos + 4 : pos + 4 + ln]

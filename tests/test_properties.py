@@ -560,3 +560,69 @@ def test_image_codec_header_mutations_fail_loudly_or_decode(w, h, flip_at, flip_
         return
     if flip_at >= 54:  # raster-only mutation: shape must be intact
         assert out.shape == (h, w, 3)
+
+
+_XLS_PATH = "/root/reference/medicamentos.xls"
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2048))
+def test_xls_reader_never_crashes_on_fuzz(data):
+    """The vendored BIFF8/OLE2 reader on arbitrary bytes must either
+    parse or raise ValueError — never hang (FAT cycles are detected),
+    never blow memory (sector shift bounded), never leak struct/index
+    errors."""
+    import os
+    import tempfile
+
+    from data_warehouse_co_healthy_spark.sources.xls import read_xls_rows
+
+    fd, p = tempfile.mkstemp(suffix=".xls")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            # valid magic half the time so parsing goes DEEP
+            f.write(
+                (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data)
+                if data[:1] >= b"\x80"
+                else data
+            )
+        try:
+            read_xls_rows(p)
+        except (ValueError, IndexError):
+            pass
+    finally:
+        os.unlink(p)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    flip_at=st.integers(min_value=0, max_value=40000),
+    flip_to=st.integers(min_value=0, max_value=255),
+)
+def test_xls_reader_byteflips_of_real_catalog(flip_at, flip_to):
+    """Single byte flips of the REAL reference catalog must parse or
+    raise ValueError/IndexError — the deep-structure fuzz a random
+    blob can't reach (valid container, corrupted records)."""
+    import os
+    import tempfile
+
+    import pytest as _pytest
+
+    from data_warehouse_co_healthy_spark.sources.xls import read_xls_rows
+
+    if not os.path.exists(_XLS_PATH):
+        _pytest.skip("reference catalog absent")
+    raw = bytearray(open(_XLS_PATH, "rb").read())
+    if flip_at >= len(raw):
+        return
+    raw[flip_at] = flip_to
+    fd, p = tempfile.mkstemp(suffix=".xls")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(raw))
+        try:
+            read_xls_rows(p)
+        except (ValueError, IndexError):
+            pass
+    finally:
+        os.unlink(p)
