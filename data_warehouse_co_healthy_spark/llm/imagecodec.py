@@ -55,8 +55,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BMP into an H×W×3 RGB uint8 array.
     Handles bottom-up (positive height) and top-down (negative height)
     row order and the 4-byte row padding."""
-    if len(data) < _BMP_FILE_HEADER.size + 4:
-        raise ValueError("truncated BMP: no file header")
+    if len(data) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError("truncated BMP: incomplete headers")
     magic, _fsize, _r1, _r2, off = _BMP_FILE_HEADER.unpack_from(data, 0)
     if magic != b"BM":
         raise ValueError(f"not a BMP: magic {magic!r}")

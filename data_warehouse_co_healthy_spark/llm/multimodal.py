@@ -2,12 +2,15 @@
 image/audio/video as opaque ``binary`` payloads with typed metadata,
 processed by Arrow-batched pandas functions over ``mapInPandas``.
 
-The container has no image/audio libraries, so the DECODE step is a
-clearly-marked stub (``decode_image`` raises NotImplementedError) and
-feature extraction uses a deterministic fake (byte stats + md5). The
-Spark-side plumbing — schema, binary Arrow transfer, batch iterator
-shape, partition-parallel execution — is real and tested; swapping the
-fake for PIL/librosa changes only the inner function.
+Image DECODE is REAL: ``decode_image`` dispatches on magic bytes to
+the vendored pure-Python 24-bit-BMP / binary-PPM codec
+(``llm.imagecodec``) and returns decoded pixels; formats needing a
+codec library the container doesn't ship (JPEG/PNG/WebP) raise
+ValueError loudly. Audio DSP (windowed RMS) is likewise real
+arithmetic over the raw bytes. Only the media PAYLOADS here are
+synthetic where no fixture media exists — generated from closed-form
+pixel/byte formulas precisely so DuckDB can verify the decoded
+results by arithmetic alone.
 
 Scale posture: payloads never route through the driver; mapInPandas
 streams Arrow batches executor-side. Metadata (dims, duration, …)
@@ -142,8 +145,8 @@ def audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed-DSP shape (VAD, silence trimming, loudness
     normalization) on the audio half of the media table.
 
-    Unlike the image decode (stubbed — needs a codec library), this
-    arithmetic is REAL: numpy ``frombuffer`` reads the Arrow binary
+    Like the BMP/PPM image decode, this arithmetic is REAL: numpy
+    ``frombuffer`` reads the Arrow binary
     zero-copy, one reshape + matmul-free reduction per batch. The
     windowed sum-of-squares is exact integer math and the window width
     is a power of two, so the RMS double is engine-identical and the
@@ -234,8 +237,8 @@ def media_phash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aHash) over the first PHASH_BITS decoded samples — bit i set iff
     sample i is above the payload's mean — then bucket on the hash;
     same-bucket media are near-dup candidates (the image analog of
-    exact-text dedup; real pHash adds a DCT in decode_image, stubbed
-    here, and the bucketing dataflow is unchanged).
+    exact-text dedup; full pHash adds a DCT over ``decode_image``
+    pixels — the bucketing dataflow is unchanged either way).
 
     The "decode" for the deterministic fake payload is byte i of the
     UTF-8 payload (``ascii``). Everything is built-in expressions —

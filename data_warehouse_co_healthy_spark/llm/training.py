@@ -377,10 +377,14 @@ def _probe_cache_key(sf_dir: str) -> tuple:
     parts: list[tuple[str, int, int]] = []
     try:
         if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
+            for root, dirs, files in os.walk(p):
+                dirs.sort()  # deterministic traversal for nested layouts
+                rel = os.path.relpath(root, p)
                 for f in sorted(files):
                     st = os.stat(os.path.join(root, f))
-                    parts.append((f, st.st_mtime_ns, st.st_size))
+                    parts.append(
+                        (os.path.join(rel, f), st.st_mtime_ns, st.st_size)
+                    )
         else:
             st = os.stat(p)
             parts.append(("", st.st_mtime_ns, st.st_size))

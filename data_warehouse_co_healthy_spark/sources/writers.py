@@ -210,12 +210,20 @@ def vacuum_versions(
     Listing and deletion go through the Hadoop FileSystem API
     (scheme-resolved), so retention runs against HDFS/S3A with the
     identical code path the tests exercise on local FS. ``spark``
-    defaults to the active session."""
+    defaults to the active session.
+
+    Interplay with atomic commits: when the layout carries commit
+    markers, retention counts COMMITTED snapshots only — otherwise an
+    uncommitted orphan from a dead writer would occupy a keep_last
+    slot and the last good snapshot could be dropped while a torn,
+    never-readable one survives. Orphans are left for
+    ``vacuum_uncommitted`` (they may be a write in progress)."""
     from . import hadoopfs  # noqa: PLC0415
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
-    versions = hadoopfs.versions_in(spark, path)
+    committed = committed_versions(spark, path)
+    versions = committed or hadoopfs.versions_in(spark, path)
     drop = versions[:-keep_last]
     for v in drop:
         hadoopfs.delete(spark, f"{path.rstrip('/')}/version={v}")
@@ -269,10 +277,15 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
     # PARTITION COLUMNS: dynamic partition pruning cuts the fact scan
     # to the hit partitions at runtime, and unlike an OR-chain of
     # literals the plan stays constant-size however many partitions an
-    # erasure request touches
-    affected = tbl.join(
-        F.broadcast(hit_parts_df), on=list(part_cols), how="left_semi"
-    )
+    # erasure request touches. NULL-SAFE equality (<=>), because a
+    # NULL partition value (the Hive default partition) never matches
+    # a plain equi-join — its rows would silently escape the rewrite
+    # while the directory drop below still removed them from disk.
+    cond = None
+    for c in part_cols:
+        eq = tbl[c].eqNullSafe(hit_parts_df[c])
+        cond = eq if cond is None else (cond & eq)
+    affected = tbl.join(F.broadcast(hit_parts_df), cond, "left_semi")
     n_before = affected.count()
     # MATERIALIZE the survivors before mutating any directory: the
     # rewrite must not re-read files this function is about to delete
@@ -283,7 +296,13 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
     ).localCheckpoint()
     n_after = cleaned.count()
     # partitions wiped entirely: dynamic overwrite writes nothing for
-    # them, so they must be dropped explicitly
+    # them, so they must be dropped explicitly. Directory names come
+    # from Spark's OWN partition-path escaping (special chars are
+    # percent-encoded, NULL becomes the Hive default-partition name) —
+    # hand-built f"{col}={value}" paths silently miss escaped dirs,
+    # and a missed dir means the "erased" rows stay readable, so a
+    # construction mismatch raises instead of returning success.
+    esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     survivors = {
         tuple(r[c] for c in part_cols)
         for r in cleaned.select(*part_cols).distinct().collect()
@@ -291,8 +310,18 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
     for r in hit_parts:
         key = tuple(r[c] for c in part_cols)
         if key not in survivors:
-            sub = "/".join(f"{c}={r[c]}" for c in part_cols)
-            hadoopfs.delete(spark, f"{path.rstrip('/')}/{sub}")
+            sub = "/".join(
+                esc.getPartitionPathString(
+                    c, "" if r[c] is None else str(r[c])
+                )
+                for c in part_cols
+            )
+            target = f"{path.rstrip('/')}/{sub}"
+            if not hadoopfs.exists(spark, target):
+                raise RuntimeError(
+                    f"erasure: expected partition dir missing: {target}"
+                )
+            hadoopfs.delete(spark, target)
     if n_after > 0:
         overwrite_partitions_dynamic(cleaned, path)
     return n_before - n_after

@@ -139,6 +139,14 @@ def _parse_sst(recs: list[tuple[int, int, bytes]]) -> list[str]:
                 wide = frags[fi][0] & 0x01
             width = 2 if wide else 1
             take = min(remaining, (len(frags[fi]) - fp) // width)
+            if take == 0:
+                # a fragment whose remainder can't hold one whole
+                # character (dangling odd byte in wide mode) is
+                # malformed — valid BIFF8 restarts char data on a char
+                # boundary; raising beats looping forever here
+                raise ValueError(
+                    "malformed SST: fragment breaks a character"
+                )
             raw = frags[fi][fp : fp + take * width]
             parts.append(raw.decode("utf-16-le" if wide else "latin-1"))
             fp += take * width

@@ -148,27 +148,25 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-_STAGED_DIRS: dict[str, str] = {}
+_STAGED_DIRS: dict[tuple[str, str], str] = {}
 
 
-def stage_embeddings_dir(sf_dir: str) -> str:
-    """File-stream staging for the embeddings fixture (symlink dir).
-    Cached per sf_dir and cleaned up at interpreter exit — repeated
-    streaming calls share one staging dir instead of leaking a
+def _staged_dir(kind: str, sf_dir: str, prefix: str, build) -> str:
+    """Shared per-(kind, sf_dir) staging-directory cache: build once,
+    revalidate on reuse, clean every staged dir at interpreter exit —
+    repeated streaming calls share one dir instead of leaking a
     mkdtemp per call."""
     import atexit  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    cached = _STAGED_DIRS.get(sf_dir)
+    key = (kind, sf_dir)
+    cached = _STAGED_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    d = tempfile.mkdtemp(prefix="emb_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        os.path.join(d, "embeddings.parquet"),
-    )
+    d = tempfile.mkdtemp(prefix=prefix)
+    build(d)
     if not _STAGED_DIRS:
         atexit.register(
             lambda: [
@@ -176,8 +174,21 @@ def stage_embeddings_dir(sf_dir: str) -> str:
                 for p in _STAGED_DIRS.values()
             ]
         )
-    _STAGED_DIRS[sf_dir] = d
+    _STAGED_DIRS[key] = d
     return d
+
+
+def stage_embeddings_dir(sf_dir: str) -> str:
+    """File-stream staging for the embeddings fixture (symlink dir)."""
+    import os  # noqa: PLC0415
+
+    def build(d: str) -> None:
+        os.symlink(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            os.path.join(d, "embeddings.parquet"),
+        )
+
+    return _staged_dir("embeddings", sf_dir, "emb_stream_", build)
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +230,6 @@ def streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_linear_probe(read_embeddings_stream(spark, sf_dir), w)
 
 
-_MEDIA_DIRS: dict[str, str] = {}
 MEDIA_STAGE_N = 60  # files staged per fixture dir (bounded, cached)
 
 
@@ -227,38 +237,24 @@ def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage a bounded directory of REAL encoded image files
     (.bmp/.ppm via the vendored codec) derived from the documents
     fixture — the on-disk media lake both the batch binaryFile reader
-    and the streaming source ingest. Cached per sf_dir, cleaned at
-    interpreter exit."""
-    import atexit  # noqa: PLC0415
+    and the streaming source ingest (shared ``_staged_dir`` cache)."""
     import os  # noqa: PLC0415
-    import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
-    cached = _MEDIA_DIRS.get(sf_dir)
-    if cached is not None and os.path.isdir(cached):
-        return cached
-    from ..llm import multimodal  # noqa: PLC0415
+    def build(d: str) -> None:
+        from ..llm import multimodal  # noqa: PLC0415
 
-    d = tempfile.mkdtemp(prefix="media_stream_")
-    rows = (
-        multimodal.media_images(spark, sf_dir)
-        .limit(MEDIA_STAGE_N)
-        .collect()  # bounded by MEDIA_STAGE_N tiny files
-    )
-    for r in rows:
-        with open(
-            os.path.join(d, f"media_{r['media_id']}.{r['fmt']}"), "wb"
-        ) as f:
-            f.write(bytes(r["payload"]))
-    if not _MEDIA_DIRS:
-        atexit.register(
-            lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _MEDIA_DIRS.values()
-            ]
+        rows = (
+            multimodal.media_images(spark, sf_dir)
+            .limit(MEDIA_STAGE_N)
+            .collect()  # bounded by MEDIA_STAGE_N tiny files
         )
-    _MEDIA_DIRS[sf_dir] = d
-    return d
+        for r in rows:
+            with open(
+                os.path.join(d, f"media_{r['media_id']}.{r['fmt']}"), "wb"
+            ) as f:
+                f.write(bytes(r["payload"]))
+
+    return _staged_dir("media", sf_dir, "media_stream_", build)
 
 
 def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

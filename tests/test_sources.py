@@ -263,6 +263,9 @@ def test_image_files_roundtrip_binaryfile_source(spark, tmp_path):
         name = r["path"].rsplit("/", 1)[1]
         decoded = multimodal.decode_image(bytes(r["content"]))
         assert (decoded == imgs[name]).all(), name
+
+
+def test_image_decode_stats_spark_path(spark):
     """The registered query end-to-end on Spark: every document gets a
     decoded image whose dims follow the synthesis formula."""
     stats = multimodal.image_decode_stats(spark, SF_DIR).toPandas()
@@ -567,6 +570,51 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     # deleting absent keys is a no-op
     ghost = spark.createDataFrame([(999,)], "user_id long")
     assert writers.delete_keys_partitioned(spark, path, ghost, "user_id") == 0
+
+
+def test_delete_keys_handles_escaped_and_null_partitions(spark, tmp_path):
+    """Erasure must drop fully-wiped partitions whose directory names
+    are PERCENT-ESCAPED (value with ':') or the Hive default-partition
+    dir (NULL value) — hand-built col=value paths miss both, leaving
+    'erased' rows readable."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "a:b"), (3, None), (4, "plain"), (5, "plain")],
+        "user_id long, p string",
+    )
+    df.write.partitionBy("p").parquet(path)
+    # wipe the escaped partition and the null partition entirely
+    keys = spark.createDataFrame([(1,), (2,), (3,)], "user_id long")
+    n = writers.delete_keys_partitioned(spark, path, keys, "user_id")
+    assert n == 3
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert set(r["user_id"] for r in back.collect()) == {4, 5}
+    assert not os.path.isdir(os.path.join(path, "p=a%3Ab"))
+    assert not os.path.isdir(
+        os.path.join(path, "p=__HIVE_DEFAULT_PARTITION__")
+    )
+
+
+def test_vacuum_never_drops_last_committed_for_an_orphan(spark, tmp_path):
+    """Retention counts COMMITTED snapshots: an uncommitted orphan from
+    a dead writer must not occupy a keep_last slot — previously
+    keep_last=1 would delete the only committed snapshot and retain the
+    torn one, destroying the last readable state."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "vac")
+    base = spark.range(6).select(F.col("id").alias("k"))
+    v1 = writers.write_versioned_committed(base, path)
+    writers.write_versioned(base.limit(1), path)  # torn write, no marker
+    dropped = writers.vacuum_versions(path, keep_last=1, spark=spark)
+    assert dropped == []  # v1 is the only committed snapshot: kept
+    assert writers.read_committed(spark, path).count() == 6
+    assert writers.committed_versions(spark, path) == [v1]
+    # the orphan is reclaimed by the dedicated pass, not by retention
+    assert writers.vacuum_uncommitted(path, spark=spark) == [2]
 
 
 def test_committed_versions_ignores_foreign_marker_files(spark, tmp_path):
