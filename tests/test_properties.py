@@ -626,3 +626,55 @@ def test_xls_reader_byteflips_of_real_catalog(flip_at, flip_to):
             pass
     finally:
         os.unlink(p)
+
+
+_pii_bits = st.one_of(
+    st.text(alphabet="abc @.-/:5", min_size=0, max_size=12),
+    st.sampled_from(
+        [
+            "bob@ex.com",
+            "a.b-c%d@mail.co.uk",
+            "https://ex.org/p?q=1",
+            "http://a.b/c@d.ee",
+            "555-123-4567",
+            "123-456-7890-123-4567",
+            "x@y.cc@z.org",
+            "@no.local",
+            "user@@double.com",
+        ]
+    ),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(parts=st.lists(_pii_bits, min_size=1, max_size=12))
+def test_pii_redaction_reaches_fixpoint(spark, parts):
+    """The email→URL→phone redaction cascade, applied with the
+    ENGINE's regex semantics, must leave text with ZERO remaining
+    matches of any of the three patterns — replacements must never
+    synthesize new PII-shaped spans (adversarial fragments include
+    nested/overlapping candidates)."""
+    from data_warehouse_co_healthy_spark.llm.filters import (
+        EMAIL_RE,
+        PHONE_RE,
+        URL_RE,
+    )
+
+    text = " ".join(parts)
+    df = spark.createDataFrame([(text,)], "t string")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("t", EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    row = df.select(
+        redacted.alias("r"),
+        F.size(F.regexp_extract_all(redacted, F.lit(EMAIL_RE), F.lit(0))).alias("e"),
+        F.size(F.regexp_extract_all(redacted, F.lit(URL_RE), F.lit(0))).alias("u"),
+        F.size(F.regexp_extract_all(redacted, F.lit(PHONE_RE), F.lit(0))).alias("p"),
+    ).first()
+    assert row["e"] == 0, row["r"]
+    assert row["u"] == 0, row["r"]
+    assert row["p"] == 0, row["r"]
