@@ -678,3 +678,39 @@ def test_pii_redaction_reaches_fixpoint(spark, parts):
     assert row["e"] == 0, row["r"]
     assert row["u"] == 0, row["r"]
     assert row["p"] == 0, row["r"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_ev_rows)
+def test_funnel_stages_matches_bruteforce(spark, rows):
+    """Ordered-funnel semantics on random streams: a stage counts only
+    when it first occurs STRICTLY AFTER the previous stage's first
+    occurrence — equality ties must not count (pinned against a direct
+    per-user scan)."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        funnel_stages,
+    )
+
+    remapped = [
+        (u, {"signup": "view", "click": "click", "error": "purchase"}[t], o)
+        for u, t, o in rows
+    ]
+    d = _events_parquet(remapped)
+    got = funnel_stages(spark, d).collect()[0]
+
+    firsts: dict = {}
+    for u, t, off in remapped:
+        cur = firsts.setdefault(u, {})
+        cur[t] = min(cur.get(t, off), off)
+    n_viewed = n_clicked = n_bought = 0
+    for u, f in firsts.items():
+        if "view" not in f:
+            continue
+        n_viewed += 1
+        if "click" in f and f["click"] > f["view"]:
+            n_clicked += 1
+            if "purchase" in f and f["purchase"] > f["click"]:
+                n_bought += 1
+    assert got["n_viewed"] == n_viewed
+    assert got["n_clicked_after_view"] == n_clicked
+    assert got["n_purchased_after_click"] == n_bought
