@@ -33,16 +33,16 @@ MAX_BUCKET_STATE = 512  # fingerprints kept per bucket (skew guard)
 
 def stage_documents_dir(sf_dir: str) -> str:
     """File-stream staging for the documents fixture (symlink dir, no
-    copy) — same trick as events.stage_events_dir."""
+    copy) — cached via the shared ``_staged_dir`` helper."""
     import os  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
-    d = tempfile.mkdtemp(prefix="docs_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(d, "documents.parquet"),
-    )
-    return d
+    def build(d: str) -> None:
+        os.symlink(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(d, "documents.parquet"),
+        )
+
+    return _staged_dir("documents", sf_dir, "docs_stream_", build)
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -36,16 +36,19 @@ from pyspark.sql import types as T
 def stage_events_dir(sf_dir: str) -> str:
     """The file stream source requires a DIRECTORY; the fixtures are
     single files. Stage a temp dir containing a symlink to the events
-    parquet (no data copied)."""
+    parquet (no data copied) — cached/cleaned via the shared
+    ``_staged_dir`` helper in streaming.docs."""
     import os
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(d, "events.parquet"),
-    )
-    return d
+    from .docs import _staged_dir  # noqa: PLC0415
+
+    def build(d: str) -> None:
+        os.symlink(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(d, "events.parquet"),
+        )
+
+    return _staged_dir("events", sf_dir, "events_stream_", build)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
