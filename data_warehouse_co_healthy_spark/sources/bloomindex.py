@@ -106,4 +106,12 @@ def read_point_lookup(
         return (
             spark.read.parquet(path).filter(F.col(col) == value).limit(0)
         )
-    return spark.read.parquet(*keep).filter(F.col(col) == value)
+    # basePath: reading an explicit file list must still derive any
+    # hive partition columns from the directory layout — without it a
+    # partitioned table's partition columns silently vanish from the
+    # pruned read's schema
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*keep)
+        .filter(F.col(col) == value)
+    )

@@ -317,3 +317,25 @@ def test_bloom_index_point_lookup_skips_files(spark, tmp_path):
         spark, path, "l_orderkey", -12345
     )
     assert missing.count() == 0
+
+
+def test_bloom_index_on_partitioned_table_keeps_partition_columns(
+    spark, tmp_path
+):
+    """Bloom-pruned reads of a HIVE-PARTITIONED table must preserve the
+    partition columns in the result schema (basePath) and still equal
+    the full scan."""
+    from data_warehouse_co_healthy_spark.sources import bloomindex
+
+    path = str(tmp_path / "pfacts")
+    df = spark.createDataFrame(
+        [(uid, uid % 3, f"v{uid}") for uid in range(60)],
+        "user_id long, p int, payload string",
+    )
+    df.repartition(4).write.partitionBy("p").parquet(path)
+    bloomindex.build_bloom_index(spark, path, "user_id")
+    got = bloomindex.read_point_lookup(spark, path, "user_id", 17)
+    assert "p" in got.columns
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["p"] == 17 % 3 and rows[0]["payload"] == "v17"
