@@ -636,11 +636,15 @@ def _large_star(sym: DataFrame) -> DataFrame:
     edge list; output directed child→parent edges (s > d)."""
     mins = sym.groupBy("s").agg(F.min("d").alias("mn"))
     mins = mins.select("s", F.least("s", "mn").alias("m"))
+    # No distinct here: duplicate (s, m) rows are harmless to the min
+    # aggregates downstream and are collapsed by _small_star's final
+    # distinct — skipping the dedup saves one full shuffle of the edge
+    # frame per round (the groupBy's map-side partial agg does the real
+    # reduction either way).
     return (
         sym.join(mins, "s")
         .filter(F.col("d") > F.col("s"))
         .select(F.col("d").alias("s"), F.col("m").alias("d"))
-        .distinct()
     )
 
 
@@ -691,7 +695,12 @@ def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
         .localCheckpoint()
     )
     rounds = 0
-    converged = _non_star_count(e) == 0
+    converged = False
+    # do-while, not while: a star forest is a FIXPOINT of LS∘SS (the
+    # large-star pass reproduces it, the small-star pass re-derives it),
+    # so skipping the pre-loop star check costs one no-op round on
+    # already-converged input but saves a whole check job on the common
+    # (non-star) case.
     while not converged and rounds < MAX_STAR_ROUNDS:
         sym = e.unionByName(
             e.select(F.col("d").alias("s"), F.col("s").alias("d"))
