@@ -533,14 +533,26 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by a test that forces both on the same corpus.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
-    vocab = (
+    word_counts = (
         d.select(
             F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
         )
         .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        .select(
+    )
+    return _bpe_merges_from_counts(spark, word_counts)
+
+
+def _bpe_merges_from_counts(
+    spark: SparkSession, word_counts: DataFrame
+) -> DataFrame:
+    """The BPE merge loop over a precomputed (word, cnt) frame — split
+    out so consumers that already paid a corpus word-count shuffle
+    (``bpe_segment``'s per-source rollup) can train the rules off it
+    instead of scanning the corpus a second time."""
+    vocab = (
+        word_counts.select(
             F.expr("transform(split(word, ''), x -> x)").alias("s"),
             "cnt",
         )
@@ -680,15 +692,6 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus word stream then broadcast-joins the segmented vocab
     (vocab ≪ corpus, the unigram_surprisal trade) and reduces per
     source. The merge list itself is O(BPE_MERGES) driver rows."""
-    rules = [
-        (r["left"], r["right"])
-        for r in bpe_merges(spark, sf_dir)
-        .orderBy("rank")
-        .collect()
-    ]
-    expr = "ws"
-    for left, right in rules:
-        expr = _merge_fold_sql(expr, left, right)
     d = spread(load_table(spark, sf_dir, "documents"))
     # occurrence-weighted rollup: the corpus collapses to
     # (source, word, n_occ) in its ONE shuffle; segmentation folds run
@@ -704,7 +707,21 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word") > 0)
         .groupBy("source", "word")
         .agg(F.count("*").alias("n_occ"))
+        .localCheckpoint()
     )
+    # train the rules off the SAME rollup (summed over source) — the
+    # trainer's word counts are identical, and the corpus is scanned
+    # exactly once instead of once per role
+    vocab_counts = wc.groupBy("word").agg(F.sum("n_occ").alias("cnt"))
+    rules = [
+        (r["left"], r["right"])
+        for r in _bpe_merges_from_counts(spark, vocab_counts)
+        .orderBy("rank")
+        .collect()
+    ]
+    expr = "ws"
+    for left, right in rules:
+        expr = _merge_fold_sql(expr, left, right)
     per_word = wc.select(
         "source",
         "n_occ",
