@@ -714,3 +714,55 @@ def test_funnel_stages_matches_bruteforce(spark, rows):
     assert got["n_viewed"] == n_viewed
     assert got["n_clicked_after_view"] == n_clicked
     assert got["n_purchased_after_click"] == n_bought
+
+
+# non-whitespace, non-control symbols — includes quotes, backslashes,
+# regex metachars, and astral-plane codepoints, the classes that stress
+# _merge_fold_sql's SQL-literal generation and split('')'s codepoint
+# semantics
+_bpe_word = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Z", "C"), min_codepoint=33
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(words=st.lists(_bpe_word, min_size=1, max_size=12))
+def test_bpe_distributed_fold_matches_python_reference(spark, words):
+    """The distributed BPE merge loop (codegen folds over SQL string
+    literals built from learned symbols) must learn EXACTLY the rules
+    of the pure-Python reference on arbitrary vocabularies — counts,
+    tie-breaks, and early exhaustion included. Random symbols cover
+    the escaping surface (quotes, backslashes, regex metachars,
+    emoji) that fixture corpora never touch."""
+    from collections import Counter
+
+    from data_warehouse_co_healthy_spark.llm import training
+
+    counts = Counter(words)
+    wc = spark.createDataFrame(
+        [(w, c) for w, c in counts.items()], "word string, cnt long"
+    )
+    orig_max, orig_merges = (
+        training.BPE_DRIVER_VOCAB_MAX,
+        training.BPE_MERGES,
+    )
+    training.BPE_DRIVER_VOCAB_MAX = 0  # force the distributed fold path
+    training.BPE_MERGES = 3
+    try:
+        got = [
+            (r["rank"], r["left"], r["right"], r["pair_count"])
+            for r in training._bpe_merges_from_counts(spark, wc)
+            .orderBy("rank")
+            .collect()
+        ]
+    finally:
+        training.BPE_DRIVER_VOCAB_MAX = orig_max
+        training.BPE_MERGES = orig_merges
+    want = training._bpe_merge_rules_python(
+        [(tuple(w), c) for w, c in counts.items()], 3
+    )
+    assert got == [(r, l, rt, c) for r, l, rt, c in want]
