@@ -91,6 +91,51 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5  # minimum acceptable quasi-identifier group size
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit before a data release: k-anonymity of the customer
+    table under the quasi-identifier (nation, market segment, account-
+    balance band). A record is re-identifiable when its QI group has
+    fewer than K_ANON members; the audit reports the achieved k (the
+    smallest group), how many groups and records fall below the bar,
+    and the at-risk rate — the numbers a release gate checks before
+    shipping any per-customer extract (Sweeney 2002 k-anonymity, the
+    standard pre-release check alongside the PII redaction pass in
+    ``pii_redaction``).
+
+    Scale posture: one groupBy over the QI columns (map-side partial
+    counts), then a scalar aggregate — the same two-stage shape as any
+    count rollup; no per-record output, so the result is O(1) whatever
+    the table size."""
+    c = load_table(spark, sf_dir, "customer")
+    groups = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count("*").alias("n"))
+    )
+    return groups.agg(
+        F.count("*").alias("n_qi_groups"),
+        F.min("n").alias("k_anonymity"),
+        F.sum(F.when(F.col("n") < K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_k"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_records_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0))
+            / F.sum("n"),
+            6,
+        ).alias("risk_rate"),
+    )
+
+
 def dq_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile: null rate and distinct count per audited
     column of orders, computed in ONE pass (parallel conditional
@@ -379,6 +424,7 @@ QUERIES = {
     "merge_upsert_balances": merge_upsert_balances,
     "dq_null_rates": dq_null_rates,
     "dq_orphans": dq_orphans,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 _EXPECT_UNION = "\n        UNION ALL ".join(
@@ -524,5 +570,22 @@ ORACLES = {
                    sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spent_dec
             FROM orders GROUP BY o_custkey
         ) src ON c_custkey = src.o_custkey
+    """,
+    "k_anonymity_audit": f"""
+        WITH groups AS (
+            SELECT c_nationkey, c_mktsegment,
+                   floor(c_acctbal / 1000) AS bal_band,
+                   count(*)::BIGINT AS n
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT count(*)::BIGINT AS n_qi_groups,
+               min(n)::BIGINT AS k_anonymity,
+               sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_groups_below_k,
+               sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)::BIGINT
+                   AS n_records_at_risk,
+               round(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)
+                     / sum(n), 6) AS risk_rate
+        FROM groups
     """,
 }

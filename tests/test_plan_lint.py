@@ -54,6 +54,7 @@ SINGLE_PARTITION_OK = {
     "q22_prospects",        # global scalar (avg) subquery
     "dq_null_rates",        # global profiling aggregate
     "dq_orphans",           # two global count aggregates unioned
+    "k_anonymity_audit",    # scalar audit row over QI-group counts
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
     "funnel_stages",        # global funnel summary (one output row)
