@@ -136,6 +136,51 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+L_DIV = 3  # minimum acceptable sensitive-value diversity per QI group
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The companion privacy metric to ``k_anonymity_audit``: distinct
+    l-diversity (Machanavajjhala et al. 2007). A QI group can be large
+    enough to pass k-anonymity yet still leak — if every member shares
+    the same sensitive value, membership alone reveals it. Here the
+    quasi-identifier is (nation, balance band) and the sensitive
+    attribute is the market segment; the audit reports the achieved l
+    (fewest distinct sensitive values in any group) and how much of the
+    table sits in groups below the L_DIV bar.
+
+    Scale posture: distinct-per-group via a two-level aggregate —
+    groupBy(QI, sensitive) first (map-side combinable), then
+    groupBy(QI) counts rows and distinct values WITHOUT an expensive
+    count-distinct over raw rows; final scalar roll-up is O(groups)."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("l"),
+    )
+    return groups.agg(
+        F.count("*").alias("n_qi_groups"),
+        F.min("l").alias("l_diversity"),
+        F.sum(F.when(F.col("l") < L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_below_l"),
+        F.round(
+            F.sum(F.when(F.col("l") < L_DIV, F.col("n_rows")).otherwise(0))
+            / F.sum("n_rows"),
+            6,
+        ).alias("exposed_rate"),
+    )
+
+
 def dq_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile: null rate and distinct count per audited
     column of orders, computed in ONE pass (parallel conditional
@@ -425,6 +470,7 @@ QUERIES = {
     "dq_null_rates": dq_null_rates,
     "dq_orphans": dq_orphans,
     "k_anonymity_audit": k_anonymity_audit,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 _EXPECT_UNION = "\n        UNION ALL ".join(
@@ -586,6 +632,25 @@ ORACLES = {
                    AS n_records_at_risk,
                round(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END)
                      / sum(n), 6) AS risk_rate
+        FROM groups
+    """,
+    "l_diversity_audit": f"""
+        WITH cells AS (
+            SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+                   c_mktsegment, count(*)::BIGINT AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        groups AS (
+            SELECT c_nationkey, bal_band,
+                   sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS l
+            FROM cells GROUP BY 1, 2
+        )
+        SELECT count(*)::BIGINT AS n_qi_groups,
+               min(l)::BIGINT AS l_diversity,
+               sum(CASE WHEN l < {L_DIV} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_groups_below_l,
+               round(sum(CASE WHEN l < {L_DIV} THEN n_rows ELSE 0 END)
+                     / sum(n_rows), 6) AS exposed_rate
         FROM groups
     """,
 }

@@ -55,6 +55,7 @@ SINGLE_PARTITION_OK = {
     "dq_null_rates",        # global profiling aggregate
     "dq_orphans",           # two global count aggregates unioned
     "k_anonymity_audit",    # scalar audit row over QI-group counts
+    "l_diversity_audit",    # scalar audit row over QI-group counts
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
     "funnel_stages",        # global funnel summary (one output row)
