@@ -1,0 +1,56 @@
+"""Structural perf-regression guard: the bench headline queries must
+not silently grow data-sized exchanges. A new hash/range shuffle in one
+of these plans is a cluster-cost regression at 100 TB even when the
+sf0.1 wall-clock barely moves — pin the budget, not the milliseconds.
+
+Ceilings are the audited counts from SHUFFLES.md (tools/shuffle_audit.py)
+at the time of pinning; lowering a count is always fine, raising one
+must be a deliberate, reviewed change to this table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+# query -> max allowed (hash + range) exchanges in the static plan
+BUDGETS = {
+    "fact_formula_star": 1,
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 1,
+    "q5_local_supplier": 1,
+    "q18_large_orders": 1,
+    "star_join_revenue": 1,
+    "role_playing_dim": 1,
+    "window_topk_per_group": 1,
+    "dedup_exact": 1,
+    "minhash_signatures": 1,
+    "minhash_lsh_pairs": 3,
+    "cosine_topk": 1,
+    "asof_join": 1,
+    "semantic_dedup": 1,
+    "ann_ivf_kmeans": 1,
+    "fact_facturacion_star": 2,
+    "bpe_segment": 1,
+    "image_decode_stats": 0,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_headline_query_stays_within_shuffle_budget(spark, name):
+    from data_warehouse_co_healthy_spark.plans import queries as reg
+
+    reg.register_llm_modules()
+    df = reg.QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(r"Exchange hashpartitioning", plan)) + len(
+        re.findall(r"Exchange rangepartitioning", plan)
+    )
+    assert n <= BUDGETS[name], (
+        f"{name}: {n} data shuffles planned, budget {BUDGETS[name]} — "
+        "either remove the new exchange or deliberately raise the "
+        "budget here and in SHUFFLES.md"
+    )
