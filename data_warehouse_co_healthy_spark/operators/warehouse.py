@@ -181,6 +181,67 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSE = 0.5  # maximum acceptable per-group distance from the global
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third member of the release-gate trio (Li et al. 2007
+    t-closeness): a QI group can pass k-anonymity AND l-diversity while
+    its sensitive-value MIX is still far from the table's — observing
+    membership then shifts an attacker's prior. Per (nation, balance
+    band) group, the total-variation distance between the group's
+    market-segment distribution and the global one; the audit row
+    reports the worst and average distance and how many groups exceed
+    T_CLOSE.
+
+    Scale posture: cells = one (QI, sensitive) groupBy; the dense
+    (group × sensitive-value) grid is a crossJoin of two ALREADY
+    AGGREGATED tiny frames (QI groups × distinct sensitive values —
+    audit-grain, not row-grain), left-joined back to cells so absent
+    categories contribute their full global mass; everything after the
+    first aggregate is O(groups · values)."""
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+    groups = cells.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n").alias("n_group")
+    )
+    glob = cells.groupBy("c_mktsegment").agg(F.sum("n").alias("n_seg"))
+    total = glob.agg(F.sum("n_seg").alias("n_total"))
+    grid = (
+        groups.crossJoin(glob.crossJoin(F.broadcast(total)))
+        .join(cells, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "bal_band",
+            (
+                F.abs(
+                    F.coalesce(F.col("n"), F.lit(0)) / F.col("n_group")
+                    - F.col("n_seg") / F.col("n_total")
+                )
+            ).alias("absdiff"),
+        )
+    )
+    per_group = grid.groupBy("c_nationkey", "bal_band").agg(
+        F.round(F.sum("absdiff") / 2, 6).alias("tvd")
+    )
+    return per_group.agg(
+        F.count("*").alias("n_qi_groups"),
+        F.round(F.max("tvd"), 6).alias("max_tvd"),
+        F.round(F.avg("tvd"), 6).alias("avg_tvd"),
+        F.sum(F.when(F.col("tvd") > T_CLOSE, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_above_t"),
+    )
+
+
 def dq_null_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile: null rate and distinct count per audited
     column of orders, computed in ONE pass (parallel conditional
@@ -471,6 +532,7 @@ QUERIES = {
     "dq_orphans": dq_orphans,
     "k_anonymity_audit": k_anonymity_audit,
     "l_diversity_audit": l_diversity_audit,
+    "t_closeness_audit": t_closeness_audit,
 }
 
 _EXPECT_UNION = "\n        UNION ALL ".join(
@@ -652,5 +714,42 @@ ORACLES = {
                round(sum(CASE WHEN l < {L_DIV} THEN n_rows ELSE 0 END)
                      / sum(n_rows), 6) AS exposed_rate
         FROM groups
+    """,
+    "t_closeness_audit": f"""
+        WITH cells AS (
+            SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+                   c_mktsegment, count(*)::BIGINT AS n
+            FROM customer GROUP BY 1, 2, 3
+        ),
+        groups AS (
+            SELECT c_nationkey, bal_band, sum(n)::BIGINT AS n_group
+            FROM cells GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT c_mktsegment, sum(n)::BIGINT AS n_seg FROM cells
+            GROUP BY 1
+        ),
+        total AS (SELECT sum(n_seg)::BIGINT AS n_total FROM seg),
+        grid AS (
+            SELECT g.c_nationkey, g.bal_band,
+                   abs(coalesce(c.n, 0) / g.n_group
+                       - s.n_seg / t.n_total) AS absdiff
+            FROM groups g CROSS JOIN seg s CROSS JOIN total t
+            LEFT JOIN cells c
+              ON c.c_nationkey = g.c_nationkey
+             AND c.bal_band = g.bal_band
+             AND c.c_mktsegment = s.c_mktsegment
+        ),
+        per_group AS (
+            SELECT c_nationkey, bal_band,
+                   round(sum(absdiff) / 2, 6) AS tvd
+            FROM grid GROUP BY 1, 2
+        )
+        SELECT count(*)::BIGINT AS n_qi_groups,
+               round(max(tvd), 6) AS max_tvd,
+               round(avg(tvd), 6) AS avg_tvd,
+               sum(CASE WHEN tvd > {T_CLOSE} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_groups_above_t
+        FROM per_group
     """,
 }

@@ -25,6 +25,9 @@ NESTED_LOOP_OK = {
     "q15_top_supplier",     # scalar max joined as 1-row broadcast
     "q11_important_stock",  # HAVING > scalar-threshold, 1-row broadcast
     "mix_sources_weighted", # corpus totals joined as 1-row broadcast
+    "t_closeness_audit",    # dense (QI-group × sensitive-value) grid:
+                            # cross of two already-aggregated tiny
+                            # frames (audit grain, not row grain)
     "pmi_bigrams",          # corpus token total as 1-row broadcast
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
     "key_skew_profile",     # key-cardinality stats as 1-row broadcast
@@ -56,6 +59,7 @@ SINGLE_PARTITION_OK = {
     "dq_orphans",           # two global count aggregates unioned
     "k_anonymity_audit",    # scalar audit row over QI-group counts
     "l_diversity_audit",    # scalar audit row over QI-group counts
+    "t_closeness_audit",    # scalar audit row over QI-group distances
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
     "funnel_stages",        # global funnel summary (one output row)
