@@ -94,7 +94,9 @@ def merge_upsert_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
 K_ANON = 5  # minimum acceptable quasi-identifier group size
 
 
-def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def k_anonymity_audit(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Privacy audit before a data release: k-anonymity of the customer
     table under the quasi-identifier (nation, market segment, account-
     balance band). A record is re-identifiable when its QI group has
@@ -103,13 +105,16 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the at-risk rate — the numbers a release gate checks before
     shipping any per-customer extract (Sweeney 2002 k-anonymity, the
     standard pre-release check alongside the PII redaction pass in
-    ``pii_redaction``).
+    ``pii_redaction``). ``source`` overrides the customer table for
+    property tests on generated frames.
 
     Scale posture: one groupBy over the QI columns (map-side partial
     counts), then a scalar aggregate — the same two-stage shape as any
     count rollup; no per-record output, so the result is O(1) whatever
     the table size."""
-    c = load_table(spark, sf_dir, "customer")
+    c = source if source is not None else load_table(
+        spark, sf_dir, "customer"
+    )
     groups = (
         c.select(
             "c_nationkey",
@@ -139,7 +144,9 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 L_DIV = 3  # minimum acceptable sensitive-value diversity per QI group
 
 
-def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l_diversity_audit(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """The companion privacy metric to ``k_anonymity_audit``: distinct
     l-diversity (Machanavajjhala et al. 2007). A QI group can be large
     enough to pass k-anonymity yet still leak — if every member shares
@@ -153,7 +160,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(QI, sensitive) first (map-side combinable), then
     groupBy(QI) counts rows and distinct values WITHOUT an expensive
     count-distinct over raw rows; final scalar roll-up is O(groups)."""
-    c = load_table(spark, sf_dir, "customer")
+    c = source if source is not None else load_table(
+        spark, sf_dir, "customer"
+    )
     cells = (
         c.select(
             "c_nationkey",
@@ -184,7 +193,9 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 T_CLOSE = 0.5  # maximum acceptable per-group distance from the global
 
 
-def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_closeness_audit(
+    spark: SparkSession, sf_dir: str, source: DataFrame | None = None
+) -> DataFrame:
     """Third member of the release-gate trio (Li et al. 2007
     t-closeness): a QI group can pass k-anonymity AND l-diversity while
     its sensitive-value MIX is still far from the table's — observing
@@ -200,7 +211,9 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit-grain, not row-grain), left-joined back to cells so absent
     categories contribute their full global mass; everything after the
     first aggregate is O(groups · values)."""
-    c = load_table(spark, sf_dir, "customer")
+    c = source if source is not None else load_table(
+        spark, sf_dir, "customer"
+    )
     cells = (
         c.select(
             "c_nationkey",

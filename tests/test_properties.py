@@ -766,3 +766,112 @@ def test_bpe_distributed_fold_matches_python_reference(spark, words):
         [(tuple(w), c) for w, c in counts.items()], 3
     )
     assert got == [(r, l, rt, c) for r, l, rt, c in want]
+
+
+# customer-like micro-tables for the privacy-audit trio: few distinct
+# QI values so groups actually collide, balances crossing band edges
+# (incl. negatives — floor must band them consistently)
+_priv_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),              # nation
+        st.sampled_from([-999.99, -1.0, 0.0, 999.5, 1000.0, 2500.0]),
+        st.sampled_from(["AUTO", "HOUSE", "SHIP"]),         # segment
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _priv_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "c_nationkey int, c_acctbal double, c_mktsegment string"
+    )
+
+
+def _priv_groups(rows):
+    import math
+    from collections import Counter, defaultdict
+
+    by_group: dict = defaultdict(Counter)
+    for nat, bal, seg in rows:
+        by_group[(nat, math.floor(bal / 1000))][seg] += 1
+    return by_group
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_priv_rows)
+def test_k_anonymity_audit_matches_python_reference(spark, rows):
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        K_ANON,
+        k_anonymity_audit,
+    )
+
+    got = k_anonymity_audit(spark, "", source=_priv_df(spark, rows)).first()
+    # the engine's QI includes the segment; rebuild at that grain
+    import math
+    from collections import Counter
+
+    g = Counter(
+        (nat, seg, math.floor(bal / 1000)) for nat, bal, seg in rows
+    )
+    at_risk = sum(n for n in g.values() if n < K_ANON)
+    assert got["n_qi_groups"] == len(g)
+    assert got["k_anonymity"] == min(g.values())
+    assert got["n_groups_below_k"] == sum(
+        1 for n in g.values() if n < K_ANON
+    )
+    assert got["n_records_at_risk"] == at_risk
+    assert abs(got["risk_rate"] - at_risk / len(rows)) < 2e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_priv_rows)
+def test_l_diversity_audit_matches_python_reference(spark, rows):
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        L_DIV,
+        l_diversity_audit,
+    )
+
+    got = l_diversity_audit(spark, "", source=_priv_df(spark, rows)).first()
+    by_group = _priv_groups(rows)
+    ls = {k: len(c) for k, c in by_group.items()}
+    exposed = sum(
+        sum(c.values()) for k, c in by_group.items() if ls[k] < L_DIV
+    )
+    assert got["n_qi_groups"] == len(by_group)
+    assert got["l_diversity"] == min(ls.values())
+    assert got["n_groups_below_l"] == sum(1 for v in ls.values() if v < L_DIV)
+    assert abs(got["exposed_rate"] - exposed / len(rows)) < 2e-6
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=_priv_rows)
+def test_t_closeness_audit_matches_python_reference(spark, rows):
+    from collections import Counter
+
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        T_CLOSE,
+        t_closeness_audit,
+    )
+
+    got = t_closeness_audit(spark, "", source=_priv_df(spark, rows)).first()
+    by_group = _priv_groups(rows)
+    glob = Counter()
+    for c in by_group.values():
+        glob.update(c)
+    n_total = sum(glob.values())
+    tvds = []
+    for c in by_group.values():
+        n_group = sum(c.values())
+        tvd = (
+            sum(
+                abs(c.get(s, 0) / n_group - glob[s] / n_total)
+                for s in glob
+            )
+            / 2
+        )
+        tvds.append(tvd)
+    assert got["n_qi_groups"] == len(by_group)
+    assert abs(got["max_tvd"] - max(tvds)) < 2e-6
+    assert abs(got["avg_tvd"] - sum(tvds) / len(tvds)) < 2e-6
+    assert got["n_groups_above_t"] == sum(1 for t in tvds if t > T_CLOSE)
