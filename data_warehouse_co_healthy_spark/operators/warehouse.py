@@ -205,7 +205,10 @@ def t_closeness_audit(
     reports the worst and average distance and how many groups exceed
     T_CLOSE.
 
-    Scale posture: cells = one (QI, sensitive) groupBy; the dense
+    Scale posture: cells = one (QI, sensitive) groupBy, CHECKPOINTED —
+    the frame feeds three roles (group totals, global mix, grid probe)
+    and Spark shares no unaliased subplans, so without the checkpoint
+    the table would be scanned and shuffled once per role; the dense
     (group × sensitive-value) grid is a crossJoin of two ALREADY
     AGGREGATED tiny frames (QI groups × distinct sensitive values —
     audit-grain, not row-grain), left-joined back to cells so absent
@@ -222,6 +225,7 @@ def t_closeness_audit(
         )
         .groupBy("c_nationkey", "bal_band", "c_mktsegment")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint()
     )
     groups = cells.groupBy("c_nationkey", "bal_band").agg(
         F.sum("n").alias("n_group")
