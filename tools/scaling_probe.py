@@ -71,6 +71,7 @@ PROBES = [
     "bm25_search",
     "exact_substring_matches",
     "seasonal_decompose_hourly",
+    "t_closeness_audit",
 ]
 
 
