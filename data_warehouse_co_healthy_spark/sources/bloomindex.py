@@ -23,7 +23,11 @@ Design:
 Scale: the sidecar holds ≤ min(n_distinct·k, BLOOM_BITS) positions per
 file; probing is driver-side set membership over n_files entries —
 the same driver cost as Spark's own file listing. Rebuild after
-compaction (file names change), like any file-level index.
+compaction (file names change), like any file-level index — and this
+is ENFORCED: ``bloom_prune_files`` diffs the indexed file set against
+a fresh listing and raises a rebuild-me ValueError on drift, and
+``compact_parquet`` drops matching ``__bloom_*`` sidecars so a stale
+index cannot outlive the rewrite it indexes.
 """
 
 from __future__ import annotations
@@ -74,18 +78,57 @@ def build_bloom_index(spark: SparkSession, path: str, col: str) -> int:
     return spark.read.parquet(_sidecar_path(path, col)).count()
 
 
+def _norm_file(uri: str) -> str:
+    """Normalize a file URI for set comparison: ``input_file_name()``
+    (sidecar build) and ``DataFrame.inputFiles()`` (fresh listing)
+    render the scheme differently (``file:///p`` vs ``file:/p``)."""
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else uri
+
+
 def bloom_prune_files(
     spark: SparkSession, path: str, col: str, value
 ) -> tuple[list[str], int]:
     """(files that MIGHT contain value, total indexed files). Probe
     positions are computed with the same engine expressions as the
-    build — hashing can never drift between the two sides."""
+    build — hashing can never drift between the two sides.
+
+    Staleness is ENFORCED here, not just documented: the sidecar keys
+    on file names, so any rewrite (``compact_parquet``, overwrite,
+    vacuum) invalidates it. The probe compares the indexed file set
+    against a fresh footer-level listing (``inputFiles()`` — no data
+    scan) and raises a clear rebuild-me ValueError instead of letting
+    the read die later with a raw path-not-found, or — worse — quietly
+    miss rows that moved into files the index has never seen."""
+    from . import hadoopfs  # noqa: PLC0415
+
+    sidecar = _sidecar_path(path, col)
+    if not hadoopfs.exists(spark, sidecar):
+        raise FileNotFoundError(
+            f"no bloom index sidecar at {sidecar} for column {col!r} "
+            f"of {path} (compaction drops stale sidecars); build one "
+            "with build_bloom_index()"
+        )
     probe = (
         spark.range(1)
         .select(_positions_expr(F.lit(value)).alias("ps"))
         .first()["ps"]
     )
-    entries = spark.read.parquet(_sidecar_path(path, col)).collect()
+    entries = spark.read.parquet(sidecar).collect()
+    current = {_norm_file(f) for f in spark.read.parquet(path).inputFiles()}
+    indexed = {_norm_file(r["file"]) for r in entries}
+    if indexed != current:
+        missing = sorted(indexed - current)[:3]
+        unseen = sorted(current - indexed)[:3]
+        raise ValueError(
+            f"bloom index {_sidecar_path(path, col)} is stale for {path}: "
+            f"{len(indexed - current)} indexed files no longer exist "
+            f"{missing}, {len(current - indexed)} data files are unindexed "
+            f"{unseen}; rebuild with build_bloom_index() after "
+            "compaction/rewrites"
+        )
     keep = [
         r["file"]
         for r in entries

@@ -217,13 +217,24 @@ def vacuum_versions(
     uncommitted orphan from a dead writer would occupy a keep_last
     slot and the last good snapshot could be dropped while a torn,
     never-readable one survives. Orphans are left for
-    ``vacuum_uncommitted`` (they may be a write in progress)."""
+    ``vacuum_uncommitted`` (they may be a write in progress). The
+    bare-directory fallback applies ONLY to layouts with no commit
+    markers at all (written by ``write_versioned``): on a marker-using
+    layout whose markers are all dangling (e.g. the only snapshots are
+    uncommitted — a first writer mid-write or dead pre-marker),
+    retention removes nothing rather than deleting a possibly
+    in-progress write."""
     from . import hadoopfs  # noqa: PLC0415
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     committed = committed_versions(spark, path)
-    versions = committed or hadoopfs.versions_in(spark, path)
+    if committed:
+        versions = committed
+    elif _marker_versions(spark, path):
+        return []  # marker layout, nothing committed: all orphans
+    else:
+        versions = hadoopfs.versions_in(spark, path)
     drop = versions[:-keep_last]
     for v in drop:
         hadoopfs.delete(spark, f"{path.rstrip('/')}/version={v}")
@@ -270,7 +281,19 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
         .distinct()
         .localCheckpoint()
     )
-    hit_parts = hit_parts_df.collect()
+    # Collect partition values THROUGH SPARK'S OWN CAST TO STRING —
+    # directory names are produced by the writer from exactly this
+    # cast (PartitioningUtils.partitionPathExpression), so the engine
+    # rendering ('true', not Python's 'True'; session-zone timestamp
+    # text, not datetime.__str__) is the only one that round-trips for
+    # non-string partition types. NULL survives the cast as NULL and
+    # maps to the Hive default-partition name below.
+    def _as_path_strings(df):
+        return df.select(
+            *[F.col(c).cast("string").alias(c) for c in part_cols]
+        ).distinct()
+
+    hit_parts = _as_path_strings(hit_parts_df).collect()
     if not hit_parts:
         return 0
     # restrict to affected partitions via a broadcast semi-join ON THE
@@ -305,14 +328,14 @@ def delete_keys_partitioned(spark, path: str, keys_df, key_col: str) -> int:
     esc = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     survivors = {
         tuple(r[c] for c in part_cols)
-        for r in cleaned.select(*part_cols).distinct().collect()
+        for r in _as_path_strings(cleaned.select(*part_cols)).collect()
     }
     for r in hit_parts:
         key = tuple(r[c] for c in part_cols)
         if key not in survivors:
             sub = "/".join(
                 esc.getPartitionPathString(
-                    c, "" if r[c] is None else str(r[c])
+                    c, "" if r[c] is None else r[c]
                 )
                 for c in part_cols
             )
@@ -348,21 +371,28 @@ def write_versioned_committed(df: DataFrame, path: str) -> int:
     return version
 
 
-def committed_versions(spark, path: str) -> list[int]:
-    """Snapshot numbers whose commit marker exists (sorted). Foreign
-    files that merely share the marker prefix are ignored, never a
-    crash."""
+def _marker_versions(spark, path: str) -> list[int]:
+    """Versions with a ``_committed_vN`` marker file, whether or not
+    the matching snapshot directory still exists. Non-empty means the
+    layout uses atomic commits. Foreign files that merely share the
+    marker prefix are ignored, never a crash."""
     from . import hadoopfs  # noqa: PLC0415
 
-    present = set(hadoopfs.versions_in(spark, path))
     out = []
     for name in hadoopfs.list_children(spark, path):
         suffix = name[len("_committed_v"):]
         if name.startswith("_committed_v") and suffix.isdigit():
-            v = int(suffix)
-            if v in present:
-                out.append(v)
+            out.append(int(suffix))
     return sorted(out)
+
+
+def committed_versions(spark, path: str) -> list[int]:
+    """Snapshot numbers whose commit marker AND data directory both
+    exist (sorted)."""
+    from . import hadoopfs  # noqa: PLC0415
+
+    present = set(hadoopfs.versions_in(spark, path))
+    return [v for v in _marker_versions(spark, path) if v in present]
 
 
 def read_committed(spark, path: str, version: int | None = None):
@@ -454,6 +484,17 @@ def compact_parquet(
     hadoopfs.rename(spark, path, swap)
     hadoopfs.rename(spark, tmp, path)
     hadoopfs.delete(spark, swap)
+    # file-level Bloom sidecars key on the file names this rewrite
+    # just invalidated — drop them so a stale index cannot outlive
+    # the compaction (bloom_prune_files also detects drift at probe
+    # time; this makes the maintenance job self-contained)
+    import os  # noqa: PLC0415
+
+    parent = os.path.dirname(path.rstrip("/"))
+    base = os.path.basename(path.rstrip("/"))
+    for name in hadoopfs.list_children(spark, parent or "."):
+        if name.startswith(f"{base}__bloom_"):
+            hadoopfs.delete(spark, f"{parent}/{name}" if parent else name)
     return sum(
         1
         for name in hadoopfs.list_children(spark, path)

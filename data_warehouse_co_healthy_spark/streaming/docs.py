@@ -42,7 +42,13 @@ def stage_documents_dir(sf_dir: str) -> str:
             os.path.join(d, "documents.parquet"),
         )
 
-    return _staged_dir("documents", sf_dir, "docs_stream_", build)
+    return _staged_dir(
+        "documents",
+        sf_dir,
+        "docs_stream_",
+        build,
+        src=os.path.join(sf_dir, "documents.parquet"),
+    )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,34 +154,77 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-_STAGED_DIRS: dict[tuple[str, str], str] = {}
+_STAGED_DIRS: dict[tuple, str] = {}
+_STAGED_ALL: list[str] = []
 
 
-def _staged_dir(kind: str, sf_dir: str, prefix: str, build) -> str:
-    """Shared per-(kind, sf_dir) staging-directory cache: build once,
-    revalidate on reuse, clean every staged dir at interpreter exit —
-    repeated streaming calls share one dir instead of leaking a
-    mkdtemp per call."""
+def _source_fingerprint(path: str) -> tuple:
+    """(mtime_ns, size) fingerprint of the fixture a staged dir derives
+    from (file or directory of part-files) — same construction as
+    llm.training._probe_cache_key. Folding this into the cache key
+    means rewriting a fixture at the same path rebuilds the staged
+    dir instead of serving stale materialized media."""
+    import os  # noqa: PLC0415
+
+    parts: list[tuple[str, int, int]] = []
+    try:
+        if os.path.isdir(path):
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                rel = os.path.relpath(root, path)
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    parts.append(
+                        (os.path.join(rel, f), st.st_mtime_ns, st.st_size)
+                    )
+        else:
+            st = os.stat(path)
+            parts.append(("", st.st_mtime_ns, st.st_size))
+    except OSError:
+        pass
+    return tuple(parts)
+
+
+def _staged_dir(kind: str, sf_dir: str, prefix: str, build, src: str) -> str:
+    """Shared per-(kind, sf_dir, source-fingerprint) staging-directory
+    cache: build once, revalidate on reuse, clean every staged dir at
+    interpreter exit — repeated streaming calls share one dir instead
+    of leaking a mkdtemp per call. The key folds in ``src``'s
+    mtime+size fingerprint, so rewriting the fixture at the same path
+    within a process rebuilds rather than serving stale contents (the
+    symlink stagers were already immune; the materialized media stager
+    was not)."""
     import atexit  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    key = (kind, sf_dir)
+    key = (kind, sf_dir, _source_fingerprint(src))
     cached = _STAGED_DIRS.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
     d = tempfile.mkdtemp(prefix=prefix)
     build(d)
-    if not _STAGED_DIRS:
+    if not _STAGED_ALL:
         atexit.register(
             lambda: [
-                shutil.rmtree(p, ignore_errors=True)
-                for p in _STAGED_DIRS.values()
+                shutil.rmtree(p, ignore_errors=True) for p in _STAGED_ALL
             ]
         )
     _STAGED_DIRS[key] = d
+    _STAGED_ALL.append(d)
     return d
+
+
+def clear_staged_dirs() -> None:
+    """Drop (and delete) every cached staged dir — the test hook
+    mirroring llm.training.clear_probe_cache."""
+    import shutil  # noqa: PLC0415
+
+    for p in _STAGED_ALL:
+        shutil.rmtree(p, ignore_errors=True)
+    _STAGED_ALL.clear()
+    _STAGED_DIRS.clear()
 
 
 def stage_embeddings_dir(sf_dir: str) -> str:
@@ -188,7 +237,13 @@ def stage_embeddings_dir(sf_dir: str) -> str:
             os.path.join(d, "embeddings.parquet"),
         )
 
-    return _staged_dir("embeddings", sf_dir, "emb_stream_", build)
+    return _staged_dir(
+        "embeddings",
+        sf_dir,
+        "emb_stream_",
+        build,
+        src=os.path.join(sf_dir, "embeddings.parquet"),
+    )
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +292,9 @@ def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage a bounded directory of REAL encoded image files
     (.bmp/.ppm via the vendored codec) derived from the documents
     fixture — the on-disk media lake both the batch binaryFile reader
-    and the streaming source ingest (shared ``_staged_dir`` cache)."""
+    and the streaming source ingest (shared ``_staged_dir`` cache —
+    keyed on the documents fixture's fingerprint, so rewriting the
+    fixture in-process re-materializes the media)."""
     import os  # noqa: PLC0415
 
     def build(d: str) -> None:
@@ -254,7 +311,13 @@ def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
             ) as f:
                 f.write(bytes(r["payload"]))
 
-    return _staged_dir("media", sf_dir, "media_stream_", build)
+    return _staged_dir(
+        "media",
+        sf_dir,
+        "media_stream_",
+        build,
+        src=os.path.join(sf_dir, "documents.parquet"),
+    )
 
 
 def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

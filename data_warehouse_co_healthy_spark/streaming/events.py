@@ -48,7 +48,13 @@ def stage_events_dir(sf_dir: str) -> str:
             os.path.join(d, "events.parquet"),
         )
 
-    return _staged_dir("events", sf_dir, "events_stream_", build)
+    return _staged_dir(
+        "events",
+        sf_dir,
+        "events_stream_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -15,6 +15,8 @@ import glob
 import pandas as pd
 import os
 
+import pytest
+
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -339,3 +341,42 @@ def test_bloom_index_on_partitioned_table_keeps_partition_columns(
     rows = got.collect()
     assert len(rows) == 1
     assert rows[0]["p"] == 17 % 3 and rows[0]["payload"] == "v17"
+
+
+def test_bloom_index_staleness_is_detected_not_silent(spark, tmp_path):
+    """The sidecar keys on file names, so rewrites invalidate it. The
+    probe must (a) raise a clear rebuild-me ValueError when the indexed
+    file set drifts from a fresh listing — NOT a raw path-not-found
+    later, and NOT a silent miss of rows that moved into unindexed
+    files — and (b) raise a clear FileNotFoundError when the sidecar
+    itself is gone (compaction drops sidecars). Rebuild restores
+    service."""
+    from data_warehouse_co_healthy_spark.sources import bloomindex, writers
+
+    path = str(tmp_path / "stale")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "user_id long, payload string"
+    )
+    df.repartition(6).write.parquet(path)
+    bloomindex.build_bloom_index(spark, path, "user_id")
+
+    # in-place overwrite: new part-file names, sidecar still on disk
+    df.repartition(3).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="stale.*build_bloom_index"):
+        bloomindex.bloom_prune_files(spark, path, "user_id", 17)
+    with pytest.raises(ValueError, match="stale"):
+        bloomindex.read_point_lookup(spark, path, "user_id", 17)
+
+    # rebuild restores correct pruned lookups
+    bloomindex.build_bloom_index(spark, path, "user_id")
+    got = bloomindex.read_point_lookup(spark, path, "user_id", 17).collect()
+    assert [(r["user_id"], r["payload"]) for r in got] == [(17, "v17")]
+
+    # compaction drops the sidecar entirely -> clear missing-index error
+    writers.compact_parquet(spark, path, 2)
+    assert not os.path.exists(f"{path}__bloom_user_id")
+    with pytest.raises(FileNotFoundError, match="build_bloom_index"):
+        bloomindex.read_point_lookup(spark, path, "user_id", 17)
+    bloomindex.build_bloom_index(spark, path, "user_id")
+    kept, total = bloomindex.bloom_prune_files(spark, path, "user_id", 17)
+    assert total == 2 and len(kept) >= 1

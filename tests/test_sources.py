@@ -806,3 +806,69 @@ def test_text_corpus_line_and_wholefile_grain(spark, tmp_path):
         os.path.basename(r.path): r.text.strip() for r in docs.collect()
     }
     assert got == {"d1.txt": "alpha\nbeta", "d2.txt": "gamma"}
+
+
+def test_vacuum_marker_layout_with_only_orphans_removes_nothing(
+    spark, tmp_path
+):
+    """On a MARKER-USING layout whose snapshots are all uncommitted
+    (first writer mid-write or dead pre-marker), retention must remove
+    NOTHING — the bare-directory fallback applies only to layouts that
+    never used atomic commits. Previously the fallback kicked in
+    whenever zero snapshots were committed and would delete
+    all-but-keep_last of the orphans, possibly including an
+    in-progress write."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "orphans")
+    base = spark.range(4).select(F.col("id").alias("k"))
+    v1 = writers.write_versioned_committed(base, path)
+    writers.write_versioned(base, path)  # in-progress / torn writes
+    writers.write_versioned(base, path)
+    # simulate external cleanup that removed the committed data dir but
+    # left its marker dangling: the layout provably uses markers, yet
+    # committed_versions() is now empty
+    shutil.rmtree(os.path.join(path, f"version={v1}"))
+    assert writers.committed_versions(spark, path) == []
+    assert writers.vacuum_versions(path, keep_last=1, spark=spark) == []
+    # both orphan dirs survive retention (vacuum_uncommitted's job)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("version=")
+    ) == ["version=2", "version=3"]
+
+
+def test_delete_keys_formats_non_string_partition_values(spark, tmp_path):
+    """Partition directory names must come from SPARK'S value
+    rendering, not Python str(): a fully-wiped BOOLEAN partition lives
+    in 'flag=true' (Python would build 'flag=True', miss the dir, and
+    raise a false 'expected partition dir missing'), and a DATE
+    partition in 'day=2024-01-02'."""
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "boolpart")
+    df = spark.createDataFrame(
+        [
+            (1, True, date(2024, 1, 1)),
+            (2, True, date(2024, 1, 1)),
+            (3, False, date(2024, 1, 2)),
+            (4, False, date(2024, 1, 2)),
+        ],
+        "user_id long, flag boolean, day date",
+    )
+    df.write.partitionBy("flag", "day").parquet(path)
+    assert os.path.isdir(os.path.join(path, "flag=true", "day=2024-01-01"))
+    # wipe the flag=true/day=2024-01-01 partition entirely
+    keys = spark.createDataFrame([(1,), (2,)], "user_id long")
+    n = writers.delete_keys_partitioned(spark, path, keys, "user_id")
+    assert n == 2
+    assert not os.path.isdir(
+        os.path.join(path, "flag=true", "day=2024-01-01")
+    )
+    back = spark.read.parquet(path)
+    assert sorted(r["user_id"] for r in back.collect()) == [3, 4]
+    # partition inference reads bool values back as string 'true'/'false'
+    assert back.filter(F.col("flag").cast("string") == "true").count() == 0

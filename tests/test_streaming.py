@@ -511,3 +511,40 @@ def test_streaming_media_decode_bit_equal_to_batch(spark):
     ids = got.file_name.str.extract(r"media_(\d+)\.")[0].astype(int)
     assert (got.width.values == 5 + ids % 4).all()
     assert (got.height.values == 3 + ids % 3).all()
+
+
+def test_staged_dir_rebuilds_when_fixture_rewritten(tmp_path):
+    """The staging cache keys on the SOURCE FIXTURE'S fingerprint
+    (mtime+size, like llm.training._probe_cache_key): rewriting the
+    fixture at the same path within a process must rebuild the staged
+    dir — the materialized media stager would otherwise serve stale
+    encoded files. Unchanged fixtures keep hitting the cache."""
+    import os
+
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    src = tmp_path / "fixture.parquet"
+    src.write_bytes(b"one")
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        (tmp_path / "marker").write_text(d)
+
+    kwargs = dict(
+        kind="t", sf_dir=str(tmp_path), prefix="t_stage_", build=build,
+        src=str(src),
+    )
+    d1 = sd._staged_dir(**kwargs)
+    assert sd._staged_dir(**kwargs) == d1  # cache hit, no rebuild
+    assert len(calls) == 1
+    # rewrite the fixture at the same path -> new fingerprint -> rebuild
+    src.write_bytes(b"two!")
+    os.utime(src, ns=(1, 1))  # force an mtime change even on fast FS
+    d2 = sd._staged_dir(**kwargs)
+    assert d2 != d1
+    assert len(calls) == 2
+    # the test hook drops and deletes every staged dir
+    sd.clear_staged_dirs()
+    assert not os.path.isdir(d1) and not os.path.isdir(d2)
+    assert sd._STAGED_DIRS == {}
