@@ -102,6 +102,80 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition/quality rule thresholds (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1 — public knowledge).
+# Bounds are tuned down to the synthetic fixture's short docs so both
+# outcomes of every rule occur in the data (a rule that always passes
+# tests nothing).
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_WORD_LEN_LO = 4.2        # fixture mean-word-len spans 3.7-5.3
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1   # '#' or '...' per word
+GOPHER_MIN_ALPHA_FRAC = 0.8     # words containing a letter
+GOPHER_MIN_STOPHITS = 2         # distinct required stopwords present
+GOPHER_REQUIRED = ("the", "a", "and", "of", "to", "that", "have", "with")
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules as one narrow projection:
+    word-count bounds, mean-word-length band, symbol-to-word ratio,
+    alphabetic-word fraction, and required-stopword presence — each as
+    its own boolean flag plus the conjunctive ``keep``. This is the
+    standard pretraining-corpus quality gate (the rule set Gopher /
+    MassiveText published; cite above), run BEFORE dedup so junk never
+    costs a shuffle.
+
+    Scale posture: scan → per-row regex/array expressions only
+    (whole-stage codegen, no UDFs, no shuffle, no join) — the filter
+    is embarrassingly parallel and pushes the keep predicate to the
+    scan when used as a WHERE."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = F.split(F.trim(F.lower("text")), r"\s+")
+    n_words = F.size(words).cast("double")
+    mean_len = F.length(F.regexp_replace("text", r"\s", "")) / n_words
+    n_sym = F.size(
+        F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0))
+    ).cast("double")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("double")
+    stop_hits = sum(
+        F.array_contains(words, w).cast("int") for w in GOPHER_REQUIRED
+    )
+    flags = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(n_sym / n_words, 4).alias("symbol_ratio"),
+        F.round(n_alpha / n_words, 4).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    return flags.select(
+        "*",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "pass_word_count"
+        ),
+        F.col("mean_word_len")
+        .between(GOPHER_WORD_LEN_LO, GOPHER_WORD_LEN_HI)
+        .alias("pass_word_len"),
+        (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO).alias(
+            "pass_symbols"
+        ),
+        (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC).alias("pass_alpha"),
+        (F.col("stop_hits") >= GOPHER_MIN_STOPHITS).alias("pass_stopwords"),
+    ).select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_word_len")
+            & F.col("pass_symbols")
+            & F.col("pass_alpha")
+            & F.col("pass_stopwords")
+        ).alias("keep"),
+    )
+
+
 def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID: per-language hit counts as parallel
     conditional sums of ONE groupBy(doc_id) (the stopword lists are
@@ -566,6 +640,68 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_K = 0.5  # add-k smoothing mass per context
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring, one model order up from
+    ``unigram_surprisal``: a corpus-trained BIGRAM language model with
+    add-k smoothing scores every document's mean negative log-prob and
+    perplexity — the filter CCNet/RedPajama apply (there with a KenLM
+    5-gram; the dataflow is identical, only the count key widens).
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V), trained on the corpus
+    being scored; documents with a single word have no bigrams and
+    drop out (documented).
+
+    Plan shape: bigrams are built IN-ARRAY per document (transform +
+    element_at over the split array — no position explode, no window,
+    no shuffle), then counted with one groupBy each for C(w1,w2) and
+    C(w1); scoring re-joins the bigram stream against the BROADCAST
+    count tables (vocab² candidates ≪ corpus at any scale — only
+    observed bigrams materialize). Two token-key shuffles total, the
+    same budget as unigram_surprisal."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    wd = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    )
+    bi = wd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(ws, 1, size(ws) - 1), "
+                "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        wd.select(F.explode("ws").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    probs = (
+        c2.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                (F.col("c2") + F.lit(BIGRAM_K))
+                / (F.col("c1") + F.lit(BIGRAM_K) * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bi.join(F.broadcast(probs), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 4).alias("mean_nll"),
+            F.round(F.exp(F.avg(-F.log("p"))), 2).alias("ppl"),
+        )
+    )
+
+
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaccard ESTIMATED from the minhash signatures for every LSH
     candidate pair: fraction of agreeing permutations (the estimator
@@ -630,6 +766,7 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "token_count": token_count,
     "unigram_surprisal": unigram_surprisal,
+    "bigram_perplexity": bigram_perplexity,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "pmi_bigrams": pmi_bigrams,
     "bm25_search": bm25_search,
@@ -644,6 +781,7 @@ QUERIES = {
     "token_count_by_source": token_count_by_source,
     "clean_corpus": clean_corpus,
     "text_quality": text_quality,
+    "gopher_quality_flags": gopher_quality_flags,
     "langid_heuristic": langid_heuristic,
     "doc_fingerprint": doc_fingerprint,
 }
@@ -921,6 +1059,75 @@ ORACLES["quality_calibration"] = """
     )
     SELECT *, round(pct_in_source - pct_global, 6) AS calibration_gap
     FROM ranked
+"""
+
+ORACLES["bigram_perplexity"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest({_SQL_WS}) AS w1,
+               generate_subscripts({_SQL_WS}, 1) AS pos
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, w1,
+               lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+        QUALIFY w2 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+    v AS (SELECT count(DISTINCT w1) AS v FROM toks),
+    probs AS (
+        SELECT w1, w2,
+               (c2 + {BIGRAM_K}) / (c1 + {BIGRAM_K} * v) AS p
+        FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_bigrams,
+           round(avg(-ln(p)), 4) AS mean_nll,
+           round(exp(avg(-ln(p))), 2) AS ppl
+    FROM bi JOIN probs USING (w1, w2)
+    GROUP BY doc_id
+"""
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"list_contains(words, '{w}')::INT" for w in GOPHER_REQUIRED
+)
+
+ORACLES["gopher_quality_flags"] = f"""
+    WITH w AS (
+        SELECT doc_id, text,
+               string_split_regex(trim(lower(text)), '\\s+') AS words
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id,
+               len(words)::BIGINT AS n_words,
+               round(length(regexp_replace(text, '\\s', '', 'g'))
+                     / len(words), 4) AS mean_word_len,
+               round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                     / len(words), 4) AS symbol_ratio,
+               round(len(list_filter(words,
+                         x -> regexp_matches(x, '[a-z]')))
+                     / len(words), 4) AS alpha_frac,
+               ({_GOPHER_STOP_SQL}) AS stop_hits
+        FROM w
+    )
+    SELECT *,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+               AS pass_word_count,
+           mean_word_len BETWEEN {GOPHER_WORD_LEN_LO}
+               AND {GOPHER_WORD_LEN_HI} AS pass_word_len,
+           symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS pass_symbols,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS pass_alpha,
+           stop_hits >= {GOPHER_MIN_STOPHITS} AS pass_stopwords,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+           AND (mean_word_len BETWEEN {GOPHER_WORD_LEN_LO}
+                AND {GOPHER_WORD_LEN_HI})
+           AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+           AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+           AND stop_hits >= {GOPHER_MIN_STOPHITS} AS keep
+    FROM base
 """
 
 NO_ORACLE = {

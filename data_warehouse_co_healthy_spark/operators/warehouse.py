@@ -538,8 +538,85 @@ def partition_pruned_revenue(
     )
 
 
+MV_SPLIT_DATE = "1997-06-01"  # base/delta boundary for the MV demo
+
+
+def incremental_agg_refresh(
+    spark: SparkSession, sf_dir: str, split_date: str = MV_SPLIT_DATE
+) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: a monthly revenue
+    rollup is kept fresh by aggregating ONLY newly-arrived rows and
+    merging their partial aggregates into the stored state — never
+    re-scanning history. Demo split: rows shipped before
+    ``MV_SPLIT_DATE`` are the stored MV, rows on/after it are the new
+    batch; the refreshed view must equal a full recompute (the DuckDB
+    oracle IS the full recompute, so equivalence is hash-checked
+    cross-engine).
+
+    The algebra that makes this correct: every measure kept is a
+    MERGEABLE partial — COUNT and exact-DECIMAL SUMs (associative,
+    order-independent; functions/numeric.py posture) — and derived
+    measures (avg) are computed from the merged partials at read time.
+    Never store avg/stddev directly: they don't merge.
+
+    At 100 TB: the delta aggregate shuffles only the new batch
+    (incremental data, small by nature), and the merge is a keyed
+    full-outer join on group keys — cost proportional to the number of
+    GROUPS, not table rows. With the MV bucketed on the group key the
+    merge is shuffle-free. This is the same dataflow as Spark
+    Structured Streaming's stateful aggregation (partials merged into
+    a state store), run as a batch job."""
+    from ..functions.numeric import MONEY  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+            "l_returnflag",
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast(MONEY)).alias("qty_dec"),
+            F.sum(rev.cast(MONEY)).alias("rev_dec"),
+        )
+
+    split = F.to_date(F.lit(split_date))
+    mv = partial(li.filter(F.col("l_shipdate") < split))
+    delta = partial(li.filter(F.col("l_shipdate") >= split))
+    keys = ["ship_month", "l_returnflag"]
+    m, d = mv.alias("m"), delta.alias("d")
+    zero = F.lit(0).cast(MONEY)
+    merged = m.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce("m.n_rows", F.lit(0)) + F.coalesce("d.n_rows", F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce("m.qty_dec", zero) + F.coalesce("d.qty_dec", zero)
+        ).alias("qty_dec"),
+        (
+            F.coalesce("m.rev_dec", zero) + F.coalesce("d.rev_dec", zero)
+        ).alias("rev_dec"),
+    )
+    return merged.select(
+        *keys,
+        "n_rows",
+        F.col("qty_dec").cast("double").alias("sum_qty"),
+        F.round("rev_dec", 2).cast("double").alias("revenue"),
+        (F.col("qty_dec").cast("double") / F.col("n_rows")).alias("avg_qty"),
+    )
+
+
 QUERIES = {
     "dq_expectation_report": dq_expectation_report,
+    "incremental_agg_refresh": incremental_agg_refresh,
     "fk_containment_profile": fk_containment_profile,
     "join_cardinality_estimate": join_cardinality_estimate,
     "zone_map_profile": zone_map_profile,
@@ -768,5 +845,21 @@ ORACLES = {
                sum(CASE WHEN tvd > {T_CLOSE} THEN 1 ELSE 0 END)::BIGINT
                    AS n_groups_above_t
         FROM per_group
+    """,
+    # the oracle IS the full recompute the incremental refresh must
+    # equal — cross-engine equivalence of merge-of-partials vs rescan
+    "incremental_agg_refresh": """
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               l_returnflag,
+               count(*)::BIGINT AS n_rows,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*) AS avg_qty
+        FROM lineitem
+        GROUP BY 1, 2
     """,
 }

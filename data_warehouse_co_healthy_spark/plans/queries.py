@@ -77,6 +77,16 @@ for _m in _MODULES:
 # incoming slots carry full DuckDB oracles, so the window stays
 # hash-graded end to end; the rotated-out five remain oracle-tested
 # locally (tests/test_oracle.py runs the whole registry).
+#
+# Round-5 rotation, same policy: semi_join/anti_join (join family keeps
+# four representatives), intersect_keys (setops keeps four), time_label
+# and hour_dim_generate (dates family keeps three) rotate out for
+# never-driver-graded slots: the round-4 privacy-audit pair
+# (k_anonymity_audit, t_closeness_audit), the scale-path connected
+# components (dedup_cc_star — O(log² n) rounds), and the two round-5
+# additions (incremental_agg_refresh MV maintenance,
+# gopher_quality_flags corpus gate). All five carry full DuckDB
+# oracles.
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
@@ -90,8 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "multi_key_join",
     "left_join_miss",
     "role_playing_dim",
-    "semi_join",
-    "anti_join",
     "fact_facturacion_star",
     "fact_retiro_star",
     "fact_service_star",
@@ -99,7 +107,6 @@ PRIORITY: tuple[str, ...] = (
     "union_by_name",
     "union_positional",
     "dedup_rows",
-    "intersect_keys",
     "except_keys",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
     "split_explode",
@@ -107,8 +114,6 @@ PRIORITY: tuple[str, ...] = (
     "date_parts",
     "month_name_mapping",
     "date_dim_generate",
-    "hour_dim_generate",
-    "time_label",
     # §1.1/O3 in-plan surrogate keys
     "surrogate_keys",
     # §2.5 aggregation surface (family representatives)
@@ -141,6 +146,13 @@ PRIORITY: tuple[str, ...] = (
     "dedup_connected_components",
     "bm25_search",
     "hybrid_search_rrf",
+    # round-5 rotation: privacy audits, scale-path CC, MV maintenance,
+    # corpus quality gate (all with full DuckDB oracles)
+    "k_anonymity_audit",
+    "t_closeness_audit",
+    "dedup_cc_star",
+    "incremental_agg_refresh",
+    "gopher_quality_flags",
 )
 
 

@@ -74,8 +74,10 @@ EDGE_QUERIES = [
     "token_count",
     "text_quality",
     "langid_heuristic",
+    "gopher_quality_flags",
     "char_entropy",
     "unigram_surprisal",
+    "bigram_perplexity",
     "bm25_search",
     "doc_fingerprint",
     "bpe_merges",

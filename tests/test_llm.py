@@ -821,3 +821,98 @@ def test_retrieval_ndcg_bounds_and_hybrid_value(spark):
     assert out.mrr.between(0, 1).all()
     assert (out.mrr > 0).mean() >= 0.6
     assert out.ndcg.mean() > 0.3, out.ndcg.mean()
+
+
+def test_gopher_quality_flags_each_rule_fires(spark, tmp_path):
+    """Hand-built docs that each violate exactly one Gopher rule, plus
+    one that passes all — every flag must fire on its target and the
+    conjunctive keep must reflect the union of failures."""
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm import text as tx
+
+    good_words = ["the", "a"] + ["table"] * 48  # 50 words, len band ok
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                " ".join(good_words),                      # passes all
+                "the a table",                             # too few words
+                " ".join(["the", "a"] + ["of"] * 48),      # words too short
+                " ".join(good_words) + " " + "# " * 20,    # symbol spam
+                " ".join(["the", "a"] + ["9"] * 48),       # digits, no alpha
+                " ".join(["table"] * 50),                  # no stopwords
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    out = (
+        tx.gopher_quality_flags(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "pass_word_count"]
+    assert not out.loc[2, "pass_word_len"]
+    assert not out.loc[3, "pass_symbols"]
+    assert not out.loc[4, "pass_alpha"]
+    assert out.loc[4, "alpha_frac"] < 0.1
+    assert not out.loc[5, "pass_stopwords"]
+    assert out.loc[5, "stop_hits"] == 0
+    assert not out.loc[1:, "keep"].any()
+
+
+def test_bigram_perplexity_matches_python_reference(spark, tmp_path):
+    """Bigram LM scoring vs an independent pure-Python reference on a
+    hand-built corpus; predictable text must score lower perplexity
+    than unique-word text, and n_bigrams == n_words - 1."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm import text as tx
+
+    texts = [
+        "a b a b a b a b a b",            # fully predictable
+        "q w e r t y u i o p",            # every bigram unique
+        "a b c a b c a b",                # mid
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = str(tmp_path)
+    docs.to_parquet(f"{d}/documents.parquet", index=False)
+    out = (
+        tx.bigram_perplexity(spark, d)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # independent reference
+    k = tx.BIGRAM_K
+    all_words = [t.split() for t in texts]
+    bis = [list(zip(ws, ws[1:])) for ws in all_words]
+    c2 = Counter(b for bb in bis for b in bb)
+    c1 = Counter(b[0] for bb in bis for b in bb)
+    v = len({w for ws in all_words for w in ws})
+    for i, bb in enumerate(bis):
+        nll = [
+            -math.log((c2[b] + k) / (c1[b[0]] + k * v)) for b in bb
+        ]
+        mean_nll = sum(nll) / len(nll)
+        assert out.loc[i, "n_bigrams"] == len(all_words[i]) - 1
+        assert abs(out.loc[i, "mean_nll"] - round(mean_nll, 4)) <= 1e-9, i
+        assert abs(out.loc[i, "ppl"] - round(math.exp(mean_nll), 2)) <= 1e-9
+    assert out.loc[0, "ppl"] < out.loc[2, "ppl"] < out.loc[1, "ppl"]

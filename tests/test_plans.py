@@ -262,3 +262,31 @@ def test_seasonal_decompose_identity_and_centering(spark):
         raw_rough = s.n.diff().var()
         trend_rough = s.trend.diff().var()
         assert trend_rough < raw_rough, (trend_rough, raw_rough)
+
+
+def test_incremental_agg_refresh_is_split_invariant(spark):
+    """MV maintenance correctness: the merged (stored partials + delta
+    partials) view must be IDENTICAL for any base/delta boundary —
+    including the degenerate all-delta (empty MV) and all-base (empty
+    batch) splits — because COUNT and exact-decimal SUM partials merge
+    associatively. Split-invariance + the all-delta case together imply
+    equality with the full recompute (which the DuckDB oracle also
+    pins cross-engine)."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        incremental_agg_refresh,
+    )
+
+    def snap(split):
+        out = incremental_agg_refresh(spark, SF_DIR, split_date=split)
+        return sorted(
+            (r["ship_month"], r["l_returnflag"], r["n_rows"],
+             r["sum_qty"], r["revenue"], round(r["avg_qty"], 9))
+            for r in out.collect()
+        )
+
+    all_delta = snap("1990-01-01")   # everything arrives as the batch
+    mid = snap("1997-06-01")
+    late = snap("1998-06-01")
+    all_base = snap("2005-01-01")    # MV already holds everything
+    assert all_delta == mid == late == all_base
+    assert len(mid) > 50  # months × returnflags actually materialized
