@@ -1172,8 +1172,81 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 8
+
+
+def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH candidate-pair graph — the graph-analytics
+    companion to the connected-components labelers: within a near-dup
+    cluster the highest-rank document is its most-connected "hub"
+    (a centrality-based canonical pick, vs dedup_keep_best's
+    length/quality pick). Standard damped power iteration
+    (Brin & Page 1998), PR_ITERS fixed rounds, symmetric edges.
+
+    Plan shape per round: ranks ⋈ weighted edges on the node key, one
+    groupBy(dst) sum — a single data shuffle — plus one scalar job for
+    the dangling-rank mass (nodes with no edges; their rank
+    redistributes uniformly, keeping the total at exactly 1). Edge
+    weights (1/out-degree) are computed ONCE before the loop; lineage
+    is truncated per round with localCheckpoint like the other
+    iterative operators. Rounds are FIXED (not convergence-tested), so
+    the op is deterministic up to float summation order — which is why
+    it sits in NO_ORACLE with a pure-Python power-iteration
+    equivalence test (tests/test_llm.py) instead of a hash oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
+    edges_w = (
+        edges.join(deg, "s")
+        .select("s", "d", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint()
+    )
+    n = docs.count()
+    nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
+    linked = edges_w.select(F.col("s").alias("node")).distinct()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        ranks = ranks.localCheckpoint()
+        # rank mass parked on dangling (edge-less) nodes redistributes
+        # uniformly — one scalar to the driver per round
+        dangling = (
+            ranks.join(linked, "node", "left_anti")
+            .agg(F.sum("rank"))
+            .first()[0]
+            or 0.0
+        )
+        contrib = (
+            edges_w.join(ranks, edges_w.s == ranks.node)
+            .groupBy("d")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+        )
+        base = (1.0 - PR_DAMPING) / n + PR_DAMPING * dangling / n
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.d, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(PR_DAMPING) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "pagerank_near_dup": pagerank_near_dup,
     "snm_adjacent_pairs": snm_adjacent_pairs,
     "source_overlap_matrix": source_overlap_matrix,
     "dedup_connected_components": dedup_connected_components,
@@ -1433,7 +1506,12 @@ ORACLES["dedup_editdist_rerank"] = f"""
     WHERE {_EDIT_SIM} >= {EDIT_SIM_MIN}
 """
 
-NO_ORACLE: dict[str, str] = {}
+NO_ORACLE: dict[str, str] = {
+    "pagerank_near_dup": "fixed-round damped power iteration over "
+    "doubles — deterministic up to float summation order, so no hash "
+    "oracle; equivalence with a pure-Python power-iteration reference "
+    "(atol 1e-9) and sum-to-one are pinned in tests/test_llm.py",
+}
 
 ORACLES["dedup_cluster_labels"] = f"""
     WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),

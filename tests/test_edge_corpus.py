@@ -109,6 +109,7 @@ EDGE_QUERIES = [
     "dedup_cluster_labels",
     "dedup_connected_components",
     "dedup_cc_star",
+    "pagerank_near_dup",
     "token_length_histogram",
     "corpus_mix_entropy",
     "mix_sources_weighted",

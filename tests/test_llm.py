@@ -916,3 +916,42 @@ def test_bigram_perplexity_matches_python_reference(spark, tmp_path):
         assert abs(out.loc[i, "mean_nll"] - round(mean_nll, 4)) <= 1e-9, i
         assert abs(out.loc[i, "ppl"] - round(math.exp(mean_nll), 2)) <= 1e-9
     assert out.loc[0, "ppl"] < out.loc[2, "ppl"] < out.loc[1, "ppl"]
+
+
+def test_pagerank_matches_python_power_iteration(spark):
+    """PageRank over the LSH pair graph vs an independent pure-Python
+    power iteration with the same damping/rounds/dangling handling:
+    ranks agree to the 8-decimal output rounding, total mass is 1, and any linked node
+    outranks the isolated-node floor."""
+    from data_warehouse_co_healthy_spark.llm import dedup
+
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in dedup.pagerank_near_dup(spark, SF_DIR).collect()
+    }
+    pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    n_docs = len(got)
+    adj: dict[int, set[int]] = {}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    d, iters = dedup.PR_DAMPING, dedup.PR_ITERS
+    ranks = {i: 1.0 / n_docs for i in got}
+    for _ in range(iters):
+        dangling = sum(v for k, v in ranks.items() if k not in adj)
+        base = (1.0 - d) / n_docs + d * dangling / n_docs
+        nxt = {i: base for i in ranks}
+        for s, outs in adj.items():
+            share = d * ranks[s] / len(outs)
+            for t in outs:
+                nxt[t] += share
+        ranks = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert len(pairs) > 0  # the fixture graph is non-trivial
+    for i, want in ranks.items():
+        # engine output is rounded to 8 decimals; allow that half-step
+        assert abs(got[i] - want) < 5.1e-9, (i, got[i], want)
+    isolated = min(v for k, v in ranks.items() if k not in adj)
+    linked_max = max(v for k, v in ranks.items() if k in adj)
+    assert linked_max > isolated

@@ -34,6 +34,7 @@ NESTED_LOOP_OK = {
     "hll_mergeable_rollup", # 1-row sketch-union total × 1-row exact
                             # grand count (self-verify join)
     "unigram_surprisal",    # corpus token total as 1-row broadcast
+    "bigram_perplexity",    # vocab size V as 1-row broadcast
     "rolling_active_users",      # day-span bounds as 1-row broadcast
     "rolling_active_users_hll",  # same span bounds, sketch variant
     "embedding_int8_quantize",   # global [min,max] range as 1-row broadcast
@@ -73,6 +74,7 @@ SINGLE_PARTITION_OK = {
     "pmi_bigrams",          # global token total (one agg row)
     "bm25_search",          # global avgdl/N stats (one agg row)
     "unigram_surprisal",    # global token total (one agg row)
+    "bigram_perplexity",    # global distinct-vocab count (one agg row)
     "dq_expectation_report",  # global profiling aggregate (one row
                               # per rule after map-side partials)
     "rolling_active_users",      # global day-span (one min/max row)
