@@ -72,6 +72,10 @@ PROBES = [
     "exact_substring_matches",
     "seasonal_decompose_hourly",
     "t_closeness_audit",
+    "incremental_agg_refresh",
+    "gopher_quality_flags",
+    "bigram_perplexity",
+    "pagerank_near_dup",
 ]
 
 
