@@ -826,6 +826,123 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCA_K = 16       # retained components (64 -> 16: 4x cheaper ANN)
+PCA_EPS = 1e-6   # whitening ridge: keeps 1/sqrt(lambda) finite
+
+
+def pca_moments(emb: DataFrame) -> tuple:
+    """One distributed pass over the embeddings producing the exact
+    sufficient statistics of PCA: row count n, coordinate sum s (d),
+    and the raw second-moment (Gram) matrix G = X^T X (d x d).
+
+    Scale posture: per-Arrow-batch numpy partials (one m.T @ m per
+    batch — BLAS, not per-row Python), reduced IN-ENGINE by an
+    element-wise zip_with fold to a single row before collect, so
+    driver traffic is O(d^2) regardless of partition count — the same
+    two-level combine lloyd_centroids uses. At d=64 the collected
+    payload is 4096 doubles; nothing row-scaled ever reaches the
+    driver."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    probe = emb.select("embedding").limit(1).collect()
+    dim = len(probe[0].embedding)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(m)],
+                    "s": [m.sum(0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    row = (
+        emb.mapInPandas(
+            partials, schema="n long, s array<double>, g array<double>"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.aggregate(
+                F.collect_list("s"),
+                F.array_repeat(F.lit(0.0), dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("s"),
+            F.aggregate(
+                F.collect_list("g"),
+                F.array_repeat(F.lit(0.0), dim * dim),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+            ).alias("g"),
+        )
+        .collect()[0]
+    )
+    n = int(row.n)
+    s = np.asarray(row.s)
+    g = np.asarray(row.g).reshape(dim, dim)
+    return n, s, g
+
+
+def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding table — the standard projection
+    step before indexing/clustering (Jégou & Chum 2012 showed whitening
+    fixes co-occurrence over-counting in retrieval): project each
+    vector onto the top-PCA_K eigenvectors of the sample covariance and
+    rescale each coordinate to unit variance.
+
+    Spark-first dataflow: ONE pass builds exact (n, sum, Gram)
+    sufficient statistics (pca_moments — in-engine two-level combine,
+    O(d^2) to the driver); the d x d eigendecomposition runs on the
+    driver with numpy (d=64 — never data-scaled); the resulting d x k
+    whitening matrix is closed over (Spark broadcasts it with the task)
+    and applied map-only via one BLAS matmul per Arrow batch. No
+    shuffle touches the projection itself.
+
+    Determinism: eigh on the same float64 covariance is deterministic;
+    eigenvector sign is fixed by making each component's
+    largest-magnitude coordinate positive. NO_ORACLE (eigensolve is not
+    SQL-expressible) — pinned against an independent pure-numpy PCA of
+    the same rows plus whitened-covariance/orthogonality invariants in
+    tests/test_llm.py."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    n, s, g = pca_moments(emb)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0  # enforce exact symmetry for eigh
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:PCA_K]
+    lam = evals[order]
+    v = evecs[:, order]
+    # sign convention: largest-|coordinate| of each component positive
+    flip = np.sign(v[np.abs(v).argmax(axis=0), np.arange(v.shape[1])])
+    v = v * flip[None, :]
+    w = v / np.sqrt(lam + PCA_EPS)[None, :]
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            z = (m - mean[None, :]) @ w
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "proj": list(z),
+                }
+            )
+
+    return emb.mapInPandas(
+        project, schema="vec_id long, label int, proj array<double>"
+    )
+
+
 QUERIES = {
     "shard_assignment": shard_assignment,
     "epoch_shuffle": epoch_shuffle,
@@ -835,6 +952,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
+    "pca_whiten_embeddings": pca_whiten_embeddings,
 }
 
 ORACLES = {
@@ -922,4 +1040,8 @@ NO_ORACLE = {
     "bpe_segment": "consumes the iteratively-trained merge table; "
     "segmentation is asserted equal to an independent Python BPE "
     "apply on sample words — tests/test_llm.py",
+    "pca_whiten_embeddings": "the d x d eigensolve is outside SQL; "
+    "asserted equal (1e-8) to an independent pure-numpy PCA of the "
+    "same rows, with whitened-covariance ~ identity and component-"
+    "orthogonality invariants — tests/test_llm.py",
 }

@@ -955,3 +955,49 @@ def test_pagerank_matches_python_power_iteration(spark):
     isolated = min(v for k, v in ranks.items() if k not in adj)
     linked_max = max(v for k, v in ranks.items() if k in adj)
     assert linked_max > isolated
+
+
+def test_pca_whitening_matches_numpy_and_is_white(spark):
+    """pca_whiten_embeddings vs an INDEPENDENT pure-numpy PCA on the
+    collected fixture (same covariance definition, eigh, sign fix):
+    projections agree to 1e-8. Invariants: components orthonormal,
+    eigenvalues descending, and the whitened sample covariance is the
+    analytic diag(lam/(lam+eps)) ~ identity."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.llm import training
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    x = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+    )
+    ids = np.asarray([r.vec_id for r in rows])
+    n, d = x.shape
+    mean = x.mean(0)
+    cov = (x - mean).T @ (x - mean) / n
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    order = np.argsort(evals)[::-1][: training.PCA_K]
+    lam, v = evals[order], evecs[:, order]
+    flip = np.sign(v[np.abs(v).argmax(axis=0), np.arange(v.shape[1])])
+    v = v * flip[None, :]
+    want = (x - mean) @ (v / np.sqrt(lam + training.PCA_EPS)[None, :])
+
+    got_rows = training.pca_whiten_embeddings(spark, SF_DIR).collect()
+    got = {r.vec_id: np.asarray(r.proj) for r in got_rows}
+    assert len(got) == n
+    for i, vid in enumerate(ids):
+        assert np.max(np.abs(got[vid] - want[i])) < 1e-8, vid
+
+    # invariants on the engine output alone
+    z = np.stack([got[vid] for vid in ids])
+    assert np.all(np.diff(lam) <= 1e-12)  # descending spectrum
+    assert np.allclose(v.T @ v, np.eye(training.PCA_K), atol=1e-10)
+    zc = z - z.mean(0)
+    white = zc.T @ zc / n
+    expect = np.diag(lam / (lam + training.PCA_EPS))
+    assert np.allclose(white, expect, atol=1e-6)

@@ -71,6 +71,11 @@ SINGLE_PARTITION_OK = {
     "bitmap_distinct_rollup",  # bitmap-OR grand total: exchange carries
                                # one bitmap per (type, bucket), not rows
     "key_skew_profile",     # global stats over key-cardinality counts
+    "profile_columns",      # global profiling aggregate (one wide row
+                            # unpivoted to 6 column-grain rows)
+    "pca_whiten_embeddings",  # O(d^2) sufficient-stats combine: the
+                              # exchange carries per-batch (n, sum,
+                              # Gram) partials, never data rows
     "pmi_bigrams",          # global token total (one agg row)
     "bm25_search",          # global avgdl/N stats (one agg row)
     "unigram_surprisal",    # global token total (one agg row)
