@@ -943,6 +943,60 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAHA_TOP = 25  # reported strongest outliers
+
+
+def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection on the embedding table: squared
+    Mahalanobis distance of every vector from the corpus mean under the
+    sample covariance — the classical gate for corrupt/degenerate
+    embeddings before they poison ANN indexes or k-means seeds (a
+    chi-square(d) tail test in the Gaussian model).
+
+    Reuses pca_moments' one-pass exact sufficient statistics (O(d^2)
+    driver traffic); the d x d precision matrix is a driver-side
+    ridge-regularized inverse (PCA_EPS on the diagonal — also makes the
+    inverse well-defined if some direction is degenerate), then one
+    map-only pass scores every vector with two BLAS ops per Arrow
+    batch. Output: the MAHA_TOP strongest outliers (global top-k over a
+    scalar score — output-sized, TakeOrderedAndProject, no global
+    sort). NO_ORACLE (matrix inverse is not SQL-expressible) — pinned
+    1e-6-equal to an independent pure-numpy computation in
+    tests/test_llm.py."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    n, s, g = pca_moments(emb)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    cov = (cov + cov.T) / 2.0 + PCA_EPS * np.eye(len(mean))
+    prec = np.linalg.inv(cov)
+    prec = (prec + prec.T) / 2.0
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            c = m - mean[None, :]
+            d2 = np.einsum("ij,jk,ik->i", c, prec, c)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "maha_sq": np.round(d2, 8),
+                }
+            )
+
+    scored = emb.mapInPandas(
+        score, schema="vec_id long, label int, maha_sq double"
+    )
+    return scored.orderBy(
+        F.col("maha_sq").desc(), "vec_id"
+    ).limit(MAHA_TOP)
+
+
 QUERIES = {
     "shard_assignment": shard_assignment,
     "epoch_shuffle": epoch_shuffle,
@@ -953,6 +1007,7 @@ QUERIES = {
     "semantic_dedup": semantic_dedup,
     "dsir_importance": dsir_importance,
     "pca_whiten_embeddings": pca_whiten_embeddings,
+    "mahalanobis_outliers": mahalanobis_outliers,
 }
 
 ORACLES = {
@@ -1044,4 +1099,7 @@ NO_ORACLE = {
     "asserted equal (1e-8) to an independent pure-numpy PCA of the "
     "same rows, with whitened-covariance ~ identity and component-"
     "orthogonality invariants — tests/test_llm.py",
+    "mahalanobis_outliers": "the d x d precision-matrix inverse is "
+    "outside SQL; asserted equal (1e-6) to an independent pure-numpy "
+    "computation over the same rows — tests/test_llm.py",
 }

@@ -1001,3 +1001,44 @@ def test_pca_whitening_matches_numpy_and_is_white(spark):
     white = zc.T @ zc / n
     expect = np.diag(lam / (lam + training.PCA_EPS))
     assert np.allclose(white, expect, atol=1e-6)
+
+
+def test_mahalanobis_outliers_match_numpy(spark):
+    """Top-k Mahalanobis outliers vs an independent pure-numpy
+    computation (same ridge, same inverse): identical id set in the
+    same order, scores within the 8-decimal output rounding, and every
+    reported score >= the best unreported one (true global top-k)."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.llm import training
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    x = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+    )
+    ids = np.asarray([r.vec_id for r in rows])
+    n, d = x.shape
+    mean = x.mean(0)
+    c = x - mean
+    cov = c.T @ c / n
+    cov = (cov + cov.T) / 2.0 + training.PCA_EPS * np.eye(d)
+    prec = np.linalg.inv(cov)
+    prec = (prec + prec.T) / 2.0
+    d2 = np.round(np.einsum("ij,jk,ik->i", c, prec, c), 8)
+    order = np.lexsort((ids, -d2))
+    want = [(int(ids[i]), d2[i]) for i in order[: training.MAHA_TOP]]
+
+    got = [
+        (r.vec_id, r.maha_sq)
+        for r in training.mahalanobis_outliers(spark, SF_DIR).collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, gid
+    cutoff = max(s for i, s in zip(ids, d2) if i not in {g[0] for g in got})
+    assert min(g[1] for g in got) >= cutoff

@@ -76,6 +76,8 @@ SINGLE_PARTITION_OK = {
     "pca_whiten_embeddings",  # O(d^2) sufficient-stats combine: the
                               # exchange carries per-batch (n, sum,
                               # Gram) partials, never data rows
+    "mahalanobis_outliers",   # same O(d^2) stats combine + an
+                              # output-sized global top-k
     "pmi_bigrams",          # global token total (one agg row)
     "bm25_search",          # global avgdl/N stats (one agg row)
     "unigram_surprisal",    # global token total (one agg row)
