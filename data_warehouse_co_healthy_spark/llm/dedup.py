@@ -353,6 +353,71 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAIN_MIN = 0.5    # directed-containment report threshold
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by word-3-gram CONTAINMENT
+    (Broder 1997's other resemblance measure): C(A→B) = |A∩B| / |A|.
+    Jaccard misses subset duplicates — a short doc quoted whole inside
+    a much longer one scores |A|/|B| ≈ 0 on Jaccard but 1.0 on
+    containment — so corpus pipelines run both: Jaccard for mutual
+    near-dups, containment for quote/excerpt/boilerplate inclusion.
+
+    Same scale shape as ngram_jaccard_pairs (shared blocking machinery
+    would be one refactor away, kept inline so each query's plan reads
+    standalone): doc-local gram dedup map-side, the MAX_DOCFREQ
+    document-frequency cap bounds posting-list fan-out, and the only
+    shuffles are gram-grain (df window) and pair-grain (intersection
+    count). Reports both directions; a pair is kept when EITHER
+    direction's containment clears CONTAIN_MIN."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select("doc_id", F.split(F.lower("text"), " ").alias("ws"))
+    grams = (
+        words.filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2), "
+                    "i -> array_join(slice(ws, i, 3), ' '))"
+                )
+            ).alias("gs"),
+        )
+        .select(
+            "doc_id",
+            F.size("gs").alias("n"),
+            F.explode("gs").alias("g"),
+        )
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    rare = grams.withColumn(
+        "df", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("df") <= MAX_DOCFREQ)
+    a = rare.select(
+        "g", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = rare.select(
+        "g", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+    )
+    return (
+        a.join(b, on="g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("na"), 4).alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("nb"), 4).alias("cont_b_in_a"),
+        )
+        .filter(
+            F.greatest("cont_a_in_b", "cont_b_in_a") >= CONTAIN_MIN
+        )
+    )
+
+
 ESS_K = 12           # char-gram width for exact-substring matching
 ESS_MIN_RUN = 20     # minimum shared-run length (chars) to report
 ESS_MAX_OCC = 200    # corpus occurrence cap per gram (skew guard)
@@ -1264,6 +1329,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_containment_pairs": ngram_containment_pairs,
     "exact_substring_matches": exact_substring_matches,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
@@ -1474,6 +1540,35 @@ ORACLES = {
         JOIN sizes na ON inter.doc_a = na.doc_id
         JOIN sizes nb ON inter.doc_b = nb.doc_id
         WHERE round(inter / (na.n + nb.n - inter), 4) >= 0.2
+    """,
+    "ngram_containment_pairs": f"""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(list_slice(string_split(lower(text), ' '),
+                                              i, i + 2), ' ') AS g
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(
+                     1, len(string_split(lower(text), ' ')) - 2)) AS i)
+            WHERE len(string_split(lower(text), ' ')) >= 3
+        ), rare AS (
+            SELECT * FROM (
+                SELECT *, count(*) OVER (PARTITION BY g) AS df FROM grams
+            ) WHERE df <= {MAX_DOCFREQ}
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+            FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(inter / na.n, 4) AS cont_a_in_b,
+               round(inter / nb.n, 4) AS cont_b_in_a
+        FROM inter
+        JOIN sizes na ON inter.doc_a = na.doc_id
+        JOIN sizes nb ON inter.doc_b = nb.doc_id
+        WHERE greatest(round(inter / na.n, 4),
+                       round(inter / nb.n, 4)) >= {CONTAIN_MIN}
     """,
 }
 

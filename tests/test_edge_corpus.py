@@ -70,6 +70,7 @@ EDGE_QUERIES = [
     "hard_negatives",
     "dedup_exact",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "exact_substring_matches",
     "token_count",
     "text_quality",

@@ -1042,3 +1042,45 @@ def test_mahalanobis_outliers_match_numpy(spark):
         assert abs(gs - ws) < 1e-6, gid
     cutoff = max(s for i, s in zip(ids, d2) if i not in {g[0] for g in got})
     assert min(g[1] for g in got) >= cutoff
+
+
+def test_containment_catches_subset_dup_that_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer one: directed
+    containment ~ 1.0 while Jaccard stays under its 0.2 threshold —
+    the exact asymmetric case the operator exists for."""
+    import os
+    import tempfile
+
+    long_words = [f"w{i}" for i in range(200)]
+    short_words = long_words[40:60]  # verbatim 20-word excerpt
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(long_words),
+                " ".join(short_words),
+                "совсем unrelated text about nothing shared here at all",
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["a", "b", "c"],
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="containment_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    out = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in dedup.ngram_containment_pairs(spark, d).collect()
+    }
+    assert (1, 2) in out
+    cont_long_in_short, cont_short_in_long = out[(1, 2)]
+    # doc 2 has 18 distinct 3-grams, all inside doc 1's 198
+    assert cont_short_in_long == 1.0
+    assert cont_long_in_short == round(18 / 198, 4)
+    assert len(out) == 1  # doc 3 pairs with nothing
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(spark, d).collect()
+    }
+    assert (1, 2) not in jac  # jaccard 18/198 = 0.09 < 0.2 threshold
