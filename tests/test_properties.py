@@ -875,3 +875,78 @@ def test_t_closeness_audit_matches_python_reference(spark, rows):
     assert abs(got["max_tvd"] - max(tvds)) < 2e-6
     assert abs(got["avg_tvd"] - sum(tvds) / len(tvds)) < 2e-6
     assert got["n_groups_above_t"] == sum(1 for t in tvds if t > T_CLOSE)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs_words=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ngram_containment_matches_bruteforce(spark, docs_words):
+    """Containment pairs vs a brute-force Python reference on tiny
+    low-alphabet corpora (maximum shared-gram pressure): identical
+    pair set and identical rounded scores in both directions. The
+    reference recomputes gram sets, sizes-BEFORE-df-cap, intersection
+    and the either-direction threshold independently."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        CONTAIN_MIN,
+        MAX_DOCFREQ,
+        ngram_containment_pairs,
+    )
+
+    texts = [" ".join(ws) for ws in docs_words]
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="cont_prop_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    grams = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split(" ")
+        if len(ws) >= 3:
+            grams[i] = {
+                " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+            }
+    df_count: dict[str, int] = {}
+    for gs in grams.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    want = {}
+    ids = sorted(grams)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            rare_a = {g for g in grams[a] if df_count[g] <= MAX_DOCFREQ}
+            rare_b = {g for g in grams[b] if df_count[g] <= MAX_DOCFREQ}
+            inter = len(rare_a & rare_b)
+            if not inter:
+                continue
+            ca = round(inter / len(grams[a]), 4)
+            cb = round(inter / len(grams[b]), 4)
+            if max(ca, cb) >= CONTAIN_MIN:
+                want[(a, b)] = (ca, cb)
+
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in ngram_containment_pairs(spark, d).collect()
+    }
+    assert got == want
