@@ -41,6 +41,7 @@ HEADLINE = [
     "bpe_segment",           # registry tail: BPE train + corpus apply
     "dedup_cc_star",         # large-star/small-star connected components
     "image_decode_stats",    # real BMP/PPM decode over binary payloads
+    "pagerank_near_dup",     # registry tail: 8-round damped power iter
 ]
 
 

@@ -52,6 +52,18 @@ SHOWCASE = [
         "seasonal_decompose_hourly",
         "trend/seasonal/residual: two windows over one hourly grain",
     ),
+    (
+        "profile_columns",
+        "exact NDVs for 6 columns: ONE scan, one Expand, one agg",
+    ),
+    (
+        "ngram_containment_pairs",
+        "asymmetric near-dup: capped posting join, gram+pair shuffles only",
+    ),
+    (
+        "pca_whiten_embeddings",
+        "whitening projection: map-only Arrow stage, zero exchanges",
+    ),
 ]
 
 
