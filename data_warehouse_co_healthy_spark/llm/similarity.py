@@ -397,6 +397,113 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_index_write(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the IVF index as a LAYOUT: corpus vectors written
+    hive-partitioned by their trained cell id, quantizer centroids
+    stored beside them. Build once, probe many — the production
+    counterpart of ann_ivf_kmeans's build-per-query shape. At 100 TB
+    the payoff is that a probe's cell predicate becomes parquet
+    PARTITION PRUNING: each query reads nprobe/k of the corpus from
+    disk, enforced by the directory layout instead of a runtime
+    filter (test-pinned via the scan's partitionFilters)."""
+    from .training import _assign, trained_centroids  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = trained_centroids(spark, sf_dir)
+    _assign(e, cents).select(
+        "vec_id", "embedding", F.col("cid").alias("cell")
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/vectors"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/quantizer")
+
+
+def ivf_index_probe(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Top-TOP_K cosine search against a PERSISTED IVF index
+    (ivf_index_write layout): per-query probe cells come from the
+    stored quantizer (k×d collect — never data-scaled), the distinct
+    probed-cell set (≤ min(k, nprobe·n_queries) ints) is pushed as a
+    literal IN-filter on the partition column so the parquet scan
+    prunes every unprobed cell's directory, and only the surviving
+    cells' members are exact-scored (same cosine + per-query top-k as
+    ann_ivf_kmeans). Queries: (query_id long, embedding array<float>),
+    assumed query-sized (the probe frame is broadcast)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    cent_rows = spark.read.parquet(f"{path}/quantizer").collect()
+    C = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
+    for r in cent_rows:
+        C[r.cell] = np.asarray(r.centroid)
+    k = min(nprobe, len(cent_rows))
+
+    def probe_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (
+                (m * m).sum(1)[:, None]
+                - 2.0 * (m @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            near = np.argsort(d2, axis=1, kind="stable")[:, :k]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].repeat(k),
+                    "q_raw": pdf["embedding"].repeat(k),
+                    "cell": near.ravel().astype("int32"),
+                }
+            )
+
+    probes = queries.mapInPandas(
+        probe_batches, schema="query_id long, q_raw array<float>, cell int"
+    )
+    cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    index = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        index.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").alias("c_raw"),
+            "cell",
+        )
+        .join(F.broadcast(probes), on="cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "aggregate(zip_with(q_raw, c_raw, (x, y) -> "
+                "cast(x AS double) * y), 0.0D, (acc, x) -> acc + x) / "
+                "(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
+                "* x), 0.0D, (acc, x) -> acc + x)) * "
+                "sqrt(aggregate(transform(c_raw, x -> cast(x AS double) "
+                "* x), 0.0D, (acc, x) -> acc + x)))"
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+    )
+
+
 INT8_LEVELS = 254  # symmetric int8 grid: [-127, 127]
 
 

@@ -380,3 +380,34 @@ def test_bloom_index_staleness_is_detected_not_silent(spark, tmp_path):
     bloomindex.build_bloom_index(spark, path, "user_id")
     kept, total = bloomindex.bloom_prune_files(spark, path, "user_id", 17)
     assert total == 2 and len(kept) >= 1
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
+    """The persisted IVF index must (a) return EXACTLY what the inline
+    ann_ivf_kmeans computes for the same queries (same quantizer, same
+    scoring, same tie-break), and (b) prune: the probe's parquet scan
+    carries the probed-cell IN-list as a partition filter, so unprobed
+    cells' directories are never read."""
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.llm import similarity
+
+    path = str(tmp_path / "ivf")
+    similarity.ivf_index_write(spark, SF_DIR, path)
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    queries = e.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).filter(F.col("query_id") < similarity.N_QUERIES)
+    got = similarity.ivf_index_probe(spark, path, queries)
+    want = similarity.ann_ivf_kmeans(spark, SF_DIR)
+    g = [tuple(r) for r in got.orderBy("query_id", "rk").collect()]
+    w = [tuple(r) for r in want.orderBy("query_id", "rk").collect()]
+    assert g == w and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:3000]
+    # the layout actually has one dir per cell, and probing reads fewer
+    cell_dirs = {
+        d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")
+    }
+    assert len(cell_dirs) > similarity.IVF_NPROBE
