@@ -763,8 +763,91 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HEAPS_STEPS = 8  # ingest-order ladder resolution
+
+
+def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve + Heaps'-law exponent: cumulative
+    distinct-token count against cumulative token count at
+    HEAPS_STEPS ingest-order checkpoints, with the fitted
+    V = K·T^beta exponent (endpoint log-ratio — deterministic, no
+    float regression). This is the corpus-planning query behind
+    tokenizer vocab sizing and dedup forecasting: beta well under the
+    0.4-0.6 natural-text band signals heavy duplication, beta near 1
+    signals id-like token soup.
+
+    Scale shape: each token occurrence maps to its ladder step with
+    integer-exact arithmetic (one 1-row max broadcast); vocabulary
+    increments come from ONE groupBy(tok) min-step aggregate (token
+    cardinality, not corpus size); the cumulative window runs over
+    exactly HEAPS_STEPS rows. No data-sized sort anywhere."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    mx = d.agg((F.max("doc_id") + F.lit(1)).alias("npos"))
+    step = F.expr(
+        f"cast(((doc_id + 1) * {HEAPS_STEPS} + npos - 1) div npos as int)"
+    )
+    docs = d.crossJoin(F.broadcast(mx)).select(step.alias("step"))
+    toks = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            step.alias("step"),
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    docs_per = docs.groupBy("step").agg(F.count("*").alias("nd"))
+    toks_per = toks.groupBy("step").agg(F.count("*").alias("nt"))
+    vocab_per = (
+        toks.groupBy("tok")
+        .agg(F.min("step").alias("step"))
+        .groupBy("step")
+        .agg(F.count("*").alias("nv"))
+    )
+    grid = spark.range(1, HEAPS_STEPS + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        grid.join(docs_per, "step", "left")
+        .join(toks_per, "step", "left")
+        .join(vocab_per, "step", "left")
+        .select(
+            "step",
+            F.sum(F.coalesce("nd", F.lit(0))).over(w).alias("docs_cum"),
+            F.sum(F.coalesce("nt", F.lit(0))).over(w).alias("tokens_cum"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("vocab_cum"),
+        )
+    )
+    ends = cum.agg(
+        F.max(F.when(F.col("step") == 1, F.col("vocab_cum"))).alias("v1"),
+        F.max(F.when(F.col("step") == HEAPS_STEPS, F.col("vocab_cum"))).alias("v8"),
+        F.max(F.when(F.col("step") == 1, F.col("tokens_cum"))).alias("t1"),
+        F.max(F.when(F.col("step") == HEAPS_STEPS, F.col("tokens_cum"))).alias("t8"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(ends))
+        .select(
+            "step",
+            "docs_cum",
+            "tokens_cum",
+            "vocab_cum",
+            F.round(
+                (F.log("v8") - F.log("v1")) / (F.log("t8") - F.log("t1")),
+                6,
+            ).alias("heaps_beta"),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "vocab_growth_heaps": vocab_growth_heaps,
     "unigram_surprisal": unigram_surprisal,
     "bigram_perplexity": bigram_perplexity,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
@@ -1128,6 +1211,53 @@ ORACLES["gopher_quality_flags"] = f"""
            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
            AND stop_hits >= {GOPHER_MIN_STOPHITS} AS keep
     FROM base
+"""
+
+ORACLES["vocab_growth_heaps"] = f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS npos FROM documents),
+    stepped AS (
+        SELECT doc_id,
+               ((doc_id + 1) * {HEAPS_STEPS} + npos - 1) // npos AS step
+        FROM documents, mx
+    ), toks AS (
+        SELECT s.step, t.tok
+        FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+            FROM documents
+        ) t JOIN stepped s USING (doc_id)
+        WHERE length(tok) > 0
+    ), docs_per AS (
+        SELECT step, count(*) AS nd FROM stepped GROUP BY step
+    ), toks_per AS (
+        SELECT step, count(*) AS nt FROM toks GROUP BY step
+    ), vocab_per AS (
+        SELECT step, count(*) AS nv FROM (
+            SELECT tok, min(step) AS step FROM toks GROUP BY tok
+        ) GROUP BY step
+    ), cum AS (
+        SELECT g.step::INT AS step,
+               sum(COALESCE(nd, 0)) OVER (ORDER BY g.step)::BIGINT
+                   AS docs_cum,
+               sum(COALESCE(nt, 0)) OVER (ORDER BY g.step)::BIGINT
+                   AS tokens_cum,
+               sum(COALESCE(nv, 0)) OVER (ORDER BY g.step)::BIGINT
+                   AS vocab_cum
+        FROM generate_series(1, {HEAPS_STEPS}) AS g(step)
+        LEFT JOIN docs_per d ON g.step = d.step
+        LEFT JOIN toks_per t ON g.step = t.step
+        LEFT JOIN vocab_per v ON g.step = v.step
+    ), ends AS (
+        SELECT max(CASE WHEN step = 1 THEN vocab_cum END) AS v1,
+               max(CASE WHEN step = {HEAPS_STEPS} THEN vocab_cum END) AS v8,
+               max(CASE WHEN step = 1 THEN tokens_cum END) AS t1,
+               max(CASE WHEN step = {HEAPS_STEPS} THEN tokens_cum END) AS t8
+        FROM cum
+    )
+    SELECT step, docs_cum, tokens_cum, vocab_cum,
+           round((ln(v8) - ln(v1)) / (ln(t8) - ln(t1)), 6) AS heaps_beta
+    FROM cum, ends
 """
 
 NO_ORACLE = {

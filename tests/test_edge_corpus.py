@@ -73,6 +73,7 @@ EDGE_QUERIES = [
     "ngram_containment_pairs",
     "exact_substring_matches",
     "token_count",
+    "vocab_growth_heaps",
     "text_quality",
     "langid_heuristic",
     "gopher_quality_flags",

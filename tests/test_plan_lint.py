@@ -39,6 +39,8 @@ NESTED_LOOP_OK = {
     "rolling_active_users_hll",  # same span bounds, sketch variant
     "embedding_int8_quantize",   # global [min,max] range as 1-row broadcast
     "dsir_importance",      # corpus token totals as 1-row broadcast
+    "vocab_growth_heaps",   # npos max + curve endpoints as 1-row
+                            # broadcasts over the 8-row ladder
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -105,6 +107,8 @@ SINGLE_PARTITION_OK = {
                                  # stats frame (<= 6 rows)
     "temperature_sampling_weights",  # global totals over the
                                      # per-source aggregate
+    "vocab_growth_heaps",   # cumulative window over exactly
+                            # HEAPS_STEPS (8) ladder rows
 }
 
 
