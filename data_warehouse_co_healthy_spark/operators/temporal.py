@@ -594,6 +594,40 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PATH_LEN = 3    # steps per mined path
+PATH_TOPK = 20  # reported paths
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the PATH_TOPK most frequent
+    PATH_LEN-step event-type sequences across all user streams — the
+    higher-order companion to event_transition_matrix's 1st-order
+    Markov view (which paths actually happen, not just which hops).
+
+    One lead() window on the standard user_id shuffle builds each
+    position's forward path in place (no self-joins, no
+    sequence explode), one path-cardinality aggregate (bounded by
+    |event_types|^PATH_LEN, map-side combined), and an output-sized
+    global top-k (TakeOrderedAndProject, no full sort). Ties broken
+    by path text for determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = [F.col("event_type")] + [
+        F.lead("event_type", i).over(w) for i in range(1, PATH_LEN)
+    ]
+    return (
+        ev.select(
+            F.concat_ws(" > ", *steps).alias("path"),
+            steps[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOPK)
+    )
+
+
 EWMA_ALPHA = 0.3  # decay: weight halves roughly every 2 steps
 EWMA_LAGS = 8     # truncated memory; dropped tail mass = (1-a)^8 ~ 5.8%
 
@@ -648,6 +682,7 @@ QUERIES = {
     "rolling_active_users_hll": rolling_active_users_hll,
     "seasonal_naive_eval": seasonal_naive_eval,
     "event_transition_matrix": event_transition_matrix,
+    "top_event_paths": top_event_paths,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
@@ -853,6 +888,23 @@ ORACLES["ewma_smoother"] = f"""
     )
     SELECT event_id, user_id, ts, value, round(raw, 4) AS ewma
     FROM seq WHERE rn >= {EWMA_LAGS}
+"""
+
+ORACLES["top_event_paths"] = f"""
+    WITH stepped AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+           count(*)::BIGINT AS n
+    FROM stepped
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOPK}
 """
 
 ORACLES["event_transition_matrix"] = """
