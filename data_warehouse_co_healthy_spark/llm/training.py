@@ -943,6 +943,98 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCENTER_K = 16  # coreset size
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Center-Greedy coreset selection (Sener & Savarese 2018,
+    "Active Learning for CNNs: A Core-Set Approach"): iteratively pick
+    the vector farthest from the already-selected set, KCENTER_K
+    times — the diversity-maximizing data-selection primitive
+    (2-approximation of the k-center cover radius) used to choose
+    representative training subsets from embedding space.
+
+    Spark shape per round: ONE map-only Arrow pass computes each
+    vector's distance to the single newest center (running min-distance
+    carried in-plan as a column, so round r does O(n·d) work, not
+    O(n·r·d)), then an output-sized global top-1 argmax (ties to the
+    lower vec_id). Driver traffic is one (id, distance) row per round;
+    centers are closed over per task. Lineage is truncated per round
+    with localCheckpoint like the other iterative operators. Output:
+    the selected coreset in pick order with each pick's covering
+    radius (the max-min distance at selection time — monotonically
+    non-increasing). Seeded deterministically at the lowest vec_id.
+
+    NO_ORACLE (iterative argmax fixpoint is outside single-query SQL);
+    pinned equal to an independent pure-numpy k-center-greedy run in
+    tests/test_llm.py."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(int(seed.vec_id), 0.0)]
+    state = emb.select(
+        "vec_id",
+        "embedding",
+        F.lit(float("inf")).alias("mind"),
+    ).localCheckpoint()
+    for _ in range(KCENTER_K - 1):
+        c = np.asarray(
+            [
+                r.embedding
+                for r in state.filter(
+                    F.col("vec_id") == picks[-1][0]
+                ).collect()
+            ][0],
+            dtype=np.float64,
+        )
+
+        def update(batches, c=c):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                d = np.sqrt(((m - c[None, :]) ** 2).sum(1))
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                        "mind": np.minimum(pdf["mind"].to_numpy(), d),
+                    }
+                )
+
+        state = state.mapInPandas(
+            update,
+            schema="vec_id long, embedding array<float>, mind double",
+        ).localCheckpoint()
+        # argmax over NOT-yet-selected points only: with n < KCENTER_K
+        # the loop would otherwise re-pick covered points forever
+        cand = (
+            state.filter(
+                ~F.col("vec_id").isin([v for v, _ in picks])
+            )
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        far = cand[0]
+        picks.append((int(far.vec_id), float(far.mind)))
+    return spark.createDataFrame(
+        [
+            (i, vid, round(r, 6))
+            for i, (vid, r) in enumerate(picks)
+        ],
+        "pick int, vec_id long, radius double",
+    )
+
+
 MAHA_TOP = 25  # reported strongest outliers
 
 
@@ -1008,6 +1100,7 @@ QUERIES = {
     "dsir_importance": dsir_importance,
     "pca_whiten_embeddings": pca_whiten_embeddings,
     "mahalanobis_outliers": mahalanobis_outliers,
+    "kcenter_coreset": kcenter_coreset,
 }
 
 ORACLES = {
@@ -1102,4 +1195,8 @@ NO_ORACLE = {
     "mahalanobis_outliers": "the d x d precision-matrix inverse is "
     "outside SQL; asserted equal (1e-6) to an independent pure-numpy "
     "computation over the same rows — tests/test_llm.py",
+    "kcenter_coreset": "iterative farthest-point argmax (each pick "
+    "depends on the previous) is outside single-query SQL; pinned "
+    "equal to an independent pure-numpy k-center-greedy run — "
+    "tests/test_llm.py",
 }

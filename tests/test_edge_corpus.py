@@ -121,6 +121,7 @@ EDGE_QUERIES = [
     "train_val_test_split",
     "quality_classifier",
     "semantic_dedup",
+    "kcenter_coreset",
     "dedup_embedding_cosine",
     "minhash_jaccard_estimate",
     "lsh_bucket_stats",

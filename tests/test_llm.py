@@ -1084,3 +1084,47 @@ def test_containment_catches_subset_dup_that_jaccard_misses(spark):
         for r in dedup.ngram_jaccard_pairs(spark, d).collect()
     }
     assert (1, 2) not in jac  # jaccard 18/198 = 0.09 < 0.2 threshold
+
+
+def test_kcenter_coreset_matches_numpy_greedy(spark):
+    """k-Center-Greedy vs an independent pure-numpy farthest-point
+    loop (same seed, same euclidean metric, ties to the lower id):
+    identical pick sequence, radii within the 6-decimal rounding, and
+    the covering radius is non-increasing."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.catalog import load_table
+    from data_warehouse_co_healthy_spark.llm import training
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.asarray([r.vec_id for r in rows])
+    x = np.stack(
+        [np.asarray(r.embedding, dtype=np.float64) for r in rows]
+    )
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    sel = [0]  # lowest vec_id seeds
+    mind = np.full(len(ids), np.inf)
+    want = [(int(ids[0]), 0.0)]
+    for _ in range(training.KCENTER_K - 1):
+        d = np.sqrt(((x - x[sel[-1]][None, :]) ** 2).sum(1))
+        mind = np.minimum(mind, d)
+        far = int(np.lexsort((ids, -mind))[0])
+        sel.append(far)
+        want.append((int(ids[far]), round(float(mind[far]), 6)))
+
+    got = [
+        (r.vec_id, r.radius)
+        for r in training.kcenter_coreset(spark, SF_DIR)
+        .orderBy("pick")
+        .collect()
+    ]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gid, gr), (_, wr) in zip(got, want):
+        assert abs(gr - wr) < 2e-6, gid
+    radii = [g[1] for g in got[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
