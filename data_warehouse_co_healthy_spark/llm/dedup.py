@@ -353,6 +353,93 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_COS_MIN = 0.3  # sparse-cosine report threshold
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical similarity join: TF-IDF-weighted cosine between
+    documents via an inverted index — the classic sparse-vector
+    alternative to MinHash (graded similarity, not set overlap) and to
+    embedding cosine (no model needed). Pairs sharing any token whose
+    document frequency clears the MAX_DOCFREQ skew cap accumulate
+    weight products; cosine = dot / (norm_a · norm_b) >= TFIDF_COS_MIN.
+
+    Scale shape: one (doc, token) aggregate builds TF, one token-grain
+    aggregate builds DF/IDF, per-doc norms ride the posting rows, and
+    the pair fan-out is bounded by the same document-frequency cap as
+    the other posting-join operators — never all-pairs.
+
+    Cross-engine determinism (the dsir_importance recipe): per-posting
+    weights are quantized ONCE — round(tf·idf, 6) as DECIMAL(14,6) —
+    so weight products and their sums are exact decimal arithmetic
+    (order-independent); doubles appear only in the final
+    cosine division."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.length("tok") > 0)
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= MAX_DOCFREQ)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            F.round(F.log(F.col("n") / F.col("df")), 6)
+            .cast("decimal(14,6)")
+            .alias("idf"),
+        )
+    )
+    w = tf.join(idf, on="tok").select(
+        "tok",
+        "doc_id",
+        (F.col("tf").cast("decimal(14,6)") * F.col("idf")).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("sq")
+    )
+    wn = w.join(norms, on="doc_id")
+    a = wn.select(
+        "tok",
+        F.col("doc_id").alias("doc_a"),
+        F.col("w").alias("wa"),
+        F.col("sq").alias("sqa"),
+    )
+    b = wn.select(
+        "tok",
+        F.col("doc_id").alias("doc_b"),
+        F.col("w").alias("wb"),
+        F.col("sq").alias("sqb"),
+    )
+    return (
+        a.join(b, on="tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sqa", "sqb")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("sqa").cast("double"))
+                    * F.sqrt(F.col("sqb").cast("double"))
+                ),
+                4,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= TFIDF_COS_MIN)
+    )
+
+
 CONTAIN_MIN = 0.5    # directed-containment report threshold
 
 
@@ -1330,6 +1417,7 @@ QUERIES = {
     "simhash_pairs": simhash_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "exact_substring_matches": exact_substring_matches,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
@@ -1569,6 +1657,53 @@ ORACLES = {
         JOIN sizes nb ON inter.doc_b = nb.doc_id
         WHERE greatest(round(inter / na.n, 4),
                        round(inter / nb.n, 4)) >= {CONTAIN_MIN}
+    """,
+    "tfidf_cosine_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS tok
+            FROM documents
+        ), toks_ne AS (
+            SELECT doc_id, tok FROM toks WHERE length(tok) > 0
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM toks_ne GROUP BY doc_id, tok
+        ), nd AS (
+            SELECT count(DISTINCT doc_id) AS n FROM documents
+        ), idf AS (
+            SELECT tok,
+                   round(ln(n / df), 6)::DECIMAL(14,6) AS idf
+            FROM (
+                SELECT tok, count(DISTINCT doc_id) AS df
+                FROM tf GROUP BY tok
+            ), nd
+            WHERE df <= {MAX_DOCFREQ}
+        ), w AS (
+            SELECT tf.doc_id, tf.tok,
+                   tf.tf::DECIMAL(14,6) * idf.idf AS w
+            FROM tf JOIN idf USING (tok)
+        ), norms AS (
+            SELECT doc_id, sum(w * w) AS sq FROM w GROUP BY doc_id
+        ), wn AS (
+            SELECT w.doc_id, w.tok, w.w, norms.sq
+            FROM w JOIN norms USING (doc_id)
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sq AS sqa, b.sq AS sqb,
+                   sum(a.w * b.w) AS dot
+            FROM wn a JOIN wn b
+              ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(dot::DOUBLE
+                     / (sqrt(sqa::DOUBLE) * sqrt(sqb::DOUBLE)), 4)
+                   AS cos
+        FROM pairs
+        WHERE round(dot::DOUBLE
+                    / (sqrt(sqa::DOUBLE) * sqrt(sqb::DOUBLE)), 4)
+              >= {TFIDF_COS_MIN}
     """,
 }
 

@@ -71,6 +71,7 @@ EDGE_QUERIES = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
+    "tfidf_cosine_pairs",
     "exact_substring_matches",
     "token_count",
     "vocab_growth_heaps",

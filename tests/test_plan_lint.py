@@ -41,6 +41,8 @@ NESTED_LOOP_OK = {
     "dsir_importance",      # corpus token totals as 1-row broadcast
     "vocab_growth_heaps",   # npos max + curve endpoints as 1-row
                             # broadcasts over the 8-row ladder
+    "tfidf_cosine_pairs",   # corpus doc count N (for IDF) as 1-row
+                            # broadcast
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -109,6 +111,7 @@ SINGLE_PARTITION_OK = {
                                      # per-source aggregate
     "vocab_growth_heaps",   # cumulative window over exactly
                             # HEAPS_STEPS (8) ladder rows
+    "tfidf_cosine_pairs",   # corpus doc count N (one agg row)
 }
 
 
