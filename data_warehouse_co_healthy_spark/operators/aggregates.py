@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.numeric import (
+    MONEY,
     money_avg,
     money_avg_sql,
     money_sum,
@@ -417,6 +418,61 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: a two-arm A/B readout per event type
+    with Welch's t statistic on the value metric. Arms come from the
+    md5-portable user hash (deterministic, balanced, engine-portable —
+    the same slice shard_assignment uses), so the same user always
+    lands in the same arm on any engine.
+
+    Determinism recipe: per-arm Σx and Σx² accumulate in EXACT decimal
+    (functions/numeric.py rationale — order-independent across
+    partial-agg orders and engines); means/variances/t are then scalar
+    double arithmetic over those exact sums with the identical
+    expression tree on both engines. One scan, one event-type-grain
+    aggregate with conditional sums — no per-arm subqueries, no second
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    x = F.col("value").cast(MONEY)
+    is_a = arm == 0
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, x)).cast("double").alias("sx_a"),
+        F.sum(F.when(~is_a, x)).cast("double").alias("sx_b"),
+        F.sum(F.when(is_a, x * x)).cast("double").alias("sxx_a"),
+        F.sum(F.when(~is_a, x * x)).cast("double").alias("sxx_b"),
+    )
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 4).alias("mean_a"),
+        F.round(mean_b, 4).alias("mean_b"),
+        F.round(t, 4).alias("t_welch"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
+
+
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style table profile: one row per column of ``orders``
     with row/null/exact-distinct counts and min/max rendered to a
@@ -743,6 +799,7 @@ QUERIES = {
     "bitmap_distinct_rollup": bitmap_distinct_rollup,
     "key_skew_profile": key_skew_profile,
     "profile_columns": profile_columns,
+    "ab_test_report": ab_test_report,
     "udaf_weighted_avg": udaf_weighted_avg,
     "approx_quantiles": approx_quantiles,
     "count_distinct_agg": count_distinct_agg,
@@ -1015,6 +1072,38 @@ ORACLES = {
         SELECT 'ALL' AS l_returnflag,
                count(DISTINCT l_orderkey)::BIGINT AS n_exact, TRUE AS hll_ok
         FROM lineitem
+    """,
+    "ab_test_report": """
+        WITH armed AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                       % 2 = 0 AS is_a,
+                   CAST(value AS DECIMAL(18,6)) AS x
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                   sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                   CAST(sum(CASE WHEN is_a THEN x END) AS DOUBLE) AS sx_a,
+                   CAST(sum(CASE WHEN NOT is_a THEN x END) AS DOUBLE) AS sx_b,
+                   CAST(sum(CASE WHEN is_a THEN x * x END) AS DOUBLE)
+                       AS sxx_a,
+                   CAST(sum(CASE WHEN NOT is_a THEN x * x END) AS DOUBLE)
+                       AS sxx_b
+            FROM armed GROUP BY event_type
+        )
+        SELECT event_type, n_a, n_b,
+               round(sx_a / n_a, 4) AS mean_a,
+               round(sx_b / n_b, 4) AS mean_b,
+               round((sx_a / n_a - sx_b / n_b)
+                     / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                          + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b),
+                     4) AS t_welch,
+               abs((sx_a / n_a - sx_b / n_b)
+                   / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                        + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b))
+                   > 1.96 AS significant_95
+        FROM g
     """,
     "profile_columns": " UNION ALL ".join(
         f"""
