@@ -1396,9 +1396,67 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient over the LSH
+    candidate-pair graph: how CLIQUE-LIKE each near-dup neighborhood is.
+    High clustering = a tight mutual-duplicate cluster (safe to collapse
+    to one canonical doc); low clustering around a high-degree node =
+    a hub/template stitching unrelated docs (split before dedup). The
+    graph-quality gate between pair generation and cluster collapse.
+
+    Standard oriented triangle enumeration (node ids give the total
+    order; every edge already has doc_a < doc_b): two equi-joins find
+    wedges a<b<c and close them against the edge list — each triangle
+    counted exactly once, no direction blow-up. Joins are edge-grain
+    (near-dup graphs are sparse by construction — MAX_BUCKET caps the
+    per-bucket pair fan-out upstream); per-node counts and degrees are
+    two small aggregates. Output: linked nodes with degree >= 2."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    wedges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(
+            pairs.select(
+                F.col("doc_a").alias("b"), F.col("doc_b").alias("c")
+            ),
+            on="b",
+        )
+    )
+    tri = wedges.join(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+        on=["a", "c"],
+    )
+    tcounts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcounts, on="node", how="left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            F.coalesce("t", F.lit(0)).alias("triangles"),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("t", F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+                4,
+            ).alias("clustering"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "pagerank_near_dup": pagerank_near_dup,
+    "dedup_graph_triangles": dedup_graph_triangles,
     "snm_adjacent_pairs": snm_adjacent_pairs,
     "source_overlap_matrix": source_overlap_matrix,
     "dedup_connected_components": dedup_connected_components,
@@ -1723,6 +1781,34 @@ _EDIT_SIM = (
     "round(1 - levenshtein(a.canon, b.canon)::DOUBLE"
     " / greatest(length(a.canon), length(b.canon)), 4)"
 )
+
+ORACLES["dedup_graph_triangles"] = f"""
+    WITH lsh AS ({ORACLES["minhash_lsh_pairs"]}),
+    pairs AS (SELECT doc_a, doc_b FROM lsh),
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e1.doc_b = e2.doc_a
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ), tcounts AS (
+        SELECT node, count(*)::BIGINT AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ), deg AS (
+        SELECT node, count(*)::BIGINT AS degree FROM (
+            SELECT doc_a AS node FROM pairs
+            UNION ALL SELECT doc_b FROM pairs
+        ) GROUP BY node
+    )
+    SELECT node AS doc_id, degree,
+           COALESCE(t, 0)::BIGINT AS triangles,
+           round(2.0 * COALESCE(t, 0) / (degree * (degree - 1)), 4)
+               AS clustering
+    FROM deg LEFT JOIN tcounts USING (node)
+    WHERE degree >= 2
+"""
 
 ORACLES["dedup_editdist_rerank"] = f"""
     WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),

@@ -113,6 +113,7 @@ EDGE_QUERIES = [
     "dedup_connected_components",
     "dedup_cc_star",
     "pagerank_near_dup",
+    "dedup_graph_triangles",
     "token_length_histogram",
     "corpus_mix_entropy",
     "mix_sources_weighted",
