@@ -594,6 +594,82 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CUSUM_K = 0.5  # slack (standard deviations) absorbed before drift counts
+CUSUM_H = 4.0  # alarm threshold (standard deviations of drift)
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954) on the daily-revenue
+    series: two one-sided cumulative sums of standardized deviations —
+    s⁺ₜ = max(0, s⁺ₜ₋₁ + zₜ − k), s⁻ₜ = max(0, s⁻ₜ₋₁ − zₜ − k) — with an
+    alarm when either exceeds h. The standard sequential drift detector
+    for level shifts that per-point z-scores miss.
+
+    Scale shape: the DATA-sized work is the day-grain revenue aggregate
+    (one shuffle, exact-decimal sums) and a 1-row mean/std aggregate
+    over the ~2500-day series; the inherently sequential recursion then
+    runs on that fixed-size, sf-INDEPENDENT series inside one Arrow
+    applyInPandas task (series grain — the same pre-aggregate-then-
+    recurse posture ewma_smoother documents). Standardization uses
+    double arithmetic over exact decimal sums with the identical
+    expression tree as the oracle's recursive CTE, so the recursion is
+    bit-deterministic across engines."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    stats = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rev").cast("decimal(24,6)")).cast("double").alias("sx"),
+        F.sum(
+            F.col("rev").cast("decimal(24,6)")
+            * F.col("rev").cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    seeded = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "g", F.lit(1)
+    )
+
+    def cusum(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = float(pdf.loc[0, "n"])
+        sx = float(pdf.loc[0, "sx"])
+        sxx = float(pdf.loc[0, "sxx"])
+        mean = sx / n
+        std = np.sqrt((sxx - sx * sx / n) / (n - 1.0))
+        sp, sn = 0.0, 0.0
+        rows = []
+        for day, rev in zip(pdf["day"], pdf["rev"]):
+            z = (rev - mean) / std
+            sp = max(0.0, sp + z - CUSUM_K)
+            sn = max(0.0, sn - z - CUSUM_K)
+            # raw doubles on purpose: the recursion is the identical
+            # IEEE op sequence on both engines, so the outputs are
+            # bit-equal — rounding would only add a half-even-vs-
+            # half-away cross-engine trap
+            rows.append(
+                (str(day), rev, sp, sn, sp > CUSUM_H or sn > CUSUM_H)
+            )
+        return pd.DataFrame(
+            rows, columns=["day", "rev", "cusum_pos", "cusum_neg", "alarm"]
+        )
+
+    return seeded.groupBy("g").applyInPandas(
+        cusum,
+        schema="day string, rev double, cusum_pos double, "
+        "cusum_neg double, alarm boolean",
+    )
+
+
 PATH_LEN = 3    # steps per mined path
 PATH_TOPK = 20  # reported paths
 
@@ -683,6 +759,7 @@ QUERIES = {
     "seasonal_naive_eval": seasonal_naive_eval,
     "event_transition_matrix": event_transition_matrix,
     "top_event_paths": top_event_paths,
+    "cusum_changepoints": cusum_changepoints,
     "gapfill_forward": gapfill_forward,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
@@ -888,6 +965,41 @@ ORACLES["ewma_smoother"] = f"""
     )
     SELECT event_id, user_id, ts, value, round(raw, 4) AS ewma
     FROM seq WHERE rn >= {EWMA_LAGS}
+"""
+
+ORACLES["cusum_changepoints"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), stats AS (
+        SELECT count(*) AS n,
+               CAST(sum(CAST(rev AS DECIMAL(24,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(rev AS DECIMAL(24,6))
+                        * CAST(rev AS DECIMAL(24,6))) AS DOUBLE) AS sxx
+        FROM daily
+    ), z AS (
+        SELECT day, rev,
+               (rev - sx / n)
+                   / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS z,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM daily, stats
+    ), rec AS (
+        SELECT day, rev, rn,
+               greatest(0.0, 0.0 + z - {CUSUM_K}) AS sp,
+               greatest(0.0, 0.0 - z - {CUSUM_K}) AS sn
+        FROM z WHERE rn = 1
+        UNION ALL
+        SELECT z.day, z.rev, z.rn,
+               greatest(0.0, rec.sp + z.z - {CUSUM_K}),
+               greatest(0.0, rec.sn - z.z - {CUSUM_K})
+        FROM z JOIN rec ON z.rn = rec.rn + 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev,
+           sp AS cusum_pos, sn AS cusum_neg,
+           (sp > {CUSUM_H} OR sn > {CUSUM_H}) AS alarm
+    FROM rec
 """
 
 ORACLES["top_event_paths"] = f"""

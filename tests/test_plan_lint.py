@@ -41,6 +41,8 @@ NESTED_LOOP_OK = {
     "dsir_importance",      # corpus token totals as 1-row broadcast
     "vocab_growth_heaps",   # npos max + curve endpoints as 1-row
                             # broadcasts over the 8-row ladder
+    "cusum_changepoints",   # series mean/std stats as 1-row broadcast
+                            # onto the day-grain (sf-independent) frame
     "tfidf_cosine_pairs",   # corpus doc count N (for IDF) as 1-row
                             # broadcast
 }
@@ -111,6 +113,9 @@ SINGLE_PARTITION_OK = {
                                      # per-source aggregate
     "vocab_growth_heaps",   # cumulative window over exactly
                             # HEAPS_STEPS (8) ladder rows
+    "cusum_changepoints",   # 1-row stats agg + the sequential CUSUM
+                            # recursion on the day-grain series (size
+                            # fixed by the calendar, not by sf)
     "tfidf_cosine_pairs",   # corpus doc count N (one agg row)
 }
 
