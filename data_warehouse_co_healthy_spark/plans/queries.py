@@ -87,6 +87,15 @@ for _m in _MODULES:
 # additions (incremental_agg_refresh MV maintenance,
 # gopher_quality_flags corpus gate). All five carry full DuckDB
 # oracles.
+#
+# Round-5 second rotation (this session's additions): union_positional
+# (setops keeps union_by_name/dedup_rows/except_keys), split_explode
+# (explode_grain still covers F1/F2) and date_parts (dates family keeps
+# month_name_mapping/date_dim_generate) rotate out for three new
+# oracle-backed heavies: tfidf_cosine_pairs (sparse lexical similarity
+# join), dedup_graph_triangles (triangle/clustering gate) and
+# cusum_changepoints (sequential drift detection vs a recursive-CTE
+# oracle).
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
@@ -105,13 +114,10 @@ PRIORITY: tuple[str, ...] = (
     "fact_service_star",
     # §2.7 set ops / dedup (U1-U4 + intersect/except)
     "union_by_name",
-    "union_positional",
     "dedup_rows",
     "except_keys",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
-    "split_explode",
     "explode_grain",
-    "date_parts",
     "month_name_mapping",
     "date_dim_generate",
     # §1.1/O3 in-plan surrogate keys
@@ -153,6 +159,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cc_star",
     "incremental_agg_refresh",
     "gopher_quality_flags",
+    # round-5 second rotation: this session's oracle-backed heavies
+    "tfidf_cosine_pairs",
+    "dedup_graph_triangles",
+    "cusum_changepoints",
 )
 
 
