@@ -397,6 +397,57 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
 
 
+def image_dhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup hashing on DECODED PIXELS — the pixel-level
+    companion to media_phash_buckets' byte-level hash: a difference
+    hash (dHash) built from brightness-gradient signs, so re-encoded
+    or format-converted copies (same pixels, different bytes) land in
+    the same bucket where any byte-hash separates them.
+
+    Adapted to the fixture's micro images (5-8 × 3-5 px): one bit per
+    adjacent COLUMN brightness-sum comparison plus one per adjacent ROW
+    comparison — the same gradient-sign construction production dHash
+    uses on an 9×8 downsample, minus the downsampling step these
+    images are smaller than. All integer arithmetic (gray = r+2g+b,
+    sums compared directly — column/row pixel counts are equal within
+    an image), so the DuckDB oracle regenerates the exact hash from
+    the synthetic pixel formula. Plan: decode + hash in two narrow
+    Arrow stages, then ONE hash-grain window for bucket sizes —
+    no pair join."""
+    import numpy as np  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload).astype(np.int64)
+                h, w = img.shape[:2]
+                gray = img[:, :, 0] + 2 * img[:, :, 1] + img[:, :, 2]
+                colsum = gray.sum(axis=0)
+                rowsum = gray.sum(axis=1)
+                bits = 0
+                for x in range(w - 1):
+                    if colsum[x] < colsum[x + 1]:
+                        bits |= 1 << x
+                for y in range(h - 1):
+                    if rowsum[y] < rowsum[y + 1]:
+                        bits |= 1 << (w - 1 + y)
+                out["media_id"].append(int(mid))
+                out["dhash"].append(bits)
+            yield pd.DataFrame(out)
+
+    hashed = media_images(spark, sf_dir).mapInPandas(
+        run, schema="media_id long, dhash long"
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    return hashed.select(
+        "media_id",
+        "dhash",
+        F.count("*").over(Window.partitionBy("dhash")).alias("n_bucket"),
+    )
+
+
 def file_decode_stats(files: DataFrame) -> DataFrame:
     """Decoded-image stats over a (path, content) frame — the shape
     both the batch ``binaryFile`` reader and the STREAMING binaryFile
@@ -446,6 +497,7 @@ QUERIES = {
     "frame_sample": frame_sample,
     "resize_media": resize_media,
     "media_phash_buckets": media_phash_buckets,
+    "image_dhash_buckets": image_dhash_buckets,
     "audio_energy_windows": audio_energy_windows,
 }
 
@@ -547,6 +599,55 @@ ORACLES["media_phash_buckets"] = f"""
     )
     SELECT media_id, kind, phash,
            count(*) OVER (PARTITION BY phash) AS n_bucket
+    FROM h
+"""
+
+ORACLES["image_dhash_buckets"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               ({IMG_W_BASE} + doc_id % {IMG_W_MOD})::INTEGER AS width,
+               ({IMG_H_BASE} + doc_id % {IMG_H_MOD})::INTEGER AS height
+        FROM documents
+    ), px AS (
+        SELECT media_id, width, i % width AS col, i // width AS row,
+               ((media_id + 3 * i) % 256
+                + 2 * ((2 * media_id + 7 * i) % 256)
+                + (5 * media_id + 11 * i) % 256) AS gray
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(
+                 0, width * height - 1)) AS i)
+    ), cols AS (
+        SELECT media_id, width, col, sum(gray) AS cs
+        FROM px GROUP BY media_id, width, col
+    ), colbits AS (
+        SELECT media_id, sum(bit)::BIGINT AS cb FROM (
+            SELECT media_id, col,
+                   CASE WHEN cs < lead(cs) OVER (
+                            PARTITION BY media_id ORDER BY col)
+                        THEN (1::BIGINT << col) ELSE 0 END AS bit
+            FROM cols
+        ) GROUP BY media_id
+    ), rws AS (
+        SELECT media_id, width, row, sum(gray) AS rs
+        FROM px GROUP BY media_id, width, row
+    ), rowbits AS (
+        SELECT media_id, sum(bit)::BIGINT AS rb FROM (
+            SELECT media_id, row,
+                   CASE WHEN rs < lead(rs) OVER (
+                            PARTITION BY media_id ORDER BY row)
+                        THEN (1::BIGINT << (width - 1 + row))
+                        ELSE 0 END AS bit
+            FROM rws
+        ) GROUP BY media_id
+    ), h AS (
+        SELECT d.media_id,
+               (COALESCE(cb, 0) + COALESCE(rb, 0))::BIGINT AS dhash
+        FROM dims d
+        LEFT JOIN colbits USING (media_id)
+        LEFT JOIN rowbits USING (media_id)
+    )
+    SELECT media_id, dhash,
+           count(*) OVER (PARTITION BY dhash) AS n_bucket
     FROM h
 """
 
