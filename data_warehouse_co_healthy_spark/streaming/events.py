@@ -242,6 +242,67 @@ def zscore_anomalies_stream(
     )
 
 
+def cusum_drift_stream(
+    events: DataFrame,
+    mean: float,
+    std: float,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Streaming CUSUM drift monitor (Page 1954) — the online twin of
+    operators.temporal.cusum_changepoints, in the train-offline /
+    serve-online shape: the reference mean/std come from a BATCH
+    baseline (a trained parameter, like the quality probe's weights),
+    the stream only maintains the two one-sided drift sums per
+    event_type and emits a row whenever either crosses h.
+
+    State is exactly two floats per key — watermark-free because it is
+    O(1) by construction. Within a micro-batch rows are event-time
+    sorted; across micro-batches arrival order stands in for event
+    order (replay the batch op for exact backfills)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    out_schema = (
+        "event_type string, event_id long, value double, "
+        "cusum_pos double, cusum_neg double"
+    )
+    state_schema = "sp double, sn double"
+
+    def update(key, pdfs, state: GroupState):
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        ids, vals, pos, neg = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev_id, v in zip(pdf["event_id"], pdf["value"]):
+                z = (float(v) - mean) / std
+                sp = max(0.0, sp + z - k)
+                sn = max(0.0, sn - z - k)
+                if sp > h or sn > h:
+                    ids.append(int(ev_id))
+                    vals.append(float(v))
+                    pos.append(sp)
+                    neg.append(sn)
+        state.update((sp, sn))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ids),
+                "event_id": ids,
+                "value": vals,
+                "cusum_pos": pos,
+                "cusum_neg": neg,
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def running_user_totals_tws(events: DataFrame) -> DataFrame:
     """The same running per-user totals on the Spark 4
     ``transformWithStateInPandas`` API — the successor to

@@ -548,3 +548,69 @@ def test_staged_dir_rebuilds_when_fixture_rewritten(tmp_path):
     sd.clear_staged_dirs()
     assert not os.path.isdir(d1) and not os.path.isdir(d2)
     assert sd._STAGED_DIRS == {}
+
+
+def test_cusum_stream_matches_pure_replay(spark, stream):
+    """The stateful streaming CUSUM must emit exactly the alarm rows a
+    pure-Python replay of the same recursion produces over the fixture
+    (per event_type, event-time order, same trained mean/std baseline)
+    — and the recursion arithmetic is the identical IEEE sequence, so
+    values match exactly."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    stats = ev.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(24,6)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum(
+            F.col("value").cast("decimal(24,6)")
+            * F.col("value").cast("decimal(24,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    ).collect()[0]
+    mean = stats.sx / stats.n
+    std = (
+        (stats.sxx - stats.sx * stats.sx / stats.n) / (stats.n - 1)
+    ) ** 0.5
+
+    got = (
+        _drain(
+            spark,
+            se.cusum_drift_stream(stream, mean=mean, std=std),
+            "cusum",
+            "append",
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    rows = ev.select("event_type", "event_id", "ts", "value").collect()
+    state: dict[str, tuple] = {}
+    want = []
+    for r in sorted(rows, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        sp, sn = state.get(r.event_type, (0.0, 0.0))
+        z = (float(r.value) - mean) / std
+        sp = max(0.0, sp + z - 0.5)
+        sn = max(0.0, sn - z - 0.5)
+        state[r.event_type] = (sp, sn)
+        if sp > 4.0 or sn > 4.0:
+            want.append((r.event_type, r.event_id, r.value, sp, sn))
+    wantdf = (
+        pd.DataFrame(
+            want,
+            columns=[
+                "event_type",
+                "event_id",
+                "value",
+                "cusum_pos",
+                "cusum_neg",
+            ],
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(wantdf) and len(got) > 0
+    pd.testing.assert_frame_equal(got, wantdf, check_dtype=False)
