@@ -76,6 +76,16 @@ PROBES = [
     "gopher_quality_flags",
     "bigram_perplexity",
     "pagerank_near_dup",
+    "profile_columns",
+    "ab_test_report",
+    "tfidf_cosine_pairs",
+    "ngram_containment_pairs",
+    "vocab_growth_heaps",
+    "top_event_paths",
+    "cusum_changepoints",
+    "dedup_graph_triangles",
+    "image_dhash_buckets",
+    "pca_whiten_embeddings",
 ]
 
 
