@@ -845,8 +845,64 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_OOV_N = 200  # closed-vocabulary size for the coverage report
+
+
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a closed top-N
+    vocabulary — the tokenizer-coverage report run before committing a
+    vocab: what share of token OCCURRENCES in each slice a top-
+    VOCAB_OOV_N unigram vocabulary fails to cover (plus the distinct
+    OOV type count, the "how many new words" view).
+
+    Plan: one explode feeding TWO bounded aggregates — (a) the global
+    token count whose top-N (deterministic count-desc/token tiebreak,
+    TakeOrdered — no global sort) becomes the broadcast vocabulary,
+    (b) a (source, token)-grain count (map-side combined, so the
+    shuffle carries type grain not occurrence grain) that is
+    broadcast-hash-joined against the vocabulary and rolled up to
+    source grain. At 100 TB both shuffles carry vocabulary-sized
+    frames; nothing is occurrence-grain past the map side."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "t")
+        .limit(VOCAB_OOV_N)
+        .select(F.col("t").alias("vt"))
+    )
+    per_type = tok.groupBy("source", "t").agg(F.count("*").alias("n"))
+    flagged = per_type.join(
+        F.broadcast(vocab), per_type.t == F.col("vt"), "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.when(F.col("vt").isNull(), F.col("n")).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.sum(F.when(F.col("vt").isNull(), 1).otherwise(0)).alias(
+                "n_oov_types"
+            ),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            "n_oov_types",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "vocab_oov_rate": vocab_oov_rate,
     "vocab_growth_heaps": vocab_growth_heaps,
     "unigram_surprisal": unigram_surprisal,
     "bigram_perplexity": bigram_perplexity,
@@ -876,6 +932,31 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "vocab_oov_rate": f"""
+        WITH tok AS (
+            SELECT source, t FROM (
+                SELECT source, unnest({_SQL_WS}) AS t FROM documents
+            ) WHERE length(t) > 0
+        ), vocab AS (
+            SELECT t AS vt FROM (
+                SELECT t, count(*) AS cnt FROM tok GROUP BY t
+                ORDER BY cnt DESC, t LIMIT {VOCAB_OOV_N}
+            )
+        ), per_type AS (
+            SELECT source, t, count(*)::BIGINT AS n FROM tok
+            GROUP BY source, t
+        )
+        SELECT source,
+               sum(n)::BIGINT AS n_tokens,
+               sum(CASE WHEN vt IS NULL THEN n ELSE 0 END)::BIGINT
+                   AS n_oov,
+               sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_oov_types,
+               round(CAST(sum(CASE WHEN vt IS NULL THEN n ELSE 0 END)
+                          AS DOUBLE) / sum(n), 6) AS oov_rate
+        FROM per_type LEFT JOIN vocab ON t = vt
+        GROUP BY source
+    """,
     "tfidf_top_terms": f"""
         WITH tok AS (
             SELECT doc_id, source,

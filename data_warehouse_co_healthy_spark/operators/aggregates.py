@@ -788,6 +788,125 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "revenue", "n_items", "n_parts", "return_rate")
 
 
+TREND_EPOCH = "1995-01-01"
+
+
+def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordinary-least-squares trend of order revenue over
+    time: slope ($/day drift), intercept and R² of ``o_totalprice``
+    regressed on the order date, fitted from sufficient statistics.
+    This is the closed-form GROUP BY regression a warehouse uses for
+    trend dashboards and anomaly baselines — no iterative solver, no
+    driver loop.
+
+    Determinism recipe (the regr_slope built-ins are NOT used on
+    purpose): a double-precision Σxy is order-dependent in the low
+    bits, so the five sufficient statistics accumulate EXACTLY —
+    x = integer days since TREND_EPOCH (long sums), y = money in
+    decimal (functions/numeric.py rationale), products x·y and y·y as
+    exact decimals. The slope/intercept/R² formulas are then scalar
+    double arithmetic over those exact sums with the identical
+    expression tree on the DuckDB oracle.
+
+    Plan shape: orders joined to the two broadcast dims (customer is
+    fixture-small; at 100 TB swap to a shuffle join on custkey — the
+    aggregate below is unchanged), then ONE map-side-combined
+    aggregate at nation grain. Shuffle carries 25 rows × 6 sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit(TREND_EPOCH).cast("date")
+    ).cast("long")
+    y = F.col("o_totalprice").cast(MONEY)
+    g = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(y * x).cast("double").alias("sxy"),
+            F.sum(y * y).cast("double").alias("syy"),
+        )
+    )
+    n = F.col("n_orders").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    cov_n = n * F.col("sxy") - sx * F.col("sy")
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x_n
+    intercept = (F.col("sy") - slope * sx) / n
+    r2 = (cov_n * cov_n) / (var_x_n * var_y_n)
+    return g.select(
+        "n_name",
+        "n_orders",
+        F.round(slope, 4).alias("slope_per_day"),
+        F.round(intercept, 2).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+# Benford's-law expected share of each leading digit, log10(1 + 1/d),
+# precomputed once in Python and embedded as IDENTICAL literals in the
+# Spark plan and the oracle SQL (so no engine-libm log10 is in play).
+BENFORD_EXPECTED = {d: repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit on order amounts: observed share of each
+    leading significant digit of ``o_totalprice`` vs the Benford
+    expectation, with the per-digit χ² contribution. A standard
+    forensic / data-quality screen — synthetic or fabricated amount
+    columns diverge loudly.
+
+    The leading digit is extracted from the DECIMAL(18,2)-rendered
+    string (both engines print fixed-point identically) — NOT via
+    floor(log10(x)), whose libm rounding can flip the digit at exact
+    powers of ten. Expected shares are Python-precomputed literals
+    shared verbatim with the oracle. Plan: one scan → 9-group
+    map-side-combined count, a 1-row grand-total broadcast back over
+    the 9 rows (lint-allowlisted), scalar math after."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), "[1-9]", 0
+    )
+    counts = orders.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("n_total"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == str(d), F.lit(float(BENFORD_EXPECTED[d]))
+        ).otherwise(expected)
+    share = F.col("n") / F.col("n_total")
+    chi = (
+        (share - F.col("expected_share"))
+        * (share - F.col("expected_share"))
+        / F.col("expected_share")
+        * F.col("n_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("expected_share", expected)
+        .select(
+            "digit",
+            "n",
+            F.round(share, 6).alias("share"),
+            F.round("expected_share", 6).alias("expected_share"),
+            F.round(chi, 4).alias("chi2_term"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "histogram_equiwidth": histogram_equiwidth,
@@ -800,6 +919,8 @@ QUERIES = {
     "key_skew_profile": key_skew_profile,
     "profile_columns": profile_columns,
     "ab_test_report": ab_test_report,
+    "revenue_trend_ols": revenue_trend_ols,
+    "benford_first_digit": benford_first_digit,
     "udaf_weighted_avg": udaf_weighted_avg,
     "approx_quantiles": approx_quantiles,
     "count_distinct_agg": count_distinct_agg,
@@ -1072,6 +1193,63 @@ ORACLES = {
         SELECT 'ALL' AS l_returnflag,
                count(DISTINCT l_orderkey)::BIGINT AS n_exact, TRUE AS hll_ok
         FROM lineitem
+    """,
+    "revenue_trend_ols": f"""
+        WITH pts AS (
+            SELECT n_name,
+                   datediff('day', DATE '{TREND_EPOCH}',
+                            CAST(o_orderdate AS DATE))::BIGINT AS x,
+                   CAST(o_totalprice AS DECIMAL(18,6)) AS y
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ), g AS (
+            SELECT n_name,
+                   count(*)::BIGINT AS n_orders,
+                   sum(x)::BIGINT AS sx,
+                   sum(x * x)::BIGINT AS sxx,
+                   CAST(sum(y) AS DOUBLE) AS sy,
+                   CAST(sum(CAST(y AS DECIMAL(28,6)) * x) AS DOUBLE)
+                       AS sxy,
+                   CAST(sum(CAST(y AS DECIMAL(28,6)) * y) AS DOUBLE)
+                       AS syy
+            FROM pts GROUP BY n_name
+        )
+        SELECT n_name, n_orders,
+               round((n_orders * sxy - sx * sy)
+                     / (n_orders * sxx - CAST(sx AS DOUBLE) * sx), 4)
+                   AS slope_per_day,
+               round((sy - (n_orders * sxy - sx * sy)
+                           / (n_orders * sxx - CAST(sx AS DOUBLE) * sx)
+                           * sx) / n_orders, 2) AS intercept,
+               round((n_orders * sxy - sx * sy)
+                     * (n_orders * sxy - sx * sy)
+                     / ((n_orders * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (n_orders * syy - sy * sy)), 6) AS r2
+        FROM g
+    """,
+    "benford_first_digit": f"""
+        WITH counts AS (
+            SELECT regexp_extract(
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                       '[1-9]', 0) AS digit,
+                   count(*)::BIGINT AS n
+            FROM orders GROUP BY 1
+        ), tot AS (SELECT sum(n)::BIGINT AS n_total FROM counts),
+        e AS (
+            SELECT digit, n, n_total,
+                   CASE digit
+                       {" ".join(f"WHEN '{d}' THEN {BENFORD_EXPECTED[d]}" for d in range(1, 10))}
+                   END AS expected_share
+            FROM counts, tot
+        )
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / n_total, 6) AS share,
+               round(expected_share, 6) AS expected_share,
+               round((CAST(n AS DOUBLE) / n_total - expected_share)
+                     * (CAST(n AS DOUBLE) / n_total - expected_share)
+                     / expected_share * n_total, 4) AS chi2_term
+        FROM e
     """,
     "ab_test_report": """
         WITH armed AS (

@@ -300,6 +300,130 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKYLINE_BUCKET_W = 100.0  # price-bucket width for the two-level prune
+RFM_ASOF = "1998-12-31"  # reporting as-of date (fixture dates end 1998)
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query over ``part``: the parts no
+    other part dominates, minimizing price and maximizing size — the
+    classic "best tradeoff" operator (Börzsönyi et al., ICDE 2001)
+    that SQL can only express as a quadratic NOT EXISTS self-join.
+
+    Distributed plan — two-level prefix-max prune, no self-join:
+    1. groupBy(price) → max size per price group (parallel shuffle at
+       distinct-price grain);
+    2. groupBy(price bucket) → per-bucket max, then a running max over
+       STRICTLY CHEAPER buckets (bucket-grain window — thousands of
+       rows regardless of table size; the single-partition exchange is
+       allowlisted for that reason);
+    3. within each bucket, a running max over strictly cheaper price
+       groups (partitioned by bucket — parallel);
+    4. join the price-group verdict back to the rows: a part is on the
+       skyline iff its size exceeds every strictly-cheaper group's max
+       (greatest of the two prefix maxes) AND equals its own group's
+       max (an equal-price larger part dominates it).
+    Each step is rows-linear with one key-grain shuffle; the quadratic
+    oracle is the correctness twin only."""
+    part = load_table(spark, sf_dir, "part")
+    groups = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("gmax")
+    )
+    bucket = F.floor(F.col("p_retailprice") / SKYLINE_BUCKET_W)
+    groups = groups.withColumn("bucket", bucket)
+    buckets = groups.groupBy("bucket").agg(F.max("gmax").alias("bmax"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = buckets.select(
+        "bucket",
+        F.coalesce(F.max("bmax").over(wb), F.lit(-1)).alias("prev_bucket_max"),
+    )
+    wg = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    verdict = (
+        groups.withColumn(
+            "prev_in_bucket_max",
+            F.coalesce(F.max("gmax").over(wg), F.lit(-1)),
+        )
+        .join(F.broadcast(buckets), "bucket")
+        .select(
+            "p_retailprice",
+            "gmax",
+            F.greatest("prev_in_bucket_max", "prev_bucket_max").alias(
+                "cheaper_max"
+            ),
+        )
+    )
+    return (
+        part.join(verdict, "p_retailprice")
+        .filter(
+            (F.col("p_size") > F.col("cheaper_max"))
+            & (F.col("p_size") == F.col("gmax"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the standard CRM scoring: per
+    customer recency (days since last order as of RFM_ASOF), frequency
+    (order count) and monetary (exact-decimal revenue), each scored
+    into within-segment quintiles (5 = best) with a deterministic
+    custkey tiebreak, plus the concatenated "555"-style RFM cell.
+
+    Plan: one customer-grain aggregate over orders (map-side combined),
+    a broadcast join to the customer dim for the market segment, and
+    three ntile windows all partitioned by c_mktsegment — parallel
+    across segments, no global window. At 100 TB the quintile cut
+    could switch to approx-percentile breakpoints; ntile keeps the
+    oracle exact here."""
+    from ..functions.numeric import money_round_sum  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.lit(RFM_ASOF).cast("date"),
+                F.max(F.col("o_orderdate").cast("date")),
+            )
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            money_round_sum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r_score = F.ntile(5).over(
+        seg.orderBy(F.desc("recency_days"), "c_custkey")
+    )
+    f_score = F.ntile(5).over(seg.orderBy("frequency", "c_custkey"))
+    m_score = F.ntile(5).over(seg.orderBy("monetary", "c_custkey"))
+    return base.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.cast("long").alias("r_score"),
+        f_score.cast("long").alias("f_score"),
+        m_score.cast("long").alias("m_score"),
+    ).withColumn(
+        "rfm_cell",
+        F.concat_ws("", "r_score", "f_score", "m_score"),
+    )
+
+
 QUERIES = {
     "surrogate_keys": surrogate_keys,
     "window_range_frame": window_range_frame,
@@ -313,9 +437,49 @@ QUERIES = {
     "order_limit_topk": order_limit_topk,
     "ntile_quartiles": ntile_quartiles,
     "cumulative_distinct": cumulative_distinct,
+    "skyline_parts": skyline_parts,
+    "rfm_segments": rfm_segments,
 }
 
 ORACLES = {
+    "skyline_parts": """
+        SELECT p.p_partkey, p.p_retailprice, p.p_size
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+    """,
+    "rfm_segments": f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   datediff('day', max(CAST(o_orderdate AS DATE)),
+                            DATE '{RFM_ASOF}')::BIGINT AS recency_days,
+                   count(*)::BIGINT AS frequency,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS monetary
+            FROM orders GROUP BY o_custkey
+        ), scored AS (
+            SELECT c_custkey, c_mktsegment, recency_days, frequency,
+                   monetary,
+                   ntile(5) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY recency_days DESC, c_custkey
+                                 )::BIGINT AS r_score,
+                   ntile(5) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY frequency, c_custkey
+                                 )::BIGINT AS f_score,
+                   ntile(5) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY monetary, c_custkey
+                                 )::BIGINT AS m_score
+            FROM base JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT *, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR
+                   AS rfm_cell
+        FROM scored
+    """,
     "cumulative_distinct": """
         WITH flagged AS (
             SELECT event_id, user_id, ts, event_type,

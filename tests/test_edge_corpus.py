@@ -115,6 +115,7 @@ EDGE_QUERIES = [
     "pagerank_near_dup",
     "dedup_graph_triangles",
     "token_length_histogram",
+    "vocab_oov_rate",
     "corpus_mix_entropy",
     "mix_sources_weighted",
     "contamination_overlap",

@@ -45,6 +45,8 @@ NESTED_LOOP_OK = {
                             # onto the day-grain (sf-independent) frame
     "tfidf_cosine_pairs",   # corpus doc count N (for IDF) as 1-row
                             # broadcast
+    "benford_first_digit",  # grand-total count as 1-row broadcast over
+                            # the 9 digit rows
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -117,6 +119,11 @@ SINGLE_PARTITION_OK = {
                             # recursion on the day-grain series (size
                             # fixed by the calendar, not by sf)
     "tfidf_cosine_pairs",   # corpus doc count N (one agg row)
+    "benford_first_digit",  # grand-total over the 9 digit-grain rows
+    "skyline_parts",        # cross-bucket prefix max runs at BUCKET
+                            # grain (price-range/100 rows regardless of
+                            # table size); the row-grain windows are
+                            # partitioned by bucket
 }
 
 
