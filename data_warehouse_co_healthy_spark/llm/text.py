@@ -900,9 +900,111 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the source × language
+    contingency table — the corpus-composition drift screen ("is the
+    language mix the same across sources, or does some crawl skew?").
+    Per cell: observed count, expected count under independence
+    (row_total · col_total / N) and the chi-square term; summing the
+    terms gives the statistic against (|src|−1)(|lang|−1) dof.
+
+    Plan: ONE data-sized aggregate (groupBy source, lang — map-side
+    combined, shuffle carries cell grain), then marginals as window
+    sums OVER THE CELL FRAME (|sources|·|languages| rows — bounded by
+    vocabulary of the two keys, independent of corpus size). The
+    grand-total window is a single-partition exchange over that same
+    tiny cell frame (lint-allowlisted for exactly that reason)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    cells = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    row_t = F.sum("n").over(Window.partitionBy("source"))
+    col_t = F.sum("n").over(Window.partitionBy("lang"))
+    grand = F.sum("n").over(
+        Window.partitionBy()
+    )
+    expected = (
+        row_t.cast("double") * col_t.cast("double") / grand.cast("double")
+    )
+    obs = F.col("n").cast("double")
+    return cells.select(
+        "source",
+        "lang",
+        "n",
+        F.round(expected, 4).alias("expected"),
+        F.round((obs - expected) * (obs - expected) / expected, 4).alias(
+            "chi2_term"
+        ),
+    )
+
+
+AUC_POS_LANG = "en"  # positive class for the ranking-score audit
+
+
+def roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC per source of a ranking score against a binary label —
+    here "does document length separate AUC_POS_LANG documents from
+    the rest", the same Mann-Whitney machinery that grades any quality
+    classifier or dedup-score without picking a threshold.
+
+    Exact tie-corrected rank-sum AUC, computed at DISTINCT-SCORE grain
+    so nothing row-sized ever sorts globally: one groupBy(source,
+    score) counts positives/negatives per tied score; a per-source
+    cumulative window (score ascending over the distinct-score frame)
+    assigns each tie group its average rank cum + (n+1)/2; then
+    AUC = (Σ_pos avg_rank − P(P+1)/2) / (P·N). All quantities are
+    integers entering double formulas — bit-identical on any engine.
+    Windows and aggregates are all partitioned by source; no global
+    stage at any grain."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = d.groupBy("source", "n_chars").agg(
+        F.sum(F.when(F.col("lang") == AUC_POS_LANG, 1).otherwise(0)).alias(
+            "np"
+        ),
+        F.sum(F.when(F.col("lang") == AUC_POS_LANG, 0).otherwise(1)).alias(
+            "nn"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = g.select(
+        "source",
+        "np",
+        "nn",
+        (
+            F.coalesce(F.sum(F.col("np") + F.col("nn")).over(w), F.lit(0))
+            .cast("double")
+            + (F.col("np") + F.col("nn") + 1).cast("double") / 2.0
+        ).alias("avg_rank"),
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(F.col("np").cast("double") * F.col("avg_rank")).alias(
+            "pos_rank_sum"
+        ),
+    )
+    p = F.col("n_pos").cast("double")
+    nneg = F.col("n_neg").cast("double")
+    # AUC is undefined for a single-class source (P·N = 0) — drop such
+    # sources rather than emitting NaN (engines disagree on NaN text)
+    agg = agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    return agg.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("pos_rank_sum") - p * (p + 1.0) / 2.0) / (p * nneg), 6
+        ).alias("auc"),
+    )
+
+
 QUERIES = {
     "token_count": token_count,
     "vocab_oov_rate": vocab_oov_rate,
+    "chi2_source_lang": chi2_source_lang,
+    "roc_auc_by_source": roc_auc_by_source,
     "vocab_growth_heaps": vocab_growth_heaps,
     "unigram_surprisal": unigram_surprisal,
     "bigram_perplexity": bigram_perplexity,
@@ -932,6 +1034,61 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "chi2_source_lang": """
+        WITH cells AS (
+            SELECT source, lang, count(*)::BIGINT AS n
+            FROM documents GROUP BY source, lang
+        ), m AS (
+            SELECT source, lang, n,
+                   sum(n) OVER (PARTITION BY source) AS row_t,
+                   sum(n) OVER (PARTITION BY lang) AS col_t,
+                   sum(n) OVER () AS grand
+            FROM cells
+        )
+        SELECT source, lang, n,
+               round(CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                     / CAST(grand AS DOUBLE), 4) AS expected,
+               round((CAST(n AS DOUBLE)
+                      - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                        / CAST(grand AS DOUBLE))
+                     * (CAST(n AS DOUBLE)
+                        - CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                          / CAST(grand AS DOUBLE))
+                     / (CAST(row_t AS DOUBLE) * CAST(col_t AS DOUBLE)
+                        / CAST(grand AS DOUBLE)), 4) AS chi2_term
+        FROM m
+    """,
+    "roc_auc_by_source": f"""
+        WITH g AS (
+            SELECT source, n_chars,
+                   sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 1 ELSE 0
+                       END)::BIGINT AS np,
+                   sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 0 ELSE 1
+                       END)::BIGINT AS nn
+            FROM documents GROUP BY source, n_chars
+        ), ranked AS (
+            SELECT source, np, nn,
+                   CAST(coalesce(sum(np + nn) OVER (
+                            PARTITION BY source ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS DOUBLE)
+                   + CAST(np + nn + 1 AS DOUBLE) / 2.0 AS avg_rank
+            FROM g
+        ), agg AS (
+            SELECT source,
+                   sum(np)::BIGINT AS n_pos,
+                   sum(nn)::BIGINT AS n_neg,
+                   sum(CAST(np AS DOUBLE) * avg_rank) AS pos_rank_sum
+            FROM ranked GROUP BY source
+        )
+        SELECT source, n_pos, n_neg,
+               round((pos_rank_sum
+                      - CAST(n_pos AS DOUBLE)
+                        * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                     / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)),
+                     6) AS auc
+        FROM agg WHERE n_pos > 0 AND n_neg > 0
+    """,
     "vocab_oov_rate": f"""
         WITH tok AS (
             SELECT source, t FROM (

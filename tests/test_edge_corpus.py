@@ -116,6 +116,8 @@ EDGE_QUERIES = [
     "dedup_graph_triangles",
     "token_length_histogram",
     "vocab_oov_rate",
+    "chi2_source_lang",
+    "roc_auc_by_source",
     "corpus_mix_entropy",
     "mix_sources_weighted",
     "contamination_overlap",

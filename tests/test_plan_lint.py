@@ -120,6 +120,9 @@ SINGLE_PARTITION_OK = {
                             # fixed by the calendar, not by sf)
     "tfidf_cosine_pairs",   # corpus doc count N (one agg row)
     "benford_first_digit",  # grand-total over the 9 digit-grain rows
+    "chi2_source_lang",     # grand-total window over the cell frame
+                            # (|sources|·|languages| rows, corpus-size
+                            # independent)
     "skyline_parts",        # cross-bucket prefix max runs at BUCKET
                             # grain (price-range/100 rows regardless of
                             # table size); the row-grain windows are
