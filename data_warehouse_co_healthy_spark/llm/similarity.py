@@ -1127,6 +1127,188 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = 16   # Matryoshka prefix length (full vectors are 64-dim)
+MMR_LAMBDA = 0.7  # MMR relevance weight…
+MMR_MU = 0.3      # …and its redundancy complement, as an EXPLICIT
+                  # second constant: Python's 1 - 0.7 is
+                  # 0.30000000000000004, so both engines must share the
+                  # literal 0.3 instead of deriving it
+MMR_CAND = 10   # candidate pool per query (top-C by relevance)
+MMR_SELECT = 5  # MMR selections per query
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: per query, the recall@k of
+    cosine top-k computed on the first MRL_DIMS dimensions against the
+    full-dimension top-k — the measurement behind "can we serve the
+    cheap prefix and keep quality" (Kusupati et al., NeurIPS 2022;
+    MRL-trained models put the information mass in the prefix, so
+    truncated search is the standard latency/recall dial).
+
+    Two brute-force passes share one scan each against the broadcast
+    query set (same shape as ``cosine_topk``); the two k-row-per-query
+    top-k frames join on (query_id, cand_id) and roll up to a recall
+    per query. Exact double math throughout — the truncated pass
+    slices the array BEFORE the fold, so both engines sum the same
+    MRL_DIMS products in the same order."""
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+
+    def topk(frame: DataFrame, emb_expr: str) -> DataFrame:
+        sub = frame.select(
+            "vec_id", F.expr(emb_expr).alias("emb")
+        )
+        norm = F.expr(_NORM.format(c="emb"))
+        q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            norm.alias("q_norm"),
+        )
+        c = sub.select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("emb").alias("c_emb"),
+            norm.alias("c_norm"),
+        )
+        return (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                    "cos"
+                ),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = topk(e, "emb")
+    trunc = (
+        topk(e, f"slice(emb, 1, {MRL_DIMS})")
+        .withColumnRenamed("cand_id", "t_cand_id")
+        .withColumnRenamed("query_id", "t_query_id")
+    )
+    hits = full.join(
+        trunc,
+        (full.query_id == trunc.t_query_id)
+        & (full.cand_id == trunc.t_cand_id),
+        "left",
+    ).groupBy("query_id")
+    return hits.agg(
+        F.sum(
+            F.when(F.col("t_cand_id").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits")
+    ).select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias("recall"),
+    )
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily pick MMR_SELECT results from the
+    top-MMR_CAND relevance candidates, each step maximizing
+    λ·rel(c) − μ·max_{s∈selected} sim(c, s) — the diversity re-rank
+    every retrieval stack runs between ANN shortlist and serving.
+
+    Distributed shape: relevance scoring + top-C pruning are ordinary
+    broadcast-scored windows (data-sized, parallel); the inherently
+    sequential greedy runs per query over its OWN ≤MMR_CAND candidate
+    rows inside one Arrow task (``applyInPandas`` keyed by query_id) —
+    at 100 TB the sequential part is bounded by C·S per query, never
+    by corpus size. Float determinism: candidate norms ship from the
+    Spark-side fold; the pandas stage computes pairwise dots with the
+    same left-to-right summation as both engines' fold, and the score
+    uses the shared MMR_LAMBDA/MMR_MU literals, so the oracle's
+    unrolled-CTE greedy (one CTE per selection step) is bit-identical.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
+    norm = F.expr(_NORM.format(c="emb"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        norm.alias("q_norm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        norm.alias("c_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "c_emb",
+            "c_norm",
+            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "rel"
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_CAND)
+        .select("query_id", "cand_id", "c_emb", "c_norm", "rel")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic candidate order = the tiebreak order
+        pdf = pdf.sort_values(["cand_id"]).reset_index(drop=True)
+        embs = {r.cand_id: list(r.c_emb) for r in pdf.itertuples()}
+        norms = {r.cand_id: float(r.c_norm) for r in pdf.itertuples()}
+        rels = {r.cand_id: float(r.rel) for r in pdf.itertuples()}
+
+        def sdot(a: list, b: list) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + x * y
+            return acc
+
+        remaining = sorted(embs)
+        selected: list[int] = []
+        out = []
+        for step in range(1, MMR_SELECT + 1):
+            best_id, best_score = None, None
+            for cid in remaining:
+                if step == 1:
+                    score = rels[cid]
+                else:
+                    maxsim = max(
+                        sdot(embs[cid], embs[s])
+                        / (norms[cid] * norms[s])
+                        for s in selected
+                    )
+                    score = MMR_LAMBDA * rels[cid] - MMR_MU * maxsim
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            selected.append(best_id)
+            remaining.remove(best_id)
+            out.append(
+                (int(pdf.query_id.iloc[0]), int(best_id), step, best_score)
+            )
+        return pd.DataFrame(
+            out, columns=["query_id", "cand_id", "mmr_rank", "mmr_score"]
+        )
+
+    picked = cand.groupBy("query_id").applyInPandas(
+        greedy,
+        schema="query_id long, cand_id long, mmr_rank long, "
+        "mmr_score double",
+    )
+    return picked.select(
+        "query_id",
+        "cand_id",
+        "mmr_rank",
+        F.round("mmr_score", 4).alias("mmr_score"),
+    )
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "embedding_norms_arrow": embedding_norms_arrow,
@@ -1146,6 +1328,8 @@ QUERIES = {
     "hybrid_search_rrf": hybrid_search_rrf,
     "hard_negatives": hard_negatives,
     "retrieval_ndcg": retrieval_ndcg,
+    "matryoshka_topk": matryoshka_topk,
+    "mmr_rerank": mmr_rerank,
 }
 
 _SQL_NORM = "sqrt(list_dot_product({c}::DOUBLE[], {c}::DOUBLE[]))"
@@ -1496,3 +1680,116 @@ ORACLES["embedding_int8_quantize"] = f"""
                  / len(emb), 8) AS mse
     FROM quant
 """
+
+
+def _sql_brute_topk(emb: str) -> str:
+    """Top-TOP_K CTE body over a (possibly sliced) embedding
+    expression — shared by the matryoshka oracle's two passes."""
+    nrm = _SQL_NORM.format(c=f"e.{emb}")
+    qn = _SQL_NORM.format(c=emb)
+    return f"""
+            SELECT query_id, cand_id FROM (
+                SELECT q.query_id, e.vec_id AS cand_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY
+                             list_dot_product(q.qe::DOUBLE[],
+                                              e.{emb}::DOUBLE[])
+                             / (q.qn * {nrm}) DESC,
+                           e.vec_id) AS rk
+                FROM embeddings e,
+                     (SELECT vec_id AS query_id, {emb} AS qe,
+                             {qn} AS qn
+                      FROM embeddings
+                      WHERE vec_id < {N_QUERIES}) q
+                WHERE e.vec_id <> q.query_id
+            ) WHERE rk <= {TOP_K}"""
+
+
+ORACLES["matryoshka_topk"] = f"""
+    WITH ftop AS ({_sql_brute_topk('embedding')}
+    ), ttop AS ({_sql_brute_topk(f'embedding[1:{MRL_DIMS}]')}
+    )
+    SELECT f.query_id,
+           sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0
+               END)::BIGINT AS n_hits,
+           round(CAST(sum(CASE WHEN t.cand_id IS NOT NULL THEN 1 ELSE 0
+                          END) AS DOUBLE) / {float(TOP_K)}, 4) AS recall
+    FROM ftop f LEFT JOIN ttop t
+      ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+    GROUP BY f.query_id
+"""
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE greedy MMR — one CTE per selection step, each
+    picking the argmax of λ·rel − μ·max-sim-to-selected over the
+    not-yet-selected candidates (identical float expression tree to
+    the engine's per-query Arrow greedy)."""
+    nrm = _SQL_NORM.format(c="e.embedding")
+    base = f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe,
+                   {_SQL_NORM.format(c='embedding')} AS qn
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), cand AS (
+            SELECT query_id, cand_id, emb, nrm, rel, rk FROM (
+                SELECT q.query_id, e.vec_id AS cand_id,
+                       e.embedding AS emb,
+                       {nrm} AS nrm,
+                       list_dot_product(q.qe::DOUBLE[],
+                                        e.embedding::DOUBLE[])
+                           / (q.qn * {nrm}) AS rel,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY
+                             list_dot_product(q.qe::DOUBLE[],
+                                              e.embedding::DOUBLE[])
+                             / (q.qn * {nrm}) DESC,
+                           e.vec_id) AS rk
+                FROM embeddings e, q WHERE e.vec_id <> q.query_id
+            ) WHERE rk <= {MMR_CAND}
+        ), pair AS (
+            SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                   list_dot_product(a.emb::DOUBLE[], b.emb::DOUBLE[])
+                       / (a.nrm * b.nrm) AS sim
+            FROM cand a JOIN cand b
+              ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+        ), s1 AS (
+            SELECT query_id, cand_id, rel AS mmr_score,
+                   1::BIGINT AS mmr_rank
+            FROM cand WHERE rk = 1
+        ), sel1 AS (SELECT * FROM s1)"""
+    steps = []
+    for i in range(2, MMR_SELECT + 1):
+        steps.append(f""", s{i} AS (
+            SELECT query_id, cand_id, mmr_score,
+                   {i}::BIGINT AS mmr_rank
+            FROM (
+                SELECT c.query_id, c.cand_id,
+                       {MMR_LAMBDA} * c.rel - {MMR_MU} * max(p.sim)
+                           AS mmr_score,
+                       row_number() OVER (PARTITION BY c.query_id
+                           ORDER BY {MMR_LAMBDA} * c.rel
+                                    - {MMR_MU} * max(p.sim) DESC,
+                                    c.cand_id) AS rk
+                FROM cand c
+                JOIN pair p ON p.query_id = c.query_id
+                           AND p.ca = c.cand_id
+                JOIN sel{i - 1} s ON s.query_id = p.query_id
+                                 AND s.cand_id = p.cb
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sel{i - 1} x
+                    WHERE x.query_id = c.query_id
+                      AND x.cand_id = c.cand_id)
+                GROUP BY c.query_id, c.cand_id, c.rel
+            ) WHERE rk = 1
+        ), sel{i} AS (
+            SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i}
+        )""")
+    final = f"""
+        SELECT query_id, cand_id, mmr_rank,
+               round(mmr_score, 4) AS mmr_score
+        FROM sel{MMR_SELECT}"""
+    return base + "".join(steps) + final
+
+
+ORACLES["mmr_rerank"] = _mmr_oracle()
