@@ -96,6 +96,17 @@ for _m in _MODULES:
 # join), dedup_graph_triangles (triangle/clustering gate) and
 # cusum_changepoints (sequential drift detection vs a recursive-CTE
 # oracle).
+#
+# Round-5 third rotation: dedup_connected_components (dedup_cc_star is
+# the in-window scale path for the SAME labels and oracle — keeping
+# both graded the same operator twice), ngram_jaccard_pairs (near-dup
+# pair family keeps minhash_lsh/simhash/tfidf_cosine) and
+# count_distinct_agg (aggregate family keeps q1/supplier_scorecard/
+# rollup_sales/pivot_status) rotate out for three never-graded
+# oracle-backed additions: mmr_rerank (unrolled-greedy diversity
+# re-rank), skyline_parts (Pareto frontier via prefix-max prune) and
+# roc_auc_by_source (tie-corrected Mann-Whitney AUC at distinct-score
+# grain).
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
@@ -125,7 +136,6 @@ PRIORITY: tuple[str, ...] = (
     # §2.5 aggregation surface (family representatives)
     "q1_pricing_summary",
     "supplier_scorecard",
-    "count_distinct_agg",
     "rollup_sales",
     "pivot_status",
     # TPC-H star-query family
@@ -141,7 +151,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_pairs",
-    "ngram_jaccard_pairs",
     "cosine_topk",
     "token_count",
     "text_quality",
@@ -149,7 +158,6 @@ PRIORITY: tuple[str, ...] = (
     # full DuckDB oracles)
     "image_decode_stats",
     "scd2_user_state",
-    "dedup_connected_components",
     "bm25_search",
     "hybrid_search_rrf",
     # round-5 rotation: privacy audits, scale-path CC, MV maintenance,
@@ -163,6 +171,10 @@ PRIORITY: tuple[str, ...] = (
     "tfidf_cosine_pairs",
     "dedup_graph_triangles",
     "cusum_changepoints",
+    # round-5 third rotation: diversity re-rank, skyline, ranking audit
+    "mmr_rerank",
+    "skyline_parts",
+    "roc_auc_by_source",
 )
 
 
