@@ -753,14 +753,343 @@ def ewma_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill — the companion to
+    ``gapfill_forward`` for quantities that drift between observations
+    (sensor readings, balances) where carrying the last value forward
+    biases low/high: each missing day on the dense grid gets
+    prev + (next − prev) · elapsed/gap, from the nearest observed
+    values on each side.
+
+    Same plan skeleton as gapfill_forward (one (user, day) aggregate,
+    one span-bounded grid explode, windows on the shared user_id
+    shuffle) plus a mirror-image backward window for the next observed
+    value — still zero joins beyond the grid's. Grid endpoints are
+    observed by construction, so every gap is interior and the
+    interpolation denominators are never zero."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("day_value")
+        )
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    j = grid.join(daily, on=["user_id", "day"], how="left").select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff(
+        "nd", "pd"
+    ).cast("double")
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_value").isNotNull().alias("observed"),
+        F.round(interp, 4).alias("interp_value"),
+    )
+
+
+# Theil-Sen estimator: month-grain series keeps the pairwise-slope
+# frame at calendar² size (~80 months → ~3k pairs), independent of
+# fact volume; the data-sized work is the one month-grain aggregate.
+TS_ROUND = 4
+
+
+def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    monthly revenue — the outlier-proof alternative to OLS
+    (``revenue_trend_ols``) that one promo-spike month cannot bend
+    (breakdown point ≈ 29 %).
+
+    Scale shape: orders aggregate once to month grain (exact-decimal
+    sums, map-side combined); everything after runs on the
+    sf-INDEPENDENT ~80-row series — the inequality self-join
+    (calendar² ≈ 3k pairs) and the order-statistic median (two middle
+    ranks via one single-partition window over the pair frame) are
+    both lint-allowlisted as calendar-sized, never data-sized. The
+    median is avg of the two middle order statistics (exact same
+    construction in the oracle — no engine median() semantics in
+    play)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year(F.col("o_orderdate").cast("date")) * 12
+         + F.month(F.col("o_orderdate").cast("date"))).alias("mi")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    a = monthly.select(F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a"))
+    b = monthly.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
+    pairs = a.join(b, F.col("mi_a") < F.col("mi_b")).select(
+        (
+            (F.col("rev_b") - F.col("rev_a"))
+            / (F.col("mi_b") - F.col("mi_a")).cast("double")
+        ).alias("slope")
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("(n + 2) div 2"))
+    )
+    return mid.agg(
+        F.max("n").alias("n_pairs"),
+        F.round(F.avg("slope"), TS_ROUND).alias("theil_sen_slope"),
+    )
+
+
+HOLT_A = 0.5   # level smoothing α…
+HOLT_1A = 0.5  # …and 1−α as an explicit shared literal
+HOLT_B = 0.3   # trend smoothing β…
+HOLT_1B = 0.7  # …and 1−β (see MMR_MU rationale in llm/similarity.py)
+
+
+def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing on the daily
+    revenue series — level + trend recursion with the one-step-ahead
+    forecast and its absolute error per day, the classic trended
+    baseline between ``ewma_smoother`` (no trend) and a seasonal
+    model: ℓₜ = α·yₜ + (1−α)(ℓₜ₋₁+bₜ₋₁), bₜ = β(ℓₜ−ℓₜ₋₁) + (1−β)bₜ₋₁,
+    ŷₜ = ℓₜ₋₁ + bₜ₋₁; initialized ℓ₁ = y₁, b₁ = y₂ − y₁.
+
+    Same posture as ``cusum_changepoints``: the data-sized work is the
+    one exact-decimal day aggregate; the inherently sequential
+    recursion runs on the calendar-sized, sf-independent series in one
+    Arrow task, emitting raw doubles so the identical IEEE op sequence
+    makes it bit-deterministic against the oracle's recursive CTE."""
+    import pandas as pd  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    seeded = daily.withColumn("g", F.lit(1))
+
+    def holt(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = list(pdf["rev"])
+        days = [str(d) for d in pdf["day"]]
+        lvl = ys[0]
+        trd = ys[1] - ys[0]
+        rows = [(days[0], ys[0], lvl, trd, None, None)]
+        for day, y in zip(days[1:], ys[1:]):
+            fc = lvl + trd
+            new_lvl = HOLT_A * y + HOLT_1A * (lvl + trd)
+            trd = HOLT_B * (new_lvl - lvl) + HOLT_1B * trd
+            lvl = new_lvl
+            rows.append((day, y, lvl, trd, fc, abs(y - fc)))
+        return pd.DataFrame(
+            rows,
+            columns=["day", "rev", "level", "trend", "forecast", "abs_err"],
+        )
+
+    return seeded.groupBy("g").applyInPandas(
+        holt,
+        schema="day string, rev double, level double, trend double, "
+        "forecast double, abs_err double",
+    )
+
+
+# Survival analysis: a user whose last event falls within this many
+# days of the observation end is CENSORED (still active, lifetime only
+# known to exceed what we saw), not churned.
+KM_CENSOR_DAYS = 3
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between first
+    and last event) with right-censoring — the standard churn/retention
+    estimator that, unlike a naive average lifetime, does not treat
+    still-active users as churned: users whose last event is within
+    KM_CENSOR_DAYS of the observation end only attest that survival
+    exceeds their observed span.
+
+    Ŝ(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) with dᵢ churns at lifetime tᵢ and nᵢ
+    the at-risk count (ties: churns before censorings, the textbook
+    convention). Scale shape: ONE user-grain aggregate does all the
+    data-sized work (map-side combined); the observation end attaches
+    as a 1-row broadcast; every window after runs on the
+    duration-grain frame — at most observation-span-days rows,
+    sf-INDEPENDENT — so the single-partition cumulative product is
+    calendar-sized, never data-sized. The product is exp∘Σlog with an
+    explicit zero-factor flag (no log(0) — Spark returns NULL there,
+    DuckDB −inf; the guard keeps both engines on the same arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    horizon = users.agg(F.max("d1").alias("obs_end"))
+    life = users.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("d1", "d0").cast("long").alias("duration"),
+        (F.datediff("obs_end", "d1") < KM_CENSOR_DAYS).alias("censored"),
+    )
+    per_t = life.groupBy("duration").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("n_churned"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("n_censored"),
+    )
+    leaving = F.col("n_churned") + F.col("n_censored")
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "duration",
+        "n_churned",
+        "n_censored",
+        (
+            F.sum(leaving).over(w_all)
+            - F.coalesce(F.sum(leaving).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    factor = F.lit(1.0) - F.col("n_churned") / F.col("n_risk").cast("double")
+    fac = risk.withColumn("factor", factor)
+    hit_zero = F.max(
+        F.when(F.col("factor") == 0, 1).otherwise(0)
+    ).over(w_cum)
+    log_sum = F.sum(
+        F.when(F.col("factor") > 0, F.log("factor")).otherwise(0.0)
+    ).over(w_cum)
+    return fac.select(
+        F.col("duration").alias("duration_days"),
+        "n_risk",
+        "n_churned",
+        "n_censored",
+        F.when(hit_zero == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(log_sum), 4))
+        .alias("survival"),
+    )
+
+
+# Multi-touch attribution: touches bind to the NEXT purchase by the
+# same user, eligible only within this lookback window.
+ATTRIB_WINDOW_SEC = 3 * 86400
+
+
+def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution over the event stream: every purchase is a
+    conversion; the non-purchase events (click/view/signup/error) by
+    the same user in the ATTRIB_WINDOW_SEC before it are its touchpoint
+    path. Per channel, the three classic models side by side:
+    first-touch (conversion credited to the path's opening channel),
+    last-touch (its closing channel), and linear (1/n to each of the
+    path's n touches).
+
+    Scale shape: conversion binding is pure gaps-and-islands — a
+    cumulative purchase count over the per-user window assigns every
+    touch to its next purchase with zero joins (same skeleton as
+    ``sessionize_events``); per-path ranks run on the (user, path)
+    windows off the same user-keyed shuffle. The fractional linear
+    credits aggregate at (channel, path-length) grain first, so the
+    final double sum has at most |channels|·max-path-length terms in
+    both engines — not one term per touch — keeping the rounded
+    totals engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    w_cum = Window.partitionBy("user_id").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = (
+        ev.select("user_id", "event_id", "ts", "event_type", is_p.alias("is_p"))
+        .withColumn("cum_p", F.sum("is_p").over(w_cum))
+        .withColumn(
+            "grp",
+            F.when(F.col("is_p") == 1, F.col("cum_p")).otherwise(
+                F.col("cum_p") + 1
+            ),
+        )
+    )
+    w_grp = Window.partitionBy("user_id", "grp")
+    with_conv = tagged.withColumn(
+        "conv_ts", F.max(F.when(F.col("is_p") == 1, F.col("ts"))).over(w_grp)
+    )
+    touches = with_conv.filter(
+        (F.col("is_p") == 0)
+        & F.col("conv_ts").isNotNull()
+        & (F.col("ts") < F.col("conv_ts"))
+        & (
+            F.col("ts")
+            >= F.col("conv_ts")
+            - F.expr(f"INTERVAL {ATTRIB_WINDOW_SEC} SECOND")
+        )
+    )
+    w_first = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    w_last = Window.partitionBy("user_id", "grp").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    credited = touches.select(
+        F.col("event_type").alias("channel"),
+        F.row_number().over(w_first).alias("rn_f"),
+        F.row_number().over(w_last).alias("rn_l"),
+        F.count("*").over(w_grp).alias("n_t"),
+    )
+    by_len = credited.groupBy("channel", "n_t").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("rn_f") == 1, 1).otherwise(0)).alias("ft"),
+        F.sum(F.when(F.col("rn_l") == 1, 1).otherwise(0)).alias("lt"),
+    )
+    return by_len.groupBy("channel").agg(
+        F.sum("cnt").alias("touches"),
+        F.sum("ft").alias("first_touch"),
+        F.sum("lt").alias("last_touch"),
+        F.round(
+            F.sum(F.col("cnt").cast("double") / F.col("n_t").cast("double")),
+            4,
+        ).alias("linear_credit"),
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
+    "kaplan_meier_churn": kaplan_meier_churn,
+    "attribution_report": attribution_report,
     "rolling_active_users_hll": rolling_active_users_hll,
     "seasonal_naive_eval": seasonal_naive_eval,
     "event_transition_matrix": event_transition_matrix,
     "top_event_paths": top_event_paths,
     "cusum_changepoints": cusum_changepoints,
     "gapfill_forward": gapfill_forward,
+    "gapfill_linear": gapfill_linear,
+    "theil_sen_slope": theil_sen_slope,
+    "holt_forecast": holt_forecast,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
     "rolling_active_users": rolling_active_users,
@@ -1000,6 +1329,192 @@ ORACLES["cusum_changepoints"] = f"""
            sp AS cusum_pos, sn AS cusum_neg,
            (sp > {CUSUM_H} OR sn > {CUSUM_H}) AS alarm
     FROM rec
+"""
+
+ORACLES["gapfill_linear"] = """
+    WITH daily AS (
+        SELECT user_id, ts::DATE AS day,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4)
+                    AS DOUBLE) AS day_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(min(day), max(day),
+                                      INTERVAL 1 DAY))::DATE AS day
+        FROM daily GROUP BY user_id
+    ),
+    nbr AS (
+        SELECT g.user_id, g.day, d.day_value,
+               last_value(d.day_value IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN d.day_value IS NOT NULL
+                               THEN g.day END IGNORE NULLS)
+                   OVER wp AS pd,
+               first_value(d.day_value IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN d.day_value IS NOT NULL
+                                THEN g.day END IGNORE NULLS)
+                   OVER wn AS nd
+        FROM grid g
+        LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW),
+               wn AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           day_value IS NOT NULL AS observed,
+           round(CASE WHEN day_value IS NOT NULL THEN day_value
+                      ELSE pv + (nv - pv)
+                           * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                              / CAST(date_diff('day', pd, nd)
+                                     AS DOUBLE))
+                 END, 4) AS interp_value
+    FROM nbr
+"""
+
+ORACLES["theil_sen_slope"] = f"""
+    WITH monthly AS (
+        SELECT year(CAST(o_orderdate AS DATE)) * 12
+               + month(CAST(o_orderdate AS DATE)) AS mi,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), pairs AS (
+        SELECT (b.rev - a.rev) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        FROM monthly a JOIN monthly b ON a.mi < b.mi
+    ), ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+               count(*) OVER () AS n
+        FROM pairs
+    )
+    SELECT max(n)::BIGINT AS n_pairs,
+           round(avg(slope), {TS_ROUND}) AS theil_sen_slope
+    FROM ranked
+    WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+"""
+
+ORACLES["holt_forecast"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), y AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ), rec AS (
+        SELECT a.day, a.rev, a.rn,
+               a.rev AS level,
+               b.rev - a.rev AS trend,
+               CAST(NULL AS DOUBLE) AS forecast,
+               CAST(NULL AS DOUBLE) AS abs_err
+        FROM y a JOIN y b ON a.rn = 1 AND b.rn = 2
+        UNION ALL
+        SELECT y.day, y.rev, y.rn,
+               {HOLT_A} * y.rev
+                   + {HOLT_1A} * (rec.level + rec.trend),
+               {HOLT_B} * (({HOLT_A} * y.rev
+                            + {HOLT_1A} * (rec.level + rec.trend))
+                           - rec.level)
+                   + {HOLT_1B} * rec.trend,
+               rec.level + rec.trend,
+               abs(y.rev - (rec.level + rec.trend))
+        FROM y JOIN rec ON y.rn = rec.rn + 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
+           forecast, abs_err
+    FROM rec
+"""
+
+ORACLES["kaplan_meier_churn"] = f"""
+    WITH users AS (
+        SELECT user_id, min(ts::DATE) AS d0, max(ts::DATE) AS d1
+        FROM events GROUP BY 1
+    ), horizon AS (SELECT max(d1) AS obs_end FROM users),
+    life AS (
+        SELECT date_diff('day', d0, d1) AS duration,
+               date_diff('day', d1, obs_end) < {KM_CENSOR_DAYS}
+                   AS censored
+        FROM users, horizon
+    ), per_t AS (
+        SELECT duration,
+               sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT
+                   AS n_churned,
+               sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT
+                   AS n_censored
+        FROM life GROUP BY 1
+    ), risk AS (
+        SELECT duration, n_churned, n_censored,
+               sum(n_churned + n_censored) OVER ()
+               - COALESCE(sum(n_churned + n_censored)
+                          OVER (ORDER BY duration
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), 0) AS n_risk
+        FROM per_t
+    ), fac AS (
+        SELECT *,
+               1.0 - n_churned / CAST(n_risk AS DOUBLE) AS factor
+        FROM risk
+    )
+    SELECT duration AS duration_days, n_risk::BIGINT AS n_risk,
+           n_churned, n_censored,
+           CASE WHEN max(CASE WHEN factor = 0 THEN 1 ELSE 0 END)
+                     OVER cum = 1
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN factor > 0
+                                        THEN ln(factor)
+                                        ELSE 0.0 END) OVER cum), 4)
+           END AS survival
+    FROM fac
+    WINDOW cum AS (ORDER BY duration
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["attribution_report"] = f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_p,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum_p
+        FROM events
+    ), grouped AS (
+        SELECT *, CASE WHEN is_p = 1 THEN cum_p ELSE cum_p + 1 END
+                      AS grp
+        FROM tagged
+    ), with_conv AS (
+        SELECT *,
+               max(CASE WHEN is_p = 1 THEN ts END)
+                   OVER (PARTITION BY user_id, grp) AS conv_ts
+        FROM grouped
+    ), touches AS (
+        SELECT event_type AS channel,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts, event_id) AS rn_f,
+               row_number() OVER (PARTITION BY user_id, grp
+                                  ORDER BY ts DESC, event_id DESC)
+                   AS rn_l,
+               count(*) OVER (PARTITION BY user_id, grp) AS n_t
+        FROM with_conv
+        WHERE is_p = 0 AND conv_ts IS NOT NULL AND ts < conv_ts
+          AND ts >= conv_ts - INTERVAL {ATTRIB_WINDOW_SEC} SECOND
+    ), by_len AS (
+        SELECT channel, n_t, count(*)::BIGINT AS cnt,
+               sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END)::BIGINT AS ft,
+               sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END)::BIGINT AS lt
+        FROM touches GROUP BY 1, 2
+    )
+    SELECT channel, sum(cnt)::BIGINT AS touches,
+           sum(ft)::BIGINT AS first_touch,
+           sum(lt)::BIGINT AS last_touch,
+           round(sum(CAST(cnt AS DOUBLE) / CAST(n_t AS DOUBLE)), 4)
+               AS linear_credit
+    FROM by_len GROUP BY 1
 """
 
 ORACLES["top_event_paths"] = f"""

@@ -51,6 +51,11 @@ NESTED_LOOP_OK = {
                             # broadcast
     "benford_first_digit",  # grand-total count as 1-row broadcast over
                             # the 9 digit rows
+    "theil_sen_slope",      # inequality self-join of the ~80-row
+                            # month-grain series (calendar², never
+                            # data-sized)
+    "kaplan_meier_churn",   # observation-end horizon as a 1-row
+                            # broadcast onto the user-grain frame
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -131,6 +136,14 @@ SINGLE_PARTITION_OK = {
                             # grain (price-range/100 rows regardless of
                             # table size); the row-grain windows are
                             # partitioned by bucket
+    "theil_sen_slope",      # order-statistic median over the
+                            # calendar²-sized pair frame (~3k rows)
+    "holt_forecast",        # sequential recursion on the day-grain
+                            # (sf-independent) series in one Arrow task
+                            # (same posture as cusum_changepoints)
+    "kaplan_meier_churn",   # cumulative-product windows over the
+                            # duration-grain (≤ observation-span-days)
+                            # frame — calendar-sized, never data-sized
 }
 
 
