@@ -1000,8 +1000,54 @@ def roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96  # 95 % normal quantile, shared verbatim with the oracle
+
+
+def wilson_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report with uncertainty: per source, the
+    share of AUC_POS_LANG documents with its Wilson 95 % score interval
+    — the right screen for "is src7 really more English than src4, or
+    is that 120-doc noise?". The Wilson interval (unlike the naive
+    normal one) stays inside [0, 1] and behaves at small n / extreme
+    p̂, which is exactly the small-source regime where the decision
+    matters.
+
+    center = (p̂ + z²/2n) / (1 + z²/n),
+    half   = z/(1 + z²/n) · √(p̂(1−p̂)/n + z²/4n²).
+
+    One source-grain conditional-count aggregate (map-side combined)
+    does all the data-sized work; the interval arithmetic is a scalar
+    double tree written as the IDENTICAL expression shape on both
+    engines, fed only by integer counts — deterministic at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == AUC_POS_LANG, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_pos").cast("double") / n
+    z = F.lit(WILSON_Z)
+    z2 = z * z
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (z / denom) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n)
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pos",
+        F.round(p, 4).alias("share"),
+        F.round(center - half, 4).alias("ci_lo"),
+        F.round(center + half, 4).alias("ci_hi"),
+    )
+
+
 QUERIES = {
     "token_count": token_count,
+    "wilson_lang_share": wilson_lang_share,
     "vocab_oov_rate": vocab_oov_rate,
     "chi2_source_lang": chi2_source_lang,
     "roc_auc_by_source": roc_auc_by_source,
@@ -1496,6 +1542,34 @@ ORACLES["vocab_growth_heaps"] = f"""
     SELECT step, docs_cum, tokens_cum, vocab_cum,
            round((ln(v8) - ln(v1)) / (ln(t8) - ln(t1)), 6) AS heaps_beta
     FROM cum, ends
+"""
+
+ORACLES["wilson_lang_share"] = f"""
+    WITH agg AS (
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 1 ELSE 0
+                   END)::BIGINT AS n_pos
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT source, n_docs, n_pos,
+               CAST(n_docs AS DOUBLE) AS n,
+               CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p,
+               CAST({WILSON_Z} AS DOUBLE) AS z,
+               CAST({WILSON_Z} AS DOUBLE) * CAST({WILSON_Z} AS DOUBLE)
+                   AS z2
+        FROM agg
+    )
+    SELECT source, n_docs, n_pos,
+           round(p, 4) AS share,
+           round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                 - (z / (1.0 + z2 / n))
+                   * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)),
+                 4) AS ci_lo,
+           round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                 + (z / (1.0 + z2 / n))
+                   * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n)),
+                 4) AS ci_hi
+    FROM t
 """
 
 NO_ORACLE = {

@@ -1128,3 +1128,32 @@ def test_kcenter_coreset_matches_numpy_greedy(spark):
         assert abs(gr - wr) < 2e-6, gid
     radii = [g[1] for g in got[1:]]
     assert all(a >= b - 1e-9 for a, b in zip(radii, radii[1:]))
+
+
+def test_wilson_interval_matches_scalar_recompute(spark):
+    """The per-source Wilson bounds must equal an independent Python
+    evaluation of the closed form from the SAME integer counts, and
+    satisfy the interval invariants (ordered, inside [0, 1],
+    containing the point estimate)."""
+    import math
+
+    from data_warehouse_co_healthy_spark.llm.text import (
+        WILSON_Z,
+        wilson_lang_share,
+    )
+
+    rows = wilson_lang_share(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n, k = r["n_docs"], r["n_pos"]
+        p = k / n
+        z2 = WILSON_Z * WILSON_Z
+        denom = 1.0 + z2 / n
+        center = (p + z2 / (2.0 * n)) / denom
+        half = (WILSON_Z / denom) * math.sqrt(
+            p * (1.0 - p) / n + z2 / (4.0 * n * n)
+        )
+        assert abs(r["share"] - p) < 6e-5
+        assert abs(r["ci_lo"] - (center - half)) < 6e-5
+        assert abs(r["ci_hi"] - (center + half)) < 6e-5
+        assert 0.0 <= r["ci_lo"] <= r["share"] <= r["ci_hi"] <= 1.0, r

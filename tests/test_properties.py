@@ -950,3 +950,158 @@ def test_ngram_containment_matches_bruteforce(spark, docs_words):
         for r in ngram_containment_pairs(spark, d).collect()
     }
     assert got == want
+
+
+# lifetimes in whole days (plus jitter within the day) so the KM
+# duration grain is exercised, including ties and the censor horizon
+_km_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),             # user
+        st.just("click"),
+        st.builds(
+            lambda d, s: d * 86400 + s,
+            st.integers(min_value=0, max_value=12),        # day
+            st.integers(min_value=0, max_value=86399),     # within-day
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_km_rows)
+def test_kaplan_meier_matches_bruteforce(spark, rows):
+    """The engine's KM curve must equal a pure-Python Kaplan-Meier over
+    the same per-user lifetimes — censoring convention, at-risk
+    bookkeeping, and the zero-factor guard included (all-users-churn
+    inputs drive the final factor to 0)."""
+    import datetime
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        KM_CENSOR_DAYS,
+        kaplan_meier_churn,
+    )
+
+    d = _events_parquet(rows)
+    base = datetime.date(2024, 1, 1)
+    span: dict[int, tuple[int, int]] = {}
+    for u, _, off in rows:
+        day = off // 86400
+        lo, hi = span.get(u, (day, day))
+        span[u] = (min(lo, day), max(hi, day))
+    obs_end = max(hi for _, hi in span.values())
+    per_t: dict[int, list[int]] = {}
+    for lo, hi in span.values():
+        dur = hi - lo
+        censored = (obs_end - hi) < KM_CENSOR_DAYS
+        dd, cc = per_t.get(dur, [0, 0])
+        per_t[dur] = [dd + (not censored), cc + censored]
+    want = {}
+    n_risk = len(span)
+    surv = 1.0
+    hit_zero = False
+    for dur in sorted(per_t):
+        dd, cc = per_t[dur]
+        factor = 1.0 - dd / n_risk
+        hit_zero = hit_zero or factor == 0
+        surv = 0.0 if hit_zero else surv * factor
+        want[dur] = (n_risk, dd, cc, surv)
+        n_risk -= dd + cc
+    assert n_risk == 0
+    got = {
+        int(r["duration_days"]): (
+            int(r["n_risk"]),
+            int(r["n_churned"]),
+            int(r["n_censored"]),
+            float(r["survival"]),
+        )
+        for r in kaplan_meier_churn(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for dur, (nr, dd, cc, surv) in want.items():
+        gnr, gdd, gcc, gsurv = got[dur]
+        assert (gnr, gdd, gcc) == (nr, dd, cc), dur
+        assert abs(gsurv - surv) < 6e-5, (dur, gsurv, surv)
+
+
+_attrib_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),             # user
+        st.sampled_from(["click", "view", "signup", "purchase"]),
+        st.integers(min_value=0, max_value=6 * 86400),     # offset sec
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_attrib_rows)
+def test_attribution_matches_bruteforce(spark, rows):
+    """First/last/linear credits must equal an all-pairs Python
+    recompute: each touch binds to the next purchase by the same user,
+    eligibility is (conv_ts - W, conv_ts), and linear credit splits
+    1/n across the path."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        ATTRIB_WINDOW_SEC,
+        attribution_report,
+    )
+
+    d = _events_parquet(rows)
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, t, off) in enumerate(rows):
+        by_user.setdefault(u, []).append((off, i, t))
+    want: dict[str, list[float]] = {}
+
+    def bump(ch, touches_, ft, lt, lin):
+        agg = want.setdefault(ch, [0, 0, 0, 0.0])
+        agg[0] += touches_
+        agg[1] += ft
+        agg[2] += lt
+        agg[3] += lin
+
+    for evs in by_user.values():
+        evs.sort()
+        paths: dict[int, list[tuple[int, int, str]]] = {}
+        conv_ts: dict[int, int] = {}
+        cum = 0
+        for off, i, t in evs:
+            if t == "purchase":
+                cum += 1
+                conv_ts[cum] = off
+            else:
+                paths.setdefault(cum + 1, []).append((off, i, t))
+        for g, touches in paths.items():
+            if g not in conv_ts:
+                continue
+            ct = conv_ts[g]
+            elig = [
+                (off, i, t)
+                for off, i, t in touches
+                if off < ct and off >= ct - ATTRIB_WINDOW_SEC
+            ]
+            if not elig:
+                continue
+            for k, (off, i, t) in enumerate(elig):
+                bump(
+                    t,
+                    1,
+                    k == 0,
+                    k == len(elig) - 1,
+                    1.0 / len(elig),
+                )
+    got = {
+        r["channel"]: (
+            int(r["touches"]),
+            int(r["first_touch"]),
+            int(r["last_touch"]),
+            float(r["linear_credit"]),
+        )
+        for r in attribution_report(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for ch, (touches_, ft, lt, lin) in want.items():
+        gt, gf, gl, glin = got[ch]
+        assert (gt, gf, gl) == (touches_, ft, lt), ch
+        assert abs(glin - lin) < 6e-5, (ch, glin, lin)

@@ -86,6 +86,12 @@ PROBES = [
     "dedup_graph_triangles",
     "image_dhash_buckets",
     "pca_whiten_embeddings",
+    "gapfill_linear",
+    "theil_sen_slope",
+    "holt_forecast",
+    "kaplan_meier_churn",
+    "attribution_report",
+    "wilson_lang_share",
 ]
 
 
