@@ -110,8 +110,8 @@ for _m in _MODULES:
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
-    # §2.3 projections / filters / column ops (P1-P8)
-    "project_select",
+    # §2.3 projections / filters / column ops (P1-P8; project_select
+    # rotated out round 5 — case_when/fillna/filter still rep the row)
     "case_when_bucket",
     "fillna_left_join",
     "filter_rows",
@@ -123,13 +123,12 @@ PRIORITY: tuple[str, ...] = (
     "fact_facturacion_star",
     "fact_retiro_star",
     "fact_service_star",
-    # §2.7 set ops / dedup (U1-U4 + intersect/except)
+    # §2.7 set ops / dedup (U1-U4; except_keys rotated out round 5)
     "union_by_name",
     "dedup_rows",
-    "except_keys",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
+    # (month_name_mapping rotated out round 5 — F6 stays local-green)
     "explode_grain",
-    "month_name_mapping",
     "date_dim_generate",
     # §1.1/O3 in-plan surrogate keys
     "surrogate_keys",
@@ -175,6 +174,10 @@ PRIORITY: tuple[str, ...] = (
     "mmr_rerank",
     "skyline_parts",
     "roc_auc_by_source",
+    # round-5 fourth rotation: survival curve, attribution, forecasting
+    "kaplan_meier_churn",
+    "attribution_report",
+    "holt_forecast",
 )
 
 
