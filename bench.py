@@ -42,6 +42,8 @@ HEADLINE = [
     "dedup_cc_star",         # large-star/small-star connected components
     "image_decode_stats",    # real BMP/PPM decode over binary payloads
     "pagerank_near_dup",     # registry tail: 8-round damped power iter
+    "attribution_report",    # event analytics: multi-touch attribution
+    "kaplan_meier_churn",    # event analytics: right-censored survival
 ]
 
 

@@ -954,7 +954,11 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("ts")).alias("d0"),
         F.max(F.to_date("ts")).alias("d1"),
     )
-    horizon = users.agg(F.max("d1").alias("obs_end"))
+    # global max over events == max(d1) over users, but computed this
+    # way it is a shuffle-free partial-agg scan (1 row per partition to
+    # the driver-side reduce) instead of a SECOND user-grain hash
+    # exchange of the whole events scan
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("obs_end"))
     life = users.crossJoin(F.broadcast(horizon)).select(
         F.datediff("d1", "d0").cast("long").alias("duration"),
         (F.datediff("obs_end", "d1") < KM_CENSOR_DAYS).alias("censored"),
@@ -1433,7 +1437,7 @@ ORACLES["kaplan_meier_churn"] = f"""
     WITH users AS (
         SELECT user_id, min(ts::DATE) AS d0, max(ts::DATE) AS d1
         FROM events GROUP BY 1
-    ), horizon AS (SELECT max(d1) AS obs_end FROM users),
+    ), horizon AS (SELECT max(ts::DATE) AS obs_end FROM events),
     life AS (
         SELECT date_diff('day', d0, d1) AS duration,
                date_diff('day', d1, obs_end) < {KM_CENSOR_DAYS}

@@ -123,7 +123,12 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
         ids, sims = state.get if state.exists else ([], [])
         ids, sims = list(ids), list(sims)
         out_doc, out_dup, out_ham = [], [], []
-        for pdf in pdfs:
+        # concat-then-sort (see events.cusum_drift_stream): doc_id
+        # order must hold across the WHOLE micro-batch, not per Arrow
+        # chunk, or dup_of direction depends on chunk boundaries
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             # doc_id order within the batch: deterministic replay
             for _, row in pdf.sort_values("doc_id").iterrows():
                 s = int(row["simhash"])

@@ -206,8 +206,15 @@ def zscore_anomalies_stream(
     def update(key, pdfs, state: GroupState):
         hist = list(state.get[0]) if state.exists else []
         out_ids, out_vals, out_z = [], [], []
-        for pdf in pdfs:
-            pdf = pdf[pdf["event_type"] == "purchase"].sort_values(
+        # concat-then-sort (see cusum_drift_stream): per-chunk sorting
+        # would leave the recursion order at the mercy of Arrow chunk
+        # boundaries and shuffle-block arrival order
+        chunks = [
+            p[p["event_type"] == "purchase"] for p in pdfs if len(p)
+        ]
+        chunks = [p for p in chunks if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"]
             )
             for ev_id, v in zip(pdf["event_id"], pdf["value"]):
@@ -272,8 +279,16 @@ def cusum_drift_stream(
     def update(key, pdfs, state: GroupState):
         sp, sn = state.get if state.exists else (0.0, 0.0)
         ids, vals, pos, neg = [], [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # one sort over the WHOLE batch, not per Arrow chunk: a key's
+        # micro-batch arrives as multiple record batches whose
+        # boundaries (and shuffle-block arrival order) are
+        # nondeterministic under load — sorting chunks independently
+        # would feed the recursion out of event-time order
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ev_id, v in zip(pdf["event_id"], pdf["value"]):
                 z = (float(v) - mean) / std
                 sp = max(0.0, sp + z - k)

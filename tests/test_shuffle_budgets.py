@@ -36,6 +36,8 @@ BUDGETS = {
     "fact_facturacion_star": 2,
     "bpe_segment": 1,
     "image_decode_stats": 0,
+    "attribution_report": 3,
+    "kaplan_meier_churn": 2,
 }
 
 

@@ -11,7 +11,12 @@ from data_warehouse_co_healthy_spark.streaming import events as se
 from tests.conftest import SF_DIR
 
 
-@pytest.fixture(scope="module")
+# function-scoped ON PURPOSE: a module-scoped stream would keep the
+# staged source dir captured at first use, and any test that exercises
+# the clear_staged_dirs() hook in between would delete that dir out
+# from under later tests (the stream then reads zero files). Staging
+# is cached, so re-deriving the DataFrame per test is cheap.
+@pytest.fixture
 def stream(spark):
     return se.read_events_stream(spark, SF_DIR)
 

@@ -64,6 +64,15 @@ SHOWCASE = [
         "pca_whiten_embeddings",
         "whitening projection: map-only Arrow stage, zero exchanges",
     ),
+    (
+        "attribution_report",
+        "multi-touch attribution: join-free conversion binding, "
+        "user-keyed windows",
+    ),
+    (
+        "kaplan_meier_churn",
+        "KM survival: one user-grain shuffle, calendar-sized tail",
+    ),
 ]
 
 
