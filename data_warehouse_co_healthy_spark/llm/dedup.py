@@ -21,6 +21,8 @@ same posture as production near-dedup pipelines.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1453,8 +1455,94 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fellegi-Sunter (JASA 1969) probabilistic record linkage: per
+# comparison field, m = P(agree | same entity), u = P(agree | different
+# entities). Literature-style documented constants (a production
+# deployment EM-fits them from the pair population); the derived log2
+# agreement/disagreement weights are Python-precomputed doubles shared
+# VERBATIM (repr) with the oracle so the score arithmetic is identical.
+FS_FIELDS: dict[str, tuple[float, float]] = {
+    "lang": (0.95, 0.30),
+    "source": (0.60, 0.05),
+    "length": (0.90, 0.20),
+}
+FS_LEN_TOL = 0.10   # lengths agree when |Δ| ≤ 10 % of the longer doc
+FS_T_MATCH = 4.0    # total weight ≥ → link
+FS_T_POSSIBLE = 0.0  # in [possible, match) → clerical-review band
+
+_FS_W = {
+    f: (_math.log2(m / u), _math.log2((1 - m) / (1 - u)))
+    for f, (m, u) in FS_FIELDS.items()
+}
+
+
+def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record-linkage scoring (Fellegi-Sunter) over the
+    LSH candidate pairs — the decision layer the blocking stages feed:
+    each pair gets a field-agreement vector (language, source, length
+    band), the vector maps to a sum of log-likelihood-ratio weights,
+    and the score classifies into match / possible / non_match between
+    the two thresholds. Complements ``dedup_editdist_rerank`` (exact
+    verify) with the classic probabilistic verdict when fields, not
+    edit distance, carry the evidence.
+
+    Scale posture: scoring runs ONLY on blocking survivors (bucket-
+    capped LSH pairs, never all-pairs); the two attribute joins shuffle
+    on doc ids, and the weight arithmetic is a fixed three-term double
+    sum in whole-stage codegen — constants broadcast in the plan
+    closure, no Python rows."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    agree_lang = F.col("lang_a") == F.col("lang_b")
+    agree_src = F.col("src_a") == F.col("src_b")
+    agree_len = (
+        F.abs(F.col("len_a") - F.col("len_b")).cast("double")
+        <= F.lit(FS_LEN_TOL)
+        * F.greatest("len_a", "len_b").cast("double")
+    )
+    score = (
+        F.when(agree_lang, F.lit(_FS_W["lang"][0])).otherwise(
+            F.lit(_FS_W["lang"][1])
+        )
+        + F.when(agree_src, F.lit(_FS_W["source"][0])).otherwise(
+            F.lit(_FS_W["source"][1])
+        )
+        + F.when(agree_len, F.lit(_FS_W["length"][0])).otherwise(
+            F.lit(_FS_W["length"][1])
+        )
+    )
+    return j.select(
+        "doc_a",
+        "doc_b",
+        agree_lang.alias("agree_lang"),
+        agree_src.alias("agree_source"),
+        agree_len.alias("agree_length"),
+        F.round(score, 4).alias("fs_score"),
+        F.when(score >= FS_T_MATCH, F.lit("match"))
+        .when(score >= FS_T_POSSIBLE, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "fellegi_sunter_links": fellegi_sunter_links,
     "pagerank_near_dup": pagerank_near_dup,
     "dedup_graph_triangles": dedup_graph_triangles,
     "snm_adjacent_pairs": snm_adjacent_pairs,
@@ -1820,6 +1908,40 @@ ORACLES["dedup_editdist_rerank"] = f"""
     JOIN canon a ON pairs.doc_a = a.doc_id
     JOIN canon b ON pairs.doc_b = b.doc_id
     WHERE {_EDIT_SIM} >= {EDIT_SIM_MIN}
+"""
+
+ORACLES["fellegi_sunter_links"] = f"""
+    WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    scored AS (
+        SELECT pairs.doc_a, pairs.doc_b,
+               a.lang = b.lang AS agree_lang,
+               a.source = b.source AS agree_source,
+               CAST(abs(a.n_chars - b.n_chars) AS DOUBLE)
+                   <= {FS_LEN_TOL}
+                      * CAST(greatest(a.n_chars, b.n_chars) AS DOUBLE)
+                   AS agree_length,
+               (CASE WHEN a.lang = b.lang
+                     THEN {_FS_W["lang"][0]!r}
+                     ELSE {_FS_W["lang"][1]!r} END
+                + CASE WHEN a.source = b.source
+                       THEN {_FS_W["source"][0]!r}
+                       ELSE {_FS_W["source"][1]!r} END
+                + CASE WHEN CAST(abs(a.n_chars - b.n_chars) AS DOUBLE)
+                            <= {FS_LEN_TOL}
+                               * CAST(greatest(a.n_chars, b.n_chars)
+                                      AS DOUBLE)
+                       THEN {_FS_W["length"][0]!r}
+                       ELSE {_FS_W["length"][1]!r} END) AS score
+        FROM pairs
+        JOIN documents a ON pairs.doc_a = a.doc_id
+        JOIN documents b ON pairs.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, agree_lang, agree_source, agree_length,
+           round(score, 4) AS fs_score,
+           CASE WHEN score >= {FS_T_MATCH} THEN 'match'
+                WHEN score >= {FS_T_POSSIBLE} THEN 'possible'
+                ELSE 'non_match' END AS decision
+    FROM scored
 """
 
 NO_ORACLE: dict[str, str] = {
