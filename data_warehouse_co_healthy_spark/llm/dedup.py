@@ -1540,9 +1540,73 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FS_EM_ROUND = 6  # rounding for the re-estimated probabilities/weights
+
+
+def fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM re-estimation step for the Fellegi-Sunter m/u
+    probabilities — the production fitting path the documented
+    constants stand in for: classify every candidate pair with the
+    CURRENT weights (``fellegi_sunter_links``), then re-estimate each
+    field's m̂ = P(agree | match) and û = P(agree | non-match) from the
+    classified populations (add-one smoothed so a unanimous field never
+    yields a ±inf weight), and emit the updated log2 weights. Iterate
+    to convergence by feeding the new constants back in — each step is
+    this same plan.
+
+    Scale posture: ONE global conditional-count aggregate over the
+    (bucket-capped) scored pair frame — the exchange carries one
+    partial-agg row per task; the 3-field unpivot runs on the 1-row
+    result."""
+    scored = fellegi_sunter_links(spark, sf_dir).withColumn(
+        "is_m", (F.col("decision") == "match").cast("int")
+    )
+    aggs = []
+    for fld in ("lang", "source", "length"):
+        c = F.col(f"agree_{fld}").cast("int")
+        aggs.append(
+            F.sum(F.col("is_m") * c).alias(f"ma_{fld}")
+        )
+        aggs.append(
+            F.sum((1 - F.col("is_m")) * c).alias(f"ua_{fld}")
+        )
+    stats = scored.agg(
+        F.sum("is_m").alias("n_match"),
+        (F.count("*") - F.sum("is_m")).alias("n_non"),
+        *aggs,
+    # 1-ROW materialization: the unpivot below reads stats three times,
+    # and Spark shares no unaliased subplans — without this the whole
+    # LSH scoring pipeline would execute once per field
+    ).localCheckpoint()
+    parts = []
+    for fld in ("lang", "source", "length"):
+        m_hat = (F.col(f"ma_{fld}") + 1.0) / (F.col("n_match") + 2.0)
+        u_hat = (F.col(f"ua_{fld}") + 1.0) / (F.col("n_non") + 2.0)
+        parts.append(
+            stats.select(
+                F.lit(fld).alias("field"),
+                F.col("n_match").cast("long").alias("n_match"),
+                F.col("n_non").cast("long").alias("n_non"),
+                F.round(m_hat, FS_EM_ROUND).alias("m_hat"),
+                F.round(u_hat, FS_EM_ROUND).alias("u_hat"),
+                F.round(F.log2(m_hat / u_hat), FS_EM_ROUND).alias(
+                    "w_agree"
+                ),
+                F.round(
+                    F.log2((1.0 - m_hat) / (1.0 - u_hat)), FS_EM_ROUND
+                ).alias("w_disagree"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "fellegi_sunter_links": fellegi_sunter_links,
+    "fellegi_sunter_em": fellegi_sunter_em,
     "pagerank_near_dup": pagerank_near_dup,
     "dedup_graph_triangles": dedup_graph_triangles,
     "snm_adjacent_pairs": snm_adjacent_pairs,
@@ -1943,6 +2007,61 @@ ORACLES["fellegi_sunter_links"] = f"""
                 ELSE 'non_match' END AS decision
     FROM scored
 """
+
+ORACLES["fellegi_sunter_em"] = f"""
+    WITH links AS ({{FS_LINKS}}),
+    flagged AS (
+        SELECT *, CASE WHEN decision = 'match' THEN 1 ELSE 0 END
+                      AS is_m
+        FROM links
+    ),
+    stats AS (
+        SELECT sum(is_m) AS n_match,
+               count(*) - sum(is_m) AS n_non,
+               sum(is_m * (CASE WHEN agree_lang THEN 1 ELSE 0 END))
+                   AS ma_lang,
+               sum((1 - is_m)
+                   * (CASE WHEN agree_lang THEN 1 ELSE 0 END))
+                   AS ua_lang,
+               sum(is_m * (CASE WHEN agree_source THEN 1 ELSE 0 END))
+                   AS ma_source,
+               sum((1 - is_m)
+                   * (CASE WHEN agree_source THEN 1 ELSE 0 END))
+                   AS ua_source,
+               sum(is_m * (CASE WHEN agree_length THEN 1 ELSE 0 END))
+                   AS ma_length,
+               sum((1 - is_m)
+                   * (CASE WHEN agree_length THEN 1 ELSE 0 END))
+                   AS ua_length
+        FROM flagged
+    ),
+    unp AS (
+        SELECT 'lang' AS field, n_match, n_non,
+               (ma_lang + 1.0) / (n_match + 2.0) AS m_hat,
+               (ua_lang + 1.0) / (n_non + 2.0) AS u_hat
+        FROM stats
+        UNION ALL
+        SELECT 'source', n_match, n_non,
+               (ma_source + 1.0) / (n_match + 2.0),
+               (ua_source + 1.0) / (n_non + 2.0)
+        FROM stats
+        UNION ALL
+        SELECT 'length', n_match, n_non,
+               (ma_length + 1.0) / (n_match + 2.0),
+               (ua_length + 1.0) / (n_non + 2.0)
+        FROM stats
+    )
+    SELECT field, n_match::BIGINT AS n_match, n_non::BIGINT AS n_non,
+           round(m_hat, {FS_EM_ROUND}) AS m_hat,
+           round(u_hat, {FS_EM_ROUND}) AS u_hat,
+           round(log2(m_hat / u_hat), {FS_EM_ROUND}) AS w_agree,
+           round(log2((1.0 - m_hat) / (1.0 - u_hat)), {FS_EM_ROUND})
+               AS w_disagree
+    FROM unp
+"""
+ORACLES["fellegi_sunter_em"] = ORACLES["fellegi_sunter_em"].replace(
+    "{FS_LINKS}", ORACLES["fellegi_sunter_links"]
+)
 
 NO_ORACLE: dict[str, str] = {
     "pagerank_near_dup": "fixed-round damped power iteration over "

@@ -1157,3 +1157,61 @@ def test_wilson_interval_matches_scalar_recompute(spark):
         assert abs(r["ci_lo"] - (center - half)) < 6e-5
         assert abs(r["ci_hi"] - (center + half)) < 6e-5
         assert 0.0 <= r["ci_lo"] <= r["share"] <= r["ci_hi"] <= 1.0, r
+
+
+def test_fellegi_sunter_score_recompute_and_em_consistency(spark):
+    """The FS score must equal the Python-side sum of the field
+    weights selected by the agreement flags (exact same doubles), the
+    decision must follow the thresholds, and the EM step's output
+    weights must be log2 of its own smoothed m/u estimates."""
+    import math
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        _FS_W,
+        FS_T_MATCH,
+        FS_T_POSSIBLE,
+        fellegi_sunter_em,
+        fellegi_sunter_links,
+    )
+
+    rows = fellegi_sunter_links(spark, SF_DIR).collect()
+    assert rows
+    n_match = 0
+    agree_m = {"lang": 0, "source": 0, "length": 0}
+    agree_u = {"lang": 0, "source": 0, "length": 0}
+    for r in rows:
+        flags = {
+            "lang": r["agree_lang"],
+            "source": r["agree_source"],
+            "length": r["agree_length"],
+        }
+        score = sum(
+            _FS_W[f][0] if flags[f] else _FS_W[f][1] for f in flags
+        )
+        assert abs(r["fs_score"] - score) < 6e-5, r
+        want = (
+            "match"
+            if score >= FS_T_MATCH
+            else "possible"
+            if score >= FS_T_POSSIBLE
+            else "non_match"
+        )
+        assert r["decision"] == want, r
+        is_m = want == "match"
+        n_match += is_m
+        for f in flags:
+            if flags[f]:
+                (agree_m if is_m else agree_u)[f] += 1
+    n_non = len(rows) - n_match
+    em = {r["field"]: r for r in fellegi_sunter_em(spark, SF_DIR).collect()}
+    assert set(em) == {"lang", "source", "length"}
+    for f, r in em.items():
+        assert (r["n_match"], r["n_non"]) == (n_match, n_non)
+        m_hat = (agree_m[f] + 1.0) / (n_match + 2.0)
+        u_hat = (agree_u[f] + 1.0) / (n_non + 2.0)
+        assert abs(r["m_hat"] - m_hat) < 6e-6
+        assert abs(r["u_hat"] - u_hat) < 6e-6
+        assert abs(r["w_agree"] - math.log2(m_hat / u_hat)) < 6e-6
+        assert abs(
+            r["w_disagree"] - math.log2((1 - m_hat) / (1 - u_hat))
+        ) < 6e-6
