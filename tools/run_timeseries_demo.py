@@ -7,6 +7,9 @@ entirely from the registry's operators.
     → per-user daily gap-fill + LOCF        (gapfill_forward)
     → rolling z-score anomaly flags         (rolling_zscore_anomalies)
     → hour→day multi-resolution rollup      (rollup_multires)
+    → Kaplan-Meier churn curve              (kaplan_meier_churn)
+    → multi-touch channel attribution       (attribution_report)
+    → Holt trended forecast + MAE           (holt_forecast)
     → daily partitioned fact + dynamic      (overwrite_partitions_dynamic)
       single-day backfill proving idempotent re-runs
 
@@ -61,6 +64,29 @@ def main() -> None:
 
     rollup = rollup_multires(spark, sf_dir)
     print(f"multi-resolution rollup: {rollup.count()} buckets")
+
+    km = temporal.kaplan_meier_churn(spark, sf_dir).orderBy(
+        "duration_days"
+    )
+    last = km.collect()[-1]
+    print(
+        f"survival: {km.count()} lifetime points, "
+        f"S({last['duration_days']}d) = {last['survival']}"
+    )
+
+    attrib = temporal.attribution_report(spark, sf_dir)
+    top = attrib.orderBy(F.col("linear_credit").desc()).first()
+    print(
+        f"attribution: {attrib.count()} channels, top linear credit "
+        f"{top['channel']} = {top['linear_credit']}"
+    )
+
+    fc = temporal.holt_forecast(spark, sf_dir)
+    mae = fc.agg(F.round(F.avg("abs_err"), 2).alias("mae")).first()["mae"]
+    print(
+        f"holt forecast (daily order revenue): {fc.count()} days, "
+        f"one-step MAE {mae}"
+    )
 
     # daily partitioned fact + idempotent single-day backfill
     fact = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
