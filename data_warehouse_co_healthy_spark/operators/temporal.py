@@ -1081,10 +1081,63 @@ def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user-day over purchase
+    events — the metric a plain AVG gets wrong whenever observations
+    are irregularly spaced: each purchase's value is weighted by how
+    long it was the latest observation (until the next purchase, or
+    midnight for the day's last), so a value held for 20 hours counts
+    20× one held for an hour.
+
+    One (user, day)-partitioned lead() window off the user-keyed
+    shuffle assigns hold durations; weights are integer seconds and
+    the value·duration products accumulate in EXACT decimal, so the
+    only float op is the final division — order- and
+    engine-independent at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        # NTZ→LTZ: the vanilla (UTC) session reads events.ts as
+        # TIMESTAMP_NTZ, which unix_micros rejects; the cast
+        # reinterprets the wall clock in the UTC session tz — exactly
+        # DuckDB's naive epoch_us semantics
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    # microsecond-exact hold durations: unix_timestamp would TRUNCATE
+    # to whole seconds while DuckDB's epoch() keeps fractions — micros
+    # are exact integers on both engines
+    day_end = F.unix_micros(F.date_add("day", 1).cast("timestamp"))
+    dur = (
+        F.coalesce(F.unix_micros(F.lead("ts").over(w)), day_end)
+        - F.unix_micros("ts")
+    ).cast("decimal(20,0)")
+    weighted = p.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "val",
+        dur.alias("dur"),
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.round(
+            (
+                F.sum(F.col("val") * F.col("dur")).cast("double")
+                / F.sum("dur").cast("double")
+            ),
+            4,
+        ).alias("twap"),
+    )
+
+
 QUERIES = {
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
+    "twap_daily": twap_daily,
     "rolling_active_users_hll": rolling_active_users_hll,
     "seasonal_naive_eval": seasonal_naive_eval,
     "event_transition_matrix": event_transition_matrix,
@@ -1431,6 +1484,28 @@ ORACLES["holt_forecast"] = f"""
     SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
            forecast, abs_err
     FROM rec
+"""
+
+ORACLES["twap_daily"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id, ts::DATE AS day,
+               CAST(value AS DECIMAL(18,6)) AS val
+        FROM events WHERE event_type = 'purchase'
+    ), d AS (
+        SELECT user_id, day, val,
+               CAST(
+                   COALESCE(
+                       epoch_us(lead(ts) OVER (PARTITION BY user_id, day
+                                               ORDER BY ts, event_id)),
+                       epoch_us((day + INTERVAL 1 DAY)::TIMESTAMP)
+                   ) - epoch_us(ts) AS DECIMAL(20,0)) AS dur
+        FROM p
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_obs,
+           round(CAST(sum(val * dur) AS DOUBLE)
+                 / CAST(sum(dur) AS DOUBLE), 4) AS twap
+    FROM d GROUP BY user_id, day
 """
 
 ORACLES["kaplan_meier_churn"] = f"""
