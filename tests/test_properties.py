@@ -1105,3 +1105,54 @@ def test_attribution_matches_bruteforce(spark, rows):
         gt, gf, gl, glin = got[ch]
         assert (gt, gf, gl) == (touches_, ft, lt), ch
         assert abs(glin - lin) < 6e-5, (ch, glin, lin)
+
+
+_twap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),             # user
+        st.sampled_from(["purchase", "click"]),
+        st.integers(min_value=0, max_value=3 * 86400 - 1), # offset sec
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda r: (r[0], r[2]),  # no same-user ts collisions
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=_twap_rows)
+def test_twap_matches_bruteforce(spark, rows):
+    """Per-user-day TWAP must equal a pure-Python recompute: each
+    purchase weighted by seconds until the next purchase that day
+    (midnight for the last), non-purchase events ignored."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        twap_daily,
+    )
+
+    d = _events_parquet(rows)
+    by_ud: dict[tuple[int, int], list[tuple[int, float]]] = {}
+    for i, (u, t, off) in enumerate(rows):
+        if t != "purchase":
+            continue
+        by_ud.setdefault((u, off // 86400), []).append(
+            (off, float(i))  # _events_parquet sets value = row index
+        )
+    want = {}
+    for (u, day), obs in by_ud.items():
+        obs.sort()
+        total = 0.0
+        wsum = 0.0
+        for k, (off, val) in enumerate(obs):
+            nxt = obs[k + 1][0] if k + 1 < len(obs) else (day + 1) * 86400
+            dur = nxt - off
+            total += val * dur
+            wsum += dur
+        want[(u, f"2024-01-{day + 1:02d}")] = (len(obs), total / wsum)
+    got = {
+        (r["user_id"], r["day"]): (int(r["n_obs"]), float(r["twap"]))
+        for r in twap_daily(spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tw) in want.items():
+        assert got[k][0] == n, k
+        assert abs(got[k][1] - tw) < 6e-5, (k, got[k][1], tw)
