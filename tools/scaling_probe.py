@@ -92,6 +92,8 @@ PROBES = [
     "kaplan_meier_churn",
     "attribution_report",
     "wilson_lang_share",
+    "fellegi_sunter_links",
+    "twap_daily",
 ]
 
 
