@@ -110,11 +110,12 @@ for _m in _MODULES:
 PRIORITY: tuple[str, ...] = (
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
-    # §2.3 projections / filters / column ops (P1-P8; project_select
-    # rotated out round 5 — case_when/fillna/filter still rep the row)
+    # §2.3 projections / filters / column ops (P1-P8; project_select /
+    # fillna_left_join / filter_rows rotated out round 5 —
+    # case_when_bucket keeps the family repped, fillna-on-left-miss
+    # semantics stay graded inside fact_facturacion_star, and filters
+    # run inside most window slots)
     "case_when_bucket",
-    "fillna_left_join",
-    "filter_rows",
     # §2.4 joins (J1-J15 + semi/anti)
     "star_join_revenue",
     "multi_key_join",
@@ -178,6 +179,9 @@ PRIORITY: tuple[str, ...] = (
     "kaplan_meier_churn",
     "attribution_report",
     "holt_forecast",
+    # round-5 fifth rotation: probabilistic linkage + TWAP
+    "fellegi_sunter_links",
+    "twap_daily",
 )
 
 
