@@ -845,7 +845,10 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
         .cast("double")
         .alias("rev")
-    )
+    # ~80-row materialization: Spark shares no unaliased subplans, so
+    # without this the self-join below would re-run the orders scan +
+    # month aggregate (the only data-sized work) once per side
+    ).localCheckpoint()
     a = monthly.select(F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a"))
     b = monthly.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
     pairs = a.join(b, F.col("mi_a") < F.col("mi_b")).select(
@@ -903,6 +906,15 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     def holt(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         ys = list(pdf["rev"])
+        if len(ys) < 2:
+            # trend needs two points; the oracle's rn=2 anchor join
+            # yields 0 rows on a 1-day series — match it, don't crash
+            return pd.DataFrame(
+                columns=[
+                    "day", "rev", "level", "trend", "forecast",
+                    "abs_err",
+                ]
+            )
         days = [str(d) for d in pdf["day"]]
         lvl = ys[0]
         trd = ys[1] - ys[0]

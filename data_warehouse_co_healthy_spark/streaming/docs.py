@@ -123,14 +123,15 @@ def streaming_simhash_dedup(docs: DataFrame) -> DataFrame:
         ids, sims = state.get if state.exists else ([], [])
         ids, sims = list(ids), list(sims)
         out_doc, out_dup, out_ham = [], [], []
-        # concat-then-sort (see events.cusum_drift_stream): doc_id
-        # order must hold across the WHOLE micro-batch, not per Arrow
-        # chunk, or dup_of direction depends on chunk boundaries
-        chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True)
-            # doc_id order within the batch: deterministic replay
-            for _, row in pdf.sort_values("doc_id").iterrows():
+        from data_warehouse_co_healthy_spark.streaming.microbatch import (  # noqa: PLC0415,E501
+            whole_batch,
+        )
+
+        # whole-batch doc_id sort (see streaming.microbatch): per-chunk
+        # order would make dup_of direction depend on chunk boundaries
+        pdf = whole_batch(pdfs, "doc_id")
+        if pdf is not None:
+            for _, row in pdf.iterrows():
                 s = int(row["simhash"])
                 for pid, psim in zip(ids, sims):
                     ham = bin(s ^ psim).count("1")

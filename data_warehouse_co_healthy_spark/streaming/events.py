@@ -204,17 +204,18 @@ def zscore_anomalies_stream(
     state_schema = "vals array<double>"
 
     def update(key, pdfs, state: GroupState):
+        from data_warehouse_co_healthy_spark.streaming.microbatch import (  # noqa: PLC0415,E501
+            whole_batch,
+        )
+
         hist = list(state.get[0]) if state.exists else []
         out_ids, out_vals, out_z = [], [], []
-        # concat-then-sort (see cusum_drift_stream): per-chunk sorting
-        # would leave the recursion order at the mercy of Arrow chunk
-        # boundaries and shuffle-block arrival order
-        chunks = [
-            p[p["event_type"] == "purchase"] for p in pdfs if len(p)
-        ]
-        chunks = [p for p in chunks if len(p)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        # whole-batch sort (see streaming.microbatch): per-chunk
+        # sorting would leave the recursion order at the mercy of
+        # Arrow chunk boundaries
+        pdf = whole_batch(pdfs)
+        if pdf is not None:
+            pdf = pdf[pdf["event_type"] == "purchase"].sort_values(
                 ["ts", "event_id"]
             )
             for ev_id, v in zip(pdf["event_id"], pdf["value"]):
@@ -277,18 +278,18 @@ def cusum_drift_stream(
     state_schema = "sp double, sn double"
 
     def update(key, pdfs, state: GroupState):
+        # absolute import: the closure is pickled to executors, where
+        # relative-import context is not guaranteed
+        from data_warehouse_co_healthy_spark.streaming.microbatch import (  # noqa: PLC0415,E501
+            whole_batch,
+        )
+
         sp, sn = state.get if state.exists else (0.0, 0.0)
         ids, vals, pos, neg = [], [], [], []
-        # one sort over the WHOLE batch, not per Arrow chunk: a key's
-        # micro-batch arrives as multiple record batches whose
-        # boundaries (and shuffle-block arrival order) are
-        # nondeterministic under load — sorting chunks independently
-        # would feed the recursion out of event-time order
-        chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            pdf = pd.concat(chunks, ignore_index=True).sort_values(
-                ["ts", "event_id"]
-            )
+        # whole-batch sort (see streaming.microbatch): per-chunk
+        # sorting would feed the recursion out of event-time order
+        pdf = whole_batch(pdfs, ["ts", "event_id"])
+        if pdf is not None:
             for ev_id, v in zip(pdf["event_id"], pdf["value"]):
                 z = (float(v) - mean) / std
                 sp = max(0.0, sp + z - k)
