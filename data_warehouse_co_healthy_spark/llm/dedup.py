@@ -403,7 +403,15 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tf.join(idf, on="tok").select(
         "tok",
         "doc_id",
-        (F.col("tf").cast("decimal(14,6)") * F.col("idf")).alias("w"),
+        # (14,6)×(14,6) → exact DECIMAL(29,12); the downcast to (18,12)
+        # is VALUE-IDENTICAL (same scale, w ≪ 10^6) but keeps the
+        # squares/products below Spark's 38-digit clamp: (29,12)² would
+        # silently round to scale 6, while (18,12)² is exact (37,24) —
+        # matching DuckDB's always-exact widening (ANSI errors loudly
+        # on a genuine overflow instead of rounding)
+        (F.col("tf").cast("decimal(14,6)") * F.col("idf"))
+        .cast("decimal(18,12)")
+        .alias("w"),
     )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("sq")

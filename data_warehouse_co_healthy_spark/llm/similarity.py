@@ -468,7 +468,11 @@ def ivf_index_probe(
 
     probes = queries.mapInPandas(
         probe_batches, schema="query_id long, q_raw array<float>, cell int"
-    )
+    # N_QUERIES×nprobe-row materialization: the distinct-cell collect
+    # AND the broadcast join both consume probes, and Spark shares no
+    # unaliased subplans — without this the query scan + centroid
+    # argsort assignment would run twice
+    ).localCheckpoint()
     cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
@@ -1274,6 +1278,11 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         selected: list[int] = []
         out = []
         for step in range(1, MMR_SELECT + 1):
+            if not remaining:
+                # candidate pool smaller than MMR_SELECT: emit the
+                # short ranking (kcenter_coreset's `if not cand` twin)
+                # instead of crashing on remove(None)
+                break
             best_id, best_score = None, None
             for cid in remaining:
                 if step == 1:

@@ -691,9 +691,18 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps = [F.col("event_type")] + [
         F.lead("event_type", i).over(w) for i in range(1, PATH_LEN)
     ]
+    # F.concat, NOT concat_ws: concat_ws SKIPS null steps, silently
+    # shortening a path containing a null event_type into a bogus
+    # (PATH_LEN-1)-step string; concat propagates the NULL like the
+    # oracle's || chain, so such windows group under the NULL path
+    parts: list = []
+    for i, s in enumerate(steps):
+        if i:
+            parts.append(F.lit(" > "))
+        parts.append(s)
     return (
         ev.select(
-            F.concat_ws(" > ", *steps).alias("path"),
+            F.concat(*parts).alias("path"),
             steps[-1].isNotNull().alias("complete"),
         )
         .filter("complete")

@@ -589,7 +589,15 @@ def incremental_agg_refresh(
 
     split = F.to_date(F.lit(split_date))
     mv = partial(li.filter(F.col("l_shipdate") < split))
-    delta = partial(li.filter(F.col("l_shipdate") >= split))
+    # NULL ship dates fail BOTH three-valued comparisons and would
+    # silently vanish from the refreshed view (the full recompute keeps
+    # them as a NULL-month group) — route them to the delta side
+    delta = partial(
+        li.filter(
+            (F.col("l_shipdate") >= split)
+            | F.col("l_shipdate").isNull()
+        )
+    )
     keys = ["ship_month", "l_returnflag"]
     m, d = mv.alias("m"), delta.alias("d")
     zero = F.lit(0).cast(MONEY)

@@ -254,8 +254,8 @@ def cusum_drift_stream(
     events: DataFrame,
     mean: float,
     std: float,
-    k: float = 0.5,
-    h: float = 4.0,
+    k: float | None = None,
+    h: float | None = None,
 ) -> DataFrame:
     """Streaming CUSUM drift monitor (Page 1954) — the online twin of
     operators.temporal.cusum_changepoints, in the train-offline /
@@ -270,6 +270,13 @@ def cusum_drift_stream(
     order (replay the batch op for exact backfills)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    # default to the BATCH twin's constants so a tuning change there
+    # can't silently drift the online monitor out of agreement
+    from ..operators.temporal import CUSUM_H, CUSUM_K  # noqa: PLC0415
+
+    k = CUSUM_K if k is None else k
+    h = CUSUM_H if h is None else h
 
     out_schema = (
         "event_type string, event_id long, value double, "

@@ -592,16 +592,21 @@ def test_cusum_stream_matches_pure_replay(spark, stream):
         .reset_index(drop=True)
     )
 
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        CUSUM_H,
+        CUSUM_K,
+    )
+
     rows = ev.select("event_type", "event_id", "ts", "value").collect()
     state: dict[str, tuple] = {}
     want = []
     for r in sorted(rows, key=lambda r: (r.event_type, r.ts, r.event_id)):
         sp, sn = state.get(r.event_type, (0.0, 0.0))
         z = (float(r.value) - mean) / std
-        sp = max(0.0, sp + z - 0.5)
-        sn = max(0.0, sn - z - 0.5)
+        sp = max(0.0, sp + z - CUSUM_K)
+        sn = max(0.0, sn - z - CUSUM_K)
         state[r.event_type] = (sp, sn)
-        if sp > 4.0 or sn > 4.0:
+        if sp > CUSUM_H or sn > CUSUM_H:
             want.append((r.event_type, r.event_id, r.value, sp, sn))
     wantdf = (
         pd.DataFrame(
