@@ -218,6 +218,56 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) exact-decimal purchase totals — the shared input
+    of both gap-fill variants, MATERIALIZED once (localCheckpoint):
+    each variant derives the dense grid from this frame AND left-joins
+    observations back onto it, and Spark shares no unaliased subplans,
+    so without the checkpoint the events scan + day-grain aggregate
+    (the only data-sized work) would execute twice per query."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            # exact-decimal sum (functions/numeric.py posture)
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("day_value")
+        )
+        .localCheckpoint()
+    )
+
+
+def _user_day_grid(daily: DataFrame) -> DataFrame:
+    """Dense daily grid spanning each user's [first, last] observed
+    day — grid size = span days, never a cross join."""
+    return (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+
+
+def _daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain exact-decimal order revenue — the shared series input
+    of cusum_changepoints and holt_forecast; materialized because cusum
+    consumes it twice (baseline stats + the Arrow recursion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .localCheckpoint()
+    )
+
+
 def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap fill + forward fill (timescale-style ``time_bucket_gapfill``
     + ``locf``): daily purchase totals per user on a DENSE daily grid —
@@ -232,25 +282,8 @@ def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only row amplification and is bounded by calendar span, not by
     event volume.
     """
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(
-            # exact-decimal sum (functions/numeric.py posture)
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("day_value")
-        )
-    )
-    grid = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-        .select(
-            "user_id",
-            F.explode(F.sequence("d0", "d1")).alias("day"),
-        )
-    )
+    daily = _daily_purchase_values(spark, sf_dir)
+    grid = _user_day_grid(daily)
     w = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -617,14 +650,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date("o_orderdate").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("rev")
-    )
+    daily = _daily_order_revenue(spark, sf_dir)
     stats = daily.agg(
         F.count("*").alias("n"),
         F.sum(F.col("rev").cast("decimal(24,6)")).cast("double").alias("sx"),
@@ -708,7 +734,10 @@ def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("complete")
         .groupBy("path")
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"), "path")
+        # NULLS LAST pinned on BOTH engines: Spark sorts NULL first
+        # ascending, DuckDB last — an unpinned NULL path group tying at
+        # the top-k cut line would diverge
+        .orderBy(F.desc("n"), F.asc_nulls_last("path"))
         .limit(PATH_TOPK)
     )
 
@@ -776,21 +805,8 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     value — still zero joins beyond the grid's. Grid endpoints are
     observed by construction, so every gap is interior and the
     interpolation denominators are never zero."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.to_date("ts").alias("day"))
-        .agg(
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-            .cast("double")
-            .alias("day_value")
-        )
-    )
-    grid = (
-        daily.groupBy("user_id")
-        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
-    )
+    daily = _daily_purchase_values(spark, sf_dir)
+    grid = _user_day_grid(daily)
     wp = (
         Window.partitionBy("user_id")
         .orderBy("day")
@@ -902,14 +918,7 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it bit-deterministic against the oracle's recursive CTE."""
     import pandas as pd  # noqa: PLC0415
 
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.to_date("o_orderdate").alias("day")
-    ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("rev")
-    )
+    daily = _daily_order_revenue(spark, sf_dir)
     seeded = daily.withColumn("g", F.lit(1))
 
     def holt(_key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1048,7 +1057,10 @@ def attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — not one term per touch — keeping the rounded
     totals engine-portable."""
     ev = load_table(spark, sf_dir, "events")
-    is_p = (F.col("event_type") == "purchase").cast("int")
+    # when/otherwise, NOT a bare ==-cast: a NULL event_type must count
+    # as a (NULL-channel) touch like the oracle's CASE...ELSE 0, not
+    # evaluate to NULL and silently drop out of every filter
+    is_p = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     w_cum = Window.partitionBy("user_id").orderBy(
         "ts", "event_id"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1630,7 +1642,7 @@ ORACLES["top_event_paths"] = f"""
     FROM stepped
     WHERE e3 IS NOT NULL
     GROUP BY 1
-    ORDER BY n DESC, path
+    ORDER BY n DESC, path NULLS LAST
     LIMIT {PATH_TOPK}
 """
 
