@@ -220,11 +220,17 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _daily_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(user, day) exact-decimal purchase totals — the shared input
-    of both gap-fill variants, MATERIALIZED once (localCheckpoint):
-    each variant derives the dense grid from this frame AND left-joins
-    observations back onto it, and Spark shares no unaliased subplans,
-    so without the checkpoint the events scan + day-grain aggregate
-    (the only data-sized work) would execute twice per query."""
+    of both gap-fill variants, CACHED once: each variant derives the
+    dense grid from this frame AND left-joins observations back onto
+    it, and Spark shares no unaliased subplans, so without the persist
+    the events scan + day-grain aggregate (the only data-sized work)
+    would execute twice per query.
+
+    persist(), NOT localCheckpoint: this frame is DATA-sized (user-day
+    grain), so lineage must survive executor loss for recomputation at
+    scale, and the InMemoryRelation keeps the upstream plan visible to
+    the shuffle audit and the plan-lint gate (a checkpoint's LogicalRDD
+    would hide it from both)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.filter(F.col("event_type") == "purchase")
@@ -235,7 +241,7 @@ def _daily_purchase_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("day_value")
         )
-        .localCheckpoint()
+        .persist()
     )
 
 
@@ -254,8 +260,10 @@ def _user_day_grid(daily: DataFrame) -> DataFrame:
 
 def _daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain exact-decimal order revenue — the shared series input
-    of cusum_changepoints and holt_forecast; materialized because cusum
-    consumes it twice (baseline stats + the Arrow recursion)."""
+    of cusum_changepoints and holt_forecast; persisted (lazy, lineage
+    kept, plan stays audit-visible) because cusum consumes it twice
+    (baseline stats + the Arrow recursion); holt's single consumption
+    costs one in-memory write, nothing more."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
@@ -264,7 +272,7 @@ def _daily_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("rev")
         )
-        .localCheckpoint()
+        .persist()
     )
 
 
@@ -275,12 +283,13 @@ def gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     span, then carried forward with the most recent observed total.
 
     Engine-added capability (the reference has no time-series surface).
-    Plan shape: one groupBy (user, day) partial-aggregated at the scan,
-    one per-user sequence+explode for the grid (grid size = span days,
-    never a cross join), one window for the fill. At 100 TB all three
-    stages share the user_id shuffle partitioning; the grid explode is
-    the only row amplification and is bounded by calendar span, not by
-    event volume.
+    Plan shape: one groupBy (user, day) partial-aggregated at the scan
+    and CACHED (``_daily_purchase_values`` — the grid derivation and
+    the observation join both consume it), one per-user
+    sequence+explode for the grid (grid size = span days, never a
+    cross join), one window for the fill. The grid explode is the only
+    row amplification and is bounded by calendar span, not by event
+    volume.
     """
     daily = _daily_purchase_values(spark, sf_dir)
     grid = _user_day_grid(daily)

@@ -126,9 +126,11 @@ def sql_api_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-2 gap-fill semantics expressed ENTIRELY as SQL text
     over registered views — proves the ANSI surface covers the advanced
     constructs too (sequence generation via explode, LOCF via
-    ignore-nulls last_value window). Same logical plan as the
-    DataFrame build in operators/temporal.py:gapfill_forward; the
-    oracle is shared with it."""
+    ignore-nulls last_value window). Same SEMANTICS and oracle as the
+    DataFrame build in operators/temporal.py:gapfill_forward — the
+    DataFrame twin additionally caches the shared daily aggregate
+    (SQL text can't express persist), so the SQL plan scans events
+    once per consumer where the DataFrame plan scans once total."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """

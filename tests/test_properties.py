@@ -1156,3 +1156,113 @@ def test_twap_matches_bruteforce(spark, rows):
     for k, (n, tw) in want.items():
         assert got[k][0] == n, k
         assert abs(got[k][1] - tw) < 6e-5, (k, got[k][1], tw)
+
+
+def test_attribution_counts_null_channel_touches(spark):
+    """A NULL event_type is a (NULL-channel) touch, not a dropped row —
+    the fixture has no NULL types, so this pins the when/otherwise
+    is_p semantics (a bare ==-cast yields NULL and silently drops the
+    row) against a hand-built fixture."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        attribution_report,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: NULL-type touch, click, purchase — path of 2 touches
+        (0, base + datetime.timedelta(seconds=10), 1, None),
+        (1, base + datetime.timedelta(seconds=20), 1, "click"),
+        (2, base + datetime.timedelta(seconds=30), 1, "purchase"),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "event_type": pd.array(
+                [r[3] for r in rows], dtype="string"
+            ),
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="ev_null_")
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    got = {
+        r["channel"]: (
+            int(r["touches"]),
+            int(r["first_touch"]),
+            int(r["last_touch"]),
+            float(r["linear_credit"]),
+        )
+        for r in attribution_report(spark, d).collect()
+    }
+    # the NULL channel opens the 2-touch path, click closes it
+    assert got == {
+        None: (1, 1, 0, 0.5),
+        "click": (1, 0, 1, 0.5),
+    }, got
+
+
+def test_top_event_paths_null_propagates_and_sorts_last(spark):
+    """A NULL event_type inside a complete 3-step window must NULL the
+    whole path (concat semantics, like the oracle's || chain — NOT
+    concat_ws, which would silently shorten it) and the NULL path
+    group must sort AFTER string paths on equal counts (NULLS LAST is
+    pinned on both engines)."""
+    import datetime
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        top_event_paths,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # user 1 yields two NULL paths AND one "b > c > d"; user 2 yields
+    # another "b > c > d" — a genuine n=2 TIE between the string path
+    # and the NULL group, exercising the NULLS LAST pin at the cut
+    per_user = {1: ["a", None, "b", "c", "d"],
+                2: ["b", "c", "d"]}
+    recs = []
+    i = 0
+    for uid, types in per_user.items():
+        for t in types:
+            recs.append(
+                (i, base + datetime.timedelta(seconds=10 * i), uid, t)
+            )
+            i += 1
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in recs],
+            "ts": [r[1] for r in recs],
+            "user_id": [r[2] for r in recs],
+            "event_type": pd.array(
+                [r[3] for r in recs], dtype="string"
+            ),
+            "value": [1.0] * len(recs),
+            "props": ["{}"] * len(recs),
+        }
+    )
+    d = tempfile.mkdtemp(prefix="ev_nullpath_")
+    df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+
+    rows = top_event_paths(spark, d).collect()
+    got = [(r["path"], int(r["n"])) for r in rows]
+    # user 1 windows: (a,∅,b)→NULL, (∅,b,c)→NULL, (b,c,d)→path;
+    # incomplete tail windows are filtered by the last-step check
+    assert sorted(got, key=str) == sorted(
+        [("b > c > d", 2), (None, 2)], key=str
+    ), got
+    # the tie-break: equal n=2, and the NULL path group sorts AFTER
+    # the string path (asc_nulls_last ↔ the oracle's NULLS LAST)
+    assert got == [("b > c > d", 2), (None, 2)]
