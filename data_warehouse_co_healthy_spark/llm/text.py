@@ -1045,7 +1045,59 @@ def wilson_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance per source between the
+    AUC_POS_LANG and non-AUC_POS_LANG document-length distributions —
+    the threshold-free distribution-shift screen (did this source's
+    English docs get systematically longer than the rest?) that any
+    corpus-drift monitor runs beside the ROC audit.
+
+    Exact D = max_x |F_pos(x) - F_neg(x)|, computed at DISTINCT-VALUE
+    grain like ``roc_auc_by_source``: one groupBy(source, n_chars)
+    counts the two classes per tied length, per-source cumulative
+    windows build both ECDFs in one pass, and the final per-source max
+    reduces the distinct-length frame. Every window and aggregate is
+    partitioned by source — no global stage at any grain; the only
+    data-sized work is the first partial-aggregated groupBy. Sources
+    with a single class are dropped (D is undefined)."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    g = d.groupBy("source", "n_chars").agg(
+        F.sum(F.when(F.col("lang") == AUC_POS_LANG, 1).otherwise(0)).alias(
+            "np"
+        ),
+        F.sum(F.when(F.col("lang") == AUC_POS_LANG, 0).otherwise(1)).alias(
+            "nn"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    scored = g.select(
+        "source",
+        (F.sum("np").over(wcum).cast("double") / F.sum("np").over(wall))
+        .alias("fpos"),
+        (F.sum("nn").over(wcum).cast("double") / F.sum("nn").over(wall))
+        .alias("fneg"),
+        F.sum("np").over(wall).alias("n_pos"),
+        F.sum("nn").over(wall).alias("n_neg"),
+    )
+    return (
+        scored.groupBy("source", "n_pos", "n_neg")
+        .agg(
+            F.round(F.max(F.abs(F.col("fpos") - F.col("fneg"))), 6).alias(
+                "ks"
+            )
+        )
+        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select("source", "n_pos", "n_neg", "ks")
+    )
+
+
 QUERIES = {
+    "ks_two_sample": ks_two_sample,
     "token_count": token_count,
     "wilson_lang_share": wilson_lang_share,
     "vocab_oov_rate": vocab_oov_rate,
@@ -1080,6 +1132,31 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "ks_two_sample": f"""
+        WITH g AS (
+            SELECT source, n_chars,
+                   sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 1 ELSE 0
+                       END) AS np,
+                   sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 0 ELSE 1
+                       END) AS nn
+            FROM documents GROUP BY source, n_chars
+        ), s AS (
+            SELECT source,
+                   CAST(sum(np) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / sum(np) OVER (PARTITION BY source) AS fpos,
+                   CAST(sum(nn) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                       / sum(nn) OVER (PARTITION BY source) AS fneg,
+                   sum(np) OVER (PARTITION BY source) AS n_pos,
+                   sum(nn) OVER (PARTITION BY source) AS n_neg
+            FROM g
+        )
+        SELECT source, n_pos, n_neg, round(max(abs(fpos - fneg)), 6) AS ks
+        FROM s
+        WHERE n_pos > 0 AND n_neg > 0
+        GROUP BY source, n_pos, n_neg
+    """,
     "chi2_source_lang": """
         WITH cells AS (
             SELECT source, lang, count(*)::BIGINT AS n

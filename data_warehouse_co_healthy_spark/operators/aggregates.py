@@ -907,8 +907,66 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of customer spend per nation —
+    the one-number inequality report ("is revenue concentrated in a few
+    whale accounts?") behind `revenue_pareto`'s full curve.
+
+    Exact rank formula G = (2·Σ r·x − (n+1)·Σx) / (n·Σx) over spend
+    ascending, ties broken by custkey so row_number is deterministic on
+    any engine. r·x products and Σx accumulate in exact decimal
+    ((10,0)×(18,6) → (28,6), order-independent); only the final ratio
+    is float. Plan: one partial-aggregated groupBy(custkey), one
+    shuffle join to customer on the same key grain, a broadcast to the
+    25-row nation dim, and per-nation windows — nothing global, and the
+    rank window rides the nation-key exchange the groupBy needs anyway."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("spend")
+    )
+    j = spend.join(
+        cust.select("c_custkey", "c_nationkey"),
+        spend.o_custkey == cust.c_custkey,
+    ).join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    wr = Window.partitionBy("n_name").orderBy("spend", "o_custkey")
+    wn = Window.partitionBy("n_name")
+    ranked = j.select(
+        "n_name",
+        "spend",
+        F.row_number().over(wr).cast("decimal(10,0)").alias("r"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return (
+        ranked.groupBy("n_name", "n")
+        .agg(
+            F.sum(F.col("r") * F.col("spend")).alias("rx"),
+            F.sum("spend").alias("sx"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n").alias("n_customers"),
+            F.round(
+                (
+                    2.0 * F.col("rx").cast("double")
+                    - (F.col("n") + 1).cast("double")
+                    * F.col("sx").cast("double")
+                )
+                / (F.col("n").cast("double") * F.col("sx").cast("double")),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "gini_by_nation": gini_by_nation,
     "histogram_equiwidth": histogram_equiwidth,
     "brand_affinity_pairs": brand_affinity_pairs,
     "orders_seasonality": orders_seasonality,
@@ -939,6 +997,30 @@ QUERIES = {
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "gini_by_nation": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT n_name,
+                   spend,
+                   CAST(row_number() OVER (PARTITION BY n_name
+                        ORDER BY spend, o_custkey) AS DECIMAL(10,0)) AS r,
+                   count(*) OVER (PARTITION BY n_name) AS n
+            FROM spend
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name AS nation,
+               n AS n_customers,
+               round((2.0 * CAST(sum(r * spend) AS DOUBLE)
+                      - CAST(n + 1 AS DOUBLE) * CAST(sum(spend) AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sum(spend) AS DOUBLE)),
+                     6) AS gini
+        FROM ranked
+        GROUP BY n_name, n
+    """,
     "orders_seasonality": """
         WITH monthly AS (
             SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,

@@ -1175,7 +1175,89 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
+
+
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..ACF_MAX_LAG) of the daily
+    order-revenue series — the diagnostic every forecaster runs before
+    picking a model (a lag-7 spike says "weekly seasonality, use
+    seasonal_naive/Holt-Winters", a slow decay says "trend, difference
+    first").
+
+    Pairs (y_t, y_{t-k}) come from ONE ordered pass: a single lag
+    window produces all ACF_MAX_LAG shifted columns, which unpivot to
+    (lag, x, y) rows, and one groupBy(lag) reduces Pearson sufficient
+    statistics. The series is kept in EXACT decimal end to end —
+    (18,6)² products accumulate as (38,12) with no float ever summed —
+    so the only float math is the final closed-form correlation, which
+    is bit-deterministic from identical exact sums on any engine.
+    Zero-variance sides are dropped (ACF undefined) rather than
+    emitting engine-specific NaN text.
+
+    Scale posture: the data-sized work is the day-grain partial agg of
+    the orders scan; the lag window is a single-partition sort of the
+    CALENDAR-sized (sf-independent, ~2.4k rows) series, same posture as
+    cusum/holt, and the lag unpivot multiplies that tiny frame by
+    ACF_MAX_LAG, never the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    wday = Window.orderBy("day")
+    lags = range(1, ACF_MAX_LAG + 1)
+    lagged = daily.select(
+        "rev",
+        *[F.lag("rev", k).over(wday).alias(f"l{k}") for k in lags],
+    )
+    pairs = (
+        lagged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"),
+                            F.col("rev").alias("x"),
+                            F.col(f"l{k}").alias("y"),
+                        )
+                        for k in lags
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.lag", "p.x", "p.y")
+        .filter(F.col("y").isNotNull())
+    )
+    stats = pairs.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vary = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    cov = nd * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    return (
+        stats.filter((varx > 0) & (vary > 0))
+        .select(
+            "lag",
+            "n",
+            F.round(cov / F.sqrt(varx * vary), 6).alias("acf"),
+        )
+    )
+
+
 QUERIES = {
+    "acf_daily_revenue": acf_daily_revenue,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -1201,6 +1283,51 @@ QUERIES = {
 }
 
 ORACLES = {
+    "acf_daily_revenue": """
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+            FROM orders GROUP BY 1
+        ), lagged AS (
+            SELECT rev,
+                   lag(rev, 1) OVER (ORDER BY day) AS l1,
+                   lag(rev, 2) OVER (ORDER BY day) AS l2,
+                   lag(rev, 3) OVER (ORDER BY day) AS l3,
+                   lag(rev, 4) OVER (ORDER BY day) AS l4,
+                   lag(rev, 5) OVER (ORDER BY day) AS l5,
+                   lag(rev, 6) OVER (ORDER BY day) AS l6,
+                   lag(rev, 7) OVER (ORDER BY day) AS l7
+            FROM daily
+        ), pairs AS (
+            SELECT u.lag, rev AS x, u.y
+            FROM lagged,
+            LATERAL (
+                SELECT * FROM (VALUES (1, l1), (2, l2), (3, l3), (4, l4),
+                                      (5, l5), (6, l6), (7, l7))
+                    AS v(lag, y)
+            ) u
+            WHERE u.y IS NOT NULL
+        ), stats AS (
+            SELECT lag, count(*) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM pairs GROUP BY lag
+        )
+        SELECT CAST(lag AS INT) AS lag, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS acf
+        FROM stats
+        WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+    """,
     "retention_cohorts": """
         WITH cohort AS (
             SELECT user_id, min(date_trunc('week', ts)) AS cohort_week

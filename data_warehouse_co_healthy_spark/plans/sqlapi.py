@@ -159,9 +159,83 @@ def sql_api_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared verbatim by the Spark plan and the DuckDB oracle — both
+# engines implement ANSI recursive CTEs with identical semantics, so
+# one SQL text IS the cross-engine contract.
+REC_HIERARCHY_SQL = """
+WITH RECURSIVE h (p_partkey, root, depth, p_retailprice) AS (
+    SELECT p_partkey, p_partkey, 0, p_retailprice
+    FROM part WHERE p_partkey BETWEEN 1 AND 9
+    UNION ALL
+    SELECT p.p_partkey, h.root, h.depth + 1, p.p_retailprice
+    FROM part p
+    JOIN h ON CAST(FLOOR(p.p_partkey / 10.0) AS BIGINT) = h.p_partkey
+    WHERE p.p_partkey >= 10
+)
+SELECT root,
+       count(*) AS n_nodes,
+       max(depth) AS max_depth,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS subtree_price
+FROM h
+GROUP BY root
+"""
+
+
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE`` / UnionLoop) walking a
+    parent-child hierarchy — the BOM/org-chart query shape no single
+    self-join can express. The part table is given a synthetic decimal
+    hierarchy (parent = partkey / 10) and each root's subtree is
+    aggregated: node count, max depth, exact-decimal subtree price.
+
+    Scale posture: iterations are bounded by tree DEPTH (log10 of the
+    max key — 7 levels at 100 TB part counts, never data-sized), and
+    each level is one hash join of the current frontier against the
+    parts scan; the per-level frontier is the level's fan-out, so the
+    recursion's total work equals one full-table walk. Catalyst plans
+    the loop body with the same partial-agg + pushdown it gives any
+    static join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(REC_HIERARCHY_SQL)
+
+
+LATERAL_TOPK_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+    SELECT c_name, c_acctbal FROM customer c
+    WHERE c.c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name
+    LIMIT 3
+) t
+"""
+
+
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — "top 3
+    customers per nation" written the declarative way. Catalyst
+    DECORRELATES it: the physical plan is a ``WindowGroupLimit``
+    (partial top-k per map task, final per nation) feeding one
+    broadcast join with the 25-row dim — no nested loop, no
+    per-outer-row re-execution, identical shape to the hand-built
+    ``window_topk_per_group``. Verified in PLANS.md; the SQL text is
+    shared verbatim with the DuckDB oracle.
+
+    Scale posture: map-side partial group-limits mean each task emits
+    ≤ k rows per nation before the single nation-key exchange."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer"
+    )
+    return spark.sql(LATERAL_TOPK_SQL)
+
+
 QUERIES = {
     "sql_api_gapfill": sql_api_gapfill,
     "sql_api_revenue": sql_api_revenue,
+    "sql_lateral_topk": sql_lateral_topk,
+    "sql_recursive_hierarchy": sql_recursive_hierarchy,
     "sql_udf_token_count": sql_udf_token_count,
     "sql_udtf_chunks": sql_udtf_chunks,
     "sql_variant_props": sql_variant_props,
@@ -216,6 +290,9 @@ ORACLES = {
         GROUP BY k
     """,
 }
+
+ORACLES["sql_recursive_hierarchy"] = REC_HIERARCHY_SQL
+ORACLES["sql_lateral_topk"] = LATERAL_TOPK_SQL
 
 NO_ORACLE: dict[str, str] = {}
 

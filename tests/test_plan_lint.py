@@ -138,6 +138,10 @@ SINGLE_PARTITION_OK = {
                             # partitioned by bucket
     "theil_sen_slope",      # order-statistic median over the
                             # calendar²-sized pair frame (~3k rows)
+    "acf_daily_revenue",    # lag window over the day-grain
+                            # (sf-independent, calendar-sized) series —
+                            # same posture as cusum/holt; the unpivot
+                            # multiplies that tiny frame by MAX_LAG only
     "holt_forecast",        # sequential recursion on the day-grain
                             # (sf-independent) series in one Arrow task
                             # (same posture as cusum_changepoints)

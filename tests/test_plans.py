@@ -322,3 +322,81 @@ def test_profile_columns_exact_ndv_and_single_expand(spark):
     # scan×(n_cols+1) cost this strategy pays once) and the 1-row
     # stack() unpivot — NOT one job per column
     assert _plan(df).count("Expand") == 2
+
+
+def test_sql_lateral_topk_matches_pandas_nlargest(spark):
+    """Independent reference for the LATERAL top-k — pandas
+    sort+groupby+head, not the SQL text the oracle shares."""
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.plans.sqlapi import (
+        sql_lateral_topk,
+    )
+
+    cust = pd.read_parquet(
+        f"{SF_DIR}/customer.parquet",
+        columns=["c_name", "c_nationkey", "c_acctbal"],
+    )
+    nation = pd.read_parquet(
+        f"{SF_DIR}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    want = (
+        j.sort_values(
+            ["n_name", "c_acctbal", "c_name"],
+            ascending=[True, False, True],
+        )
+        .groupby("n_name")
+        .head(3)
+    )
+    got = sql_lateral_topk(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    want_set = {
+        (r.n_name, r.c_name, round(r.c_acctbal, 4))
+        for r in want.itertuples()
+    }
+    got_set = {
+        (r["n_name"], r["c_name"], round(r["c_acctbal"], 4)) for r in got
+    }
+    assert got_set == want_set
+
+
+def test_sql_recursive_hierarchy_matches_python_walk(spark):
+    """Independent reference for the recursive CTE — an explicit
+    breadth-first walk in Python over the same parent function."""
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.plans.sqlapi import (
+        sql_recursive_hierarchy,
+    )
+
+    part = pd.read_parquet(
+        f"{SF_DIR}/part.parquet", columns=["p_partkey", "p_retailprice"]
+    )
+    price = dict(zip(part["p_partkey"], part["p_retailprice"]))
+    keys = sorted(price)
+    want: dict[int, tuple[int, int, float]] = {}
+    for root in range(1, 10):
+        if root not in price:
+            continue
+        frontier, depth = {root}, 0
+        nodes: dict[int, int] = {root: 0}
+        while frontier:
+            depth += 1
+            frontier = {
+                k for k in keys if k >= 10 and k // 10 in frontier
+            }
+            for k in frontier:
+                nodes[k] = depth
+        want[root] = (
+            len(nodes),
+            max(nodes.values()),
+            round(sum(price[k] for k in nodes), 2),
+        )
+    got = {r["root"]: r for r in sql_recursive_hierarchy(spark, SF_DIR).collect()}
+    assert set(got) == set(want)
+    for root, (n_nodes, max_depth, total) in want.items():
+        r = got[root]
+        assert r["n_nodes"] == n_nodes
+        assert r["max_depth"] == max_depth
+        assert abs(r["subtree_price"] - total) < 1e-6

@@ -116,3 +116,75 @@ def test_gapfill_linear_matches_pandas_interpolation(spark):
         assert abs(r["interp_value"] - v) < 1e-3, (
             r["user_id"], r["day"], r["interp_value"], v,
         )
+
+
+def test_acf_matches_numpy_corrcoef(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        ACF_MAX_LAG,
+        acf_daily_revenue,
+    )
+
+    ys = _orders_daily().to_numpy(dtype=np.float64)
+    got = {r["lag"]: r for r in acf_daily_revenue(spark, SF_DIR).collect()}
+    assert set(got) == set(range(1, ACF_MAX_LAG + 1))
+    for k in range(1, ACF_MAX_LAG + 1):
+        x, y = ys[k:], ys[:-k]
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert got[k]["n"] == len(x)
+        assert abs(got[k]["acf"] - want) < 1e-6, (k, got[k]["acf"], want)
+
+
+def test_gini_matches_pure_python_mean_abs_difference(spark):
+    """Gini via the DEFINITION — mean absolute difference / (2·mean) —
+    not the rank formula the engine and oracle share."""
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        gini_by_nation,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    spend = orders.groupby("o_custkey")["o_totalprice"].sum().reset_index()
+    j = spend.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    got = {r["nation"]: r for r in gini_by_nation(spark, SF_DIR).collect()}
+    assert set(got) == set(j["n_name"].unique())
+    for name, grp in j.groupby("n_name"):
+        xs = grp["o_totalprice"].to_numpy(dtype=np.float64)
+        n = len(xs)
+        mad = np.abs(xs[:, None] - xs[None, :]).sum() / (n * n)
+        want = mad / (2.0 * xs.mean())
+        assert got[name]["n_customers"] == n
+        assert abs(got[name]["gini"] - want) < 1e-6, (
+            name, got[name]["gini"], want,
+        )
+
+
+def test_ks_matches_brute_force_ecdf(spark):
+    """KS distance by evaluating BOTH full ECDFs at every pooled point
+    — the O(n²) definition, not the cumulative-window construction."""
+    from data_warehouse_co_healthy_spark.llm.text import (
+        AUC_POS_LANG,
+        ks_two_sample,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    got = {r["source"]: r for r in ks_two_sample(spark, SF_DIR).collect()}
+    for src, grp in docs.groupby("source"):
+        pos = grp.loc[grp["lang"] == AUC_POS_LANG, "n_chars"].to_numpy()
+        neg = grp.loc[grp["lang"] != AUC_POS_LANG, "n_chars"].to_numpy()
+        if len(pos) == 0 or len(neg) == 0:
+            assert src not in got
+            continue
+        pooled = np.unique(np.concatenate([pos, neg]))
+        fpos = (pos[:, None] <= pooled[None, :]).mean(axis=0)
+        fneg = (neg[:, None] <= pooled[None, :]).mean(axis=0)
+        want = float(np.abs(fpos - fneg).max())
+        r = got[src]
+        assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+        assert abs(r["ks"] - want) < 1e-6, (src, r["ks"], want)
