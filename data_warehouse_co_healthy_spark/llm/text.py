@@ -1045,6 +1045,77 @@ def wilson_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits, ∈ [0,1]) between every
+    two sources' unigram token distributions — the corpus-similarity
+    matrix behind data-mixing decisions ("is src3 just src9 again?"
+    before weighting them separately) and the symmetric, always-finite
+    alternative to KL.
+
+    Decomposition that never materializes the union vocabulary per
+    pair: shared-token terms come from ONE token-grain self-join of the
+    per-source probability table (each join key holds ≤ |sources| rows,
+    so per-key fan-out is ≤ |sources|², bounded regardless of corpus
+    size), and each side's disjoint-token mass needs no scan at all —
+    a token absent from the other source contributes p·log2(2p/p) =
+    p·1 bit, so the whole one-sided tail is (1 − Σ_shared p)/2, closed
+    form from the same aggregate. Data-sized work is exactly one
+    explode + one (source, token) groupBy; totals broadcast at
+    |sources| rows."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "w",
+        (F.col("c").cast("double") / F.col("tot")).alias("p"),
+    )
+    log2 = F.log(F.lit(2.0))
+    pairs = (
+        probs.alias("a")
+        .join(probs.alias("b"), on="w")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("s1"),
+            F.col("b.source").alias("s2"),
+            F.col("a.p").alias("p"),
+            F.col("b.p").alias("q"),
+        )
+    )
+    return (
+        pairs.groupBy("s1", "s2")
+        .agg(
+            F.count("*").alias("shared_tokens"),
+            F.sum(
+                F.col("p")
+                * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q")))
+                / log2
+            ).alias("t1"),
+            F.sum(
+                F.col("q")
+                * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q")))
+                / log2
+            ).alias("t2"),
+            F.sum("p").alias("p1s"),
+            F.sum("q").alias("p2s"),
+        )
+        .select(
+            "s1",
+            "s2",
+            "shared_tokens",
+            F.round(
+                0.5 * (F.col("t1") + 1.0 - F.col("p1s"))
+                + 0.5 * (F.col("t2") + 1.0 - F.col("p2s")),
+                4,
+            ).alias("jsd"),
+        )
+    )
+
+
 def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov distance per source between the
     AUC_POS_LANG and non-AUC_POS_LANG document-length distributions —
@@ -1097,6 +1168,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "js_divergence_sources": js_divergence_sources,
     "ks_two_sample": ks_two_sample,
     "token_count": token_count,
     "wilson_lang_share": wilson_lang_share,
@@ -1132,6 +1204,30 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "js_divergence_sources": """
+        WITH words AS (
+            SELECT source,
+                   unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                       AS w
+            FROM documents
+        ), counts AS (
+            SELECT source, w, count(*) AS c FROM words GROUP BY source, w
+        ), totals AS (
+            SELECT source, sum(c) AS tot FROM counts GROUP BY source
+        ), probs AS (
+            SELECT counts.source, w, CAST(c AS DOUBLE) / tot AS p
+            FROM counts JOIN totals ON counts.source = totals.source
+        )
+        SELECT a.source AS s1, b.source AS s2,
+               count(*) AS shared_tokens,
+               round(0.5 * (sum(a.p * log2(2 * a.p / (a.p + b.p))) + 1
+                            - sum(a.p))
+                     + 0.5 * (sum(b.p * log2(2 * b.p / (a.p + b.p))) + 1
+                              - sum(b.p)),
+                     4) AS jsd
+        FROM probs a JOIN probs b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
     "ks_two_sample": f"""
         WITH g AS (
             SELECT source, n_chars,

@@ -243,6 +243,76 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extendedprice per
+    return flag — the monotonic-association twin of
+    ``correlation_stats``'s Pearson (robust to outliers and any
+    monotone transform; Pearson-vs-Spearman disagreement is the classic
+    nonlinearity flag).
+
+    Tied values get AVERAGE ranks via ``2·avg_rank = 2·rank + ties − 1``
+    (kept doubled so ranks stay integral), and Spearman is Pearson on
+    those ranks — affine-invariant, so the doubling cancels. Rank
+    products accumulate in exact decimal; the closed-form correlation is
+    the only float op, bit-deterministic from identical exact sums.
+
+    Scale posture: the rank windows partition by the LOW-cardinality
+    flag (3 groups), so each window task sorts N/3 rows — fine to
+    ~100 GB/group, and the documented 100 TB swap is the same one
+    quality_calibration names: distinct-value-grain ECDF ranks (both
+    measures here have bounded distinct values) joined back to the
+    joint (flag, qty, price) aggregate, which makes every stage
+    key-grain."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wqt = Window.partitionBy("l_returnflag", "l_quantity")
+    wp = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    wpt = Window.partitionBy("l_returnflag", "l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        (2 * F.rank().over(wq) + F.count("*").over(wqt) - 1)
+        .cast("decimal(20,0)")
+        .alias("rx"),
+        (2 * F.rank().over(wp) + F.count("*").over(wpt) - 1)
+        .cast("decimal(20,0)")
+        .alias("ry"),
+    )
+    st = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    return st.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            (
+                nd * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    nd * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                )
+                * (
+                    nd * F.col("syy").cast("double")
+                    - F.col("sy").cast("double")
+                    * F.col("sy").cast("double")
+                )
+            ),
+            6,
+        ).alias("spearman"),
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts —
     made SELF-VERIFYING: the sketch estimate is compared against the
@@ -991,12 +1061,44 @@ QUERIES = {
     "winsorized_stats": winsorized_stats,
     "central_tendency": central_tendency,
     "correlation_stats": correlation_stats,
+    "spearman_by_group": spearman_by_group,
     "approx_distinct": approx_distinct,
 }
 
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "spearman_by_group": """
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_quantity)
+                        + count(*) OVER (PARTITION BY l_returnflag,
+                                         l_quantity)
+                        - 1 AS DECIMAL(20,0)) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag
+                                         ORDER BY l_extendedprice)
+                        + count(*) OVER (PARTITION BY l_returnflag,
+                                         l_extendedprice)
+                        - 1 AS DECIMAL(20,0)) AS ry
+            FROM lineitem
+        ), st AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(rx) AS sx, sum(ry) AS sy, sum(rx * ry) AS sxy,
+                   sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))),
+                     6) AS spearman
+        FROM st
+    """,
     "gini_by_nation": """
         WITH spend AS (
             SELECT o_custkey,

@@ -1175,6 +1175,106 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort lifetime-value curve — cumulative revenue per user
+    by cohort age, the growth metric behind "do newer cohorts monetize
+    faster?". Complements ``retention_cohorts`` (activity) with the
+    revenue dimension.
+
+    Each user's cohort is their first purchase week (one user-grain
+    aggregate); purchases re-join that frame on the SAME user key (the
+    exchange is shared), aggregate to (cohort, age-week) grain in exact
+    decimal, and the running LTV is a cumulative window over that
+    calendar²-bounded frame. Cohort sizes broadcast (≤ #weeks rows).
+    Division by cohort_users happens AFTER the exact cumulative sum, so
+    the only float op is the final ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        F.col("value").cast("decimal(18,6)").alias("val"),
+    )
+    cohort = p.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    aged = p.join(cohort, "user_id").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        F.datediff(F.col("wk"), F.col("cohort_week")).alias("age_days"),
+        "val",
+    )
+    # cohort frame is already user-unique, so count(*) IS user count
+    sized = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    weekly = aged.groupBy(
+        "cohort_week", (F.col("age_days") / 7).cast("int").alias("age_weeks")
+    ).agg(F.sum("val").alias("wk_rev"))
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        weekly.withColumn("cum_rev", F.sum("wk_rev").over(wc))
+        .join(
+            F.broadcast(
+                sized.select(
+                    F.date_format("cohort_week", "yyyy-MM-dd").alias(
+                        "cohort_week"
+                    ),
+                    "cohort_users",
+                )
+            ),
+            "cohort_week",
+        )
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "cohort_users",
+            F.round(F.col("wk_rev").cast("double"), 4).alias(
+                "week_revenue"
+            ),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_users"), 4
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
+def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC (open/high/low/close) bars over purchase values — the
+    canonical downsampling of any tick-grain stream, and the showcase
+    for ``min_by``/``max_by`` ordered-aggregates: open and close come
+    from ONE hash aggregate keyed on a (ts, event_id) struct (the
+    event_id tiebreak pins simultaneous ticks deterministically), so
+    there is no window, no sort, and the whole bar builds map-side in a
+    single partial-aggregated groupBy — the plan you want when
+    downsampling 100 TB of ticks to calendar-sized bars. Volume
+    accumulates in exact decimal."""
+    ev = load_table(spark, sf_dir, "events")
+    pv = ev.filter(F.col("event_type") == "purchase").select(
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id").alias("k"),
+        "value",
+    )
+    return pv.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.round(F.min_by("value", "k"), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max_by("value", "k"), 4).alias("close"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+        ).alias("volume"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_trades",
+        "open",
+        "high",
+        "low",
+        "close",
+        "volume",
+    )
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -1258,6 +1358,8 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "acf_daily_revenue": acf_daily_revenue,
+    "cohort_ltv": cohort_ltv,
+    "ohlc_daily": ohlc_daily,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -1283,6 +1385,54 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_ltv": """
+        WITH p AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS wk,
+                   CAST(value AS DECIMAL(18,6)) AS val
+            FROM events WHERE event_type = 'purchase'
+        ), cohort AS (
+            SELECT user_id, min(wk) AS cohort_week FROM p GROUP BY user_id
+        ), sized AS (
+            SELECT cohort_week, count(*) AS cohort_users
+            FROM cohort GROUP BY cohort_week
+        ), weekly AS (
+            SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+                   CAST(datediff('day', c.cohort_week, p.wk) / 7 AS INT)
+                       AS age_weeks,
+                   sum(val) AS wk_rev
+            FROM p JOIN cohort c ON p.user_id = c.user_id
+            GROUP BY 1, 2
+        )
+        SELECT w.cohort_week, w.age_weeks, s.cohort_users,
+               round(CAST(w.wk_rev AS DOUBLE), 4) AS week_revenue,
+               round(CAST(sum(w.wk_rev) OVER (PARTITION BY w.cohort_week
+                          ORDER BY w.age_weeks ROWS UNBOUNDED PRECEDING)
+                          AS DOUBLE) / s.cohort_users, 4) AS ltv_per_user
+        FROM weekly w
+        JOIN sized s ON w.cohort_week = strftime(s.cohort_week, '%Y-%m-%d')
+    """,
+    "ohlc_daily": """
+        WITH pv AS (
+            SELECT CAST(ts AS DATE) AS day, value,
+                   row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rn_d
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               count(*) AS n_trades,
+               round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+               round(max(value), 4) AS high,
+               round(min(value), 4) AS low,
+               round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                   AS volume
+        FROM pv
+        GROUP BY day
+    """,
     "acf_daily_revenue": """
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS day,

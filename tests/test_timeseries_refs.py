@@ -188,3 +188,118 @@ def test_ks_matches_brute_force_ecdf(spark):
         r = got[src]
         assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
         assert abs(r["ks"] - want) < 1e-6, (src, r["ks"], want)
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        spearman_by_group,
+    )
+
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in spearman_by_group(spark, SF_DIR).collect()
+    }
+    for flag, grp in li.groupby("l_returnflag"):
+        # scipy isn't installed: average ranks by hand + plain Pearson
+        rx = grp["l_quantity"].rank(method="average")
+        ry = grp["l_extendedprice"].rank(method="average")
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        r = got[flag]
+        assert r["n"] == len(grp)
+        assert abs(r["spearman"] - want) < 1e-6, (flag, r["spearman"], want)
+
+
+def test_jsd_matches_scipy_free_reference(spark):
+    """JSD recomputed from full per-source distributions with numpy
+    over the UNION vocabulary — not the shared-token decomposition."""
+    import re
+
+    from data_warehouse_co_healthy_spark.llm.text import (
+        js_divergence_sources,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    dist: dict[str, pd.Series] = {}
+    for src, grp in docs.groupby("source"):
+        toks = pd.Series(
+            [w for t in grp["text"] for w in re.split(r"\s+",
+                                                      t.strip().lower())]
+        )
+        dist[src] = toks.value_counts() / len(toks)
+    got = {(r["s1"], r["s2"]): r
+           for r in js_divergence_sources(spark, SF_DIR).collect()}
+    srcs = sorted(dist)
+    checked = 0
+    for i, s1 in enumerate(srcs):
+        for s2 in srcs[i + 1:]:
+            p = dist[s1]
+            q = dist[s2]
+            vocab = p.index.union(q.index)
+            pv = p.reindex(vocab, fill_value=0.0).to_numpy()
+            qv = q.reindex(vocab, fill_value=0.0).to_numpy()
+            m = (pv + qv) / 2.0
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t1 = np.where(pv > 0, pv * np.log2(pv / m), 0.0).sum()
+                t2 = np.where(qv > 0, qv * np.log2(qv / m), 0.0).sum()
+            want = 0.5 * (t1 + t2)
+            r = got[(s1, s2)]
+            assert abs(r["jsd"] - want) < 1e-4, (s1, s2, r["jsd"], want)
+            checked += 1
+    assert checked == len(got)
+
+
+def test_ohlc_matches_pandas_first_last(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        ohlc_daily,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.strftime("%Y-%m-%d")
+    ev = ev.sort_values(["day", "ts", "event_id"])
+    got = {r["day"]: r for r in ohlc_daily(spark, SF_DIR).collect()}
+    assert set(got) == set(ev["day"].unique())
+    for day, grp in ev.groupby("day"):
+        r = got[day]
+        assert r["n_trades"] == len(grp)
+        assert abs(r["open"] - grp["value"].iloc[0]) < 1e-4
+        assert abs(r["close"] - grp["value"].iloc[-1]) < 1e-4
+        assert abs(r["high"] - grp["value"].max()) < 1e-4
+        assert abs(r["low"] - grp["value"].min()) < 1e-4
+        assert abs(r["volume"] - round(grp["value"].sum(), 4)) < 1e-3
+
+
+def test_cohort_ltv_matches_pandas_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        cohort_ltv,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    wk = pd.to_datetime(ev["ts"]).dt.to_period("W").dt.start_time
+    ev["wk"] = wk
+    first = ev.groupby("user_id")["wk"].min().rename("cohort")
+    ev = ev.join(first, on="user_id")
+    ev["age_weeks"] = ((ev["wk"] - ev["cohort"]).dt.days // 7).astype(int)
+    ev["cohort_week"] = ev["cohort"].dt.strftime("%Y-%m-%d")
+    sizes = first.reset_index().groupby("cohort")["user_id"].nunique()
+    weekly = (
+        ev.groupby(["cohort_week", "age_weeks"])["value"].sum().sort_index()
+    )
+    got = {
+        (r["cohort_week"], r["age_weeks"]): r
+        for r in cohort_ltv(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(weekly.index)
+    for (cw, age), rev in weekly.items():
+        r = got[(cw, age)]
+        cum = weekly.loc[cw].loc[:age].sum()
+        users = sizes[pd.Timestamp(cw)]
+        assert r["cohort_users"] == users
+        assert abs(r["week_revenue"] - round(rev, 4)) < 1e-3
+        assert abs(r["ltv_per_user"] - cum / users) < 1e-3, (cw, age)
