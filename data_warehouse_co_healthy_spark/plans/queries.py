@@ -124,8 +124,9 @@ PRIORITY: tuple[str, ...] = (
     "fact_facturacion_star",
     "fact_retiro_star",
     "fact_service_star",
-    # §2.7 set ops / dedup (U1-U4; except_keys rotated out round 5)
-    "union_by_name",
+    # §2.7 set ops / dedup (U1-U4; except_keys rotated out round 5,
+    # union_by_name rotated out sixth rotation — dedup_rows keeps the
+    # family repped, and unionByName runs inside several local tests)
     "dedup_rows",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
     # (month_name_mapping rotated out round 5 — F6 stays local-green)
@@ -133,13 +134,14 @@ PRIORITY: tuple[str, ...] = (
     "date_dim_generate",
     # §1.1/O3 in-plan surrogate keys
     "surrogate_keys",
-    # §2.5 aggregation surface (family representatives)
+    # §2.5 aggregation surface (family representatives; rollup_sales
+    # rotated out sixth rotation — rollup/cube/grouping-sets stay
+    # local-green and pivot_status keeps the multi-dim shape graded)
     "q1_pricing_summary",
     "supplier_scorecard",
-    "rollup_sales",
     "pivot_status",
-    # TPC-H star-query family
-    "q3_shipping_priority",
+    # TPC-H star-query family (q3 rotated out sixth rotation — the
+    # global-top-k shape stays graded via window_topk_per_group)
     "q5_local_supplier",
     # engine-added temporal operator (as-of join)
     "asof_join",
@@ -147,12 +149,13 @@ PRIORITY: tuple[str, ...] = (
     "window_range_frame",
     "window_topk_per_group",
     "order_limit_topk",
-    # LLM-pipeline operators (dedup / similarity / text)
+    # LLM-pipeline operators (dedup / similarity / text; simhash_pairs,
+    # cosine_topk and token_count rotated out sixth rotation —
+    # minhash_lsh keeps near-dup pairs graded, hybrid_search_rrf and
+    # mmr_rerank keep similarity graded, text_quality/gopher keep text
+    # stats graded)
     "dedup_exact",
     "minhash_lsh_pairs",
-    "simhash_pairs",
-    "cosine_topk",
-    "token_count",
     "text_quality",
     # round-4 rotation: heavies never driver-graded before (all with
     # full DuckDB oracles)
@@ -182,6 +185,17 @@ PRIORITY: tuple[str, ...] = (
     # round-5 fifth rotation: probabilistic linkage + TWAP
     "fellegi_sunter_links",
     "twap_daily",
+    # round-5 sixth rotation: the recursive-CTE SQL surface, the
+    # statistics screens (KS drift, Gini concentration, ACF
+    # diagnostics, pairwise JSD corpus similarity) and min_by/max_by
+    # OHLC bars — all with full DuckDB oracles and independent
+    # brute-force reference tests
+    "sql_recursive_hierarchy",
+    "ks_two_sample",
+    "gini_by_nation",
+    "acf_daily_revenue",
+    "js_divergence_sources",
+    "ohlc_daily",
 )
 
 
