@@ -964,6 +964,75 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def holt_forecast_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED Holt smoothing — one independent level+trend recursion
+    per nation's daily-revenue series. This is the shape that matters
+    at 100 TB: ``holt_forecast`` shows the single-series recursion;
+    real fleets forecast THOUSANDS of series (one per store / SKU /
+    tenant), and the grouped form runs them all in one job — each
+    series is one ``applyInPandas`` task keyed by nation, so
+    parallelism scales with series count while each recursion stays
+    sequential only over its own calendar-sized series. Same literals,
+    same IEEE op sequence, bit-deterministic vs the grouped
+    recursive-CTE oracle; <2-point series emit nothing (trend needs
+    two points), matching the oracle's anchor join."""
+    import pandas as pd  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+
+    def holt_g(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = list(pdf["rev"])
+        if len(ys) < 2:
+            return pd.DataFrame(
+                columns=[
+                    "nation", "day", "rev", "level", "trend",
+                    "forecast", "abs_err",
+                ]
+            )
+        days = [str(d) for d in pdf["day"]]
+        lvl = ys[0]
+        trd = ys[1] - ys[0]
+        rows = [(key[0], days[0], ys[0], lvl, trd, None, None)]
+        for day, y in zip(days[1:], ys[1:]):
+            fc = lvl + trd
+            new_lvl = HOLT_A * y + HOLT_1A * (lvl + trd)
+            trd = HOLT_B * (new_lvl - lvl) + HOLT_1B * trd
+            lvl = new_lvl
+            rows.append((key[0], day, y, lvl, trd, fc, abs(y - fc)))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "nation", "day", "rev", "level", "trend", "forecast",
+                "abs_err",
+            ],
+        )
+
+    return daily.groupBy("n_name").applyInPandas(
+        holt_g,
+        schema="nation string, day string, rev double, level double, "
+        "trend double, forecast double, abs_err double",
+    )
+
+
 # Survival analysis: a user whose last event falls within this many
 # days of the observation end is CENSORED (still active, lifetime only
 # known to exceed what we saw), not churned.
@@ -1373,6 +1442,7 @@ QUERIES = {
     "gapfill_linear": gapfill_linear,
     "theil_sen_slope": theil_sen_slope,
     "holt_forecast": holt_forecast,
+    "holt_forecast_by_nation": holt_forecast_by_nation,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
     "rolling_active_users": rolling_active_users,
@@ -1801,6 +1871,42 @@ ORACLES["holt_forecast"] = f"""
         FROM y JOIN rec ON y.rn = rec.rn + 1
     )
     SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
+           forecast, abs_err
+    FROM rec
+"""
+
+ORACLES["holt_forecast_by_nation"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ), y AS (
+        SELECT nation, day, rev,
+               row_number() OVER (PARTITION BY nation ORDER BY day) AS rn
+        FROM daily
+    ), rec AS (
+        SELECT a.nation, a.day, a.rev, a.rn,
+               a.rev AS level,
+               b.rev - a.rev AS trend,
+               CAST(NULL AS DOUBLE) AS forecast,
+               CAST(NULL AS DOUBLE) AS abs_err
+        FROM y a JOIN y b ON a.rn = 1 AND b.rn = 2 AND a.nation = b.nation
+        UNION ALL
+        SELECT y.nation, y.day, y.rev, y.rn,
+               {HOLT_A} * y.rev + {HOLT_1A} * (rec.level + rec.trend),
+               {HOLT_B} * (({HOLT_A} * y.rev
+                            + {HOLT_1A} * (rec.level + rec.trend))
+                           - rec.level)
+                   + {HOLT_1B} * rec.trend,
+               rec.level + rec.trend,
+               abs(y.rev - (rec.level + rec.trend))
+        FROM y JOIN rec ON y.rn = rec.rn + 1 AND y.nation = rec.nation
+    )
+    SELECT nation, CAST(day AS VARCHAR) AS day, rev, level, trend,
            forecast, abs_err
     FROM rec
 """

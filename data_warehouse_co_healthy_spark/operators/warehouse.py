@@ -622,7 +622,68 @@ def incremental_agg_refresh(
     )
 
 
+DP_EPS = 1.0  # Laplace privacy budget, shared verbatim with the oracle
+
+
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    sensitivity 1) over the (nation, market-segment) customer counts —
+    the aggregate-publication counterpart of the k-anonymity /
+    l-diversity / t-closeness audits: instead of gating a release, it
+    perturbs it with Laplace(1/ε) noise so any single customer's
+    presence changes each count's distribution by at most e^ε.
+
+    The noise is drawn by INVERSE-CDF from an md5-keyed uniform (the
+    bootstrap_ci trick): deterministic per group, hence replayable and
+    oracle-checkable — a production release would swap the seed column
+    for true randomness; the mechanism, sensitivity bound, and plan
+    shape are identical. The u = 0 endpoint is clamped at 2⁻³² so
+    ln(·) never sees 0. One partial-aggregated groupBy over the
+    broadcast-dim join; noise is a per-group scalar expression —
+    nothing beyond the count's own exchange at any scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cnt = (
+        cust.join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("true_n"))
+    )
+    # F.concat (NULL-propagating, = SQL ||), NOT concat_ws (skips nulls)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("n_name"), F.lit("|"), F.col("c_mktsegment")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    v = u - 0.5
+    noise = (
+        -(1.0 / DP_EPS)
+        * F.signum(v)
+        * F.log(F.greatest(1.0 - 2.0 * F.abs(v), F.lit(2.0 ** -32)))
+    )
+    return cnt.select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+        F.lit(float(DP_EPS)).alias("epsilon"),
+    )
+
+
 QUERIES = {
+    "dp_noisy_counts": dp_noisy_counts,
     "dq_expectation_report": dq_expectation_report,
     "incremental_agg_refresh": incremental_agg_refresh,
     "fk_containment_profile": fk_containment_profile,
@@ -645,6 +706,26 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "dp_noisy_counts": f"""
+        WITH cnt AS (
+            SELECT n_name AS nation, c_mktsegment AS segment,
+                   count(*) AS true_n
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1, 2
+        ), seeded AS (
+            SELECT nation, segment, true_n,
+                   ('0x' || substr(md5(nation || '|' || segment), 1, 8))
+                       ::BIGINT / 4294967296.0 - 0.5 AS v
+            FROM cnt
+        )
+        SELECT nation, segment,
+               round(true_n + (-(1.0 / {DP_EPS}) * sign(v)
+                     * ln(greatest(1.0 - 2.0 * abs(v),
+                                   2.3283064365386963e-10))),
+                     4) AS noisy_count,
+               {float(DP_EPS)} AS epsilon
+        FROM seeded
+    """,
     "join_cardinality_estimate": """
         WITH na AS (SELECT l_orderkey AS k, count(*) AS n_a
                     FROM lineitem GROUP BY 1),

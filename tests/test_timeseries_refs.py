@@ -303,3 +303,87 @@ def test_cohort_ltv_matches_pandas_replay(spark):
         assert r["cohort_users"] == users
         assert abs(r["week_revenue"] - round(rev, 4)) < 1e-3
         assert abs(r["ltv_per_user"] - cum / users) < 1e-3, (cw, age)
+
+
+def test_grouped_holt_matches_pure_python_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        HOLT_1A,
+        HOLT_1B,
+        HOLT_A,
+        HOLT_B,
+        holt_forecast_by_nation,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate",
+                                      "o_totalprice"])
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{SF_DIR}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    j = j.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    j["day"] = pd.to_datetime(j["o_orderdate"]).dt.strftime("%Y-%m-%d")
+    daily = (
+        j.groupby(["n_name", "day"])["o_totalprice"].sum().sort_index()
+    )
+    got = {
+        (r["nation"], r["day"]): r
+        for r in holt_forecast_by_nation(spark, SF_DIR).collect()
+    }
+    n_checked = 0
+    for nation in daily.index.get_level_values(0).unique():
+        ser = daily.loc[nation]
+        ys = ser.to_numpy(dtype=np.float64)
+        if len(ys) < 2:
+            assert not any(k[0] == nation for k in got)
+            continue
+        lvl, trd = ys[0], ys[1] - ys[0]
+        r0 = got[(nation, ser.index[0])]
+        assert r0["forecast"] is None
+        for day, y in zip(ser.index[1:], ys[1:]):
+            fc = lvl + trd
+            new_lvl = HOLT_A * y + HOLT_1A * (lvl + trd)
+            trd = HOLT_B * (new_lvl - lvl) + HOLT_1B * trd
+            lvl = new_lvl
+            r = got[(nation, day)]
+            assert abs(r["forecast"] - fc) < 1e-3, (nation, day)
+            assert abs(r["level"] - lvl) < 1e-3
+            n_checked += 1
+    assert n_checked > 0 and n_checked + 25 >= len(got)
+
+
+def test_dp_noisy_counts_matches_hashlib_laplace(spark):
+    """Replays the md5-seeded Laplace draw with python hashlib + math
+    (independent of both engines' md5/ln) and re-derives each noisy
+    count from the TRUE pandas count."""
+    import hashlib
+    import math
+
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        DP_EPS,
+        dp_noisy_counts,
+    )
+
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"])
+    nat = pd.read_parquet(f"{SF_DIR}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    j = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    true = j.groupby(["n_name", "c_mktsegment"]).size()
+    got = {(r["nation"], r["segment"]): r
+           for r in dp_noisy_counts(spark, SF_DIR).collect()}
+    assert set(got) == set(true.index)
+    for (nation, seg), n in true.items():
+        u = int(
+            hashlib.md5(f"{nation}|{seg}".encode()).hexdigest()[:8], 16
+        ) / 4294967296.0
+        v = u - 0.5
+        noise = (
+            -(1.0 / DP_EPS)
+            * math.copysign(1.0, v)
+            * math.log(max(1.0 - 2.0 * abs(v), 2.0 ** -32))
+        )
+        r = got[(nation, seg)]
+        assert abs(r["noisy_count"] - (n + noise)) < 1e-3, (nation, seg)
+        assert r["epsilon"] == DP_EPS

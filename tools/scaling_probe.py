@@ -94,6 +94,15 @@ PROBES = [
     "wilson_lang_share",
     "fellegi_sunter_links",
     "twap_daily",
+    "sql_recursive_hierarchy",
+    "sql_lateral_topk",
+    "ks_two_sample",
+    "gini_by_nation",
+    "acf_daily_revenue",
+    "js_divergence_sources",
+    "spearman_by_group",
+    "cohort_ltv",
+    "ohlc_daily",
 ]
 
 
