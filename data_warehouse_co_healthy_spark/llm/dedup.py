@@ -1406,6 +1406,69 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 2         # minimum within-core degree, shared with the test
+MAX_KCORE_ITERS = 30  # peel-rounds safety cap (rounds ≤ peel depth)
+
+
+def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (Seidman 1983) of the LSH candidate-pair
+    graph: iteratively peel nodes with degree < KCORE_K until the
+    residual graph is stable; survivors form the maximal subgraph where
+    EVERY doc has ≥ k near-dup partners. The densest-cluster gate the
+    graph suite was missing between triangles (local density) and
+    connected components (reachability): a doc in the 2-core sits in a
+    genuinely redundant cluster, a degree-1 pendant is a borderline
+    pair an aggressive dedup policy should re-verify, not collapse.
+
+    Each peel round is one degree aggregate + one semi-join per edge
+    endpoint — edge-grain shuffles only; the loop's driver action is a
+    scalar count (strictly decreasing until fixpoint, so rounds are
+    bounded by peel depth, not graph size). ``localCheckpoint``
+    truncates lineage per round (``checkpoint`` to HDFS on a real
+    cluster). Not SQL-expressible (per-round aggregation over the
+    recursive term), so the oracle is a pure-Python peel reference in
+    tests/test_llm.py instead of DuckDB. Fails loudly on cap
+    exhaustion — a silently partial peel would overstate core sizes."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS s", "doc_b AS d")
+        .unionByName(pairs.selectExpr("doc_b AS s", "doc_a AS d"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = edges.count()
+    converged = prev == 0
+    for _ in range(MAX_KCORE_ITERS):
+        if converged:
+            break
+        keep = (
+            edges.groupBy("s")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("s")
+        )
+        edges = (
+            edges.join(keep, "s", "left_semi")
+            .join(keep.selectExpr("s AS d"), "d", "left_semi")
+            .localCheckpoint()
+        )
+        cur = edges.count()
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"kcore_near_dup: no fixpoint after {MAX_KCORE_ITERS} "
+            "peel rounds — raise MAX_KCORE_ITERS"
+        )
+    return (
+        edges.groupBy("s")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .selectExpr("s AS doc_id", "core_degree")
+    )
+
+
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + local clustering coefficient over the LSH
     candidate-pair graph: how CLIQUE-LIKE each near-dup neighborhood is.
@@ -1616,6 +1679,7 @@ QUERIES = {
     "fellegi_sunter_links": fellegi_sunter_links,
     "fellegi_sunter_em": fellegi_sunter_em,
     "pagerank_near_dup": pagerank_near_dup,
+    "kcore_near_dup": kcore_near_dup,
     "dedup_graph_triangles": dedup_graph_triangles,
     "snm_adjacent_pairs": snm_adjacent_pairs,
     "source_overlap_matrix": source_overlap_matrix,
@@ -2076,6 +2140,10 @@ NO_ORACLE: dict[str, str] = {
     "doubles — deterministic up to float summation order, so no hash "
     "oracle; equivalence with a pure-Python power-iteration reference "
     "(atol 1e-9) and sum-to-one are pinned in tests/test_llm.py",
+    "kcore_near_dup": "iterative degree-peel to a fixpoint — each "
+    "round re-aggregates degrees over the recursive term, which SQL "
+    "recursive CTEs cannot express; exact equivalence with a "
+    "pure-Python peel reference is pinned in tests/test_llm.py",
 }
 
 ORACLES["dedup_cluster_labels"] = f"""

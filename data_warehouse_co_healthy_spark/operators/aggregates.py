@@ -243,6 +243,75 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DID_PRE_DAY = 15  # day-of-month boundary: ≤ = pre-period, shared w/oracle
+
+
+def did_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator per event type — the
+    quasi-experimental companion to ``ab_test_report``: when treatment
+    wasn't randomized per event but rolled out at a point in TIME, the
+    causal read is (treated post − treated pre) − (control post −
+    control pre), which cancels both the stable group gap and the
+    common time trend. Arms come from the same md5-portable user hash
+    as ab_test_report; periods split on day-of-month ≤ DID_PRE_DAY.
+
+    All four cells' n/Σx/Σx² come from ONE conditional-sum aggregate
+    (no per-cell subqueries, no second shuffle) with Σ in EXACT
+    decimal, then the DiD point estimate and its pooled standard error
+    are scalar double trees identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    x = F.col("value").cast(MONEY)
+    treated = arm == 1
+    post = F.dayofmonth("ts") > DID_PRE_DAY
+    cells = {
+        "tp": treated & post,
+        "tr": treated & ~post,
+        "cp": ~treated & post,
+        "cr": ~treated & ~post,
+    }
+    aggs = []
+    for tag, cond in cells.items():
+        aggs += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{tag}"),
+            F.sum(F.when(cond, x)).cast("double").alias(f"sx_{tag}"),
+            F.sum(F.when(cond, x * x)).cast("double").alias(f"sxx_{tag}"),
+        ]
+    g = ev.groupBy("event_type").agg(*aggs)
+
+    def mean(tag):
+        return F.col(f"sx_{tag}") / F.col(f"n_{tag}")
+
+    def var_over_n(tag):
+        n = F.col(f"n_{tag}")
+        return (
+            (F.col(f"sxx_{tag}") - F.col(f"sx_{tag}") * F.col(f"sx_{tag}") / n)
+            / (n - 1)
+        ) / n
+
+    did = (mean("tp") - mean("tr")) - (mean("cp") - mean("cr"))
+    se = F.sqrt(
+        var_over_n("tp") + var_over_n("tr")
+        + var_over_n("cp") + var_over_n("cr")
+    )
+    return g.select(
+        "event_type",
+        (F.col("n_tp") + F.col("n_tr")).alias("n_treated"),
+        (F.col("n_cp") + F.col("n_cr")).alias("n_control"),
+        F.round(mean("tp") - mean("tr"), 4).alias("treated_delta"),
+        F.round(mean("cp") - mean("cr"), 4).alias("control_delta"),
+        F.round(did, 4).alias("did"),
+        F.round(did / se, 4).alias("z"),
+    )
+
+
 def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs extendedprice per
     return flag — the monotonic-association twin of
@@ -1047,6 +1116,7 @@ QUERIES = {
     "key_skew_profile": key_skew_profile,
     "profile_columns": profile_columns,
     "ab_test_report": ab_test_report,
+    "did_report": did_report,
     "revenue_trend_ols": revenue_trend_ols,
     "benford_first_digit": benford_first_digit,
     "udaf_weighted_avg": udaf_weighted_avg,
@@ -1434,6 +1504,62 @@ ORACLES = {
                      * (CAST(n AS DOUBLE) / n_total - expected_share)
                      / expected_share * n_total, 4) AS chi2_term
         FROM e
+    """,
+    "did_report": f"""
+        WITH armed AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                       % 2 = 1 AS treated,
+                   day(ts) > {DID_PRE_DAY} AS post,
+                   CAST(value AS DECIMAL(18,6)) AS x
+            FROM events
+        ), g AS (
+            SELECT event_type,
+                   sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_tp,
+                   sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_tr,
+                   sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_cp,
+                   sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0
+                       END)::BIGINT AS n_cr,
+                   CAST(sum(CASE WHEN treated AND post THEN x END)
+                        AS DOUBLE) AS sx_tp,
+                   CAST(sum(CASE WHEN treated AND NOT post THEN x END)
+                        AS DOUBLE) AS sx_tr,
+                   CAST(sum(CASE WHEN NOT treated AND post THEN x END)
+                        AS DOUBLE) AS sx_cp,
+                   CAST(sum(CASE WHEN NOT treated AND NOT post THEN x
+                        END) AS DOUBLE) AS sx_cr,
+                   CAST(sum(CASE WHEN treated AND post THEN x * x END)
+                        AS DOUBLE) AS sxx_tp,
+                   CAST(sum(CASE WHEN treated AND NOT post THEN x * x
+                        END) AS DOUBLE) AS sxx_tr,
+                   CAST(sum(CASE WHEN NOT treated AND post THEN x * x
+                        END) AS DOUBLE) AS sxx_cp,
+                   CAST(sum(CASE WHEN NOT treated AND NOT post THEN
+                        x * x END) AS DOUBLE) AS sxx_cr
+            FROM armed GROUP BY event_type
+        )
+        SELECT event_type,
+               n_tp + n_tr AS n_treated,
+               n_cp + n_cr AS n_control,
+               round(sx_tp / n_tp - sx_tr / n_tr, 4) AS treated_delta,
+               round(sx_cp / n_cp - sx_cr / n_cr, 4) AS control_delta,
+               round((sx_tp / n_tp - sx_tr / n_tr)
+                     - (sx_cp / n_cp - sx_cr / n_cr), 4) AS did,
+               round(((sx_tp / n_tp - sx_tr / n_tr)
+                      - (sx_cp / n_cp - sx_cr / n_cr))
+                     / sqrt(((sxx_tp - sx_tp * sx_tp / n_tp) / (n_tp - 1))
+                                / n_tp
+                          + ((sxx_tr - sx_tr * sx_tr / n_tr) / (n_tr - 1))
+                                / n_tr
+                          + ((sxx_cp - sx_cp * sx_cp / n_cp) / (n_cp - 1))
+                                / n_cp
+                          + ((sxx_cr - sx_cr * sx_cr / n_cr) / (n_cr - 1))
+                                / n_cr),
+                     4) AS z
+        FROM g
     """,
     "ab_test_report": """
         WITH armed AS (

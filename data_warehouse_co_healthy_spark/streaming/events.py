@@ -95,6 +95,51 @@ def windowed_counts(
     )
 
 
+def ohlc_daily_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators.temporal.ohlc_daily``: daily OHLC
+    bars built incrementally as purchase ticks arrive. ``min_by`` /
+    ``max_by`` on the (ts, event_id) struct are declarative aggregates,
+    so the streaming state per window is ONE candidate row per extreme
+    — bounded, watermark-evicted — and the result is bit-identical to
+    the batch bars once the day closes (pinned in
+    tests/test_streaming.py). The deterministic event_id tiebreak makes
+    replays and batch reconciliation exact, not approximately-equal."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "ts",
+        F.struct("ts", "event_id").alias("k"),
+        "value",
+    )
+    return (
+        p.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_trades"),
+            F.round(F.min_by("value", "k"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "k"), 4).alias("close"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+                4,
+            ).alias("volume"),
+        )
+        .select(
+            F.date_format(
+                F.col("w").getField("start"), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_trades",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def windowed_distinct_users(
     events: DataFrame,
     window: str = "1 hour",

@@ -1215,3 +1215,35 @@ def test_fellegi_sunter_score_recompute_and_em_consistency(spark):
         assert abs(
             r["w_disagree"] - math.log2((1 - m_hat) / (1 - u_hat))
         ) < 6e-6
+
+
+def test_kcore_matches_python_peel(spark):
+    """k-core survivors + degrees vs an independent pure-Python peel
+    over the same (oracle-checked) LSH pair list."""
+    from data_warehouse_co_healthy_spark.llm import dedup
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(spark, SF_DIR).collect()
+    ]
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < dedup.KCORE_K:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    want = {n: len(ns) for n, ns in adj.items()}
+
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in dedup.kcore_near_dup(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # every survivor must satisfy the core condition by definition
+    assert all(d >= dedup.KCORE_K for d in got.values())

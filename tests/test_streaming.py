@@ -624,3 +624,25 @@ def test_cusum_stream_matches_pure_replay(spark, stream):
     )
     assert len(got) == len(wantdf) and len(got) > 0
     pd.testing.assert_frame_equal(got, wantdf, check_dtype=False)
+
+
+def test_ohlc_stream_matches_batch_bars(spark, stream):
+    """Streaming OHLC bars drained over the bounded fixture must be
+    BIT-identical to the batch ohlc_daily bars (deterministic
+    (ts, event_id) tiebreaks on both sides)."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        ohlc_daily,
+    )
+
+    got = (
+        _drain(spark, se.ohlc_daily_stream(stream), "ohlc_stream")
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    want = (
+        ohlc_daily(spark, SF_DIR)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

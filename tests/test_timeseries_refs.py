@@ -387,3 +387,32 @@ def test_dp_noisy_counts_matches_hashlib_laplace(spark):
         r = got[(nation, seg)]
         assert abs(r["noisy_count"] - (n + noise)) < 1e-3, (nation, seg)
         assert r["epsilon"] == DP_EPS
+
+
+def test_did_matches_pandas_replay(spark):
+    import hashlib
+
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        DID_PRE_DAY,
+        did_report,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_type", "value"])
+    ev["treated"] = ev["user_id"].map(
+        lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        % 2 == 1
+    )
+    ev["post"] = pd.to_datetime(ev["ts"]).dt.day > DID_PRE_DAY
+    got = {r["event_type"]: r for r in did_report(spark, SF_DIR).collect()}
+    for et, grp in ev.groupby("event_type"):
+        m = {
+            (t, p): sub["value"].mean()
+            for (t, p), sub in grp.groupby(["treated", "post"])
+        }
+        want = (m[(True, True)] - m[(True, False)]) - (
+            m[(False, True)] - m[(False, False)]
+        )
+        r = got[et]
+        assert r["n_treated"] == int(grp["treated"].sum())
+        assert abs(r["did"] - want) < 1e-3, (et, r["did"], want)
