@@ -73,6 +73,28 @@ SHOWCASE = [
         "kaplan_meier_churn",
         "KM survival: one user-grain shuffle, calendar-sized tail",
     ),
+    (
+        "sql_lateral_topk",
+        "LATERAL decorrelated to map-side partial WindowGroupLimit "
+        "+ broadcast dim join — no nested loop",
+    ),
+    (
+        "sql_recursive_hierarchy",
+        "recursive CTE as depth-bounded UnionLoop, hash join per level",
+    ),
+    (
+        "ohlc_daily",
+        "OHLC bars: min_by/max_by in ONE partial-agg scan, no window",
+    ),
+    (
+        "js_divergence_sources",
+        "pairwise JSD: token-grain self-join, fan-out bounded by "
+        "|sources|^2 per key",
+    ),
+    (
+        "holt_forecast_by_nation",
+        "grouped forecasting: one Arrow task per series key",
+    ),
 ]
 
 
