@@ -1045,6 +1045,60 @@ def wilson_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of a ranking score via Pool
+    Adjacent Violators — the nonparametric way to turn any quality /
+    dedup / classifier score into a PROBABILITY without assuming a
+    sigmoid (the calibration layer quality_calibration's percentile map
+    and roc_auc's threshold-free audit both stop short of). Here:
+    per source, calibrate "document length predicts AUC_POS_LANG"
+    into stepwise P(en | length) blocks.
+
+    Points pool to DISTINCT-score grain first (one groupBy computes
+    each length's weight and empirical rate — the same grain the
+    ROC/KS screens use), so PAV's sequential pooling runs per source on
+    a bounded-cardinality frame inside one Arrow task; parallelism
+    scales with group count like ``holt_forecast_by_nation``. Blocks
+    merge while the left mean ≥ the right, so emitted block means are
+    STRICTLY increasing — pinned, with exact equivalence to a
+    pure-Python PAV, in tests/test_llm.py. Not SQL-expressible
+    (data-dependent merge chain), hence NO_ORACLE."""
+    import pandas as pd  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    pooled = d.groupBy("source", "n_chars").agg(
+        F.count("*").alias("w"),
+        F.avg(
+            F.when(F.col("lang") == AUC_POS_LANG, 1.0).otherwise(0.0)
+        ).alias("y"),
+    )
+
+    def pav(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_chars").reset_index(drop=True)
+        blocks: list[list[float]] = []
+        for r in pdf.itertuples():
+            blocks.append([r.n_chars, r.n_chars, float(r.w), float(r.y)])
+            while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
+                b2 = blocks.pop()
+                b1 = blocks.pop()
+                w = b1[2] + b2[2]
+                m = (b1[2] * b1[3] + b2[2] * b2[3]) / w
+                blocks.append([b1[0], b2[1], w, m])
+        return pd.DataFrame(
+            [
+                (key[0], b[0], b[1], b[2], round(b[3], 6))
+                for b in blocks
+            ],
+            columns=["source", "x_lo", "x_hi", "weight", "p_calibrated"],
+        )
+
+    return pooled.groupBy("source").applyInPandas(
+        pav,
+        schema="source string, x_lo bigint, x_hi bigint, "
+        "weight double, p_calibrated double",
+    )
+
+
 def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Jensen-Shannon divergence (bits, ∈ [0,1]) between every
     two sources' unigram token distributions — the corpus-similarity
@@ -1067,13 +1121,21 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
     )
-    counts = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    # persist(): counts feeds totals AND probs, and probs feeds BOTH
+    # sides of the self-join — Spark shares no unaliased subplans, so
+    # without the cache the explode + token groupBy (the only
+    # data-sized work) would execute once per consumer (measured: 7
+    # data shuffles → 3). persist over localCheckpoint: vocab-grain is
+    # data-sized, lineage must survive executor loss (house rule).
+    counts = (
+        words.groupBy("source", "w").agg(F.count("*").alias("c")).persist()
+    )
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     probs = counts.join(F.broadcast(totals), "source").select(
         "source",
         "w",
         (F.col("c").cast("double") / F.col("tot")).alias("p"),
-    )
+    ).persist()
     log2 = F.log(F.lit(2.0))
     pairs = (
         probs.alias("a")
@@ -1168,6 +1230,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "isotonic_calibration": isotonic_calibration,
     "js_divergence_sources": js_divergence_sources,
     "ks_two_sample": ks_two_sample,
     "token_count": token_count,
@@ -1749,4 +1812,7 @@ NO_ORACLE = {
     "approx_topk_tokens": "frequent-items sketch internals are "
     "engine-defined; agreement with exact heavy hitters on the fixture "
     "is pinned in tests/test_llm.py",
+    "isotonic_calibration": "PAV's data-dependent block-merge chain is "
+    "not SQL-expressible; exact equivalence with a pure-Python PAV and "
+    "strict block monotonicity are pinned in tests/test_llm.py",
 }

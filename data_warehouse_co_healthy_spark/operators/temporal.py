@@ -906,6 +906,83 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MK_Z95 = 1.96  # two-sided 95 % normal quantile, shared with the oracle
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend TEST on monthly revenue — the significance
+    companion to ``theil_sen_slope``'s point estimate (same monthly
+    series, same inequality pair frame): S = Σ_{i<j} sign(xⱼ − xᵢ),
+    tie-corrected normal approximation z = (S ∓ 1)/√Var with
+    Var = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the classic
+    increasing / decreasing / no_trend call at 95 %.
+
+    S and the tie term are exact INTEGERS (sign sums — no float until
+    the final z), so the statistic is engine-exact. Scale shape is
+    theil_sen's: one month-grain exact-decimal aggregate does the
+    data-sized work; the pair join and the two 1-row stat frames are
+    calendar-sized, lint-allowlisted."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("mi")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("rev")
+    # ~80-row materialization (theil_sen rationale): three consumers
+    # below would otherwise re-run the orders scan + month aggregate
+    ).localCheckpoint()
+    a = monthly.select(
+        F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a")
+    )
+    b = monthly.select(
+        F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b")
+    )
+    s_stat = a.join(b, F.col("mi_a") < F.col("mi_b")).agg(
+        F.sum(F.signum(F.col("rev_b") - F.col("rev_a")))
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        monthly.groupBy("rev")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    mk = s_stat.crossJoin(
+        F.broadcast(monthly.agg(F.count("*").alias("n")))
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    var = (
+        nn * (nn - 1.0) * (2.0 * nn + 5.0)
+        - F.col("tie_term").cast("double")
+    ) / 18.0
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt(var))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    return mk.select(
+        "n",
+        "s_stat",
+        F.round(z, 4).alias("z"),
+        F.when(z > MK_Z95, "increasing")
+        .when(z < -MK_Z95, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )
+
+
 HOLT_A = 0.5   # level smoothing α…
 HOLT_1A = 0.5  # …and 1−α as an explicit shared literal
 HOLT_B = 0.3   # trend smoothing β…
@@ -1258,12 +1335,18 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     Division by cohort_users happens AFTER the exact cumulative sum, so
     the only float op is the final ratio."""
     ev = load_table(spark, sf_dir, "events")
+    # persist(): p feeds the cohort aggregate AND the age join, and
+    # cohort feeds the join AND the size frame — without the caches the
+    # events scan would run 3× (unaliased-subplan rule; measured: 5
+    # data shuffles → 3). Data-sized frames → persist, not checkpoint.
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
         F.col("value").cast("decimal(18,6)").alias("val"),
+    ).persist()
+    cohort = (
+        p.groupBy("user_id").agg(F.min("wk").alias("cohort_week")).persist()
     )
-    cohort = p.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
     aged = p.join(cohort, "user_id").select(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
         F.datediff(F.col("wk"), F.col("cohort_week")).alias("age_days"),
@@ -1441,6 +1524,7 @@ QUERIES = {
     "gapfill_forward": gapfill_forward,
     "gapfill_linear": gapfill_linear,
     "theil_sen_slope": theil_sen_slope,
+    "mann_kendall_trend": mann_kendall_trend,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
@@ -1873,6 +1957,40 @@ ORACLES["holt_forecast"] = f"""
     SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
            forecast, abs_err
     FROM rec
+"""
+
+ORACLES["mann_kendall_trend"] = f"""
+    WITH monthly AS (
+        SELECT year(o_orderdate) * 12 + month(o_orderdate) AS mi,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(sign(b.rev - a.rev)) AS BIGINT) AS s_stat
+        FROM monthly a JOIN monthly b ON a.mi < b.mi
+    ), nn AS (
+        SELECT count(*) AS n FROM monthly
+    ), ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT count(*) AS t FROM monthly GROUP BY rev
+              HAVING count(*) > 1)
+    ), j AS (
+        SELECT n, s_stat,
+               (CAST(n AS DOUBLE) * (n - 1.0) * (2.0 * n + 5.0)
+                - CAST(tie_term AS DOUBLE)) / 18.0 AS var
+        FROM s, nn, ties
+    ), zed AS (
+        SELECT n, s_stat,
+               CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var)
+                    ELSE 0.0 END AS z
+        FROM j
+    )
+    SELECT n, s_stat, round(z, 4) AS z,
+           CASE WHEN z > {MK_Z95} THEN 'increasing'
+                WHEN z < -{MK_Z95} THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM zed
 """
 
 ORACLES["holt_forecast_by_nation"] = f"""

@@ -1247,3 +1247,47 @@ def test_kcore_matches_python_peel(spark):
     assert got == want
     # every survivor must satisfy the core condition by definition
     assert all(d >= dedup.KCORE_K for d in got.values())
+
+
+def test_isotonic_calibration_matches_python_pav(spark):
+    """Engine PAV blocks vs an independent pure-Python PAV over the
+    pandas-pooled (source, length) rates: identical block boundaries,
+    weights, means — and strictly increasing means per source."""
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm import text as t
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "lang", "n_chars"])
+    docs["y"] = (docs["lang"] == t.AUC_POS_LANG).astype(float)
+    want = {}
+    for src, grp in docs.groupby("source"):
+        pooled = (
+            grp.groupby("n_chars")["y"].agg(["count", "mean"]).sort_index()
+        )
+        blocks = []
+        for x, (w, m) in pooled.iterrows():
+            blocks.append([x, x, float(w), float(m)])
+            while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
+                b2 = blocks.pop()
+                b1 = blocks.pop()
+                wt = b1[2] + b2[2]
+                blocks.append(
+                    [b1[0], b2[1], wt,
+                     (b1[2] * b1[3] + b2[2] * b2[3]) / wt]
+                )
+        want[src] = [
+            (b[0], b[1], b[2], round(b[3], 6)) for b in blocks
+        ]
+
+    got: dict[str, list] = {}
+    for r in t.isotonic_calibration(spark, SF_DIR).collect():
+        got.setdefault(r["source"], []).append(
+            (r["x_lo"], r["x_hi"], r["weight"], r["p_calibrated"])
+        )
+    for src in got:
+        got[src].sort()
+    assert got == {s: sorted(b) for s, b in want.items()}
+    for src, blocks in got.items():
+        ps = [b[3] for b in sorted(blocks)]
+        assert all(a < b for a, b in zip(ps, ps[1:])), src

@@ -54,6 +54,8 @@ NESTED_LOOP_OK = {
     "theil_sen_slope",      # inequality self-join of the ~80-row
                             # month-grain series (calendar², never
                             # data-sized)
+    "mann_kendall_trend",   # same pair frame + two 1-row stat frames
+                            # (n, tie term) joined as broadcasts
     "kaplan_meier_churn",   # observation-end horizon as a 1-row
                             # broadcast onto the user-grain frame
 }
@@ -138,6 +140,8 @@ SINGLE_PARTITION_OK = {
                             # partitioned by bucket
     "theil_sen_slope",      # order-statistic median over the
                             # calendar²-sized pair frame (~3k rows)
+    "mann_kendall_trend",   # global S/n/tie-term scalar aggregates
+                            # over the calendar-sized series
     "acf_daily_revenue",    # lag window over the day-grain
                             # (sf-independent, calendar-sized) series —
                             # same posture as cusum/holt; the unpivot

@@ -416,3 +416,27 @@ def test_did_matches_pandas_replay(spark):
         r = got[et]
         assert r["n_treated"] == int(grp["treated"].sum())
         assert abs(r["did"] - want) < 1e-3, (et, r["did"], want)
+
+
+def test_mann_kendall_matches_pure_python(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        mann_kendall_trend,
+    )
+
+    df = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+    dt = pd.to_datetime(df["o_orderdate"])
+    mi = dt.dt.year * 12 + dt.dt.month
+    ys = df.groupby(mi)["o_totalprice"].sum().sort_index().to_numpy()
+    n = len(ys)
+    s = sum(
+        np.sign(ys[j] - ys[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    # fixture revenues are continuous sums: no exact ties expected
+    var = n * (n - 1) * (2 * n + 5) / 18.0
+    z = (s - 1) / var**0.5 if s > 0 else ((s + 1) / var**0.5 if s < 0 else 0)
+    r = mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert r["n"] == n and r["s_stat"] == int(s)
+    assert abs(r["z"] - z) < 1e-3

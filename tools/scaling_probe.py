@@ -103,6 +103,12 @@ PROBES = [
     "spearman_by_group",
     "cohort_ltv",
     "ohlc_daily",
+    "holt_forecast_by_nation",
+    "dp_noisy_counts",
+    "did_report",
+    "kcore_near_dup",
+    "mann_kendall_trend",
+    "isotonic_calibration",
 ]
 
 
