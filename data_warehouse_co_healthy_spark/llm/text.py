@@ -1114,8 +1114,9 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     a token absent from the other source contributes p·log2(2p/p) =
     p·1 bit, so the whole one-sided tail is (1 − Σ_shared p)/2, closed
     form from the same aggregate. Data-sized work is exactly one
-    explode + one (source, token) groupBy; totals broadcast at
-    |sources| rows."""
+    explode + one (source, token) groupBy, executed once (the
+    probability table is persisted — see inline note); totals
+    broadcast at |sources| rows."""
     d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "source",
@@ -1124,9 +1125,11 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(): counts feeds totals AND probs, and probs feeds BOTH
     # sides of the self-join — Spark shares no unaliased subplans, so
     # without the cache the explode + token groupBy (the only
-    # data-sized work) would execute once per consumer (measured: 7
-    # data shuffles → 3). persist over localCheckpoint: vocab-grain is
-    # data-sized, lineage must survive executor loss (house rule).
+    # data-sized work) would EXECUTE once per consumer. The static
+    # plan still prints the cached subtree per consumer (SHUFFLES.md
+    # upper-bound caveat); at runtime the exchange runs once. persist
+    # over localCheckpoint: vocab-grain is data-sized, lineage must
+    # survive executor loss (house rule).
     counts = (
         words.groupBy("source", "w").agg(F.count("*").alias("c")).persist()
     )

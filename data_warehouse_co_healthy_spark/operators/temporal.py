@@ -1337,8 +1337,10 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # persist(): p feeds the cohort aggregate AND the age join, and
     # cohort feeds the join AND the size frame — without the caches the
-    # events scan would run 3× (unaliased-subplan rule; measured: 5
-    # data shuffles → 3). Data-sized frames → persist, not checkpoint.
+    # events scan would EXECUTE 3× (unaliased-subplan rule). The static
+    # plan still prints the cached subtree per consumer (SHUFFLES.md
+    # upper-bound caveat); at runtime each cached exchange runs once.
+    # Data-sized frames → persist, not checkpoint.
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
