@@ -1110,6 +1110,71 @@ def holt_forecast_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HW_M = 7          # season length (weekly), shared with the oracle
+HW_A, HW_1A = 0.4, 0.6  # level smoothing α / 1−α (explicit literals,
+HW_B, HW_1B = 0.2, 0.8  # trend β / 1−β — shared verbatim with the
+HW_G, HW_1G = 0.3, 0.7  # oracle; seasonal γ / 1−γ
+
+
+def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing (weekly
+    season, m=7) on daily revenue — the capstone of the forecasting
+    ladder (ewma: level; holt: +trend; here: +seasonality), scoring
+    each day's one-step-ahead forecast ℓ+b+s_{t−m} and error.
+
+    Anchored initialization chosen for bit-portability: ℓ_m = y_m,
+    b_m = (y_m − y_1)/(m−1), s_i = y_i − ℓ_m over the first season —
+    every init value is a PAIRWISE double op (no float sums whose
+    order an engine could permute), so engine, oracle, and replay are
+    bit-identical from step one. The oracle is a DuckDB recursive CTE
+    carrying the m seasonal slots as a LIST column that shifts each
+    step — same IEEE op sequence as the Arrow-task recursion here.
+
+    Posture identical to ``holt_forecast``: one exact-decimal day
+    aggregate is the data-sized work; the sequential recursion runs on
+    the calendar-sized series in one Arrow task (grouped/fleet version
+    follows ``holt_forecast_by_nation``'s shape verbatim)."""
+    import pandas as pd  # noqa: PLC0415
+
+    daily = _daily_order_revenue(spark, sf_dir).withColumn("g", F.lit(1))
+
+    def hw(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ys = list(pdf["rev"])
+        days = [str(d) for d in pdf["day"]]
+        if len(ys) < HW_M + 1:
+            # a sub-season series has no seasonal init; the oracle's
+            # rn > m filter yields 0 rows — match it
+            return pd.DataFrame(
+                columns=["day", "rev", "level", "trend", "seasonal",
+                         "forecast", "abs_err"])
+        lvl = ys[HW_M - 1]
+        trd = (ys[HW_M - 1] - ys[0]) / (HW_M - 1)
+        s = [y - lvl for y in ys[:HW_M]]
+        rows = []
+        for i in range(HW_M, len(ys)):
+            y = ys[i]
+            s_m = s[0]
+            fc = lvl + trd + s_m
+            new_lvl = HW_A * (y - s_m) + HW_1A * (lvl + trd)
+            trd = HW_B * (new_lvl - lvl) + HW_1B * trd
+            new_s = HW_G * (y - new_lvl) + HW_1G * s_m
+            lvl = new_lvl
+            s = s[1:] + [new_s]
+            rows.append((days[i], y, lvl, trd, new_s, fc, abs(y - fc)))
+        return pd.DataFrame(
+            rows,
+            columns=["day", "rev", "level", "trend", "seasonal",
+                     "forecast", "abs_err"],
+        )
+
+    return daily.groupBy("g").applyInPandas(
+        hw,
+        schema="day string, rev double, level double, trend double, "
+        "seasonal double, forecast double, abs_err double",
+    )
+
+
 # Survival analysis: a user whose last event falls within this many
 # days of the observation end is CENSORED (still active, lifetime only
 # known to exceed what we saw), not churned.
@@ -1529,6 +1594,7 @@ QUERIES = {
     "mann_kendall_trend": mann_kendall_trend,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
+    "holt_winters_daily": holt_winters_daily,
     "rolling_zscore_anomalies": rolling_zscore_anomalies,
     "interval_overlap_join": interval_overlap_join,
     "rolling_active_users": rolling_active_users,
@@ -1959,6 +2025,56 @@ ORACLES["holt_forecast"] = f"""
     SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
            forecast, abs_err
     FROM rec
+"""
+
+ORACLES["holt_winters_daily"] = f"""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), y AS (
+        SELECT day, rev, row_number() OVER (ORDER BY day) AS rn
+        FROM daily
+    ), init AS (
+        SELECT list(rev ORDER BY rn) AS ys
+        FROM y WHERE rn <= {HW_M}
+    ), rec AS (
+        SELECT CAST({HW_M} AS BIGINT) AS rn,
+               CAST(NULL AS VARCHAR) AS day,
+               CAST(NULL AS DOUBLE) AS rev,
+               ys[{HW_M}] AS level,
+               (ys[{HW_M}] - ys[1]) / {HW_M - 1} AS trend,
+               CAST(NULL AS DOUBLE) AS seasonal,
+               CAST(NULL AS DOUBLE) AS forecast,
+               CAST(NULL AS DOUBLE) AS abs_err,
+               list_transform(ys, x -> x - ys[{HW_M}]) AS s
+        FROM init
+        UNION ALL
+        SELECT y.rn,
+               CAST(y.day AS VARCHAR),
+               y.rev,
+               {HW_A} * (y.rev - rec.s[1])
+                   + {HW_1A} * (rec.level + rec.trend),
+               {HW_B} * (({HW_A} * (y.rev - rec.s[1])
+                          + {HW_1A} * (rec.level + rec.trend))
+                         - rec.level)
+                   + {HW_1B} * rec.trend,
+               {HW_G} * (y.rev - ({HW_A} * (y.rev - rec.s[1])
+                                  + {HW_1A} * (rec.level + rec.trend)))
+                   + {HW_1G} * rec.s[1],
+               rec.level + rec.trend + rec.s[1],
+               abs(y.rev - (rec.level + rec.trend + rec.s[1])),
+               list_append(rec.s[2:{HW_M}],
+                           {HW_G} * (y.rev
+                                     - ({HW_A} * (y.rev - rec.s[1])
+                                        + {HW_1A} * (rec.level
+                                                     + rec.trend)))
+                           + {HW_1G} * rec.s[1])
+        FROM y JOIN rec ON y.rn = rec.rn + 1
+    )
+    SELECT day, rev, level, trend, seasonal, forecast, abs_err
+    FROM rec WHERE rn > {HW_M}
 """
 
 ORACLES["mann_kendall_trend"] = f"""

@@ -440,3 +440,43 @@ def test_mann_kendall_matches_pure_python(spark):
     r = mann_kendall_trend(spark, SF_DIR).collect()[0]
     assert r["n"] == n and r["s_stat"] == int(s)
     assert abs(r["z"] - z) < 1e-3
+
+
+def test_holt_winters_matches_pure_python_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        HW_1A,
+        HW_1B,
+        HW_1G,
+        HW_A,
+        HW_B,
+        HW_G,
+        HW_M,
+        holt_winters_daily,
+    )
+
+    daily = _orders_daily()
+    ys = daily.to_numpy(dtype=np.float64)
+    days = [str(d) for d in daily.index]
+    lvl = ys[HW_M - 1]
+    trd = (ys[HW_M - 1] - ys[0]) / (HW_M - 1)
+    s = [y - lvl for y in ys[:HW_M]]
+    want = {}
+    for i in range(HW_M, len(ys)):
+        y = ys[i]
+        s_m = s[0]
+        fc = lvl + trd + s_m
+        new_lvl = HW_A * (y - s_m) + HW_1A * (lvl + trd)
+        trd = HW_B * (new_lvl - lvl) + HW_1B * trd
+        new_s = HW_G * (y - new_lvl) + HW_1G * s_m
+        lvl = new_lvl
+        s = s[1:] + [new_s]
+        want[days[i]] = (lvl, new_s, fc)
+
+    got = holt_winters_daily(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        wl, ws, wf = want[r["day"]]
+        tol = 1e-6 * max(1.0, abs(wl))
+        assert abs(r["level"] - wl) <= tol, r["day"]
+        assert abs(r["seasonal"] - ws) <= 1e-4 * max(1.0, abs(wl))
+        assert abs(r["forecast"] - wf) <= 1e-4 * max(1.0, abs(wf))

@@ -109,6 +109,7 @@ PROBES = [
     "kcore_near_dup",
     "mann_kendall_trend",
     "isotonic_calibration",
+    "holt_winters_daily",
 ]
 
 
