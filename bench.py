@@ -44,6 +44,8 @@ HEADLINE = [
     "pagerank_near_dup",     # registry tail: 8-round damped power iter
     "attribution_report",    # event analytics: multi-touch attribution
     "kaplan_meier_churn",    # event analytics: right-censored survival
+    "js_divergence_sources", # corpus-similarity matrix: token self-join
+    "holt_forecast_by_nation",  # grouped forecasting: Arrow task/series
 ]
 
 
