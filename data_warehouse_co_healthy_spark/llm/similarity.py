@@ -612,6 +612,53 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space drift monitor: cosine of each label's centroid
+    against the GLOBAL centroid — the vector analogue of
+    population_stability_index (a label whose centroid swings away from
+    the global one signals a cluster that moved between snapshots or an
+    ingestion regression). Runs entirely at (label, dim) /
+    (dim) grain: one posexplode feeds both centroid aggregates, the
+    join is dim-keyed (|dims| rows per label), and the cosine reduces
+    |dims| terms per label — corpus size never appears after the first
+    partial-aggregated groupBy."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    comp = e.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x AS double))")
+        ).alias("pos", "v"),
+    # persist(): feeds BOTH the per-label and the global centroid
+    # aggregates (unaliased-subplan rule — without it the scan +
+    # explode execute twice); data-sized → persist, not checkpoint
+    ).persist()
+    per_label = comp.groupBy("label", "pos").agg(
+        F.avg("v").alias("c"), F.count("*").alias("n")
+    )
+    global_c = comp.groupBy("pos").agg(F.avg("v").alias("g"))
+    return (
+        per_label.join(global_c, "pos")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sum(F.col("c") * F.col("g")).alias("dot"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+            F.sum(F.col("g") * F.col("g")).alias("gg"),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.round(
+                F.col("dot")
+                / (F.sqrt(F.col("cc")) * F.sqrt(F.col("gg"))),
+                6,
+            ).alias("cos_to_global"),
+        )
+    )
+
+
 PQ_M = 8          # product-quantization subspaces (64 dims -> 8x8)
 PQ_K = 16         # codebook entries per subspace (4-bit codes)
 PQ_ITERS = 8      # Lloyd iterations per subspace codebook
@@ -1330,6 +1377,7 @@ QUERIES = {
     "ann_ivf_kmeans": ann_ivf_kmeans,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_centroids": embedding_centroids,
+    "embedding_drift_by_label": embedding_drift_by_label,
     "intra_label_cosine": intra_label_cosine,
     "pq_encode": pq_encode,
     "ann_pq_adc": ann_pq_adc,
@@ -1439,6 +1487,26 @@ _SQL_BAND_KEY = " + ".join(
     f"THEN {1 << i} ELSE 0 END)"
     for i in range(DUP_BAND_BITS)
 )
+
+ORACLES["embedding_drift_by_label"] = """
+    WITH comp AS (
+        SELECT label, u.pos - 1 AS pos, CAST(u.v AS DOUBLE) AS v
+        FROM embeddings,
+             LATERAL (SELECT unnest(embedding) AS v,
+                             generate_subscripts(embedding, 1) AS pos) u
+    ), per_label AS (
+        SELECT label, pos, avg(v) AS c, count(*) AS n
+        FROM comp GROUP BY label, pos
+    ), gc AS (
+        SELECT pos, avg(v) AS g FROM comp GROUP BY pos
+    )
+    SELECT label,
+           max(n)::BIGINT AS n_vecs,
+           round(sum(c * g) / (sqrt(sum(c * c)) * sqrt(sum(g * g))), 6)
+               AS cos_to_global
+    FROM per_label JOIN gc USING (pos)
+    GROUP BY label
+"""
 
 ORACLES["embedding_centroids"] = """
     SELECT label, pos, round(avg(v), 6) AS centroid,

@@ -906,6 +906,146 @@ def theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase latency: every purchase is matched to the SAME
+    user's latest preceding click (as-of semantics expressed as one
+    self-excluding cumulative window — zero joins, same skeleton as
+    ``attribution_report``'s binding), and each day reports its
+    conversion count and exact MEDIAN gap in seconds.
+
+    Gaps are exact integer microseconds (``unix_micros`` on both
+    engines — whole-second truncation would bias sub-minute gaps); the
+    median is the average of the two middle order statistics over
+    day-partitioned windows (theil_sen's construction — no engine
+    median() semantics in play). All windows ride the user/day
+    exchanges; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "user_id",
+        # NTZ→LTZ cast: unix_micros rejects TIMESTAMP_NTZ (twap_daily)
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+    ).withColumn(
+        "last_click_us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+        ).over(w),
+    )
+    lat = tagged.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_click_us").isNotNull()
+    ).select(
+        F.to_date("ts").alias("day0"),
+        (F.unix_micros("ts") - F.col("last_click_us")).alias("gap_us"),
+    )
+    wd = Window.partitionBy("day0").orderBy("gap_us")
+    ranked = lat.select(
+        "day0",
+        "gap_us",
+        F.row_number().over(wd).alias("rk"),
+        F.count("*").over(Window.partitionBy("day0")).alias("n"),
+    )
+    med = ranked.filter(
+        (F.col("rk") == F.expr("(n + 1) div 2"))
+        | (F.col("rk") == F.expr("(n + 2) div 2"))
+    )
+    return (
+        med.groupBy(F.date_format("day0", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.max("n").alias("n_conversions"),
+            (F.avg(F.col("gap_us").cast("double")) / 1e6).alias("med_s"),
+        )
+        .select(
+            "day",
+            "n_conversions",
+            F.round("med_s", 4).alias("median_gap_s"),
+        )
+    )
+
+
+FW_CLICK_MIN = 120  # view → click funnel window (minutes), shared
+FW_BUY_MIN = 240    # click → purchase funnel window (minutes), shared
+
+
+def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-CONSTRAINED conversion funnel — ``funnel_stages`` requires
+    only stage order; real funnels require each step within a window
+    (click within FW_CLICK_MIN of the first view, purchase within
+    FW_BUY_MIN of that click), which this computes with ZERO joins:
+    three chained conditional mins over the same per-user window — each
+    stage's anchor is the previous stage's column, available in-row
+    because whole-partition windows replicate it. One user-key
+    exchange, three window passes on it, one summary row.
+
+    Window arithmetic in exact integer microseconds; BIGINT literals
+    on the oracle side (minutes × 6e7 overflows INT32)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    e2 = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    s1 = e2.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+            wu
+        ),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") > F.col("t_view"))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros("t_view")
+                    + FW_CLICK_MIN * 60_000_000
+                ),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("t_click"))
+                & (
+                    F.unix_micros("ts")
+                    <= F.unix_micros("t_click")
+                    + FW_BUY_MIN * 60_000_000
+                ),
+                F.col("ts"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_buy").alias("t_buy"),
+    )
+    return per_user.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_in_window"),
+        F.sum(F.when(F.col("t_buy").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased_in_window"),
+    )
+
+
 MK_Z95 = 1.96  # two-sided 95 % normal quantile, shared with the oracle
 
 
@@ -1602,6 +1742,8 @@ QUERIES = {
     "range_join_activity": range_join_activity,
     "sessionize_events": sessionize_events,
     "funnel_stages": funnel_stages,
+    "funnel_windowed": funnel_windowed,
+    "conversion_latency": conversion_latency,
     "ewma_smoother": ewma_smoother,
     "seasonal_decompose_hourly": seasonal_decompose_hourly,
 }
@@ -2025,6 +2167,70 @@ ORACLES["holt_forecast"] = f"""
     SELECT CAST(day AS VARCHAR) AS day, rev, level, trend,
            forecast, abs_err
     FROM rec
+"""
+
+ORACLES["conversion_latency"] = """
+    WITH tagged AS (
+        SELECT user_id, ts, event_type,
+               max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS last_click_us
+        FROM events
+    ), lat AS (
+        SELECT CAST(ts AS DATE) AS day0,
+               epoch_us(ts) - last_click_us AS gap_us
+        FROM tagged
+        WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+    ), ranked AS (
+        SELECT day0, gap_us,
+               row_number() OVER (PARTITION BY day0 ORDER BY gap_us)
+                   AS rk,
+               count(*) OVER (PARTITION BY day0) AS n
+        FROM lat
+    )
+    SELECT strftime(day0, '%Y-%m-%d') AS day,
+           max(n)::BIGINT AS n_conversions,
+           round(avg(CAST(gap_us AS DOUBLE)) / 1e6, 4) AS median_gap_s
+    FROM ranked
+    WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+    GROUP BY day0
+"""
+
+ORACLES["funnel_windowed"] = f"""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+        FROM events
+    ), s2 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'click' AND ts > t_view
+                        AND epoch_us(ts) <= epoch_us(t_view)
+                            + CAST({FW_CLICK_MIN} AS BIGINT) * 60000000
+                        THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+        FROM s1
+    ), s3 AS (
+        SELECT *,
+               min(CASE WHEN event_type = 'purchase' AND ts > t_click
+                        AND epoch_us(ts) <= epoch_us(t_click)
+                            + CAST({FW_BUY_MIN} AS BIGINT) * 60000000
+                        THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_buy
+        FROM s2
+    ), per_user AS (
+        SELECT user_id, max(t_view) AS t_view,
+               max(t_click) AS t_click, max(t_buy) AS t_buy
+        FROM s3 GROUP BY user_id
+    )
+    SELECT sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_viewed,
+           sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_clicked_in_window,
+           sum(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchased_in_window
+    FROM per_user
 """
 
 ORACLES["holt_winters_daily"] = f"""

@@ -83,6 +83,8 @@ SINGLE_PARTITION_OK = {
     "q15_top_supplier",     # global scalar max
     "q17_small_quantity",   # global scalar aggregate
     "funnel_stages",        # global funnel summary (one output row)
+    "funnel_windowed",      # same: one summary row after per-user
+                            # partial aggregation
     "q11_important_stock",  # global scalar threshold (one agg row)
     "q19_disjunctive_revenue",  # global scalar aggregate
     "mix_sources_weighted",  # global totals (one agg row over sources)

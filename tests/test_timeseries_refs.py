@@ -480,3 +480,73 @@ def test_holt_winters_matches_pure_python_replay(spark):
         assert abs(r["level"] - wl) <= tol, r["day"]
         assert abs(r["seasonal"] - ws) <= 1e-4 * max(1.0, abs(wl))
         assert abs(r["forecast"] - wf) <= 1e-4 * max(1.0, abs(wf))
+
+
+def test_conversion_latency_matches_pandas_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        conversion_latency,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    gaps: dict[str, list[float]] = {}
+    for _, grp in ev.groupby("user_id"):
+        last_click = None
+        for r in grp.itertuples():
+            if r.event_type == "click":
+                last_click = r.ts
+            elif r.event_type == "purchase" and last_click is not None:
+                day = r.ts.strftime("%Y-%m-%d")
+                gaps.setdefault(day, []).append(
+                    (r.ts - last_click).total_seconds()
+                )
+    got = {r["day"]: r for r in conversion_latency(spark, SF_DIR).collect()}
+    assert set(got) == set(gaps)
+    for day, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        med = (gs[(n - 1) // 2] + gs[n // 2]) / 2
+        r = got[day]
+        assert r["n_conversions"] == n
+        assert abs(r["median_gap_s"] - med) < 1e-3, day
+
+
+def test_funnel_windowed_matches_pandas_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        FW_BUY_MIN,
+        FW_CLICK_MIN,
+        funnel_windowed,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    n_v = n_c = n_b = 0
+    for _, grp in ev.groupby("user_id"):
+        views = grp.loc[grp["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        n_v += 1
+        tv = views.min()
+        clicks = grp.loc[
+            (grp["event_type"] == "click")
+            & (grp["ts"] > tv)
+            & (grp["ts"] <= tv + pd.Timedelta(minutes=FW_CLICK_MIN)),
+            "ts",
+        ]
+        if clicks.empty:
+            continue
+        n_c += 1
+        tc = clicks.min()
+        buys = grp.loc[
+            (grp["event_type"] == "purchase")
+            & (grp["ts"] > tc)
+            & (grp["ts"] <= tc + pd.Timedelta(minutes=FW_BUY_MIN)),
+            "ts",
+        ]
+        if not buys.empty:
+            n_b += 1
+    r = funnel_windowed(spark, SF_DIR).collect()[0]
+    assert (r["n_viewed"], r["n_clicked_in_window"],
+            r["n_purchased_in_window"]) == (n_v, n_c, n_b)

@@ -110,6 +110,9 @@ PROBES = [
     "mann_kendall_trend",
     "isotonic_calibration",
     "holt_winters_daily",
+    "conversion_latency",
+    "funnel_windowed",
+    "embedding_drift_by_label",
 ]
 
 
