@@ -1045,6 +1045,61 @@ def wilson_lang_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(frequency) on ln(rank) over the
+    corpus vocabulary with its R² — the rank-frequency twin of
+    ``vocab_growth_heaps`` (natural text sits near slope −1; a corpus
+    of templates or ID strings bends away, making this a cheap
+    synthetic-content smell test).
+
+    Rank is a deterministic (count desc, token) row_number over the
+    VOCAB-grain frame (corpus-size-independent, the same
+    single-partition posture as vocab_growth_heaps' ladder); the OLS
+    sufficient statistics then reduce that frame to one row. ln() of
+    exact integers is deterministic per engine; sums of ~vocab doubles
+    round at 4 dp."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+    )
+    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        .alias("rk"),
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    st = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2 = (
+        (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (
+            (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return st.select(
+        F.col("n").alias("vocab_size"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (monotone) calibration of a ranking score via Pool
     Adjacent Violators — the nonparametric way to turn any quality /
@@ -1233,6 +1288,7 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "zipf_rank_slope": zipf_rank_slope,
     "isotonic_calibration": isotonic_calibration,
     "js_divergence_sources": js_divergence_sources,
     "ks_two_sample": ks_two_sample,
@@ -1270,6 +1326,37 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    "zipf_rank_slope": """
+        WITH words AS (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                AS w
+            FROM documents
+        ), counts AS (
+            SELECT w, count(*) AS c FROM words GROUP BY w
+        ), ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rk
+            FROM counts
+        ), pts AS (
+            SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                   ln(CAST(c AS DOUBLE)) AS y
+            FROM ranked
+        ), st AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx,
+                   sum(y * y) AS syy
+            FROM pts
+        )
+        SELECT n AS vocab_size,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / (CAST(n AS DOUBLE) * sxx - sx * sx), 4)
+                   AS zipf_slope,
+               round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                     * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                     / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 4)
+                   AS r2
+        FROM st
+    """,
     "js_divergence_sources": """
         WITH words AS (
             SELECT source,

@@ -382,6 +382,48 @@ def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_median_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted median per group — the order statistic a plain median
+    misses whenever rows carry unequal mass (here: the price point at
+    which half the QUANTITY sits below, per return flag; the right
+    "typical price" for mixed small/bulk lines).
+
+    Definition: the smallest value whose cumulative weight reaches half
+    the total. Cumulative weights accumulate in EXACT decimal over a
+    deterministic (value, orderkey, partkey) ordering, so the boundary
+    row is identical on any engine — no float cumsum drift can flip
+    membership at the tw/2 threshold. Windows partition by the group
+    key; same per-group-sort posture (and documented distinct-value
+    swap at extreme scale) as spearman_by_group."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wg = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_partkey"
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(wg)
+        .alias("cw"),
+        F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+        .over(wall)
+        .alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 4).alias("weighted_median"),
+            F.max(F.col("tw").cast("double")).alias("total_weight"),
+        )
+    )
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the scale path for distinct counts —
     made SELF-VERIFYING: the sketch estimate is compared against the
@@ -1132,12 +1174,32 @@ QUERIES = {
     "central_tendency": central_tendency,
     "correlation_stats": correlation_stats,
     "spearman_by_group": spearman_by_group,
+    "weighted_median_by_group": weighted_median_by_group,
     "approx_distinct": approx_distinct,
 }
 
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "weighted_median_by_group": """
+        WITH cum AS (
+            SELECT l_returnflag, l_extendedprice,
+                   sum(CAST(l_quantity AS DECIMAL(18,6)))
+                       OVER (PARTITION BY l_returnflag
+                             ORDER BY l_extendedprice, l_orderkey,
+                                      l_partkey
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(CAST(l_quantity AS DECIMAL(18,6)))
+                       OVER (PARTITION BY l_returnflag) AS tw
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               round(min(l_extendedprice), 4) AS weighted_median,
+               max(CAST(tw AS DOUBLE)) AS total_weight
+        FROM cum
+        WHERE cw >= tw / 2
+        GROUP BY l_returnflag
+    """,
     "spearman_by_group": """
         WITH ranked AS (
             SELECT l_returnflag,

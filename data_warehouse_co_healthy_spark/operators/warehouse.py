@@ -622,6 +622,47 @@ def incremental_agg_refresh(
     )
 
 
+def inferred_dim_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension repair (Kimball "inferred members"):
+    fact keys with no dimension row get PLACEHOLDER dim rows (flagged
+    ``inferred``, attributes defaulted) so fact loads never drop or
+    stall on dimension latency — the materializing counterpart of
+    ``dq_orphans``' count. Output is the audit grain: member counts per
+    (inferred, segment), so the oracle hash pins both the real and the
+    repaired population.
+
+    One distinct on the fact's key column (partial-aggregated), one
+    anti-join against the dim (broadcast when the dim is small), one
+    unionByName. When the real dim row later arrives, the SCD2 merge
+    (``scd2_user_state``) retires the placeholder."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fact_keys = orders.select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(False).alias("inferred"),
+    )
+    orphans = fact_keys.join(
+        dim.select("custkey"), "custkey", "left_anti"
+    ).select(
+        "custkey",
+        F.concat(
+            F.lit("(inferred #"), F.col("custkey"), F.lit(")")
+        ).alias("name"),
+        F.lit("UNKNOWN").alias("segment"),
+        F.lit(True).alias("inferred"),
+    )
+    return (
+        dim.unionByName(orphans)
+        .groupBy("inferred", "segment")
+        .agg(F.count("*").cast("long").alias("n_members"))
+    )
+
+
 DP_EPS = 1.0  # Laplace privacy budget, shared verbatim with the oracle
 
 
@@ -684,6 +725,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dp_noisy_counts": dp_noisy_counts,
+    "inferred_dim_members": inferred_dim_members,
     "dq_expectation_report": dq_expectation_report,
     "incremental_agg_refresh": incremental_agg_refresh,
     "fk_containment_profile": fk_containment_profile,
@@ -706,6 +748,25 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "inferred_dim_members": """
+        WITH fact_keys AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+        ), dim AS (
+            SELECT c_custkey AS custkey, c_name AS name,
+                   c_mktsegment AS segment, FALSE AS inferred
+            FROM customer
+        ), orphans AS (
+            SELECT f.custkey,
+                   '(inferred #' || f.custkey || ')' AS name,
+                   'UNKNOWN' AS segment, TRUE AS inferred
+            FROM fact_keys f LEFT JOIN dim d ON f.custkey = d.custkey
+            WHERE d.custkey IS NULL
+        ), aug AS (
+            SELECT * FROM dim UNION ALL SELECT * FROM orphans
+        )
+        SELECT inferred, segment, count(*)::BIGINT AS n_members
+        FROM aug GROUP BY inferred, segment
+    """,
     "dp_noisy_counts": f"""
         WITH cnt AS (
             SELECT n_name AS nation, c_mktsegment AS segment,

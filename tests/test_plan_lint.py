@@ -128,6 +128,8 @@ SINGLE_PARTITION_OK = {
                                      # per-source aggregate
     "vocab_growth_heaps",   # cumulative window over exactly
                             # HEAPS_STEPS (8) ladder rows
+    "zipf_rank_slope",      # rank row_number + OLS scalar agg over the
+                            # VOCAB-grain frame (corpus-independent)
     "cusum_changepoints",   # 1-row stats agg + the sequential CUSUM
                             # recursion on the day-grain series (size
                             # fixed by the calendar, not by sf)

@@ -550,3 +550,52 @@ def test_funnel_windowed_matches_pandas_replay(spark):
     r = funnel_windowed(spark, SF_DIR).collect()[0]
     assert (r["n_viewed"], r["n_clicked_in_window"],
             r["n_purchased_in_window"]) == (n_v, n_c, n_b)
+
+
+def test_weighted_median_matches_numpy_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        weighted_median_by_group,
+    )
+
+    li = pd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity",
+                 "l_orderkey", "l_partkey"],
+    )
+    got = {
+        r["l_returnflag"]: r
+        for r in weighted_median_by_group(spark, SF_DIR).collect()
+    }
+    for flag, grp in li.groupby("l_returnflag"):
+        grp = grp.sort_values(["l_extendedprice", "l_orderkey",
+                               "l_partkey"])
+        cw = grp["l_quantity"].cumsum()
+        tot = grp["l_quantity"].sum()
+        want = grp.loc[cw >= tot / 2, "l_extendedprice"].iloc[0]
+        r = got[flag]
+        assert abs(r["weighted_median"] - want) < 1e-4, flag
+        assert abs(r["total_weight"] - tot) < 1e-6
+
+
+def test_zipf_slope_matches_numpy_polyfit(spark):
+    import re
+
+    from data_warehouse_co_healthy_spark.llm.text import zipf_rank_slope
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["text"])
+    toks = pd.Series(
+        [w for t in docs["text"]
+         for w in re.split(r"\s+", t.strip().lower())]
+    )
+    counts = toks.value_counts()
+    xs = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
+    ys = np.log(counts.to_numpy(dtype=np.float64))
+    slope = np.polyfit(xs, ys, 1)[0]
+    r = zipf_rank_slope(spark, SF_DIR).collect()[0]
+    assert r["vocab_size"] == len(counts)
+    assert abs(r["zipf_slope"] - slope) < 1e-3
+    # direction only: the synthetic fixture is much flatter than real
+    # text (slope ~ -0.18 vs Zipf's -1) — which is exactly the signal
+    # the operator exists to surface
+    assert r["zipf_slope"] < 0

@@ -113,6 +113,9 @@ PROBES = [
     "conversion_latency",
     "funnel_windowed",
     "embedding_drift_by_label",
+    "zipf_rank_slope",
+    "weighted_median_by_group",
+    "inferred_dim_members",
 ]
 
 
