@@ -210,6 +210,38 @@ def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation surface: the confusion matrix of
+    ``langid_heuristic`` against the labeled ``lang`` column, with each
+    cell's share of its true-language row — the per-class recall
+    diagonal and the specific confusions (es→unknown? fr→es?) that an
+    aggregate accuracy number hides. The eval pattern any model-backed
+    filter (quality_classifier, langid) plugs into before gating a
+    corpus on its predictions.
+
+    One doc-grain join of predictions onto labels (both sides already
+    keyed by doc_id), one cell-grain aggregate, one window over the
+    bounded |langs|² cell frame."""
+    pred = langid_heuristic(spark, sf_dir).select("doc_id", "pred_lang")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    cm = (
+        d.join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wt = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wt), 6
+        ).alias("share_of_true"),
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-form fingerprint: lowercase, collapse whitespace, md5 —
     the exact-dedup key that survives formatting noise."""
@@ -1316,6 +1348,7 @@ QUERIES = {
     "text_quality": text_quality,
     "gopher_quality_flags": gopher_quality_flags,
     "langid_heuristic": langid_heuristic,
+    "langid_confusion": langid_confusion,
     "doc_fingerprint": doc_fingerprint,
 }
 
@@ -1689,6 +1722,20 @@ NO_ORACLE: dict[str, str] = {}
 
 
 from . import dedup as _dedup  # noqa: E402 (oracle composition only)
+
+ORACLES["langid_confusion"] = f"""
+    WITH lid AS ({{LANGID}}),
+    cm AS (
+        SELECT d.lang AS true_lang, lid.pred_lang, count(*)::BIGINT AS n
+        FROM documents d JOIN lid ON d.doc_id = lid.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY true_lang), 6)
+               AS share_of_true
+    FROM cm
+""".replace("{LANGID}", ORACLES["langid_heuristic"])
 
 ORACLES["clean_corpus"] = f"""
     WITH canon AS ({_dedup.ORACLES["dedup_exact"]}),

@@ -1046,6 +1046,31 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series — the worst
+    peak-to-trough decline relative to the running peak, the risk
+    metric that pairs with cusum (drift alarms) and the forecast family
+    (how bad did it actually get?): min over days of rev/runmax(rev)−1.
+
+    One running-max window over the day-grain series then a scalar
+    aggregate — both on the calendar-sized, sf-independent frame
+    (cusum/holt posture), after the usual exact-decimal day
+    aggregate."""
+    daily = _daily_order_revenue(spark, sf_dir)
+    wday = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "rev",
+        (F.col("rev") / F.max("rev").over(wday) - 1.0).alias("drawdown"),
+    )
+    return dd.agg(
+        F.count("*").alias("n_days"),
+        F.round(F.min("drawdown"), 6).alias("max_drawdown"),
+        F.round(F.max("rev"), 4).alias("peak_revenue"),
+    )
+
+
 MK_Z95 = 1.96  # two-sided 95 % normal quantile, shared with the oracle
 
 
@@ -1732,6 +1757,7 @@ QUERIES = {
     "gapfill_linear": gapfill_linear,
     "theil_sen_slope": theil_sen_slope,
     "mann_kendall_trend": mann_kendall_trend,
+    "max_drawdown": max_drawdown,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
     "holt_winters_daily": holt_winters_daily,
@@ -2281,6 +2307,24 @@ ORACLES["holt_winters_daily"] = f"""
     )
     SELECT day, rev, level, trend, seasonal, forecast, abs_err
     FROM rec WHERE rn > {HW_M}
+"""
+
+ORACLES["max_drawdown"] = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS rev
+        FROM orders GROUP BY 1
+    ), dd AS (
+        SELECT rev,
+               rev / max(rev) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) - 1.0 AS drawdown
+        FROM daily
+    )
+    SELECT count(*)::BIGINT AS n_days,
+           round(min(drawdown), 6) AS max_drawdown,
+           round(max(rev), 4) AS peak_revenue
+    FROM dd
 """
 
 ORACLES["mann_kendall_trend"] = f"""

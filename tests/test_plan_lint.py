@@ -146,6 +146,8 @@ SINGLE_PARTITION_OK = {
                             # calendar²-sized pair frame (~3k rows)
     "mann_kendall_trend",   # global S/n/tie-term scalar aggregates
                             # over the calendar-sized series
+    "max_drawdown",         # running-max window + scalar agg over the
+                            # day-grain (calendar-sized) series
     "acf_daily_revenue",    # lag window over the day-grain
                             # (sf-independent, calendar-sized) series —
                             # same posture as cusum/holt; the unpivot

@@ -599,3 +599,45 @@ def test_zipf_slope_matches_numpy_polyfit(spark):
     # text (slope ~ -0.18 vs Zipf's -1) — which is exactly the signal
     # the operator exists to surface
     assert r["zipf_slope"] < 0
+
+
+def test_max_drawdown_matches_numpy_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        max_drawdown,
+    )
+
+    ys = _orders_daily().to_numpy(dtype=np.float64)
+    dd = (ys / np.maximum.accumulate(ys) - 1.0).min()
+    r = max_drawdown(spark, SF_DIR).collect()[0]
+    assert r["n_days"] == len(ys)
+    assert abs(r["max_drawdown"] - dd) < 1e-4
+    assert abs(r["peak_revenue"] - ys.max()) < 1e-2
+
+
+def test_langid_confusion_diagonal_consistency(spark):
+    """Cross-checks the confusion matrix against langid_heuristic's own
+    per-doc output and pins that shares sum to 1 per true language."""
+    from data_warehouse_co_healthy_spark.llm.text import (
+        langid_confusion,
+        langid_heuristic,
+    )
+
+    preds = {
+        r["doc_id"]: r["pred_lang"]
+        for r in langid_heuristic(spark, SF_DIR).collect()
+    }
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    want: dict[tuple[str, str], int] = {}
+    for r in docs.itertuples():
+        k = (r.lang, preds[r.doc_id])
+        want[k] = want.get(k, 0) + 1
+    rows = langid_confusion(spark, SF_DIR).collect()
+    got = {(r["true_lang"], r["pred_lang"]): r["n"] for r in rows}
+    assert got == want
+    by_true: dict[str, float] = {}
+    for r in rows:
+        by_true[r["true_lang"]] = (
+            by_true.get(r["true_lang"], 0.0) + r["share_of_true"]
+        )
+    assert all(abs(s - 1.0) < 1e-4 for s in by_true.values())

@@ -116,6 +116,8 @@ PROBES = [
     "zipf_rank_slope",
     "weighted_median_by_group",
     "inferred_dim_members",
+    "langid_confusion",
+    "max_drawdown",
 ]
 
 
