@@ -88,6 +88,40 @@ def main() -> None:
         f"one-step MAE {mae}"
     )
 
+    hw = temporal.holt_winters_daily(spark, sf_dir)
+    hw_mae = hw.agg(F.round(F.avg("abs_err"), 2).alias("m")).first()["m"]
+    print(
+        f"holt-winters (weekly season): {hw.count()} days, "
+        f"one-step MAE {hw_mae}"
+        + (" — seasonality helps" if hw_mae < mae else "")
+    )
+
+    mk = temporal.mann_kendall_trend(spark, sf_dir).first()
+    print(
+        f"mann-kendall: S={mk['s_stat']} over {mk['n']} months, "
+        f"z={mk['z']} → {mk['trend']}"
+    )
+
+    acf = {r["lag"]: r["acf"]
+           for r in temporal.acf_daily_revenue(spark, sf_dir).collect()}
+    print(f"acf lags 1/7: {acf.get(1)}/{acf.get(7)}")
+
+    dd = temporal.max_drawdown(spark, sf_dir).first()
+    print(
+        f"max drawdown: {dd['max_drawdown']} over {dd['n_days']} days "
+        f"(peak {dd['peak_revenue']})"
+    )
+
+    bars = temporal.ohlc_daily(spark, sf_dir)
+    print(f"ohlc bars: {bars.count()} days")
+
+    lat = temporal.conversion_latency(spark, sf_dir)
+    worst = lat.orderBy(F.col("median_gap_s").desc()).first()
+    print(
+        f"conversion latency: {lat.count()} days, slowest median "
+        f"{worst['median_gap_s']}s on {worst['day']}"
+    )
+
     # daily partitioned fact + idempotent single-day backfill
     fact = ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     path = os.path.join(out, "fact_events_daily")
