@@ -119,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     # §2.4 joins (J1-J15 + semi/anti)
     "star_join_revenue",
     "multi_key_join",
-    "left_join_miss",
     "role_playing_dim",
     "fact_facturacion_star",
     "fact_retiro_star",
@@ -132,21 +131,22 @@ PRIORITY: tuple[str, ...] = (
     # (month_name_mapping rotated out round 5 — F6 stays local-green)
     "explode_grain",
     "date_dim_generate",
-    # §1.1/O3 in-plan surrogate keys
-    "surrogate_keys",
+    # §1.1/O3 in-plan surrogate keys: surrogate_keys rotated out
+    # seventh rotation — the same row_number key build runs graded
+    # inside multi_key_join and fact_facturacion_star
     # §2.5 aggregation surface (family representatives; rollup_sales
     # rotated out sixth rotation — rollup/cube/grouping-sets stay
     # local-green and pivot_status keeps the multi-dim shape graded)
     "q1_pricing_summary",
-    "supplier_scorecard",
     "pivot_status",
     # TPC-H star-query family (q3 rotated out sixth rotation — the
     # global-top-k shape stays graded via window_topk_per_group)
     "q5_local_supplier",
     # engine-added temporal operator (as-of join)
     "asof_join",
-    # §2.6 windows / sort / limit
-    "window_range_frame",
+    # §2.6 windows / sort / limit (window_range_frame rotated out
+    # seventh rotation — range frames run graded inside several
+    # temporal slots)
     "window_topk_per_group",
     "order_limit_topk",
     # LLM-pipeline operators (dedup / similarity / text; simhash_pairs,
@@ -166,7 +166,6 @@ PRIORITY: tuple[str, ...] = (
     # round-5 rotation: privacy audits, scale-path CC, MV maintenance,
     # corpus quality gate (all with full DuckDB oracles)
     "k_anonymity_audit",
-    "t_closeness_audit",
     "dedup_cc_star",
     "incremental_agg_refresh",
     "gopher_quality_flags",
@@ -181,7 +180,6 @@ PRIORITY: tuple[str, ...] = (
     # round-5 fourth rotation: survival curve, attribution, forecasting
     "kaplan_meier_churn",
     "attribution_report",
-    "holt_forecast",
     # round-5 fifth rotation: probabilistic linkage + TWAP
     "fellegi_sunter_links",
     "twap_daily",
@@ -196,6 +194,19 @@ PRIORITY: tuple[str, ...] = (
     "acf_daily_revenue",
     "js_divergence_sources",
     "ohlc_daily",
+    # round-5 seventh rotation (out: left_join_miss, surrogate_keys,
+    # supplier_scorecard, window_range_frame, t_closeness_audit,
+    # holt_forecast — every family keeps an in-window representative,
+    # and holt_winters_daily supersedes holt_forecast as the graded
+    # forecaster): the quasi-experimental DiD, the Mann-Kendall trend
+    # test, the DP release, conversion latency, the weighted median,
+    # and the Holt-Winters capstone — all with full DuckDB oracles
+    "did_report",
+    "mann_kendall_trend",
+    "dp_noisy_counts",
+    "conversion_latency",
+    "weighted_median_by_group",
+    "holt_winters_daily",
 )
 
 
