@@ -1046,6 +1046,66 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CRB_BURN = 25.0  # per-event credit burn, shared with the oracle
+
+
+def clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Floor-clamped running balance per user — purchases credit their
+    value, every other event burns CRB_BURN credits, and the balance
+    NEVER goes below zero: balanceₜ = max(0, balanceₜ₋₁ + deltaₜ).
+    The inventory / prepaid-credit / rate-limiter recurrence that NO
+    window function can express (the clamp makes it nonlinear — a
+    windowed cumulative sum has no way to forget the clamped past), so
+    it runs like the forecast family: one Arrow task per user key,
+    sequential only within a user, vs a grouped recursive-CTE oracle.
+
+    Bit-portability: deltas are raw doubles and the recurrence is
+    add-then-clamp — identical IEEE op order on engine, oracle, and the
+    pandas replay in tests."""
+    import pandas as pd  # noqa: PLC0415
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(-CRB_BURN))
+        .cast("double")
+        .alias("delta"),
+    )
+
+    def clamp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal = 0.0
+        out = []
+        for r in pdf.itertuples():
+            bal = bal + r.delta
+            if bal < 0.0:
+                bal = 0.0
+            out.append((key[0], r.event_id, r.delta, bal))
+        return pd.DataFrame(
+            out, columns=["user_id", "event_id", "delta", "balance"]
+        )
+
+    return (
+        base.groupBy("user_id")
+        .applyInPandas(
+            clamp,
+            schema="user_id bigint, event_id bigint, delta double, "
+            "balance double",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round("delta", 4).alias("delta"),
+            F.round("balance", 4).alias("balance"),
+        )
+    )
+
+
 def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of the daily-revenue series — the worst
     peak-to-trough decline relative to the running peak, the risk
@@ -1758,6 +1818,7 @@ QUERIES = {
     "theil_sen_slope": theil_sen_slope,
     "mann_kendall_trend": mann_kendall_trend,
     "max_drawdown": max_drawdown,
+    "clamped_running_balance": clamped_running_balance,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
     "holt_winters_daily": holt_winters_daily,
@@ -2307,6 +2368,29 @@ ORACLES["holt_winters_daily"] = f"""
     )
     SELECT day, rev, level, trend, seasonal, forecast, abs_err
     FROM rec WHERE rn > {HW_M}
+"""
+
+ORACLES["clamped_running_balance"] = f"""
+    WITH RECURSIVE base AS (
+        SELECT user_id, ts, event_id,
+               CAST(CASE WHEN event_type = 'purchase' THEN value
+                    ELSE -{CRB_BURN} END AS DOUBLE) AS delta,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), rec AS (
+        SELECT user_id, event_id, delta, rn,
+               greatest(delta, 0.0) AS balance
+        FROM base WHERE rn = 1
+        UNION ALL
+        SELECT b.user_id, b.event_id, b.delta, b.rn,
+               greatest(rec.balance + b.delta, 0.0)
+        FROM base b
+        JOIN rec ON b.user_id = rec.user_id AND b.rn = rec.rn + 1
+    )
+    SELECT user_id, event_id, round(delta, 4) AS delta,
+           round(balance, 4) AS balance
+    FROM rec
 """
 
 ORACLES["max_drawdown"] = """

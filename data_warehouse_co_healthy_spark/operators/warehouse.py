@@ -622,6 +622,45 @@ def incremental_agg_refresh(
     )
 
 
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent cross-system table checksum — the
+    reconciliation primitive behind "did the replica / migration / CDC
+    apply produce EXACTLY the same table?": each row canonicalizes to a
+    delimited string, hashes through md5 (portable, unlike engine
+    hashes: xxhash64 seeds and DuckDB's hash() differ), and the
+    60-bit prefixes SUM in exact decimal so partial aggregation
+    commutes — two engines agree iff row multisets agree (modulo
+    astronomically unlikely collisions).
+
+    Canonicalization covers the int/string key+status columns;
+    float/decimal/timestamp columns need a documented text
+    canonicalization first (engines format them differently), which is
+    the same rule any cross-system checksum tool (e.g. pt-table-checksum)
+    imposes. One scan, one 1-row partial-agg reduce."""
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(20,0)")
+    return orders.select(h.alias("h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+
+
 def inferred_dim_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-arriving-dimension repair (Kimball "inferred members"):
     fact keys with no dimension row get PLACEHOLDER dim rows (flagged
@@ -726,6 +765,7 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dp_noisy_counts": dp_noisy_counts,
     "inferred_dim_members": inferred_dim_members,
+    "table_checksum": table_checksum,
     "dq_expectation_report": dq_expectation_report,
     "incremental_agg_refresh": incremental_agg_refresh,
     "fk_containment_profile": fk_containment_profile,
@@ -748,6 +788,17 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "table_checksum": """
+        SELECT count(*)::BIGINT AS n_rows,
+               CAST(CAST(sum(h) AS HUGEINT) AS VARCHAR) AS checksum
+        FROM (
+            SELECT ('0x' || substr(md5(
+                       o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
+                       || '|' || o_orderstatus || '|'
+                       || o_orderpriority), 1, 15))::BIGINT AS h
+            FROM orders
+        )
+    """,
     "inferred_dim_members": """
         WITH fact_keys AS (
             SELECT DISTINCT o_custkey AS custkey FROM orders

@@ -109,6 +109,9 @@ SINGLE_PARTITION_OK = {
     "rolling_active_users_hll",  # same
     "embedding_int8_quantize",   # global range (one min/max row)
     "zone_map_profile",          # global profiling aggregate (one row)
+    "table_checksum",            # global reconciliation checksum —
+                                 # exchange carries one partial sum per
+                                 # task, never rows
     "approx_topk_tokens",        # sketch-merge final (one sketch row,
                                  # partials merged map-side)
     "join_cardinality_estimate", # global scalar estimate (one agg row)

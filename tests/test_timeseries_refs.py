@@ -641,3 +641,52 @@ def test_langid_confusion_diagonal_consistency(spark):
             by_true.get(r["true_lang"], 0.0) + r["share_of_true"]
         )
     assert all(abs(s - 1.0) < 1e-4 for s in by_true.values())
+
+
+def test_clamped_balance_matches_pandas_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        CRB_BURN,
+        clamped_running_balance,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        bal = 0.0
+        for r in grp.itertuples():
+            delta = r.value if r.event_type == "purchase" else -CRB_BURN
+            bal = max(0.0, bal + delta)
+            want[(uid, r.event_id)] = (round(delta, 4), round(bal, 4))
+    rows = clamped_running_balance(spark, SF_DIR).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        wd, wb = want[(r["user_id"], r["event_id"])]
+        assert abs(r["delta"] - wd) < 1e-6
+        assert abs(r["balance"] - wb) < 1e-6, (r["user_id"], r["event_id"])
+    # the clamp must actually bind somewhere, else this tests a cumsum
+    assert any(b == 0.0 for _, b in want.values())
+
+
+def test_table_checksum_matches_hashlib_and_detects_mutation(spark):
+    import hashlib
+
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        table_checksum,
+    )
+
+    orders = pd.read_parquet(
+        f"{SF_DIR}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"],
+    )
+    total = 0
+    for r in orders.itertuples():
+        s = f"{r.o_orderkey}|{r.o_custkey}|{r.o_orderstatus}|" \
+            f"{r.o_orderpriority}"
+        total += int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    got = table_checksum(spark, SF_DIR).collect()[0]
+    assert got["n_rows"] == len(orders)
+    assert got["checksum"] == str(total)

@@ -118,6 +118,8 @@ PROBES = [
     "inferred_dim_members",
     "langid_confusion",
     "max_drawdown",
+    "clamped_running_balance",
+    "table_checksum",
 ]
 
 
