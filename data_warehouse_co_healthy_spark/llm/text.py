@@ -1298,14 +1298,22 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("source")
-    scored = g.select(
+    counted = g.select(
         "source",
-        (F.sum("np").over(wcum).cast("double") / F.sum("np").over(wall))
-        .alias("fpos"),
-        (F.sum("nn").over(wcum).cast("double") / F.sum("nn").over(wall))
-        .alias("fneg"),
+        F.sum("np").over(wcum).alias("cp"),
+        F.sum("nn").over(wcum).alias("cn"),
         F.sum("np").over(wall).alias("n_pos"),
         F.sum("nn").over(wall).alias("n_neg"),
+    # single-class filter BEFORE the ECDF divisions: under the ANSI
+    # driver session a 0 denominator throws, it doesn't NULL out
+    # (roc_auc_by_source order; review finding)
+    ).filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+    scored = counted.select(
+        "source",
+        "n_pos",
+        "n_neg",
+        (F.col("cp").cast("double") / F.col("n_pos")).alias("fpos"),
+        (F.col("cn").cast("double") / F.col("n_neg")).alias("fneg"),
     )
     return (
         scored.groupBy("source", "n_pos", "n_neg")
@@ -1314,7 +1322,6 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ks"
             )
         )
-        .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .select("source", "n_pos", "n_neg", "ks")
     )
 
@@ -1422,21 +1429,24 @@ ORACLES = {
                    sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 0 ELSE 1
                        END) AS nn
             FROM documents GROUP BY source, n_chars
-        ), s AS (
+        ), counted AS (
             SELECT source,
-                   CAST(sum(np) OVER (PARTITION BY source ORDER BY n_chars
-                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                       / sum(np) OVER (PARTITION BY source) AS fpos,
-                   CAST(sum(nn) OVER (PARTITION BY source ORDER BY n_chars
-                        ROWS UNBOUNDED PRECEDING) AS DOUBLE)
-                       / sum(nn) OVER (PARTITION BY source) AS fneg,
+                   sum(np) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cp,
+                   sum(nn) OVER (PARTITION BY source ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cn,
                    sum(np) OVER (PARTITION BY source) AS n_pos,
                    sum(nn) OVER (PARTITION BY source) AS n_neg
             FROM g
+        ), s AS (
+            SELECT source, n_pos, n_neg,
+                   CAST(cp AS DOUBLE) / n_pos AS fpos,
+                   CAST(cn AS DOUBLE) / n_neg AS fneg
+            FROM counted
+            WHERE n_pos > 0 AND n_neg > 0
         )
         SELECT source, n_pos, n_neg, round(max(abs(fpos - fneg)), 6) AS ks
         FROM s
-        WHERE n_pos > 0 AND n_neg > 0
         GROUP BY source, n_pos, n_neg
     """,
     "chi2_source_lang": """

@@ -243,6 +243,21 @@ def correlation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_arm() -> Column:
+    """Deterministic 2-arm assignment from the md5-portable user hash —
+    the ONE recipe shared by ab_test_report and did_report (a drifted
+    copy would silently put users in different arms across the two
+    experiment readouts)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+
+
 DID_PRE_DAY = 15  # day-of-month boundary: ≤ = pre-period, shared w/oracle
 
 
@@ -260,16 +275,8 @@ def did_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal, then the DiD point estimate and its pooled standard error
     are scalar double trees identical on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
     x = F.col("value").cast(MONEY)
-    treated = arm == 1
+    treated = _user_arm() == 1
     post = F.dayofmonth("ts") > DID_PRE_DAY
     cells = {
         "tp": treated & post,
@@ -300,6 +307,14 @@ def did_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = F.sqrt(
         var_over_n("tp") + var_over_n("tr")
         + var_over_n("cp") + var_over_n("cr")
+    )
+    # a cell with ≤1 event makes the (n−1) variance divisor 0 — drop
+    # such event types BEFORE dividing (ANSI throws, it doesn't NULL)
+    g = g.filter(
+        F.least(
+            F.col("n_tp"), F.col("n_tr"), F.col("n_cp"), F.col("n_cr")
+        )
+        > 1
     )
     return g.select(
         "event_type",
@@ -357,28 +372,30 @@ def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ry") * F.col("ry")).alias("syy"),
     )
     nd = F.col("n").cast("double")
-    return st.select(
-        "l_returnflag",
-        "n",
-        F.round(
-            (
-                nd * F.col("sxy").cast("double")
-                - F.col("sx").cast("double") * F.col("sy").cast("double")
-            )
-            / F.sqrt(
+    varx = nd * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vary = nd * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    # constant-column groups have zero rank variance — drop them (the
+    # correlation is undefined) instead of dividing by sqrt(0), which
+    # throws under the ANSI driver session (acf/roc_auc posture)
+    return (
+        st.filter((varx > 0) & (vary > 0))
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(
                 (
-                    nd * F.col("sxx").cast("double")
+                    nd * F.col("sxy").cast("double")
                     - F.col("sx").cast("double")
-                    * F.col("sx").cast("double")
-                )
-                * (
-                    nd * F.col("syy").cast("double")
-                    - F.col("sy").cast("double")
                     * F.col("sy").cast("double")
                 )
-            ),
-            6,
-        ).alias("spearman"),
+                / F.sqrt(varx * vary),
+                6,
+            ).alias("spearman"),
+        )
     )
 
 
@@ -400,8 +417,14 @@ def weighted_median_by_group(
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     li = load_table(spark, sf_dir, "lineitem")
-    wg = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_partkey"
+    # explicit ROWS frame: Spark's default for an ordered window is
+    # RANGE (peer rows share the END-of-group cumsum), which matches
+    # the oracle's answer only because full-tie peers share the price;
+    # ROWS pins the construction the docstring claims
+    wg = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wall = Window.partitionBy("l_returnflag")
     cum = li.select(
@@ -1230,6 +1253,10 @@ ORACLES = {
                                  * CAST(sy AS DOUBLE))),
                      6) AS spearman
         FROM st
+        WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
     """,
     "gini_by_nation": """
         WITH spend AS (
@@ -1622,6 +1649,7 @@ ORACLES = {
                                 / n_cr),
                      4) AS z
         FROM g
+        WHERE least(n_tp, n_tr, n_cp, n_cr) > 1
     """,
     "ab_test_report": """
         WITH armed AS (

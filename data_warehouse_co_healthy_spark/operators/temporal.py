@@ -1071,7 +1071,13 @@ def clamped_running_balance(
         "user_id",
         F.col("ts").cast("timestamp").alias("ts"),
         "event_id",
-        F.when(F.col("event_type") == "purchase", F.col("value"))
+        # coalesce: a NULL purchase value must credit 0, not NaN-poison
+        # the pandas recursion (NaN survives the < 0 clamp forever)
+        # while the oracle's greatest() silently ignores the NULL arg
+        F.when(
+            F.col("event_type") == "purchase",
+            F.coalesce(F.col("value"), F.lit(0.0)),
+        )
         .otherwise(F.lit(-CRB_BURN))
         .cast("double")
         .alias("delta"),
@@ -2373,7 +2379,8 @@ ORACLES["holt_winters_daily"] = f"""
 ORACLES["clamped_running_balance"] = f"""
     WITH RECURSIVE base AS (
         SELECT user_id, ts, event_id,
-               CAST(CASE WHEN event_type = 'purchase' THEN value
+               CAST(CASE WHEN event_type = 'purchase'
+                    THEN coalesce(value, 0.0)
                     ELSE -{CRB_BURN} END AS DOUBLE) AS delta,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id) AS rn

@@ -655,7 +655,11 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("decimal(20,0)")
-    return orders.select(h.alias("h")).agg(
+    # cast BEFORE the sum: sum(decimal(20,0)) buffers at (30,0), which
+    # a 60-bit-mean hash overflows near ~1.7e12 rows — exactly the
+    # regime a reconciliation checksum exists for; (38,0) input makes
+    # the accumulator itself 38-wide (house hash-sum rule)
+    return orders.select(h.cast("decimal(38,0)").alias("h")).agg(
         F.count("*").cast("long").alias("n_rows"),
         F.sum("h").cast("decimal(38,0)").cast("string").alias("checksum"),
     )

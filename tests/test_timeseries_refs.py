@@ -690,3 +690,66 @@ def test_table_checksum_matches_hashlib_and_detects_mutation(spark):
     got = table_checksum(spark, SF_DIR).collect()[0]
     assert got["n_rows"] == len(orders)
     assert got["checksum"] == str(total)
+
+
+def test_degenerate_input_guards(spark, tmp_path):
+    """Pins the ANSI-survival guards the review demanded: single-class
+    sources (KS), constant-rank groups (Spearman), one-event DiD cells,
+    and NULL purchase values (clamped balance) must degrade to dropped
+    rows / zero credit — never divide-by-zero or NaN-poison."""
+    import datetime
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aa bb", "en", "s_onlyen", 5),
+         (2, "cc dd", "en", "s_onlyen", 7),
+         (3, "ee ff", "en", "s_mixed", 5),
+         (4, "gg hh", "de", "s_mixed", 9)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    spark.createDataFrame(
+        [("A", 10.0, 10.0, 1, 1), ("A", 10.0, 10.0, 2, 2),
+         ("B", 10.0, 11.0, 3, 3), ("B", 20.0, 12.0, 4, 4),
+         ("B", 30.0, 13.0, 5, 5)],
+        "l_returnflag string, l_quantity double, l_extendedprice "
+        "double, l_orderkey long, l_partkey long",
+    ).write.parquet(f"{sf}/lineitem.parquet")
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1 (arm depends on md5; values chosen so every
+        # event_type has a tiny cell) + a NULL purchase value
+        (1, t0, 1, "purchase", None),
+        (1, t0 + datetime.timedelta(hours=1), 2, "click", 5.0),
+        (2, t0 + datetime.timedelta(days=20), 3, "purchase", 10.0),
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type "
+        "string, value double",
+    ).write.parquet(f"{sf}/events.parquet")
+
+    from data_warehouse_co_healthy_spark.llm.text import ks_two_sample
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        did_report,
+        spearman_by_group,
+    )
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        clamped_running_balance,
+    )
+
+    ks = {r["source"] for r in ks_two_sample(spark, sf).collect()}
+    assert ks == {"s_mixed"}  # single-class source dropped, no throw
+
+    sp = {r["l_returnflag"] for r in spearman_by_group(spark, sf).collect()}
+    assert sp == {"B"}  # constant-quantity group dropped, no throw
+
+    assert did_report(spark, sf).count() == 0  # all cells ≤ 1 → dropped
+
+    bal = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in clamped_running_balance(spark, sf).collect()
+    }
+    # NULL purchase credits 0; the later click burns and clamps at 0
+    assert bal[(1, 1)] == 0.0 and bal[(1, 2)] == 0.0
+    assert bal[(2, 3)] == 10.0
