@@ -295,6 +295,66 @@ def zscore_anomalies_stream(
     )
 
 
+def clamped_balance_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators.temporal.clamped_running_balance``:
+    the floor-clamped per-user credit balance maintained online. State
+    is ONE float per user (the current balance) — O(1) by construction,
+    watermark-free — and the recurrence (coalesce-credit, burn, clamp
+    at 0) is the exact op sequence of the batch twin, so draining the
+    bounded fixture stream is BIT-equal to the batch result (pinned in
+    tests/test_streaming.py). The shared ``whole_batch`` helper sorts
+    each micro-batch once, keeping the recursion order independent of
+    Arrow chunk boundaries."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    from ..operators.temporal import CRB_BURN  # noqa: PLC0415
+
+    out_schema = (
+        "user_id long, event_id long, delta double, balance double"
+    )
+    state_schema = "bal double"
+
+    def update(key, pdfs, state: GroupState):
+        from data_warehouse_co_healthy_spark.streaming.microbatch import (  # noqa: E501,PLC0415
+            whole_batch,
+        )
+
+        bal = float(state.get[0]) if state.exists else 0.0
+        out_ids, out_deltas, out_bals = [], [], []
+        pdf = whole_batch(pdfs, ["ts", "event_id"])
+        if pdf is not None:
+            for r in pdf.itertuples():
+                if r.event_type == "purchase":
+                    v = r.value
+                    delta = 0.0 if pd.isna(v) else float(v)
+                else:
+                    delta = -CRB_BURN
+                bal = bal + delta
+                if bal < 0.0:
+                    bal = 0.0
+                out_ids.append(int(r.event_id))
+                out_deltas.append(round(delta, 4))
+                out_bals.append(round(bal, 4))
+        state.update((bal,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "delta": out_deltas,
+                "balance": out_bals,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def cusum_drift_stream(
     events: DataFrame,
     mean: float,

@@ -646,3 +646,26 @@ def test_ohlc_stream_matches_batch_bars(spark, stream):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_clamped_balance_stream_matches_batch(spark, stream):
+    """The O(1)-state streaming balance drained over the bounded
+    fixture must be BIT-identical to the batch recursion (same op
+    order, same rounding)."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        clamped_running_balance,
+    )
+
+    got = (
+        _drain(spark, se.clamped_balance_stream(stream),
+               "clamped_stream", mode="append")
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        clamped_running_balance(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
