@@ -120,6 +120,41 @@ def main() -> None:
         F.round(F.sum("entropy_term"), 4).alias("H")
     ).first()["H"]
     print(f"  raw source-mix entropy: {ent}")
+
+    # corpus-health screens added round 5: rank-frequency shape,
+    # closest source pair (redundancy), worst length-distribution
+    # drift, and the language-ID confusion diagonal
+    zipf = text.zipf_rank_slope(spark, sf_dir).first()
+    print(
+        f"  zipf: slope {zipf['zipf_slope']} (r2 {zipf['r2']}) over "
+        f"{zipf['vocab_size']} types — flatter than -1 flags "
+        "synthetic/templated text"
+    )
+    jsd = (
+        text.js_divergence_sources(spark, sf_dir)
+        .orderBy("jsd")
+        .first()
+    )
+    print(
+        f"  most-similar sources: {jsd['s1']} ~ {jsd['s2']} "
+        f"(JSD {jsd['jsd']} bits)"
+    )
+    ks = (
+        text.ks_two_sample(spark, sf_dir)
+        .orderBy(F.col("ks").desc())
+        .first()
+    )
+    print(
+        f"  worst en/non-en length drift: {ks['source']} "
+        f"(KS {ks['ks']})"
+    )
+    diag = (
+        text.langid_confusion(spark, sf_dir)
+        .filter(F.col("true_lang") == F.col("pred_lang"))
+        .agg(F.round(F.avg("share_of_true"), 4).alias("r"))
+        .first()["r"]
+    )
+    print(f"  langid mean per-class recall: {diag}")
     stats = (
         packed.groupBy("source")
         .agg(
