@@ -1132,6 +1132,27 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pav_blocks(
+    points: "list[tuple[float, float, float]]",
+) -> "list[list[float]]":
+    """Pool Adjacent Violators over (x, weight, mean) points already
+    sorted by x — returns [x_lo, x_hi, weight, mean] blocks with
+    STRICTLY increasing means (equal-mean neighbors merge too).
+    Module-level so the Arrow task and the property tests share one
+    implementation; property-tested against the independent
+    max-min characterization in tests/test_properties.py."""
+    blocks: list[list[float]] = []
+    for x, w, y in points:
+        blocks.append([x, x, float(w), float(y)])
+        while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
+            b2 = blocks.pop()
+            b1 = blocks.pop()
+            wt = b1[2] + b2[2]
+            m = (b1[2] * b1[3] + b2[2] * b2[3]) / wt
+            blocks.append([b1[0], b2[1], wt, m])
+    return blocks
+
+
 def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic (monotone) calibration of a ranking score via Pool
     Adjacent Violators — the nonparametric way to turn any quality /
@@ -1162,15 +1183,9 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pav(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("n_chars").reset_index(drop=True)
-        blocks: list[list[float]] = []
-        for r in pdf.itertuples():
-            blocks.append([r.n_chars, r.n_chars, float(r.w), float(r.y)])
-            while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
-                b2 = blocks.pop()
-                b1 = blocks.pop()
-                w = b1[2] + b2[2]
-                m = (b1[2] * b1[3] + b2[2] * b2[3]) / w
-                blocks.append([b1[0], b2[1], w, m])
+        blocks = pav_blocks(
+            list(zip(pdf["n_chars"], pdf["w"], pdf["y"]))
+        )
         return pd.DataFrame(
             [
                 (key[0], b[0], b[1], b[2], round(b[3], 6))
