@@ -38,6 +38,15 @@ BUDGETS = {
     "image_decode_stats": 0,
     "attribution_report": 3,
     "kaplan_meier_churn": 2,
+    # round-5 bench additions (upper bounds per the SHUFFLES.md header:
+    # persisted subtrees print once per consumer, execute once)
+    "js_divergence_sources": 7,
+    "holt_forecast_by_nation": 2,
+    "ohlc_daily": 1,
+    "gini_by_nation": 2,
+    "ks_two_sample": 2,
+    "weighted_median_by_group": 1,
+    "conversion_latency": 3,
 }
 
 
