@@ -399,6 +399,51 @@ def spearman_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HILL_K = 100  # tail order statistics for the Hill estimator
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of customer spend —
+    the heavy-tail diagnostic behind capacity planning and whale-risk
+    analysis (α ≤ 2 means infinite variance: means/CLT-based readouts
+    are unreliable; `revenue_pareto` shows the curve, this one number
+    says HOW heavy): α̂ = 1 / mean(ln(x_(i) / x_(k+1))) over the top-k
+    order statistics.
+
+    The global rank is row_number + rk ≤ k+1, which Catalyst executes
+    as a WindowGroupLimit — each map task emits at most k+1 rows before
+    the single final exchange, so the 'global sort' is top-k-sized, not
+    data-sized. x_(k+1) joins back as a 1-row broadcast."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("spend")
+    )
+    ranked = spend.select(
+        "spend",
+        F.row_number()
+        .over(Window.orderBy(F.col("spend").desc(), F.col("o_custkey")))
+        .alias("rk"),
+    ).filter(F.col("rk") <= HILL_K + 1)
+    xk1 = ranked.filter(F.col("rk") == HILL_K + 1).select(
+        F.col("spend").alias("x_k1")
+    )
+    return (
+        ranked.filter(F.col("rk") <= HILL_K)
+        .crossJoin(F.broadcast(xk1))
+        .agg(
+            F.count("*").alias("k"),
+            (1.0 / F.avg(F.log(F.col("spend") / F.col("x_k1")))).alias(
+                "alpha"
+            ),
+        )
+        .select("k", F.round("alpha", 4).alias("hill_alpha"))
+    )
+
+
 def weighted_median_by_group(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1198,12 +1243,32 @@ QUERIES = {
     "correlation_stats": correlation_stats,
     "spearman_by_group": spearman_by_group,
     "weighted_median_by_group": weighted_median_by_group,
+    "hill_tail_index": hill_tail_index,
     "approx_distinct": approx_distinct,
 }
 
 _HIST_W = (HIST_HI - HIST_LO) / HIST_NBUCKETS
 
 ORACLES = {
+    "hill_tail_index": f"""
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DOUBLE) AS spend
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT spend,
+                   row_number() OVER (ORDER BY spend DESC, o_custkey)
+                       AS rk
+            FROM spend
+        ), xk1 AS (
+            SELECT spend AS x_k1 FROM ranked WHERE rk = {HILL_K + 1}
+        )
+        SELECT count(*)::BIGINT AS k,
+               round(1.0 / avg(ln(spend / x_k1)), 4) AS hill_alpha
+        FROM ranked, xk1
+        WHERE rk <= {HILL_K}
+    """,
     "weighted_median_by_group": """
         WITH cum AS (
             SELECT l_returnflag, l_extendedprice,

@@ -1046,6 +1046,56 @@ def funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient (Goh & Barabási 2008) of inter-arrival
+    times per event type: B = (σ−μ)/(σ+μ) over the gaps between a
+    user's consecutive events — B≈0 is Poisson (memoryless), B→1 is
+    bursty (sessions, retries, cascades), B→−1 is periodic (bots,
+    schedulers). The arrival-process diagnostic behind capacity
+    planning and bot screening that sessionization assumes.
+
+    Gaps are exact integer microseconds from ONE per-(type, user) lag
+    window; μ/σ come from exact-decimal Σgap and Σgap² (gap² at (19,0)²
+    stays inside decimal(38,0)), so the only float math is the closed
+    form — engine-portable. Single-gap types are dropped (σ undefined,
+    ANSI guard)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_id",
+        )
+        .withColumn(
+            "gap_us",
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    st = gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            F.col("gap_us").cast("decimal(19,0)")
+            * F.col("gap_us").cast("decimal(19,0)")
+        ).alias("s2"),
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("s1").cast("double") / nd
+    var = (F.col("s2").cast("double") - nd * mu * mu) / (nd - 1)
+    sg = F.sqrt(var)
+    return st.filter(F.col("n_gaps") > 1).select(
+        "event_type",
+        "n_gaps",
+        F.round(mu / 1e6, 4).alias("mean_gap_s"),
+        F.round((sg - mu) / (sg + mu), 6).alias("burstiness"),
+    )
+
+
 CRB_BURN = 25.0  # per-event credit burn, shared with the oracle
 
 
@@ -1825,6 +1875,7 @@ QUERIES = {
     "mann_kendall_trend": mann_kendall_trend,
     "max_drawdown": max_drawdown,
     "clamped_running_balance": clamped_running_balance,
+    "burstiness_by_type": burstiness_by_type,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
     "holt_winters_daily": holt_winters_daily,
@@ -2374,6 +2425,38 @@ ORACLES["holt_winters_daily"] = f"""
     )
     SELECT day, rev, level, trend, seasonal, forecast, abs_err
     FROM rec WHERE rn > {HW_M}
+"""
+
+ORACLES["burstiness_by_type"] = """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY event_type, user_id
+                         ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), st AS (
+        SELECT event_type, count(*) AS n_gaps,
+               sum(CAST(gap_us AS DECIMAL(38,0))) AS s1,
+               sum(CAST(gap_us AS DECIMAL(19,0))
+                   * CAST(gap_us AS DECIMAL(19,0))) AS s2
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps / 1e6, 4) AS mean_gap_s,
+           round((sqrt((CAST(s2 AS DOUBLE)
+                        - n_gaps * (CAST(s1 AS DOUBLE) / n_gaps)
+                                 * (CAST(s1 AS DOUBLE) / n_gaps))
+                       / (n_gaps - 1))
+                  - CAST(s1 AS DOUBLE) / n_gaps)
+                 / (sqrt((CAST(s2 AS DOUBLE)
+                          - n_gaps * (CAST(s1 AS DOUBLE) / n_gaps)
+                                   * (CAST(s1 AS DOUBLE) / n_gaps))
+                         / (n_gaps - 1))
+                    + CAST(s1 AS DOUBLE) / n_gaps),
+                 6) AS burstiness
+    FROM st
+    WHERE n_gaps > 1
 """
 
 ORACLES["clamped_running_balance"] = f"""

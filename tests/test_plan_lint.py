@@ -58,6 +58,8 @@ NESTED_LOOP_OK = {
                             # (n, tie term) joined as broadcasts
     "kaplan_meier_churn",   # observation-end horizon as a 1-row
                             # broadcast onto the user-grain frame
+    "hill_tail_index",      # x_(k+1) order statistic as a 1-row
+                            # broadcast onto the top-k frame
 }
 
 # Intentional single-partition exchanges. Two benign shapes:
@@ -147,6 +149,9 @@ SINGLE_PARTITION_OK = {
                             # partitioned by bucket
     "theil_sen_slope",      # order-statistic median over the
                             # calendar²-sized pair frame (~3k rows)
+    "hill_tail_index",      # global top-(k+1) rank executed as
+                            # WindowGroupLimit (map tasks emit ≤ k+1
+                            # rows) + the final scalar aggregate
     "mann_kendall_trend",   # global S/n/tie-term scalar aggregates
                             # over the calendar-sized series
     "max_drawdown",         # running-max window + scalar agg over the

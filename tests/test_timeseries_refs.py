@@ -753,3 +753,47 @@ def test_degenerate_input_guards(spark, tmp_path):
     # NULL purchase credits 0; the later click burns and clamps at 0
     assert bal[(1, 1)] == 0.0 and bal[(1, 2)] == 0.0
     assert bal[(2, 3)] == 10.0
+
+
+def test_hill_matches_numpy_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.aggregates import (
+        HILL_K,
+        hill_tail_index,
+    )
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    spend = orders.groupby("o_custkey")["o_totalprice"].sum()
+    xs = np.sort(spend.to_numpy(dtype=np.float64))[::-1]
+    want = 1.0 / np.mean(np.log(xs[:HILL_K] / xs[HILL_K]))
+    r = hill_tail_index(spark, SF_DIR).collect()[0]
+    assert r["k"] == HILL_K
+    assert abs(r["hill_alpha"] - want) < 1e-3
+    assert r["hill_alpha"] > 0
+
+
+def test_burstiness_matches_pandas_replay(spark):
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        burstiness_by_type,
+    )
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                         columns=["event_type", "user_id", "ts",
+                                  "event_id"])
+    ev = ev.sort_values(["event_type", "user_id", "ts", "event_id"])
+    got = {r["event_type"]: r
+           for r in burstiness_by_type(spark, SF_DIR).collect()}
+    for et, grp in ev.groupby("event_type"):
+        gaps = []
+        for _, ugrp in grp.groupby("user_id"):
+            ts = pd.to_datetime(ugrp["ts"]).astype("int64") // 1000
+            gaps.extend(np.diff(ts.to_numpy()))
+        if len(gaps) <= 1:
+            assert et not in got
+            continue
+        gaps = np.asarray(gaps, dtype=np.float64)
+        mu, sg = gaps.mean(), gaps.std(ddof=1)
+        r = got[et]
+        assert r["n_gaps"] == len(gaps)
+        assert abs(r["burstiness"] - (sg - mu) / (sg + mu)) < 1e-4, et
+        assert -1.0 <= r["burstiness"] <= 1.0

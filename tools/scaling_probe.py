@@ -120,6 +120,8 @@ PROBES = [
     "max_drawdown",
     "clamped_running_balance",
     "table_checksum",
+    "hill_tail_index",
+    "burstiness_by_type",
 ]
 
 
