@@ -118,7 +118,6 @@ PRIORITY: tuple[str, ...] = (
     "case_when_bucket",
     # §2.4 joins (J1-J15 + semi/anti)
     "star_join_revenue",
-    "multi_key_join",
     "role_playing_dim",
     "fact_facturacion_star",
     "fact_retiro_star",
@@ -129,7 +128,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_rows",
     # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
     # (month_name_mapping rotated out round 5 — F6 stays local-green)
-    "explode_grain",
     "date_dim_generate",
     # §1.1/O3 in-plan surrogate keys: surrogate_keys rotated out
     # seventh rotation — the same row_number key build runs graded
@@ -138,7 +136,6 @@ PRIORITY: tuple[str, ...] = (
     # rotated out sixth rotation — rollup/cube/grouping-sets stay
     # local-green and pivot_status keeps the multi-dim shape graded)
     "q1_pricing_summary",
-    "pivot_status",
     # TPC-H star-query family (q3 rotated out sixth rotation — the
     # global-top-k shape stays graded via window_topk_per_group)
     "q5_local_supplier",
@@ -168,7 +165,6 @@ PRIORITY: tuple[str, ...] = (
     "k_anonymity_audit",
     "dedup_cc_star",
     "incremental_agg_refresh",
-    "gopher_quality_flags",
     # round-5 second rotation: this session's oracle-backed heavies
     "tfidf_cosine_pairs",
     "dedup_graph_triangles",
@@ -207,6 +203,19 @@ PRIORITY: tuple[str, ...] = (
     "conversion_latency",
     "weighted_median_by_group",
     "holt_winters_daily",
+    # round-5 eighth rotation (out: multi_key_join — joins keep
+    # star_join_revenue/role_playing_dim; explode_grain — F1/F2 runs
+    # graded inside fact_formula_star's explode; pivot_status —
+    # aggregates keep q1; gopher_quality_flags — text keeps
+    # text_quality/roc_auc/ks/js_divergence; all stay locally
+    # oracle-tested): the
+    # heavy-tail index, the arrival-process burstiness screen, the
+    # cross-engine reconciliation checksum, and the language-ID
+    # confusion-matrix eval — all with full DuckDB oracles
+    "hill_tail_index",
+    "burstiness_by_type",
+    "table_checksum",
+    "langid_confusion",
 )
 
 
