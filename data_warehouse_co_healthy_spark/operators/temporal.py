@@ -640,6 +640,68 @@ CUSUM_K = 0.5  # slack (standard deviations) absorbed before drift counts
 CUSUM_H = 4.0  # alarm threshold (standard deviations of drift)
 
 
+def stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal and trend STRENGTH (Hyndman & Athanasopoulos, FPP) of
+    the hourly decomposition: F_s = max(0, 1 − var(R)/var(S+R)),
+    F_t = max(0, 1 − var(R)/var(T+R)) — the two numbers that say
+    whether ``seasonal_decompose_hourly``'s components actually matter
+    (F_s ≈ 0: don't bother with a seasonal model; F_t ≈ 1: difference
+    before correlating). Composes the decomposition (its oracle is the
+    CTE here), then one event-type-grain variance aggregate over the
+    bounded hourly frame; degenerate variances are filtered before the
+    division (ANSI posture)."""
+    dec = seasonal_decompose_hourly(spark, sf_dir)
+    st = dec.filter(F.col("resid").isNotNull()).groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").alias("n_buckets"),
+        F.var_samp("resid").alias("vr"),
+        F.var_samp(F.col("seasonal") + F.col("resid")).alias("vsr"),
+        F.var_samp(F.col("trend") + F.col("resid")).alias("vtr"),
+    )
+    return st.filter((F.col("vsr") > 0) & (F.col("vtr") > 0)).select(
+        "event_type",
+        "n_buckets",
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")), 4
+        ).alias("seasonal_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")), 4
+        ).alias("trend_strength"),
+    )
+
+
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users decomposed into NEW (first-ever day) vs
+    RETURNING — the growth-accounting view (is DAU growth acquisition
+    or retention?) that sits beside ``retention_cohorts``. One distinct
+    to (user, day) grain, one user-grain min, one join back on the same
+    user key, one day-grain aggregate — every stage rides the user/day
+    exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().persist()  # feeds the first-day agg AND the join back
+    first = days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    is_new = F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+    return (
+        days.join(first, "user_id")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(is_new).cast("long").alias("n_new"),
+            F.sum(1 - is_new).cast("long").alias("n_returning"),
+        )
+        .withColumn(
+            "new_share",
+            F.round(
+                F.col("n_new").cast("double")
+                / (F.col("n_new") + F.col("n_returning")),
+                6,
+            ),
+        )
+    )
+
+
 def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point detection (Page 1954) on the daily-revenue
     series: two one-sided cumulative sums of standardized deviations —
@@ -1890,6 +1952,8 @@ QUERIES = {
     "conversion_latency": conversion_latency,
     "ewma_smoother": ewma_smoother,
     "seasonal_decompose_hourly": seasonal_decompose_hourly,
+    "stl_strength": stl_strength,
+    "new_vs_returning": new_vs_returning,
 }
 
 ORACLES = {
@@ -2740,4 +2804,38 @@ ORACLES["seasonal_decompose_hourly"] = f"""
            round(seasonal, 4) AS seasonal,
            round(n - trend - seasonal, 4) AS resid
     FROM se
+"""
+
+ORACLES["stl_strength"] = f"""
+    WITH dec AS ({{DECOMPOSE}}),
+    st AS (
+        SELECT event_type, count(*) AS n_buckets,
+               var_samp(resid) AS vr,
+               var_samp(seasonal + resid) AS vsr,
+               var_samp(trend + resid) AS vtr
+        FROM dec WHERE resid IS NOT NULL
+        GROUP BY event_type
+    )
+    SELECT event_type, n_buckets,
+           round(greatest(0.0, 1.0 - vr / vsr), 4) AS seasonal_strength,
+           round(greatest(0.0, 1.0 - vr / vtr), 4) AS trend_strength
+    FROM st
+    WHERE vsr > 0 AND vtr > 0
+""".replace("{DECOMPOSE}", ORACLES["seasonal_decompose_hourly"])
+
+ORACLES["new_vs_returning"] = """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+        SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+           sum(CASE WHEN day = first_day THEN 0 ELSE 1 END)::BIGINT
+               AS n_returning,
+           round(CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS new_share
+    FROM days JOIN first USING (user_id)
+    GROUP BY day
 """

@@ -122,6 +122,8 @@ PROBES = [
     "table_checksum",
     "hill_tail_index",
     "burstiness_by_type",
+    "stl_strength",
+    "new_vs_returning",
 ]
 
 
