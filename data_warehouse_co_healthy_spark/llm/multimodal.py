@@ -397,6 +397,59 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
 
 
+IIH_BUCKETS = 8  # luma histogram buckets (256 / 32), shared w/oracle
+
+
+def image_intensity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-wide luminance histogram over DECODED pixels — the
+    exposure/garbage screen a vision-data pipeline runs before
+    training (all-black thumbnails, blown-out scans, constant-color
+    placeholders all show up as spikes): integer luma = (r+2g+b)//4,
+    bucketed to IIH_BUCKETS bins per format. Every pixel flows through
+    the REAL vendored BMP/PPM decoder; the oracle regenerates the same
+    integer math from the closed-form synthetic pixel formula, so a
+    decoder channel/order/padding misread shifts bucket counts and
+    fails the hash. Two narrow Arrow stages (encode, decode+bucket),
+    then one bounded (fmt × buckets) aggregate."""
+    import numpy as np  # noqa: PLC0415
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts: list[str] = []
+            buckets: list[int] = []
+            counts: list[int] = []
+            lsums: list[int] = []
+            for fmt, payload in zip(pdf["fmt"], pdf["payload"]):
+                img = decode_image(payload).astype(np.int64)
+                flat = img.reshape(-1, 3)
+                luma = (flat[:, 0] + 2 * flat[:, 1] + flat[:, 2]) // 4
+                bins = luma // (256 // IIH_BUCKETS)
+                for b in np.unique(bins):
+                    sel = bins == b
+                    fmts.append(fmt)
+                    buckets.append(int(b))
+                    counts.append(int(sel.sum()))
+                    lsums.append(int(luma[sel].sum()))
+            yield pd.DataFrame(
+                {
+                    "fmt": fmts,
+                    "bucket": buckets,
+                    "n_px": counts,
+                    "luma_sum": lsums,
+                }
+            )
+
+    per_image = media_images(spark, sf_dir).mapInPandas(
+        run, schema="fmt string, bucket int, n_px long, luma_sum long"
+    )
+    return per_image.groupBy("fmt", "bucket").agg(
+        F.sum("n_px").cast("long").alias("n_px"),
+        F.sum("luma_sum").cast("long").alias("luma_sum"),
+    )
+
+
 def image_dhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup hashing on DECODED PIXELS — the pixel-level
     companion to media_phash_buckets' byte-level hash: a difference
@@ -494,6 +547,7 @@ def file_decode_stats(files: DataFrame) -> DataFrame:
 QUERIES = {
     "binary_metadata": binary_metadata,
     "image_decode_stats": image_decode_stats,
+    "image_intensity_histogram": image_intensity_histogram,
     "frame_sample": frame_sample,
     "resize_media": resize_media,
     "media_phash_buckets": media_phash_buckets,
@@ -577,6 +631,30 @@ ORACLES["image_decode_stats"] = f"""
            sum(b)::BIGINT AS sum_b,
            sum((i + 1) * (r + 2 * g + 3 * b))::BIGINT AS pos_weighted
     FROM px GROUP BY media_id
+"""
+
+ORACLES["image_intensity_histogram"] = f"""
+    WITH dims AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS width,
+               ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS height
+        FROM documents
+    ), px AS (
+        SELECT fmt,
+               (((media_id + 3 * i) % 256)
+                + 2 * ((2 * media_id + 7 * i) % 256)
+                + ((5 * media_id + 11 * i) % 256)) // 4 AS luma
+        FROM dims,
+             LATERAL (SELECT unnest(generate_series(
+                 0, width * height - 1)) AS i)
+    )
+    SELECT fmt,
+           CAST(luma // {256 // IIH_BUCKETS} AS INTEGER) AS bucket,
+           count(*)::BIGINT AS n_px,
+           sum(luma)::BIGINT AS luma_sum
+    FROM px
+    GROUP BY 1, 2
 """
 
 ORACLES["media_phash_buckets"] = f"""

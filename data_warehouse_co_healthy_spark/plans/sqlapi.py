@@ -231,7 +231,32 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_TOPK_SQL)
 
 
+# Shared verbatim with the DuckDB oracle (both engines implement the
+# GROUP BY ALL sugar with identical semantics: every non-aggregate
+# select item becomes a grouping key)
+GROUPBY_ALL_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ALL
+"""
+
+
+def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the analyst-ergonomics sugar (every
+    non-aggregate select item groups implicitly) that Spark 4 and
+    DuckDB both resolve identically, proven by running the same SQL
+    text on both engines. Plans exactly like the explicit GROUP BY:
+    one partial-aggregated hash aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUPBY_ALL_SQL)
+
+
 QUERIES = {
+    "sql_groupby_all": sql_groupby_all,
     "sql_api_gapfill": sql_api_gapfill,
     "sql_api_revenue": sql_api_revenue,
     "sql_lateral_topk": sql_lateral_topk,
@@ -291,6 +316,7 @@ ORACLES = {
     """,
 }
 
+ORACLES["sql_groupby_all"] = GROUPBY_ALL_SQL
 ORACLES["sql_recursive_hierarchy"] = REC_HIERARCHY_SQL
 ORACLES["sql_lateral_topk"] = LATERAL_TOPK_SQL
 
