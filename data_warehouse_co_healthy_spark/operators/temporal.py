@@ -1167,15 +1167,18 @@ def clamped_running_balance(
     """Floor-clamped running balance per user — purchases credit their
     value, every other event burns CRB_BURN credits, and the balance
     NEVER goes below zero: balanceₜ = max(0, balanceₜ₋₁ + deltaₜ).
-    The inventory / prepaid-credit / rate-limiter recurrence that NO
-    window function can express (the clamp makes it nonlinear — a
-    windowed cumulative sum has no way to forget the clamped past), so
-    it runs like the forecast family: one Arrow task per user key,
+    The inventory / prepaid-credit / rate-limiter recurrence, run as
+    the explicit step recursion: one Arrow task per user key,
     sequential only within a user, vs a grouped recursive-CTE oracle.
 
     Bit-portability: deltas are raw doubles and the recurrence is
     add-then-clamp — identical IEEE op order on engine, oracle, and the
-    pandas replay in tests."""
+    pandas replay in tests. The recurrence ALSO has the Lindley
+    reflection closed form bₜ = Sₜ − min(0, min_{k≤t} Sₖ) over plain
+    prefix sums — implemented as the all-window JVM scale path in
+    ``clamped_balance_window`` (equal in exact arithmetic; kept as a
+    separate query because its float op order differs by ulps from the
+    step recursion this oracle mirrors)."""
     import pandas as pd  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events")
@@ -1221,6 +1224,50 @@ def clamped_running_balance(
             F.round("delta", 4).alias("delta"),
             F.round("balance", 4).alias("balance"),
         )
+    )
+
+
+def clamped_balance_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB path for the floor-clamped balance: the Lindley
+    reflection identity bₜ = Sₜ − min(0, min_{k≤t} Sₖ) turns the
+    "unexpressible" nonlinear clamp into TWO ordinary cumulative
+    windows (prefix sum, then running min of it) — whole-stage-codegen
+    JVM arithmetic riding one user-key exchange, no Python loop, no
+    per-row state. Same deltas and NULL-credit semantics as
+    ``clamped_running_balance``; its DuckDB oracle uses the same
+    reflection formula (the step-recursion twin keeps the independent
+    recursive-CTE oracle), and a test pins the two variants equal to
+    float tolerance on the fixtures."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.coalesce(F.col("value"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(-CRB_BURN))
+        .cast("double")
+        .alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = base.withColumn("s", F.sum("delta").over(w))
+    b = s.withColumn(
+        "balance",
+        F.col("s") - F.least(F.lit(0.0), F.min("s").over(w)),
+    )
+    return b.select(
+        "user_id",
+        "event_id",
+        F.round("delta", 4).alias("delta"),
+        F.round("balance", 4).alias("balance"),
     )
 
 
@@ -1937,6 +1984,7 @@ QUERIES = {
     "mann_kendall_trend": mann_kendall_trend,
     "max_drawdown": max_drawdown,
     "clamped_running_balance": clamped_running_balance,
+    "clamped_balance_window": clamped_balance_window,
     "burstiness_by_type": burstiness_by_type,
     "holt_forecast": holt_forecast,
     "holt_forecast_by_nation": holt_forecast_by_nation,
@@ -2545,6 +2593,31 @@ ORACLES["clamped_running_balance"] = f"""
     SELECT user_id, event_id, round(delta, 4) AS delta,
            round(balance, 4) AS balance
     FROM rec
+"""
+
+ORACLES["clamped_balance_window"] = f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(CASE WHEN event_type = 'purchase'
+                    THEN coalesce(value, 0.0)
+                    ELSE -{CRB_BURN} END AS DOUBLE) AS delta
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, event_id, delta,
+               sum(delta) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS s
+        FROM base
+    ), b AS (
+        SELECT user_id, event_id, delta,
+               s - least(0.0, min(s) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)) AS balance
+        FROM s
+    )
+    SELECT user_id, event_id, round(delta, 4) AS delta,
+           round(balance, 4) AS balance
+    FROM b
 """
 
 ORACLES["max_drawdown"] = """

@@ -797,3 +797,23 @@ def test_burstiness_matches_pandas_replay(spark):
         assert r["n_gaps"] == len(gaps)
         assert abs(r["burstiness"] - (sg - mu) / (sg + mu)) < 1e-4, et
         assert -1.0 <= r["burstiness"] <= 1.0
+
+
+def test_clamped_window_equals_step_recursion(spark):
+    """The Lindley reflection closed form (all-window JVM path) must
+    equal the explicit step recursion to float tolerance."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        clamped_balance_window,
+        clamped_running_balance,
+    )
+
+    a = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in clamped_balance_window(spark, SF_DIR).collect()
+    }
+    b = {
+        (r["user_id"], r["event_id"]): r["balance"]
+        for r in clamped_running_balance(spark, SF_DIR).collect()
+    }
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-6 for k in a)

@@ -124,6 +124,8 @@ PROBES = [
     "burstiness_by_type",
     "stl_strength",
     "new_vs_returning",
+    "image_intensity_histogram",
+    "clamped_balance_window",
 ]
 
 
