@@ -95,6 +95,15 @@ SHOWCASE = [
         "holt_forecast_by_nation",
         "grouped forecasting: one Arrow task per series key",
     ),
+    (
+        "hill_tail_index",
+        "global top-k as map-side WindowGroupLimit, x_(k+1) as 1-row "
+        "broadcast",
+    ),
+    (
+        "clamped_balance_window",
+        "Lindley reflection: nonlinear clamp as two codegen windows",
+    ),
 ]
 
 
