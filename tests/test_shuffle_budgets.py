@@ -55,6 +55,12 @@ def test_headline_query_stays_within_shuffle_budget(spark, name):
     from data_warehouse_co_healthy_spark.plans import queries as reg
 
     reg.register_llm_modules()
+    # cold-plan the query: a cache MATERIALIZED by an earlier test in
+    # the same session changes how persisted subtrees print (nested
+    # InMemoryTableScan children appear per consumer), inflating the
+    # regex count order-dependently — observed on js_divergence_sources
+    # after the oracle test collected it
+    spark.catalog.clearCache()
     df = reg.QUERIES[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(r"Exchange hashpartitioning", plan)) + len(
