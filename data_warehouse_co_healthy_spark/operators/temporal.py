@@ -1161,6 +1161,27 @@ def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 CRB_BURN = 25.0  # per-event credit burn, shared with the oracle
 
 
+def _clamped_delta_base(ev: DataFrame) -> DataFrame:
+    """The ONE definition of the credit-delta projection shared by both
+    clamped-balance variants (the streaming twin re-derives the same
+    rule in Python — see clamped_balance_stream — because its deltas
+    are computed row-wise inside the stateful updater): purchases
+    credit coalesce(value, 0) — a NULL value must credit 0, not
+    NaN-poison the recursion — every other event burns CRB_BURN."""
+    return ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.coalesce(F.col("value"), F.lit(0.0)),
+        )
+        .otherwise(F.lit(-CRB_BURN))
+        .cast("double")
+        .alias("delta"),
+    )
+
+
 def clamped_running_balance(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1182,21 +1203,7 @@ def clamped_running_balance(
     import pandas as pd  # noqa: PLC0415
 
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_id",
-        # coalesce: a NULL purchase value must credit 0, not NaN-poison
-        # the pandas recursion (NaN survives the < 0 clamp forever)
-        # while the oracle's greatest() silently ignores the NULL arg
-        F.when(
-            F.col("event_type") == "purchase",
-            F.coalesce(F.col("value"), F.lit(0.0)),
-        )
-        .otherwise(F.lit(-CRB_BURN))
-        .cast("double")
-        .alias("delta"),
-    )
+    base = _clamped_delta_base(ev)
 
     def clamp(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
@@ -1240,19 +1247,7 @@ def clamped_balance_window(
     reflection formula (the step-recursion twin keeps the independent
     recursive-CTE oracle), and a test pins the two variants equal to
     float tolerance on the fixtures."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
-        "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_id",
-        F.when(
-            F.col("event_type") == "purchase",
-            F.coalesce(F.col("value"), F.lit(0.0)),
-        )
-        .otherwise(F.lit(-CRB_BURN))
-        .cast("double")
-        .alias("delta"),
-    )
+    base = _clamped_delta_base(load_table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

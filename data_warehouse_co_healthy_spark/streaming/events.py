@@ -334,8 +334,13 @@ def clamped_balance_stream(events: DataFrame) -> DataFrame:
                 if bal < 0.0:
                     bal = 0.0
                 out_ids.append(int(r.event_id))
-                out_deltas.append(round(delta, 4))
-                out_bals.append(round(bal, 4))
+                # emit RAW values: rounding happens in F.round below —
+                # Python round() is banker's (half-even) while the
+                # batch twin's F.round is HALF_UP, and a half-even
+                # round here would break the pinned bit-equality on
+                # any value ending in 5 at the 5th decimal
+                out_deltas.append(delta)
+                out_bals.append(bal)
         state.update((bal,))
         yield pd.DataFrame(
             {
@@ -346,12 +351,18 @@ def clamped_balance_stream(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    raw = events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf="NoTimeout",
+    )
+    return raw.select(
+        "user_id",
+        "event_id",
+        F.round("delta", 4).alias("delta"),
+        F.round("balance", 4).alias("balance"),
     )
 
 

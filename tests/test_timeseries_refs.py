@@ -816,4 +816,8 @@ def test_clamped_window_equals_step_recursion(spark):
         for r in clamped_running_balance(spark, SF_DIR).collect()
     }
     assert a.keys() == b.keys()
-    assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
+    # both outputs are quantized to 4 dp, and the two constructions
+    # differ by ulps in RAW space — so the honest tolerance is one
+    # rounding quantum, not 1e-6 (a raw ulp landing on a x.xxxx5
+    # boundary legitimately flips the last digit)
+    assert all(abs(a[k] - b[k]) <= 1e-4 + 1e-9 for k in a)

@@ -148,13 +148,24 @@ def main() -> None:
         f"  worst en/non-en length drift: {ks['source']} "
         f"(KS {ks['ks']})"
     )
+    # per-class recall from the FULL matrix: a class with no diagonal
+    # row has recall 0 and must drag the macro average down, not
+    # silently drop out of it
     diag = (
         text.langid_confusion(spark, sf_dir)
-        .filter(F.col("true_lang") == F.col("pred_lang"))
-        .agg(F.round(F.avg("share_of_true"), 4).alias("r"))
+        .groupBy("true_lang")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("pred_lang") == F.col("true_lang"),
+                    F.col("share_of_true"),
+                ).otherwise(0.0)
+            ).alias("recall")
+        )
+        .agg(F.round(F.avg("recall"), 4).alias("r"))
         .first()["r"]
     )
-    print(f"  langid mean per-class recall: {diag}")
+    print(f"  langid macro recall: {diag}")
     stats = (
         packed.groupBy("source")
         .agg(
