@@ -255,8 +255,37 @@ def sql_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUPBY_ALL_SQL)
 
 
+def sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``UNPIVOT`` clause (Spark 3.4+) — wide→long reshaping in
+    the text surface, complementing the DataFrame ``unpivot_measures``:
+    per-nation customer-count and exact-decimal balance metrics unpivot
+    to (nation, metric, value) rows. Planned as one Expand over the
+    aggregated 25-row frame — the reshape never touches row-grain data.
+    DuckDB spells the same reshape ``UNPIVOT ... ON ... INTO``, so the
+    oracle uses its dialect (same semantics, hash-identical rows)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cust.createOrReplaceTempView("customer")
+    nation.createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH wide AS (
+            SELECT n_name,
+                   CAST(count(*) AS DOUBLE) AS n_customers,
+                   CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                        AS DOUBLE) AS total_balance
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT * FROM wide
+        UNPIVOT (value FOR metric IN (n_customers, total_balance))
+        """
+    )
+
+
 QUERIES = {
     "sql_groupby_all": sql_groupby_all,
+    "sql_unpivot": sql_unpivot,
     "sql_api_gapfill": sql_api_gapfill,
     "sql_api_revenue": sql_api_revenue,
     "sql_lateral_topk": sql_lateral_topk,
@@ -317,6 +346,18 @@ ORACLES = {
 }
 
 ORACLES["sql_groupby_all"] = GROUPBY_ALL_SQL
+ORACLES["sql_unpivot"] = """
+    WITH wide AS (
+        SELECT n_name,
+               CAST(count(*) AS DOUBLE) AS n_customers,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS total_balance
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    UNPIVOT wide ON n_customers, total_balance
+    INTO NAME metric VALUE value
+"""
 ORACLES["sql_recursive_hierarchy"] = REC_HIERARCHY_SQL
 ORACLES["sql_lateral_topk"] = LATERAL_TOPK_SQL
 
