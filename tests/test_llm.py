@@ -1245,8 +1245,22 @@ def test_kcore_matches_python_peel(spark):
         for r in dedup.kcore_near_dup(spark, SF_DIR).collect()
     }
     assert got == want
-    # every survivor must satisfy the core condition by definition
-    assert all(d >= dedup.KCORE_K for d in got.values())
+    # independent CHARACTERIZATION of the k-core, not just peel replay:
+    # (soundness) every survivor keeps >= K neighbors among survivors;
+    # (maximality) every REMOVED node has < K surviving neighbors, so
+    # nothing peeled could be added back
+    full: dict[int, set[int]] = {}
+    for a, b in pairs:
+        full.setdefault(a, set()).add(b)
+        full.setdefault(b, set()).add(a)
+    core = set(got)
+    for n, ns in full.items():
+        deg_in_core = len(ns & core)
+        if n in core:
+            assert deg_in_core >= dedup.KCORE_K, n
+            assert got[n] == deg_in_core, n
+        else:
+            assert deg_in_core < dedup.KCORE_K, n
 
 
 def test_isotonic_calibration_matches_python_pav(spark):
