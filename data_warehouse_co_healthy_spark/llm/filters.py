@@ -404,6 +404,47 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the temperature-sampling scheme —
+    Kish's ESS = (Σw)²/Σw² over per-document multipliers — the one
+    number that says how much statistical power re-weighting costs
+    (ESS/N = 1 means uniform; heavy up-weighting of tiny sources
+    collapses it). Run this BEFORE committing to an α: it is the
+    standard importance-sampling diagnostic.
+
+    Each document carries its source's ``sample_multiplier`` (same
+    α = TEMP_ALPHA formula as temperature_sampling_weights, token-share
+    based), so Σw and Σw² reduce per source: Σw = Σₛ n_docsₛ·mₛ,
+    Σw² = Σₛ n_docsₛ·mₛ² — everything after the one corpus scan
+    operates on the |sources|-row aggregate."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        ).alias("n_toks"),
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_toks") / F.sum("n_toks").over(wall)
+    raw_w = F.pow(share, F.lit(TEMP_ALPHA))
+    weight = raw_w / F.sum(raw_w).over(wall)
+    m = weight / share
+    per_m = per.select("n_docs", m.alias("m"))
+    agg = per_m.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.col("n_docs") * F.col("m")).alias("sw"),
+        F.sum(F.col("n_docs") * F.col("m") * F.col("m")).alias("sw2"),
+    )
+    ess = F.col("sw") * F.col("sw") / F.col("sw2")
+    return agg.select(
+        "n_docs",
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n_docs"), 6).alias("ess_ratio"),
+    )
+
+
 def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-attribution telemetry: every corpus filter's hit count
     AND their overlap, as one row per flag combination — the report a
@@ -607,6 +648,7 @@ QUERIES = {
     "corpus_mix_entropy": corpus_mix_entropy,
     "length_matched_sample": length_matched_sample,
     "temperature_sampling_weights": temperature_sampling_weights,
+    "sampling_ess": sampling_ess,
     "filter_ablation_report": filter_ablation_report,
     "bootstrap_ci": bootstrap_ci,
 }
@@ -668,6 +710,34 @@ ORACLES = {
         )
         SELECT source, n_docs, mean_chars, ci_lo, ci_mid, ci_hi
         FROM pt JOIN ci USING (source)
+    """,
+    "sampling_ess": f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(string_split_regex(trim(text), '\\s+')))
+                       ::BIGINT AS n_toks
+            FROM documents GROUP BY source
+        ), sh AS (
+            SELECT n_docs,
+                   n_toks / ((sum(n_toks) OVER ())::BIGINT) AS share
+            FROM per
+        ), tw AS (
+            SELECT n_docs, share, pow(share, {TEMP_ALPHA}) AS raw_w
+            FROM sh
+        ), tot AS (
+            SELECT n_docs,
+                   (raw_w / sum(raw_w) OVER ()) / share AS m
+            FROM tw
+        ), agg AS (
+            SELECT sum(n_docs)::BIGINT AS n_docs,
+                   sum(n_docs * m) AS sw,
+                   sum(n_docs * m * m) AS sw2
+            FROM tot
+        )
+        SELECT n_docs,
+               round(sw * sw / sw2, 4) AS ess,
+               round(sw * sw / sw2 / n_docs, 6) AS ess_ratio
+        FROM agg
     """,
     "temperature_sampling_weights": f"""
         WITH per AS (

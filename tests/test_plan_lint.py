@@ -131,6 +131,8 @@ SINGLE_PARTITION_OK = {
                                  # stats frame (<= 6 rows)
     "temperature_sampling_weights",  # global totals over the
                                      # per-source aggregate
+    "sampling_ess",         # same: global ESS scalar over the
+                            # |sources|-row aggregate
     "vocab_growth_heaps",   # cumulative window over exactly
                             # HEAPS_STEPS (8) ladder rows
     "zipf_rank_slope",      # rank row_number + OLS scalar agg over the

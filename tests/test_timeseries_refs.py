@@ -821,3 +821,28 @@ def test_clamped_window_equals_step_recursion(spark):
     # rounding quantum, not 1e-6 (a raw ulp landing on a x.xxxx5
     # boundary legitimately flips the last digit)
     assert all(abs(a[k] - b[k]) <= 1e-4 + 1e-9 for k in a)
+
+
+def test_sampling_ess_matches_numpy_kish(spark):
+    import re
+
+    from data_warehouse_co_healthy_spark.llm.filters import (
+        TEMP_ALPHA,
+        sampling_ess,
+    )
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["source", "text"])
+    toks = docs["text"].map(lambda t: len(re.split(r"\s+", t.strip())))
+    per = pd.DataFrame({"source": docs["source"], "t": toks}).groupby(
+        "source"
+    ).agg(n_docs=("t", "size"), n_toks=("t", "sum"))
+    share = per["n_toks"] / per["n_toks"].sum()
+    raw = share**TEMP_ALPHA
+    m = (raw / raw.sum()) / share
+    w = np.repeat(m.to_numpy(), per["n_docs"].to_numpy())
+    want = w.sum() ** 2 / (w**2).sum()
+    r = sampling_ess(spark, SF_DIR).collect()[0]
+    assert r["n_docs"] == len(docs)
+    assert abs(r["ess"] - want) < 1e-2
+    assert 0 < r["ess_ratio"] <= 1.0 + 1e-9
