@@ -370,6 +370,38 @@ ABL_SHORT_CHARS = 100  # ablation flag: short-document threshold
 ABL_DUP_RATIO = 0.3    # ablation flag: duplicated-word-ratio threshold
 
 
+def _per_source_multipliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE definition of the temperature scheme's per-source frame
+    (n_docs, n_toks, share, temp weight, multiplier) shared by
+    ``temperature_sampling_weights`` and ``sampling_ess`` — a drifted
+    copy would make the ESS diagnose a scheme production no longer
+    samples with. NULL text counts as empty (0-safe: split('') still
+    yields one token, matching the oracle's coalesce)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.size(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+            ).cast("long")
+        ).alias("n_toks"),
+    )
+    wall = Window.partitionBy()
+    share = F.col("n_toks") / F.sum("n_toks").over(wall)
+    raw_w = F.pow(share, F.lit(TEMP_ALPHA))
+    weight = raw_w / F.sum(raw_w).over(wall)
+    return per.select(
+        "source",
+        "n_docs",
+        "n_toks",
+        share.alias("share"),
+        weight.alias("weight"),
+        (weight / share).alias("m"),
+    )
+
+
 def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source re-weighting: sampling probability
     proportional to share^alpha (alpha = 0.7 — the multilingual-corpus
@@ -381,26 +413,15 @@ def temperature_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan -> per-source token counts; everything after operates on
     the |sources|-row aggregate (windows over it are declared in the
     lint allowlist). Consumes like ``mix_sources_weighted`` but with a
-    principled curve instead of hand weights.
+    principled curve instead of hand weights. The frame comes from
+    ``_per_source_multipliers`` — shared verbatim with sampling_ess.
     """
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
-    d = spread(load_table(spark, sf_dir, "documents"))
-    per = d.groupBy("source").agg(
-        F.sum(
-            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        ).alias("n_toks")
-    )
-    wall = Window.partitionBy()
-    share = F.col("n_toks") / F.sum("n_toks").over(wall)
-    raw_w = F.pow(share, F.lit(TEMP_ALPHA))
-    weight = raw_w / F.sum(raw_w).over(wall)
-    return per.select(
+    return _per_source_multipliers(spark, sf_dir).select(
         "source",
         "n_toks",
-        F.round(share, 6).alias("token_share"),
-        F.round(weight, 6).alias("temp_weight"),
-        F.round(weight / share, 6).alias("sample_multiplier"),
+        F.round("share", 6).alias("token_share"),
+        F.round("weight", 6).alias("temp_weight"),
+        F.round("m", 6).alias("sample_multiplier"),
     )
 
 
@@ -412,26 +433,12 @@ def sampling_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses it). Run this BEFORE committing to an α: it is the
     standard importance-sampling diagnostic.
 
-    Each document carries its source's ``sample_multiplier`` (same
-    α = TEMP_ALPHA formula as temperature_sampling_weights, token-share
-    based), so Σw and Σw² reduce per source: Σw = Σₛ n_docsₛ·mₛ,
+    Each document carries its source's ``sample_multiplier`` (the ONE
+    ``_per_source_multipliers`` frame temperature_sampling_weights also
+    renders), so Σw and Σw² reduce per source: Σw = Σₛ n_docsₛ·mₛ,
     Σw² = Σₛ n_docsₛ·mₛ² — everything after the one corpus scan
     operates on the |sources|-row aggregate."""
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
-    d = spread(load_table(spark, sf_dir, "documents"))
-    per = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(
-            F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-        ).alias("n_toks"),
-    )
-    wall = Window.partitionBy()
-    share = F.col("n_toks") / F.sum("n_toks").over(wall)
-    raw_w = F.pow(share, F.lit(TEMP_ALPHA))
-    weight = raw_w / F.sum(raw_w).over(wall)
-    m = weight / share
-    per_m = per.select("n_docs", m.alias("m"))
+    per_m = _per_source_multipliers(spark, sf_dir).select("n_docs", "m")
     agg = per_m.agg(
         F.sum("n_docs").cast("long").alias("n_docs"),
         F.sum(F.col("n_docs") * F.col("m")).alias("sw"),
@@ -655,6 +662,27 @@ QUERIES = {
 
 _MIX_HOT_IN = ", ".join(f"'{s}'" for s in MIX_HOT_SOURCES)
 
+# ONE oracle-side definition of the temperature multiplier frame —
+# spliced into both sampling oracles below (mirrors
+# _per_source_multipliers, incl. the NULL-text coalesce)
+_SQL_PER_SOURCE_M = f"""per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(string_split_regex(
+                       trim(coalesce(text, '')), '\\s+')))
+                       ::BIGINT AS n_toks
+            FROM documents GROUP BY source
+        ), sh AS (
+            SELECT source, n_docs, n_toks,
+                   n_toks / ((sum(n_toks) OVER ())::BIGINT) AS share
+            FROM per
+        ), tw AS (
+            SELECT *, pow(share, {TEMP_ALPHA}) AS raw_w FROM sh
+        ), tot AS (
+            SELECT *, sum(raw_w) OVER () AS w_tot,
+                   (raw_w / sum(raw_w) OVER ()) / share AS m
+            FROM tw
+        )"""
+
 _SQL_POIS = _poisson_case(
     "(('0x' || substr(md5(rep::VARCHAR || ':' || doc_id::VARCHAR), "
     "1, 8))::BIGINT / 4294967296.0)"
@@ -712,23 +740,7 @@ ORACLES = {
         FROM pt JOIN ci USING (source)
     """,
     "sampling_ess": f"""
-        WITH per AS (
-            SELECT source, count(*) AS n_docs,
-                   sum(len(string_split_regex(trim(text), '\\s+')))
-                       ::BIGINT AS n_toks
-            FROM documents GROUP BY source
-        ), sh AS (
-            SELECT n_docs,
-                   n_toks / ((sum(n_toks) OVER ())::BIGINT) AS share
-            FROM per
-        ), tw AS (
-            SELECT n_docs, share, pow(share, {TEMP_ALPHA}) AS raw_w
-            FROM sh
-        ), tot AS (
-            SELECT n_docs,
-                   (raw_w / sum(raw_w) OVER ()) / share AS m
-            FROM tw
-        ), agg AS (
+        WITH {{PSM}}, agg AS (
             SELECT sum(n_docs)::BIGINT AS n_docs,
                    sum(n_docs * m) AS sw,
                    sum(n_docs * m * m) AS sw2
@@ -740,24 +752,11 @@ ORACLES = {
         FROM agg
     """,
     "temperature_sampling_weights": f"""
-        WITH per AS (
-            SELECT source,
-                   sum(len(string_split_regex(trim(text), '\\s+')))
-                       ::BIGINT AS n_toks
-            FROM documents GROUP BY source
-        ), sh AS (
-            SELECT source, n_toks,
-                   n_toks / ((sum(n_toks) OVER ())::BIGINT) AS share
-            FROM per
-        ), tw AS (
-            SELECT *, pow(share, {TEMP_ALPHA}) AS raw_w FROM sh
-        ), tot AS (
-            SELECT *, sum(raw_w) OVER () AS w_tot FROM tw
-        )
+        WITH {{PSM}}
         SELECT source, n_toks,
                round(share, 6) AS token_share,
                round(raw_w / w_tot, 6) AS temp_weight,
-               round((raw_w / w_tot) / share, 6) AS sample_multiplier
+               round(m, 6) AS sample_multiplier
         FROM tot
     """,
     "filter_ablation_report": f"""
@@ -949,5 +948,8 @@ ORACLES = {
         GROUP BY bucket
     """,
 }
+
+for _k in ("sampling_ess", "temperature_sampling_weights"):
+    ORACLES[_k] = ORACLES[_k].replace("{PSM}", _SQL_PER_SOURCE_M)
 
 NO_ORACLE: dict[str, str] = {}

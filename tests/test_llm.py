@@ -1254,6 +1254,11 @@ def test_kcore_matches_python_peel(spark):
         full.setdefault(a, set()).add(b)
         full.setdefault(b, set()).add(a)
     core = set(got)
+    # the characterization alone is necessary-but-not-sufficient (the
+    # empty set satisfies single-node non-augmentability); non-emptiness
+    # whenever the replay core is non-empty closes that hole, and the
+    # replay equality above remains the primary check
+    assert bool(core) == bool(want)
     for n, ns in full.items():
         deg_in_core = len(ns & core)
         if n in core:

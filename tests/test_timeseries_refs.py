@@ -833,9 +833,13 @@ def test_sampling_ess_matches_numpy_kish(spark):
 
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["source", "text"])
-    toks = docs["text"].map(lambda t: len(re.split(r"\s+", t.strip())))
+    # NULL-safe + dropna=False: the engine counts NULL text as empty
+    # and Spark's groupBy keeps a NULL-source group pandas would drop
+    toks = docs["text"].map(
+        lambda t: len(re.split(r"\s+", (t or "").strip()))
+    )
     per = pd.DataFrame({"source": docs["source"], "t": toks}).groupby(
-        "source"
+        "source", dropna=False
     ).agg(n_docs=("t", "size"), n_toks=("t", "sum"))
     share = per["n_toks"] / per["n_toks"].sum()
     raw = share**TEMP_ALPHA
