@@ -46,6 +46,8 @@ HEADLINE = [
     "kaplan_meier_churn",    # event analytics: right-censored survival
     "js_divergence_sources", # corpus-similarity matrix: token self-join
     "holt_forecast_by_nation",  # grouped forecasting: Arrow task/series
+    "fact_retiro_star",      # CO retreat pipeline star (parity floor)
+    "fact_service_star",     # CO service star: 8 joins, role-playing dims
 ]
 
 
@@ -61,6 +63,13 @@ def main() -> None:
 
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries]
+    # Bisection hook: SPARK_GRAFT_BENCH_QUERIES="q1,q3" reruns an exact
+    # historical query list (e.g. BENCH_r04's 19) in a fresh session so
+    # round-over-round deltas can be attributed to code vs session/load.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = [q.strip() for q in only.split(",") if q.strip()]
+        names = [n for n in wanted if n in queries]
 
     spark = get_spark("bench")
     # Warmup: run each headline query once at the smallest SF so JVM/

@@ -1450,8 +1450,10 @@ ORACLES = {
                         ROWS UNBOUNDED PRECEDING) AS cp,
                    sum(nn) OVER (PARTITION BY source ORDER BY n_chars
                         ROWS UNBOUNDED PRECEDING) AS cn,
-                   sum(np) OVER (PARTITION BY source) AS n_pos,
-                   sum(nn) OVER (PARTITION BY source) AS n_neg
+                   CAST(sum(np) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_pos,
+                   CAST(sum(nn) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_neg
             FROM g
         ), s AS (
             SELECT source, n_pos, n_neg,

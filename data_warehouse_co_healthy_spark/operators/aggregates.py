@@ -431,14 +431,16 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     xk1 = ranked.filter(F.col("rk") == HILL_K + 1).select(
         F.col("spend").alias("x_k1")
     )
+    # if the whole top-k ties with x_(k+1) (heavy ties at tiny SFs),
+    # the mean log-ratio is exactly 0 — α is undefined; emit NULL
+    # instead of dividing (ANSI throws, it doesn't NULL)
+    mean_log = F.avg(F.log(F.col("spend") / F.col("x_k1")))
     return (
         ranked.filter(F.col("rk") <= HILL_K)
         .crossJoin(F.broadcast(xk1))
         .agg(
             F.count("*").alias("k"),
-            (1.0 / F.avg(F.log(F.col("spend") / F.col("x_k1")))).alias(
-                "alpha"
-            ),
+            F.when(mean_log > 0.0, 1.0 / mean_log).alias("alpha"),
         )
         .select("k", F.round("alpha", 4).alias("hill_alpha"))
     )
@@ -682,16 +684,8 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with conditional sums — no per-arm subqueries, no second
     shuffle."""
     ev = load_table(spark, sf_dir, "events")
-    arm = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        % 2
-    )
     x = F.col("value").cast(MONEY)
-    is_a = arm == 0
+    is_a = _user_arm() == 0
     g = ev.groupBy("event_type").agg(
         F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
@@ -711,6 +705,10 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (mean_a - mean_b) / F.sqrt(
         var_a / F.col("n_a") + var_b / F.col("n_b")
     )
+    # an arm with ≤1 event makes the (n−1) variance divisor 0 — drop
+    # such event types BEFORE dividing (ANSI throws, it doesn't NULL;
+    # same guard as did_report, mirrored in the oracle)
+    g = g.filter(F.least(F.col("n_a"), F.col("n_b")) > 1)
     return g.select(
         "event_type",
         "n_a",
@@ -1265,7 +1263,9 @@ ORACLES = {
             SELECT spend AS x_k1 FROM ranked WHERE rk = {HILL_K + 1}
         )
         SELECT count(*)::BIGINT AS k,
-               round(1.0 / avg(ln(spend / x_k1)), 4) AS hill_alpha
+               round(CASE WHEN avg(ln(spend / x_k1)) > 0
+                          THEN 1.0 / avg(ln(spend / x_k1)) END,
+                     4) AS hill_alpha
         FROM ranked, xk1
         WHERE rk <= {HILL_K}
     """,
@@ -1747,6 +1747,7 @@ ORACLES = {
                         + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b))
                    > 1.96 AS significant_95
         FROM g
+        WHERE least(n_a, n_b) > 1
     """,
     "profile_columns": " UNION ALL ".join(
         f"""

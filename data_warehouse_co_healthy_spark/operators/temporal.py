@@ -736,13 +736,20 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g", F.lit(1)
     )
 
+    cols = ["day", "rev", "cusum_pos", "cusum_neg", "alarm"]
+
     def cusum(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         n = float(pdf.loc[0, "n"])
         sx = float(pdf.loc[0, "sx"])
         sxx = float(pdf.loc[0, "sxx"])
+        if n < 2.0:
+            # a 1-day series has no (n−1) variance — nothing to detect
+            return pd.DataFrame(columns=cols)
         mean = sx / n
         std = np.sqrt((sxx - sx * sx / n) / (n - 1.0))
+        if not std > 0.0:  # constant series (std==0/NaN): z undefined
+            return pd.DataFrame(columns=cols)
         sp, sn = 0.0, 0.0
         rows = []
         for day, rev in zip(pdf["day"], pdf["rev"]):
@@ -756,9 +763,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append(
                 (str(day), rev, sp, sn, sp > CUSUM_H or sn > CUSUM_H)
             )
-        return pd.DataFrame(
-            rows, columns=["day", "rev", "cusum_pos", "cusum_neg", "alarm"]
-        )
+        return pd.DataFrame(rows, columns=cols)
 
     return seeded.groupBy("g").applyInPandas(
         cusum,
@@ -2305,6 +2310,10 @@ ORACLES["cusum_changepoints"] = f"""
                    / sqrt((sxx - sx * sx / n) / (n - 1.0)) AS z,
                row_number() OVER (ORDER BY day) AS rn
         FROM daily, stats
+        -- degenerate-series guard mirrored from the engine: a 1-day
+        -- or constant series has no defined z (div by 0) — emit rows
+        -- only when the (n-1) sample variance is strictly positive
+        WHERE n >= 2 AND (sxx - sx * sx / n) / (n - 1.0) > 0.0
     ), rec AS (
         SELECT day, rev, rn,
                greatest(0.0, 0.0 + z - {CUSUM_K}) AS sp,

@@ -16,7 +16,7 @@ driver-side diffing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -636,17 +636,27 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     float/decimal/timestamp columns need a documented text
     canonicalization first (engines format them differently), which is
     the same rule any cross-system checksum tool (e.g. pt-table-checksum)
-    imposes. One scan, one 1-row partial-agg reduce."""
+    imposes. NULL fields render as a NUL-byte sentinel on BOTH engines:
+    concat_ws would silently SKIP them (making 'a|b' ambiguous and
+    diverging from the oracle's NULL-propagating ||, which would drop
+    the whole row from the sum) — a checksum must hash NULL rows
+    identically, not lose them. One scan, one 1-row partial-agg
+    reduce."""
     orders = load_table(spark, sf_dir, "orders")
+    nul = F.lit("\x00")  # cannot occur in the data columns
+
+    def _canon(c: Column) -> Column:
+        return F.coalesce(c.cast("string"), nul)
+
     h = F.conv(
         F.substring(
             F.md5(
                 F.concat_ws(
                     "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("o_custkey").cast("string"),
-                    F.col("o_orderstatus"),
-                    F.col("o_orderpriority"),
+                    _canon(F.col("o_orderkey")),
+                    _canon(F.col("o_custkey")),
+                    _canon(F.col("o_orderstatus")),
+                    _canon(F.col("o_orderpriority")),
                 )
             ),
             1,
@@ -797,9 +807,11 @@ ORACLES = {
                CAST(CAST(sum(h) AS HUGEINT) AS VARCHAR) AS checksum
         FROM (
             SELECT ('0x' || substr(md5(
-                       o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR
-                       || '|' || o_orderstatus || '|'
-                       || o_orderpriority), 1, 15))::BIGINT AS h
+                       coalesce(o_orderkey::VARCHAR, chr(0)) || '|'
+                       || coalesce(o_custkey::VARCHAR, chr(0)) || '|'
+                       || coalesce(o_orderstatus, chr(0)) || '|'
+                       || coalesce(o_orderpriority, chr(0))),
+                   1, 15))::BIGINT AS h
             FROM orders
         )
     """,

@@ -731,11 +731,14 @@ def test_degenerate_input_guards(spark, tmp_path):
 
     from data_warehouse_co_healthy_spark.llm.text import ks_two_sample
     from data_warehouse_co_healthy_spark.operators.aggregates import (
+        ab_test_report,
         did_report,
+        hill_tail_index,
         spearman_by_group,
     )
     from data_warehouse_co_healthy_spark.operators.temporal import (
         clamped_running_balance,
+        cusum_changepoints,
     )
 
     ks = {r["source"] for r in ks_two_sample(spark, sf).collect()}
@@ -745,6 +748,24 @@ def test_degenerate_input_guards(spark, tmp_path):
     assert sp == {"B"}  # constant-quantity group dropped, no throw
 
     assert did_report(spark, sf).count() == 0  # all cells ≤ 1 → dropped
+
+    # size-1 arms (purchase: 1 event per arm at best; click: 1 event
+    # total) must be dropped BEFORE the (n−1) variance division
+    assert ab_test_report(spark, sf).count() == 0
+
+    # constant daily revenue (102 days × one equal-price order): std=0
+    # → cusum z undefined → empty, not inf/NaN rows; equal spends →
+    # top-HILL_K all tie with x_(k+1) → mean log-ratio 0 → NULL alpha
+    import datetime as _dt
+    spark.createDataFrame(
+        [(i, i, _dt.date(2024, 1, 1) + _dt.timedelta(days=i), 100.0)
+         for i in range(102)],
+        "o_orderkey long, o_custkey long, o_orderdate date, "
+        "o_totalprice double",
+    ).write.parquet(f"{sf}/orders.parquet")
+    assert cusum_changepoints(spark, sf).count() == 0
+    hill = hill_tail_index(spark, sf).collect()[0]
+    assert hill["k"] == 100 and hill["hill_alpha"] is None
 
     bal = {
         (r["user_id"], r["event_id"]): r["balance"]

@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
@@ -16,8 +17,36 @@ import duckdb
 import pandas as pd
 from pyspark.sql import SparkSession
 
+#: numpy dtype.kind -> comparison family. int-vs-float is the driver's
+#: hash-divergence class (DuckDB HUGEINT window sums materialize as
+#: float64 while Spark emits int64: numerically equal, hash-different).
+_KIND_FAMILY = {
+    "i": "int", "u": "int", "b": "bool", "f": "float",
+    "M": "datetime", "m": "timedelta", "O": "object",
+}
 
-def canonicalize(df: pd.DataFrame, ndigits: int = 4) -> pd.DataFrame:
+
+def _family(s: pd.Series) -> str:
+    fam = _KIND_FAMILY.get(s.dtype.kind, s.dtype.kind)
+    if fam == "object":
+        vals = s.dropna()
+        if len(vals) and all(isinstance(v, datetime.date)
+                             and not isinstance(v, datetime.datetime)
+                             for v in vals):
+            return "date"
+        if len(vals) and all(isinstance(v, float) for v in vals):
+            return "float"
+    return fam
+
+
+def canonicalize(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
+    """Column-sort, normalize engine-incidental representations
+    (datetime unit, date-as-object vs datetime64), round true floats to
+    ``ndigits`` (strictly tighter than any in-query round), row-sort.
+
+    Deliberately does NOT coerce int<->float: the driver's value-hash
+    distinguishes 8 from 8.0, so the checker must too.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
@@ -25,13 +54,50 @@ def canonicalize(df: pd.DataFrame, ndigits: int = 4) -> pd.DataFrame:
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: round(v, ndigits)
-                if isinstance(v, float) and not math.isnan(v)
-                else v
-            )
+            fam = _family(df[c])
+            if fam == "date":
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+            elif fam == "float":
+                df[c] = df[c].astype("float64").round(ndigits)
+            else:
+                df[c] = df[c].map(
+                    lambda v: round(v, ndigits)
+                    if isinstance(v, float) and not math.isnan(v)
+                    else v
+                )
     order = df.astype(str).sort_values(by=list(df.columns)).index
     return df.loc[order].reset_index(drop=True)
+
+
+def compare_strict(g: pd.DataFrame, w: pd.DataFrame) -> list[str]:
+    """Driver-faithful comparison of two canonicalized frames.
+
+    Returns a list of problems (empty == driver hash would match):
+    - ``dtype`` problems where the column families differ (the
+      int-vs-float class the old atol compare was blind to);
+    - ``value`` problems where the exact post-round string forms
+      differ.
+    """
+    problems: list[str] = []
+    for c in g.columns:
+        gf, wf = _family(g[c]), _family(w[c])
+        if gf != wf:
+            problems.append(
+                f"dtype[{c}]: spark={g[c].dtype}/{gf} "
+                f"oracle={w[c].dtype}/{wf}"
+            )
+    if not problems:
+        gs, ws = g.astype(str), w.astype(str)
+        for c in g.columns:
+            if not gs[c].equals(ws[c]):
+                bad = (gs[c] != ws[c])
+                i = int(bad.idxmax())
+                problems.append(
+                    f"value[{c}]: {int(bad.sum())} rows differ, first "
+                    f"row {i}: spark={gs[c].iloc[i]!r} "
+                    f"oracle={ws[c].iloc[i]!r}"
+                )
+    return problems
 
 
 def main() -> int:
@@ -78,10 +144,19 @@ def main() -> int:
                 raise AssertionError(
                     f"cols {list(g.columns)} != {list(w.columns)}"
                 )
-            pd.testing.assert_frame_equal(
-                g, w, check_dtype=False, check_exact=False,
-                atol=1e-3, rtol=1e-6,
-            )
+            problems = compare_strict(g, w)
+            if problems:
+                # classify: does the old lenient compare pass? If so
+                # this is exactly the driver-hash-only blind spot.
+                try:
+                    pd.testing.assert_frame_equal(
+                        g, w, check_dtype=False, check_exact=False,
+                        atol=1e-3, rtol=1e-6,
+                    )
+                    tag = "HASHDIVERGE"
+                except AssertionError:
+                    tag = "MISMATCH"
+                raise AssertionError(f"{tag} " + "; ".join(problems))
             print(f"  MATCH      {name}: {len(g)} rows "
                   f"({time.time() - t0:.1f}s)")
             n_pass += 1
