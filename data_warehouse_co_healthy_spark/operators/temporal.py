@@ -909,11 +909,18 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
         F.col("pv") + (F.col("nv") - F.col("pv")) * frac
     )
+    # round(DOUBLE, 4) near a .00005 boundary is engine-dependent
+    # (Spark rounds the exact binary value via BigDecimal, DuckDB
+    # scales in float — one sf0.01 row flipped 5.2162/5.2163): snap
+    # the identical interp double to DECIMAL(18,8) first so BOTH
+    # engines round the same exact decimal, then half-up is identical
     return j.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("day_value").isNotNull().alias("observed"),
-        F.round(interp, 4).alias("interp_value"),
+        F.round(interp.cast("decimal(18,8)"), 4)
+        .cast("double")
+        .alias("interp_value"),
     )
 
 
@@ -2366,12 +2373,13 @@ ORACLES["gapfill_linear"] = """
     )
     SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
            day_value IS NOT NULL AS observed,
-           round(CASE WHEN day_value IS NOT NULL THEN day_value
-                      ELSE pv + (nv - pv)
-                           * (CAST(date_diff('day', pd, day) AS DOUBLE)
-                              / CAST(date_diff('day', pd, nd)
-                                     AS DOUBLE))
-                 END, 4) AS interp_value
+           CAST(round(CAST(
+               CASE WHEN day_value IS NOT NULL THEN day_value
+                    ELSE pv + (nv - pv)
+                         * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                            / CAST(date_diff('day', pd, nd)
+                                   AS DOUBLE))
+               END AS DECIMAL(18,8)), 4) AS DOUBLE) AS interp_value
     FROM nbr
 """
 

@@ -265,12 +265,30 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
+    # avg over DOUBLE ratios is summation-order-dependent (partial-agg
+    # merge order vs DuckDB's scan order drifted a few ulps and flipped
+    # round(·,4) at a boundary — 4 rows at sf0.01). The per-row ratio
+    # IS the identical IEEE division on both engines; snapping it to
+    # DECIMAL(18,12) (never exactly half at 1e-12 for this domain, so
+    # both engines snap identically) makes the SUM exact and
+    # order-independent; sum/count then derives the identical double.
+    ratio = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+        "decimal(18,12)"
+    )
+    # the sum/count double is identical on both engines, but
+    # round(DOUBLE, 4) near a .00005 boundary is not (Spark rounds the
+    # exact binary value, DuckDB scales in float): snap to
+    # DECIMAL(18,8) first so both engines round the same exact decimal
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
             F.round(
-                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4
-            ).alias("unit_cost")
+                (F.sum(ratio).cast("double") / F.count(F.lit(1)))
+                .cast("decimal(18,8)"),
+                4,
+            )
+            .cast("double")
+            .alias("unit_cost")
         )
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
@@ -520,7 +538,11 @@ ORACLES = {
     "q2_min_cost_supplier": """
         WITH cost AS (
             SELECT l_partkey, l_suppkey,
-                   round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+                   CAST(round(CAST(
+                       CAST(sum(CAST(l_extendedprice / l_quantity
+                                     AS DECIMAL(18,12))) AS DOUBLE)
+                       / count(*) AS DECIMAL(18,8)), 4)
+                   AS DOUBLE) AS unit_cost
             FROM lineitem GROUP BY l_partkey, l_suppkey
         ), ranked AS (
             SELECT *, row_number() OVER (

@@ -1,19 +1,26 @@
 """Shared fixtures: one SparkSession per test run, a DuckDB connection
 with the fixture views registered, and the oracle-compare helper that
 mimics the driver's t2 gate (sorted columns, sorted rows, rounded
-floats, order-insensitive compare)."""
+floats, order-insensitive compare). Canonicalization and the strict
+comparison are the SAME code the driver-simulation tool uses
+(tools/check_oracle.py) — a second, more lenient copy here is exactly
+how an int-vs-float oracle bug stayed invisible until the driver's
+value-hash caught it."""
 
 from __future__ import annotations
 
-import math
 import os
+import sys
 
 import duckdb
 import pandas as pd
 import pytest
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 from data_warehouse_co_healthy_spark.schemas import TESTDATA_TABLES
 from data_warehouse_co_healthy_spark.session import get_spark
+from tools.check_oracle import canonicalize, compare_strict
 
 # Default the local oracle mirror to the DRIVER's scale (sf0.01) so
 # summation-order / precision flakes surface locally before the driver
@@ -40,24 +47,6 @@ def duck():
     con.close()
 
 
-def canonicalize(df: pd.DataFrame, ndigits: int = 4) -> pd.DataFrame:
-    """Driver-style canonical form: columns sorted by name, float columns
-    rounded, rows sorted by every column's string form."""
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(ndigits)
-        elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].map(
-                lambda v: round(v, ndigits)
-                if isinstance(v, float) and not math.isnan(v)
-                else v
-            )
-    key = df.astype(str)
-    order = key.sort_values(by=list(df.columns)).index
-    return df.loc[order].reset_index(drop=True)
 
 
 def assert_matches_oracle(spark, duck, fn, sql, name=""):
@@ -69,10 +58,16 @@ def assert_matches_oracle(spark, duck, fn, sql, name=""):
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != oracle {list(want.columns)}"
     )
-    try:
-        pd.testing.assert_frame_equal(
-            got, want, check_dtype=False, check_exact=False, atol=1e-3,
-            rtol=1e-6,
+    problems = compare_strict(got, want)
+    if problems:  # pragma: no cover - diagnostic path
+        try:
+            pd.testing.assert_frame_equal(
+                got, want, check_dtype=False, check_exact=False,
+                atol=1e-3, rtol=1e-6,
+            )
+            kind = "driver-hash divergence (values numerically equal)"
+        except AssertionError:
+            kind = "value mismatch"
+        raise AssertionError(
+            f"{name}: {kind} vs oracle\n" + "\n".join(problems)
         )
-    except AssertionError as e:  # pragma: no cover - diagnostic path
-        raise AssertionError(f"{name}: value mismatch vs oracle\n{e}") from e
