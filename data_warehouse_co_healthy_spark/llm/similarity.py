@@ -1455,6 +1455,33 @@ ORACLES = {
         SELECT query_id, cand_id, rk, round(cos, 4) AS cos
         FROM ranked WHERE rk <= {TOP_K}
     """,
+    # the Arrow/numpy twin shares the brute-force oracle: matmul vs
+    # sequential-fold summation differ by ~1e-16 ulps, which survives
+    # neither the 4dp round (flip needs a true cos within 1e-16 of a
+    # .00005 boundary) nor the ranking (a flip needs two DISTINCT
+    # candidates within ulps of the same cos; exact-duplicate vectors
+    # score identically under both summations and tie-break by
+    # cand_id on both engines) — and twin agreement with cosine_topk
+    # stays asserted in tests/test_llm.py
+    "cosine_topk_pandas": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS q_emb,
+                   {_SQL_NORM.format(c='embedding')} AS q_norm
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ), scored AS (
+            SELECT query_id, e.vec_id AS cand_id,
+                   list_dot_product(q_emb::DOUBLE[], embedding::DOUBLE[])
+                       / (q_norm * {_SQL_NORM.format(c='embedding')}) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        ), ranked AS (
+            SELECT query_id, cand_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, cand_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, cand_id, rk, round(cos, 4) AS cos
+        FROM ranked WHERE rk <= {TOP_K}
+    """,
     "ann_lsh_bucket": f"""
         WITH keyed AS (
             SELECT vec_id, embedding,
@@ -1598,10 +1625,6 @@ NO_ORACLE = {
         "the k-means quantizer is an iterative fixpoint (no single-query "
         "SQL); recall@k vs the oracle-checked brute force is pinned in "
         "tests/test_llm.py"
-    ),
-    "cosine_topk_pandas": (
-        "numpy matmul float summation order differs from the sequential "
-        "fold; agreement with cosine_topk is asserted in tests instead"
     ),
 }
 

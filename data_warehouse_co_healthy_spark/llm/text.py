@@ -777,20 +777,36 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy — sketch state is O(K·log) per partition and merges
     map-side, so token frequency never shuffles the token stream (the
     exact twin ``heavy_hitters_tokens`` does; at web-corpus scale the
-    sketch is the only affordable first pass). No SQL oracle (sketch
-    internals are engine-defined); the test pins agreement with exact
-    counts on the fixture, where the sketch is exact."""
+    sketch is the only affordable first pass).
+
+    Determinism contract (what makes the DuckDB oracle possible): the
+    sketch's ORDER among equal counts and its CHOICE at the K-th-slot
+    tie are engine-defined, so the query emits only items STRICTLY
+    above the K-th-largest count (the min count across the returned
+    items — well-defined whatever tie the sketch picked) and re-ranks
+    by (count DESC, token). Wherever the sketch is exact (pinned vs
+    exact counts in tests/test_llm.py; true at the graded SFs) this
+    set and order are unique; at web scale, where estimates carry
+    error, the contract degrades gracefully to "heavy hitters with
+    margin" — exactly how a sketch should be consumed."""
     d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
     )
     sk = words.agg(F.expr(f"approx_top_k(w, {APPROX_TOPK_K})").alias("tk"))
+    items = sk.select(F.explode("tk").alias("t")).select(
+        F.col("t.item").alias("token"),
+        F.col("t.count").cast("long").alias("est_count"),
+    )
+    w_all = Window.partitionBy()
+    w_rk = Window.orderBy(F.desc("est_count"), "token")
     return (
-        sk.select(F.posexplode("tk").alias("rk", "t"))
+        items.withColumn("mn", F.min("est_count").over(w_all))
+        .filter(F.col("est_count") > F.col("mn"))
         .select(
-            (F.col("rk") + 1).cast("long").alias("rk"),
-            F.col("t.item").alias("token"),
-            F.col("t.count").cast("long").alias("est_count"),
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            "token",
+            "est_count",
         )
     )
 
@@ -1133,23 +1149,29 @@ def zipf_rank_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pav_blocks(
-    points: "list[tuple[float, float, float]]",
-) -> "list[list[float]]":
-    """Pool Adjacent Violators over (x, weight, mean) points already
-    sorted by x — returns [x_lo, x_hi, weight, mean] blocks with
-    STRICTLY increasing means (equal-mean neighbors merge too).
+    points: "list[tuple[int, int, int]]",
+) -> "list[list[int]]":
+    """Pool Adjacent Violators over (x, weight, positives) points
+    already sorted by x — returns [x_lo, x_hi, weight, positives]
+    blocks with STRICTLY increasing means (equal-mean neighbors merge
+    too). All-INTEGER state: the merge decision pos_l/w_l >= pos_r/w_r
+    is the exact cross-multiply pos_l*w_r >= pos_r*w_l, so the block
+    structure is bit-independent of any float arithmetic — which is
+    what lets the DuckDB oracle replay the identical merge chain.
     Module-level so the Arrow task and the property tests share one
     implementation; property-tested against the independent
     max-min characterization in tests/test_properties.py."""
-    blocks: list[list[float]] = []
-    for x, w, y in points:
-        blocks.append([x, x, float(w), float(y)])
-        while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
+    blocks: list[list[int]] = []
+    for x, w, pos in points:
+        blocks.append([int(x), int(x), int(w), int(pos)])
+        while (
+            len(blocks) > 1
+            and blocks[-2][3] * blocks[-1][2]
+            >= blocks[-1][3] * blocks[-2][2]
+        ):
             b2 = blocks.pop()
             b1 = blocks.pop()
-            wt = b1[2] + b2[2]
-            m = (b1[2] * b1[3] + b2[2] * b2[3]) / wt
-            blocks.append([b1[0], b2[1], wt, m])
+            blocks.append([b1[0], b2[1], b1[2] + b2[2], b1[3] + b2[3]])
     return blocks
 
 
@@ -1169,35 +1191,54 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with group count like ``holt_forecast_by_nation``. Blocks
     merge while the left mean ≥ the right, so emitted block means are
     STRICTLY increasing — pinned, with exact equivalence to a
-    pure-Python PAV, in tests/test_llm.py. Not SQL-expressible
-    (data-dependent merge chain), hence NO_ORACLE."""
+    pure-Python PAV, in tests/test_llm.py.
+
+    Oracle-checked despite the data-dependent merge chain: the merge
+    state is all-INTEGER (weights and positive counts; comparisons by
+    exact cross-multiply), so a DuckDB recursive CTE that replays one
+    merge-or-advance per iteration (stack carried as LIST columns —
+    the Holt-Winters LIST-CTE technique) reproduces the identical
+    blocks, and the single final division pos/w is the same IEEE op on
+    both engines (decimal-snap before the 6dp round)."""
     import pandas as pd  # noqa: PLC0415
 
     d = spread(load_table(spark, sf_dir, "documents"))
     pooled = d.groupBy("source", "n_chars").agg(
         F.count("*").alias("w"),
-        F.avg(
-            F.when(F.col("lang") == AUC_POS_LANG, 1.0).otherwise(0.0)
-        ).alias("y"),
+        F.sum(
+            F.when(F.col("lang") == AUC_POS_LANG, 1).otherwise(0)
+        ).alias("pos"),
     )
 
     def pav(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("n_chars").reset_index(drop=True)
         blocks = pav_blocks(
-            list(zip(pdf["n_chars"], pdf["w"], pdf["y"]))
+            list(zip(pdf["n_chars"], pdf["w"], pdf["pos"]))
         )
         return pd.DataFrame(
             [
-                (key[0], b[0], b[1], b[2], round(b[3], 6))
+                (key[0], b[0], b[1], float(b[2]), b[3] / b[2])
                 for b in blocks
             ],
-            columns=["source", "x_lo", "x_hi", "weight", "p_calibrated"],
+            columns=["source", "x_lo", "x_hi", "weight", "p_raw"],
         )
 
-    return pooled.groupBy("source").applyInPandas(
+    raw = pooled.groupBy("source").applyInPandas(
         pav,
         schema="source string, x_lo bigint, x_hi bigint, "
-        "weight double, p_calibrated double",
+        "weight double, p_raw double",
+    )
+    # round OUTSIDE the Arrow task (Python round is banker's, F.round
+    # is half-up) with the decimal-snap so both engines round the same
+    # exact value (round(DOUBLE, n) boundary class)
+    return raw.select(
+        "source",
+        "x_lo",
+        "x_hi",
+        "weight",
+        F.round(F.col("p_raw").cast("decimal(18,8)"), 6)
+        .cast("double")
+        .alias("p_calibrated"),
     )
 
 
@@ -1972,11 +2013,100 @@ ORACLES["wilson_lang_share"] = f"""
     FROM t
 """
 
-NO_ORACLE = {
-    "approx_topk_tokens": "frequent-items sketch internals are "
-    "engine-defined; agreement with exact heavy hitters on the fixture "
-    "is pinned in tests/test_llm.py",
-    "isotonic_calibration": "PAV's data-dependent block-merge chain is "
-    "not SQL-expressible; exact equivalence with a pure-Python PAV and "
-    "strict block monotonicity are pinned in tests/test_llm.py",
-}
+# PAV as a recursive CTE: the merge chain is data-dependent but each
+# iteration performs exactly ONE action (merge the pending block with
+# the stack top on an exact integer cross-multiply violation, else
+# advance to the next point), so the recursion replays the engine's
+# pav_blocks() bit-for-bit. The stack rides along as LIST columns
+# (Holt-Winters LIST-CTE technique); the only float op is the final
+# pos/w division, decimal-snapped before the 6dp round on both sides.
+ORACLES["isotonic_calibration"] = f"""
+    WITH RECURSIVE pooled AS (
+        SELECT source, n_chars,
+               count(*)::BIGINT AS w,
+               sum(CASE WHEN lang = '{AUC_POS_LANG}' THEN 1 ELSE 0
+                   END)::BIGINT AS pos
+        FROM documents GROUP BY source, n_chars
+    ), pts AS (
+        SELECT source, n_chars, w, pos,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM pooled
+    ), pav AS (
+        SELECT source, CAST(1 AS BIGINT) AS rn, n,
+               CAST([] AS BIGINT[]) AS slo, CAST([] AS BIGINT[]) AS shi,
+               CAST([] AS BIGINT[]) AS sw,  CAST([] AS BIGINT[]) AS spos,
+               n_chars AS plo, n_chars AS phi, w AS pw, pos AS ppos
+        FROM pts WHERE rn = 1
+        UNION ALL
+        SELECT s.source,
+               CASE WHEN s.viol THEN s.rn ELSE s.rn + 1 END,
+               s.n,
+               CASE WHEN s.viol THEN s.slo[1:len(s.slo)-1]
+                    ELSE list_append(s.slo, s.plo) END,
+               CASE WHEN s.viol THEN s.shi[1:len(s.shi)-1]
+                    ELSE list_append(s.shi, s.phi) END,
+               CASE WHEN s.viol THEN s.sw[1:len(s.sw)-1]
+                    ELSE list_append(s.sw, s.pw) END,
+               CASE WHEN s.viol THEN s.spos[1:len(s.spos)-1]
+                    ELSE list_append(s.spos, s.ppos) END,
+               CASE WHEN s.viol THEN s.slo[len(s.slo)]
+                    ELSE p.n_chars END,
+               CASE WHEN s.viol THEN s.phi ELSE p.n_chars END,
+               CASE WHEN s.viol THEN s.sw[len(s.sw)] + s.pw
+                    ELSE p.w END,
+               CASE WHEN s.viol THEN s.spos[len(s.spos)] + s.ppos
+                    ELSE p.pos END
+        FROM (SELECT pav.*,
+                     len(slo) > 0
+                     AND spos[len(spos)] * pw >= ppos * sw[len(sw)]
+                         AS viol
+              FROM pav) s
+        LEFT JOIN pts p ON p.source = s.source AND p.rn = s.rn + 1
+        WHERE s.viol OR s.rn < s.n
+    ), fin AS (
+        SELECT * FROM pav
+        WHERE rn = n
+          AND NOT (len(slo) > 0
+                   AND spos[len(spos)] * pw >= ppos * sw[len(sw)])
+    ), blocks AS (
+        SELECT source,
+               unnest(list_append(slo, plo)) AS x_lo,
+               unnest(list_append(shi, phi)) AS x_hi,
+               unnest(list_append(sw, pw)) AS w,
+               unnest(list_append(spos, ppos)) AS pos
+        FROM fin
+    )
+    SELECT source, x_lo, x_hi, CAST(w AS DOUBLE) AS weight,
+           CAST(round(CAST(CAST(pos AS DOUBLE) / w AS DECIMAL(18,8)),
+                      6) AS DOUBLE) AS p_calibrated
+    FROM blocks
+"""
+
+# approx_topk_tokens: oracle-able because the query's determinism
+# contract (strictly-above-the-Kth-count items, (count, token) order)
+# makes the sketch result unique wherever the sketch is exact — which
+# the twin test pins at the graded SFs. The oracle derives the same
+# threshold from exact counts: the K-th largest count value is
+# well-defined regardless of tie order.
+ORACLES["approx_topk_tokens"] = f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))
+            AS w
+        FROM documents
+    ), c AS (
+        SELECT w, count(*)::BIGINT AS n FROM words GROUP BY w
+    ), ranked AS (
+        SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS r
+        FROM c
+    ), thr AS (
+        SELECT n AS nmin FROM ranked WHERE r = {APPROX_TOPK_K}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
+               AS rk,
+           w AS token, n AS est_count
+    FROM c, thr WHERE n > nmin
+"""
+
+NO_ORACLE: dict[str, str] = {}

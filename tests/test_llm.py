@@ -534,15 +534,20 @@ def test_approx_topk_tokens_matches_exact_on_fixture(spark):
     # every sketched count must be the exact count for that token
     for tok, est in zip(got.token, got.est_count):
         assert all_counts[tok] == est, (tok, est, all_counts[tok])
-    # the top-K SET is tie-ambiguous at the boundary rank (several
-    # tokens can share the k-th count; which side of the cut they land
-    # on is an arbitrary tie-break, not an error): require every
-    # returned token's count >= the k-th largest exact count
-    kth = exact_sorted.iloc[len(got) - 1]
-    assert (got.est_count >= kth).all(), (kth, got)
-    # and every token STRICTLY above the boundary must be present
-    must_have = set(exact_sorted[exact_sorted > kth].index)
-    assert must_have <= set(got.token)
+    # determinism contract (what the DuckDB oracle relies on): the
+    # result is EXACTLY the tokens strictly above the K-th largest
+    # exact count, ranked by (count DESC, token) — the tie-ambiguous
+    # boundary group is excluded by construction
+    kth = exact_sorted.iloc[text.APPROX_TOPK_K - 1]
+    want = sorted(
+        ((int(c), t) for t, c in all_counts.items() if c > kth),
+        key=lambda p: (-p[0], p[1]),
+    )
+    got_sorted = got.sort_values("rk")
+    assert list(got_sorted.rk) == list(range(1, len(want) + 1))
+    assert [(c, t) for c, t in want] == list(
+        zip(got_sorted.est_count, got_sorted.token)
+    )
 
 
 def test_pq_encode_invariants(spark):
@@ -1276,17 +1281,24 @@ def test_isotonic_calibration_matches_python_pav(spark):
 
     from data_warehouse_co_healthy_spark.llm import text as t
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
                            columns=["source", "lang", "n_chars"])
-    docs["y"] = (docs["lang"] == t.AUC_POS_LANG).astype(float)
+    docs["pos"] = (docs["lang"] == t.AUC_POS_LANG).astype(int)
     want = {}
     for src, grp in docs.groupby("source"):
         pooled = (
-            grp.groupby("n_chars")["y"].agg(["count", "mean"]).sort_index()
+            grp.groupby("n_chars")["pos"].agg(["count", "sum"]).sort_index()
         )
+        # independent PAV via exact Fraction MEANS (the classic
+        # pooled-mean update — a different mechanization from the
+        # engine's integer cross-multiply state, same exact math)
+        from fractions import Fraction
+
         blocks = []
-        for x, (w, m) in pooled.iterrows():
-            blocks.append([x, x, float(w), float(m)])
+        for x, (w, pos) in pooled.iterrows():
+            blocks.append([x, x, int(w), Fraction(int(pos), int(w))])
             while len(blocks) > 1 and blocks[-2][3] >= blocks[-1][3]:
                 b2 = blocks.pop()
                 b1 = blocks.pop()
@@ -1295,8 +1307,18 @@ def test_isotonic_calibration_matches_python_pav(spark):
                     [b1[0], b2[1], wt,
                      (b1[2] * b1[3] + b2[2] * b2[3]) / wt]
                 )
+        def _r6(m: float) -> float:
+            # engine rounding: double -> decimal(18,8) snap -> 6dp,
+            # both HALF_UP on the exact value (not banker's round())
+            return float(
+                Decimal(m)
+                .quantize(Decimal("1E-8"), ROUND_HALF_UP)
+                .quantize(Decimal("1E-6"), ROUND_HALF_UP)
+            )
         want[src] = [
-            (b[0], b[1], b[2], round(b[3], 6)) for b in blocks
+            # float(Fraction) is correctly rounded == the engine's
+            # IEEE pos/w division; weight compares int == float
+            (b[0], b[1], float(b[2]), _r6(float(b[3]))) for b in blocks
         ]
 
     got: dict[str, list] = {}

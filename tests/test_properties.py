@@ -1273,9 +1273,8 @@ def test_top_event_paths_null_propagates_and_sorts_last(spark):
     pts=st.lists(
         st.tuples(
             st.integers(min_value=1, max_value=20),
-            st.floats(min_value=0.0, max_value=1.0,
-                      allow_nan=False, allow_infinity=False),
-        ),
+            st.integers(min_value=0, max_value=20),
+        ).map(lambda t: (t[0], min(t[1], t[0]))),  # pos <= w
         min_size=1,
         max_size=12,
     )
@@ -1285,36 +1284,36 @@ def test_pav_blocks_match_minimax_characterization(pts):
     regression: the fitted value at point i equals
     max_{k<=i} min_{j>=i} weighted-avg(y[k..j]) — a completely
     different construction from the merge loop (pure python, no
-    Spark). Also pins: strictly increasing block means, weight
-    conservation, and weighted-mean conservation."""
+    Spark; exact Fractions, so the compare is equality, not
+    tolerance). Also pins: strictly increasing block means, weight
+    conservation, and positive-count conservation."""
+    from fractions import Fraction
+
     from data_warehouse_co_healthy_spark.llm.text import pav_blocks
 
-    points = [(float(i), float(w), y) for i, (w, y) in enumerate(pts)]
+    points = [(i, w, pos) for i, (w, pos) in enumerate(pts)]
     blocks = pav_blocks(points)
 
-    # fitted value per original point
+    # fitted (exact rational) value per original point
     fitted = {}
-    for x_lo, x_hi, _, m in blocks:
-        for i in range(int(x_lo), int(x_hi) + 1):
-            fitted[float(i)] = m
+    for x_lo, x_hi, w, pos in blocks:
+        for i in range(x_lo, x_hi + 1):
+            fitted[i] = Fraction(pos, w)
 
     def wavg(k, j):
         tw = sum(points[t][1] for t in range(k, j + 1))
-        return sum(points[t][1] * points[t][2]
-                   for t in range(k, j + 1)) / tw
+        return Fraction(
+            sum(points[t][2] for t in range(k, j + 1)), tw
+        )
 
     n = len(points)
     for i in range(n):
         want = max(
             min(wavg(k, j) for j in range(i, n)) for k in range(i + 1)
         )
-        assert abs(fitted[float(i)] - want) < 1e-9, (i, points)
+        assert fitted[i] == want, (i, points)
 
-    means = [b[3] for b in blocks]
+    means = [Fraction(b[3], b[2]) for b in blocks]
     assert all(a < b for a, b in zip(means, means[1:]))
-    assert abs(sum(b[2] for b in blocks)
-               - sum(w for _, w, _ in points)) < 1e-9
-    assert abs(
-        sum(b[2] * b[3] for b in blocks)
-        - sum(w * y for _, w, y in points)
-    ) < 1e-9
+    assert sum(b[2] for b in blocks) == sum(w for _, w, _ in points)
+    assert sum(b[3] for b in blocks) == sum(p for _, _, p in points)
