@@ -173,12 +173,12 @@ PRIORITY: tuple[str, ...] = (
     "mmr_rerank",
     "skyline_parts",
     "roc_auc_by_source",
-    # round-5 fourth rotation: survival curve, attribution, forecasting
+    # round-5 fourth rotation: survival curve (attribution_report
+    # rotated out round 6)
     "kaplan_meier_churn",
-    "attribution_report",
-    # round-5 fifth rotation: probabilistic linkage + TWAP
+    # round-5 fifth rotation: probabilistic linkage (twap_daily
+    # rotated out round 6)
     "fellegi_sunter_links",
-    "twap_daily",
     # round-5 sixth rotation: the recursive-CTE SQL surface, the
     # statistics screens (KS drift, Gini concentration, ACF
     # diagnostics, pairwise JSD corpus similarity) and min_by/max_by
@@ -186,10 +186,7 @@ PRIORITY: tuple[str, ...] = (
     # brute-force reference tests
     "sql_recursive_hierarchy",
     "ks_two_sample",
-    "gini_by_nation",
-    "acf_daily_revenue",
     "js_divergence_sources",
-    "ohlc_daily",
     # round-5 seventh rotation (out: left_join_miss, surrogate_keys,
     # supplier_scorecard, window_range_frame, t_closeness_audit,
     # holt_forecast — every family keeps an in-window representative,
@@ -199,7 +196,6 @@ PRIORITY: tuple[str, ...] = (
     # and the Holt-Winters capstone — all with full DuckDB oracles
     "did_report",
     "mann_kendall_trend",
-    "dp_noisy_counts",
     "conversion_latency",
     "weighted_median_by_group",
     "holt_winters_daily",
@@ -216,6 +212,22 @@ PRIORITY: tuple[str, ...] = (
     "burstiness_by_type",
     "table_checksum",
     "langid_confusion",
+    # round-6 rotation, ninth wave (out: ohlc_daily — superseded by
+    # stream_ohlc_drain, the SAME bars and oracle but executed through
+    # the Structured Streaming path, so the slot now grades the
+    # streaming engine; acf_daily_revenue, gini_by_nation,
+    # attribution_report, twap_daily, dp_noisy_counts — all r5-green,
+    # each family keeps in-window representation and all stay locally
+    # oracle-tested): six never-driver-graded oracle-backed slots —
+    # the streaming drain, the Lee-et-al exact-substring screen, the
+    # bigram LM perplexity, the chi-squared source/lang independence
+    # test, sorted-neighborhood blocking, and the NDCG retrieval eval
+    "stream_ohlc_drain",
+    "exact_substring_matches",
+    "bigram_perplexity",
+    "chi2_source_lang",
+    "snm_adjacent_pairs",
+    "retrieval_ndcg",
 )
 
 
