@@ -1919,6 +1919,52 @@ def stream_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stateful_totals_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades the ARBITRARY-STATEFUL streaming path
+    (applyInPandasWithState + state store) across MULTIPLE
+    micro-batches: the events table re-staged as 4 files, one file per
+    trigger, flows through ``running_user_totals_exact`` (per-user
+    running count + exact integer-cent totals), update-mode memory
+    sink. The sink then holds one snapshot row per (user, batch); the
+    FINAL snapshot per user is the max of the monotone counters, and
+    because the state is exact integers it equals the plain batch
+    aggregate REGARDLESS of how the repartition split the stream —
+    which is exactly the reconciliation a production stateful counter
+    must pass. Complements ``stream_ohlc_drain`` (built-in windowed
+    state) by certifying the custom-state executor surface: state
+    encode/decode, cross-batch persistence, update-mode emission."""
+    from ..streaming.events import (  # noqa: PLC0415
+        read_events_stream_parts,
+        run_to_memory,
+        running_user_totals_exact,
+    )
+
+    name = "stream_stateful_totals_sink"
+    res = running_user_totals_exact(
+        read_events_stream_parts(spark, sf_dir, n_parts=4)
+    )
+    # the state-store partition count is frozen from
+    # spark.sql.shuffle.partitions at query START (a real production
+    # sizing knob: one state store per partition per micro-batch); the
+    # vanilla session's default 200 costs 4x200 state tasks for a
+    # 150-key fixture — pin a bounded count for the drain, restore
+    # after (the batch reconciliation aggregate is unaffected)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_to_memory(res, name, output_mode="update")
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    snap = spark.table(name)
+    return snap.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (F.max("cents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2005,6 +2051,7 @@ QUERIES = {
     "cohort_ltv": cohort_ltv,
     "ohlc_daily": ohlc_daily,
     "stream_ohlc_drain": stream_ohlc_drain,
+    "stream_stateful_totals_drain": stream_stateful_totals_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2333,6 +2380,17 @@ ORACLES["ewma_smoother"] = f"""
 # tests/test_streaming.py), so it shares the batch oracle verbatim —
 # the driver hash then grades the streaming execution path itself
 ORACLES["stream_ohlc_drain"] = ORACLES["ohlc_daily"]
+
+# the stateful drain's final snapshots equal the plain batch aggregate
+# because the state is exact integer cents (order/split-independent);
+# cents/100.0 and CAST(exact DECIMAL(18,2) sum AS DOUBLE) are both the
+# nearest double to the same exact rational
+ORACLES["stream_stateful_totals_drain"] = """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM events GROUP BY user_id
+"""
 
 ORACLES["cusum_changepoints"] = f"""
     WITH RECURSIVE daily AS (

@@ -441,6 +441,117 @@ def zone_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_Q_BITS = 8    # per-dimension quantization (0..255)
+ZORDER_N_FILES = 16  # simulated file count for both layouts
+
+
+def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map quality of a Z-ORDER (Morton-curve) layout vs the
+    naive ingest-order layout, computed IN-PLAN (no file writes) — the
+    planning query behind ``sources.writers.write_zordered``: before
+    rewriting 100 TB, measure how much each candidate layout would
+    shrink per-file min/max boxes on each filter dimension. Per
+    (layout, dimension): the number of non-empty files, the mean
+    zone span share, and the expected number of files a uniform point
+    predicate must scan (Σ over files of (span+1)/domain — the
+    data-skipping payoff in file units). Ingest order gives tight
+    orderkey zones but full-domain custkey/date zones (every point
+    lookup scans all files); the Morton key splits its bits across
+    both dimensions, bounding BOTH spans at ~domain/√files.
+
+    Engine-exactness: both coordinates quantize to 8-bit ranks with
+    INTEGER arithmetic ((x−min)·255 div range), the Morton interleave
+    is div/mod/multiply (no engine bit-op semantics in play), and the
+    zone metrics are ratios of exact integer sums — the only float
+    ops are two identical divisions, decimal-snapped before the 6dp
+    round. One data scan: rows aggregate to the (z_file, linear_file)
+    grain (≤ ZORDER_N_FILES² groups, map-side combined); both layout
+    profiles re-aggregate from that tiny grain."""
+    top = (1 << ZORDER_Q_BITS) - 1
+    domain = 1 << ZORDER_Q_BITS
+    zspace = domain * domain
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_custkey").alias("mnc"),
+        F.max("o_custkey").alias("mxc"),
+        F.min(F.to_date("o_orderdate")).alias("mnd"),
+        F.max(F.to_date("o_orderdate")).alias("mxd"),
+        F.min("o_orderkey").alias("mnk"),
+        F.max("o_orderkey").alias("mxk"),
+    )
+    j = orders.crossJoin(F.broadcast(stats))
+
+    def quant(expr: str, lo: str, hi: str) -> Column:
+        rng = f"greatest(1, {hi} - {lo})"
+        return F.expr(f"(({expr} - {lo}) * {top}) div {rng}")
+
+    keyed = j.select(
+        quant("o_custkey", "mnc", "mxc").cast("long").alias("bx"),
+        quant("datediff(to_date(o_orderdate), mnd)", "0",
+              "datediff(mxd, mnd)").cast("long").alias("by"),
+        F.expr(
+            f"((o_orderkey - mnk) * {ZORDER_N_FILES}) "
+            "div greatest(1, mxk - mnk + 1)"
+        ).alias("lfile"),
+    )
+    # Morton interleave as pure div/mod/multiply (identical semantics
+    # on every engine; no bit-operator dialect in play)
+    z_terms = " + ".join(
+        f"((bx div {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + ((by div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(ZORDER_Q_BITS)
+    )
+    grain = (
+        keyed.select(
+            "bx",
+            "by",
+            "lfile",
+            F.expr(f"(({z_terms}) * {ZORDER_N_FILES}) div {zspace}")
+            .alias("zfile"),
+        )
+        .groupBy("zfile", "lfile")
+        .agg(
+            F.min("bx").alias("mn_bx"), F.max("bx").alias("mx_bx"),
+            F.min("by").alias("mn_by"), F.max("by").alias("mx_by"),
+        )
+    )
+
+    def zones(file_col: str, layout: str) -> DataFrame:
+        return grain.groupBy(F.col(file_col).alias("f")).agg(
+            F.min("mn_bx").alias("a_bx"), F.max("mx_bx").alias("b_bx"),
+            F.min("mn_by").alias("a_by"), F.max("mx_by").alias("b_by"),
+        ).select(F.lit(layout).alias("layout"), "a_bx", "b_bx",
+                 "a_by", "b_by")
+
+    stacked = (
+        zones("zfile", "zorder")
+        .unionByName(zones("lfile", "linear"))
+        .selectExpr(
+            "layout",
+            "stack(2, 'custkey_q', a_bx, b_bx, "
+            "'orderdate_q', a_by, b_by) AS (dim, a, b)",
+        )
+    )
+    return stacked.groupBy("layout", "dim").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.round(
+            (
+                F.sum(F.col("b") - F.col("a") + 1).cast("double")
+                / F.count("*")
+                / F.lit(float(domain))
+            ).cast("decimal(18,8)"),
+            6,
+        ).cast("double").alias("avg_span_share"),
+        F.round(
+            (
+                F.sum(F.col("b") - F.col("a") + 1).cast("double")
+                / F.lit(float(domain))
+            ).cast("decimal(18,8)"),
+            6,
+        ).cast("double").alias("expected_files_hit"),
+    )
+
+
 # Declarative data-quality expectations: (name, SQL predicate that every
 # row must satisfy). Single source of truth for plan AND oracle.
 EXPECTATIONS: tuple[tuple[str, str], ...] = (
@@ -785,6 +896,7 @@ QUERIES = {
     "fk_containment_profile": fk_containment_profile,
     "join_cardinality_estimate": join_cardinality_estimate,
     "zone_map_profile": zone_map_profile,
+    "zorder_layout_profile": zorder_layout_profile,
     "scd2_user_state": scd2_user_state,
     "merge_upsert_balances": merge_upsert_balances,
     "dq_null_rates": dq_null_rates,
@@ -1080,3 +1192,71 @@ ORACLES = {
         GROUP BY 1, 2
     """,
 }
+
+# Morton interleave mirrored with the same div/mod arithmetic (DuckDB
+# floor-div `//` == Spark `div` on the non-negative quantized ranks)
+_Z_TERMS_SQL = " + ".join(
+    f"((bx // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((by // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(ZORDER_Q_BITS)
+)
+
+_ZPROFILE_METRICS = """
+    SELECT '{layout}' AS layout, '{dim}' AS dim,
+           count(*)::BIGINT AS n_files,
+           CAST(round(CAST(CAST(sum({b} - {a} + 1) AS DOUBLE)
+                           / count(*) / 256.0 AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS avg_span_share,
+           CAST(round(CAST(CAST(sum({b} - {a} + 1) AS DOUBLE)
+                           / 256.0 AS DECIMAL(18,8)), 6)
+                AS DOUBLE) AS expected_files_hit
+    FROM {src}
+"""
+
+ORACLES["zorder_layout_profile"] = f"""
+    WITH stats AS (
+        SELECT min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+               min(CAST(o_orderdate AS DATE)) AS mnd,
+               max(CAST(o_orderdate AS DATE)) AS mxd,
+               min(o_orderkey) AS mnk, max(o_orderkey) AS mxk
+        FROM orders
+    ), keyed AS (
+        SELECT ((o_custkey - mnc) * {(1 << ZORDER_Q_BITS) - 1})
+                   // greatest(1, mxc - mnc) AS bx,
+               (date_diff('day', mnd, CAST(o_orderdate AS DATE))
+                    * {(1 << ZORDER_Q_BITS) - 1})
+                   // greatest(1, date_diff('day', mnd, mxd)) AS by,
+               ((o_orderkey - mnk) * {ZORDER_N_FILES})
+                   // greatest(1, mxk - mnk + 1) AS lfile
+        FROM orders, stats
+    ), zkeyed AS (
+        SELECT bx, by, lfile,
+               (({_Z_TERMS_SQL}) * {ZORDER_N_FILES})
+                   // {1 << (2 * ZORDER_Q_BITS)} AS zfile
+        FROM keyed
+    ), grain AS (
+        SELECT zfile, lfile,
+               min(bx) AS mn_bx, max(bx) AS mx_bx,
+               min(by) AS mn_by, max(by) AS mx_by
+        FROM zkeyed GROUP BY zfile, lfile
+    ), zz AS (
+        SELECT zfile, min(mn_bx) AS a_bx, max(mx_bx) AS b_bx,
+               min(mn_by) AS a_by, max(mx_by) AS b_by
+        FROM grain GROUP BY zfile
+    ), lz AS (
+        SELECT lfile, min(mn_bx) AS a_bx, max(mx_bx) AS b_bx,
+               min(mn_by) AS a_by, max(mx_by) AS b_by
+        FROM grain GROUP BY lfile
+    )
+    {_ZPROFILE_METRICS.format(layout="zorder", dim="custkey_q",
+                              a="a_bx", b="b_bx", src="zz")}
+    UNION ALL
+    {_ZPROFILE_METRICS.format(layout="zorder", dim="orderdate_q",
+                              a="a_by", b="b_by", src="zz")}
+    UNION ALL
+    {_ZPROFILE_METRICS.format(layout="linear", dim="custkey_q",
+                              a="a_bx", b="b_bx", src="lz")}
+    UNION ALL
+    {_ZPROFILE_METRICS.format(layout="linear", dim="orderdate_q",
+                              a="a_by", b="b_by", src="lz")}
+"""

@@ -223,6 +223,51 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_exact(events: DataFrame) -> DataFrame:
+    """The driver-gradable twin of ``running_user_totals``: identical
+    stateful shape (per-user running count + value total via
+    applyInPandasWithState), but the value total accumulates in EXACT
+    integer cents — the fixture's values are exact 2dp money, so
+    per-element round(value·100) is an integer and the state is
+    independent of how the stream is split into micro-batches or how
+    partitions arrive. That order-independence is what makes the FINAL
+    totals reconcilable against a plain batch aggregate (the posture
+    any production stateful counter needs for end-of-day checks; the
+    float-state variant documents why: its total drifts with arrival
+    order). Emits the running snapshot on every update; the final
+    snapshot per user is the reconciliation surface."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+    )
+
+    out_schema = "user_id long, n_events long, cents long"
+    state_schema = "n long, cents long"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # round BEFORE summing: value*100 in float is 3.0000...04,
+            # but each rounded element is an exact integer, so the sum
+            # is exact at any order/split
+            cents += int(
+                (pdf["value"] * 100).round().astype("int64").sum()
+            )
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def zscore_anomalies_stream(
     events: DataFrame,
     window: int = 20,

@@ -411,3 +411,34 @@ def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
         d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")
     }
     assert len(cell_dirs) > similarity.IVF_NPROBE
+
+
+def test_zorder_layout_profile_bounds_both_dims(spark):
+    """The in-plan layout planner must show the Morton payoff the
+    file-level test above measures physically: the z-layout bounds
+    BOTH dimensions' zone spans (~ domain/sqrt(files) each), while
+    ingest order leaves every off-key dimension at full domain (no
+    pruning). Also pins the streaming of metrics: expected_files_hit
+    == n_files * avg_span_share by construction."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        ZORDER_N_FILES,
+        zorder_layout_profile,
+    )
+
+    rows = {
+        (r["layout"], r["dim"]): r
+        for r in zorder_layout_profile(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 4
+    for dim in ("custkey_q", "orderdate_q"):
+        z, lin = rows[("zorder", dim)], rows[("linear", dim)]
+        # z-order: both dims bounded well below half the domain
+        assert z["avg_span_share"] <= 0.5, dim
+        # ingest order: off-key dims span ~the whole domain
+        assert lin["expected_files_hit"] > ZORDER_N_FILES * 0.8, dim
+        # and the z layout beats it by at least 2x on EVERY dim
+        assert z["expected_files_hit"] * 2 < lin["expected_files_hit"]
+        assert abs(
+            z["expected_files_hit"]
+            - z["n_files"] * z["avg_span_share"]
+        ) < 1e-4

@@ -35,6 +35,7 @@ NESTED_LOOP_OK = {
     "pmi_bigrams",          # corpus token total as 1-row broadcast
     "bm25_search",          # avgdl/N corpus stats as 1-row broadcast
     "key_skew_profile",     # key-cardinality stats as 1-row broadcast
+    "zorder_layout_profile",  # table min/max bounds as 1-row broadcast
     "hll_mergeable_rollup", # 1-row sketch-union total × 1-row exact
                             # grand count (self-verify join)
     "unigram_surprisal",    # corpus token total as 1-row broadcast
@@ -94,6 +95,8 @@ SINGLE_PARTITION_OK = {
     "bitmap_distinct_rollup",  # bitmap-OR grand total: exchange carries
                                # one bitmap per (type, bucket), not rows
     "key_skew_profile",     # global stats over key-cardinality counts
+    "zorder_layout_profile",  # global min/max bounds (one agg row) +
+                              # the tiny (file x layout) zone grain
     "profile_columns",      # global profiling aggregate (one wide row
                             # unpivoted to 6 column-grain rows)
     "pca_whiten_embeddings",  # O(d^2) sufficient-stats combine: the
