@@ -941,12 +941,21 @@ def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
     )
     counts = unit.groupBy("label").agg(F.count("*").alias("n"))
+    # + 0.0 after the round: a mean that is zero up to float noise
+    # rounds to -0.0 or +0.0 depending on each engine's summation
+    # order, and the driver hash distinguishes the sign (bit at sf0.1:
+    # spark 0.0 vs oracle -0.0); IEEE -0.0 + 0.0 = +0.0 normalizes
+    # both sides
     return sums.join(counts, on="label").select(
         "label",
         "n",
-        F.round(
-            (F.col("ssq") - F.col("n")) / (F.col("n") * (F.col("n") - 1)),
-            4,
+        (
+            F.round(
+                (F.col("ssq") - F.col("n"))
+                / (F.col("n") * (F.col("n") - 1)),
+                4,
+            )
+            + F.lit(0.0)
         ).alias("mean_intra_cosine"),
     )
 
@@ -1416,7 +1425,8 @@ ORACLES = {
             SELECT label, count(*)::BIGINT AS n FROM unit GROUP BY label
         )
         SELECT label, n,
-               round((ssq - n) / (n * (n - 1)), 4) AS mean_intra_cosine
+               round((ssq - n) / (n * (n - 1)), 4) + 0.0
+                   AS mean_intra_cosine
         FROM per JOIN cnt USING (label)
     """,
     "mad_by_group": """

@@ -18,7 +18,7 @@ comparisons and a full broadcast of one side, unusable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -552,10 +552,18 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     n = F.count(F.lit(1))
+    # decimal-snap before the 4dp round: the exact sums make both
+    # engines' mae/bias the IDENTICAL double, but round(DOUBLE, 4)
+    # itself diverges near .00005 boundaries (one sf0.1 row hit
+    # 2.22875 exactly); rounding the snapped decimal is identical
     return scored.groupBy("user_id").agg(
         F.count("*").alias("n_scored"),
-        F.round(F.sum(abs_err).cast("double") / n, 4).alias("mae"),
-        F.round(F.sum(err).cast("double") / n, 4).alias("bias"),
+        F.round(
+            (F.sum(abs_err).cast("double") / n).cast("decimal(18,8)"), 4
+        ).cast("double").alias("mae"),
+        F.round(
+            (F.sum(err).cast("double") / n).cast("decimal(18,8)"), 4
+        ).cast("double").alias("bias"),
     )
 
 
@@ -588,17 +596,31 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = series.withColumn("trend", F.avg("n").over(wma))
     ws = Window.partitionBy("event_type", F.hour("bucket"))
+    # seasonal mean over exact-decimal sums: avg of the detrended
+    # DOUBLES is summation-order-dependent (Spark window agg vs
+    # DuckDB's scan order drifted ulps and flipped round(·,4) on 8
+    # rows at sf0.1); the snapped decimal sum is exact, so seasonal is
+    # the identical double on both engines
+    x = (F.col("n") - F.col("trend")).cast("decimal(18,12)")
     s = t.withColumn(
-        "seasonal", F.avg(F.col("n") - F.col("trend")).over(ws)
+        "seasonal",
+        F.sum(x).over(ws).cast("double")
+        / F.count(F.lit(1)).over(ws),
     )
+
+    def _r4(c: Column) -> Column:
+        # decimal-snap before the 4dp round (round(DOUBLE) boundary
+        # class — engines round identical doubles differently)
+        return F.round(c.cast("decimal(18,8)"), 4).cast("double")
+
     return s.select(
         "event_type",
         "bucket",
         "n",
-        F.round("trend", 4).alias("trend"),
-        F.round("seasonal", 4).alias("seasonal"),
-        F.round(
-            F.col("n") - F.col("trend") - F.col("seasonal"), 4
+        _r4(F.col("trend")).alias("trend"),
+        _r4(F.col("seasonal")).alias("seasonal"),
+        _r4(
+            F.col("n") - F.col("trend") - F.col("seasonal")
         ).alias("resid"),
     )
 
@@ -2347,12 +2369,14 @@ ORACLES["seasonal_naive_eval"] = f"""
         FROM filled
     )
     SELECT user_id, count(*)::BIGINT AS n_scored,
-           round(CAST(sum(CAST(abs(filled_value - forecast)
-                               AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS mae,
-           round(CAST(sum(CAST(filled_value - forecast
-                               AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS bias
+           CAST(round(CAST(CAST(sum(CAST(abs(filled_value - forecast)
+                                        AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*) AS DECIMAL(18,8)), 4) AS DOUBLE)
+               AS mae,
+           CAST(round(CAST(CAST(sum(CAST(filled_value - forecast
+                                         AS DECIMAL(18,6))) AS DOUBLE)
+                           / count(*) AS DECIMAL(18,8)), 4) AS DOUBLE)
+               AS bias
     FROM scored WHERE forecast IS NOT NULL
     GROUP BY user_id
 """
@@ -2973,14 +2997,20 @@ ORACLES["seasonal_decompose_hourly"] = f"""
                      AND {TREND_HALF_WIN} FOLLOWING
         ) AS trend FROM series
     ), se AS (
-        SELECT *, avg(n - trend) OVER (
-            PARTITION BY event_type, extract(hour FROM bucket)
-        ) AS seasonal FROM tr
+        SELECT *, CAST(sum(CAST(n - trend AS DECIMAL(18,12))) OVER (
+                     PARTITION BY event_type, extract(hour FROM bucket)
+                 ) AS DOUBLE)
+                 / count(*) OVER (
+                     PARTITION BY event_type, extract(hour FROM bucket)
+                 ) AS seasonal FROM tr
     )
     SELECT event_type, bucket, n,
-           round(trend, 4) AS trend,
-           round(seasonal, 4) AS seasonal,
-           round(n - trend - seasonal, 4) AS resid
+           CAST(round(CAST(trend AS DECIMAL(18,8)), 4) AS DOUBLE)
+               AS trend,
+           CAST(round(CAST(seasonal AS DECIMAL(18,8)), 4) AS DOUBLE)
+               AS seasonal,
+           CAST(round(CAST(n - trend - seasonal AS DECIMAL(18,8)), 4)
+                AS DOUBLE) AS resid
     FROM se
 """
 

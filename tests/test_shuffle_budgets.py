@@ -47,6 +47,14 @@ BUDGETS = {
     "ks_two_sample": 2,
     "weighted_median_by_group": 1,
     "conversion_latency": 3,
+    # round-6 bench additions (CO parity floor) + per-round plan of the
+    # iterative pagerank
+    "fact_retiro_star": 1,
+    "fact_service_star": 2,
+    "pagerank_near_dup": 2,
+    # zorder profile: 1 data-sized exchange (the (zfile, lfile) grain
+    # groupBy); the other 4 are <=16-row zone/stack re-aggregates
+    "zorder_layout_profile": 5,
 }
 
 
