@@ -104,6 +104,11 @@ SHOWCASE = [
         "clamped_balance_window",
         "Lindley reflection: nonlinear clamp as two codegen windows",
     ),
+    (
+        "zorder_layout_profile",
+        "Morton layout planner: codegen div/mod interleave, one data "
+        "scan to the (zfile, lfile) grain, tiny re-aggregates",
+    ),
 ]
 
 
