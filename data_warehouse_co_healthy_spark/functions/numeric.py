@@ -65,3 +65,26 @@ def money_avg(col: Column) -> Column:
 
 def money_avg_sql(expr: str) -> str:
     return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) / count(*)"
+
+
+def snap_round(col: Column, digits: int) -> Column:
+    """Engine-portable round of a DOUBLE: ``round(DOUBLE, n)`` itself
+    diverges across engines near .5·10⁻ⁿ boundaries even on the
+    IDENTICAL double (Spark rounds the exact binary value via
+    BigDecimal HALF_UP; DuckDB scales in float — observed flips in
+    gapfill_linear/q2/seasonal_naive_eval at sf0.1). Snapping to
+    DECIMAL(18,8) first makes both engines round the same exact
+    decimal. Use this (with :func:`snap_round_sql` in the oracle) for
+    every rounded double output whose pre-round value is already
+    bit-identical cross-engine; for outputs that are NOT yet
+    bit-identical, fix the summation order first (money_sum /
+    exact-decimal accumulation)."""
+    return F.round(col.cast("decimal(18,8)"), digits).cast("double")
+
+
+def snap_round_sql(expr: str, digits: int) -> str:
+    """DuckDB oracle twin of snap_round."""
+    return (
+        f"CAST(round(CAST({expr} AS DECIMAL(18,8)), {digits}) "
+        "AS DOUBLE)"
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
+from ..functions.numeric import snap_round
 
 # Tiny per-language stopword lists (public knowledge). Single source of
 # truth for BOTH the Spark plan and the generated oracle SQL.
@@ -802,7 +803,14 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rk = Window.orderBy(F.desc("est_count"), "token")
     return (
         items.withColumn("mn", F.min("est_count").over(w_all))
-        .filter(F.col("est_count") > F.col("mn"))
+        .withColumn("n_items", F.count(F.lit(1)).over(w_all))
+        # the min-count group is ambiguous ONLY when the sketch had to
+        # cut at the K-th slot; a degenerate corpus with < K distinct
+        # tokens returned everything, so nothing is dropped
+        .filter(
+            (F.col("n_items") < APPROX_TOPK_K)
+            | (F.col("est_count") > F.col("mn"))
+        )
         .select(
             F.row_number().over(w_rk).cast("long").alias("rk"),
             "token",
@@ -1229,16 +1237,13 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight double, p_raw double",
     )
     # round OUTSIDE the Arrow task (Python round is banker's, F.round
-    # is half-up) with the decimal-snap so both engines round the same
-    # exact value (round(DOUBLE, n) boundary class)
+    # is half-up) with snap_round (round(DOUBLE, n) boundary class)
     return raw.select(
         "source",
         "x_lo",
         "x_hi",
         "weight",
-        F.round(F.col("p_raw").cast("decimal(18,8)"), 6)
-        .cast("double")
-        .alias("p_calibrated"),
+        snap_round(F.col("p_raw"), 6).alias("p_calibrated"),
     )
 
 
@@ -2106,7 +2111,8 @@ ORACLES["approx_topk_tokens"] = f"""
     SELECT CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT)
                AS rk,
            w AS token, n AS est_count
-    FROM c, thr WHERE n > nmin
+    FROM c LEFT JOIN thr ON TRUE
+    WHERE nmin IS NULL OR n > nmin
 """
 
 NO_ORACLE: dict[str, str] = {}

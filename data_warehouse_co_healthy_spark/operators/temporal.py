@@ -18,11 +18,12 @@ comparisons and a full broadcast of one side, unusable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.numeric import snap_round
 
 RANGE_WINDOW_SEC = 300  # range-join window: 5 minutes
 
@@ -552,18 +553,13 @@ def seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     n = F.count(F.lit(1))
-    # decimal-snap before the 4dp round: the exact sums make both
-    # engines' mae/bias the IDENTICAL double, but round(DOUBLE, 4)
-    # itself diverges near .00005 boundaries (one sf0.1 row hit
-    # 2.22875 exactly); rounding the snapped decimal is identical
+    # snap_round: the exact sums make both engines' mae/bias the
+    # IDENTICAL double, but round(DOUBLE, 4) itself diverges near
+    # .00005 boundaries (one sf0.1 row hit 2.22875 exactly)
     return scored.groupBy("user_id").agg(
         F.count("*").alias("n_scored"),
-        F.round(
-            (F.sum(abs_err).cast("double") / n).cast("decimal(18,8)"), 4
-        ).cast("double").alias("mae"),
-        F.round(
-            (F.sum(err).cast("double") / n).cast("decimal(18,8)"), 4
-        ).cast("double").alias("bias"),
+        snap_round(F.sum(abs_err).cast("double") / n, 4).alias("mae"),
+        snap_round(F.sum(err).cast("double") / n, 4).alias("bias"),
     )
 
 
@@ -608,19 +604,14 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.count(F.lit(1)).over(ws),
     )
 
-    def _r4(c: Column) -> Column:
-        # decimal-snap before the 4dp round (round(DOUBLE) boundary
-        # class — engines round identical doubles differently)
-        return F.round(c.cast("decimal(18,8)"), 4).cast("double")
-
     return s.select(
         "event_type",
         "bucket",
         "n",
-        _r4(F.col("trend")).alias("trend"),
-        _r4(F.col("seasonal")).alias("seasonal"),
-        _r4(
-            F.col("n") - F.col("trend") - F.col("seasonal")
+        snap_round(F.col("trend"), 4).alias("trend"),
+        snap_round(F.col("seasonal"), 4).alias("seasonal"),
+        snap_round(
+            F.col("n") - F.col("trend") - F.col("seasonal"), 4
         ).alias("resid"),
     )
 
@@ -931,18 +922,13 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
         F.col("pv") + (F.col("nv") - F.col("pv")) * frac
     )
-    # round(DOUBLE, 4) near a .00005 boundary is engine-dependent
-    # (Spark rounds the exact binary value via BigDecimal, DuckDB
-    # scales in float — one sf0.01 row flipped 5.2162/5.2163): snap
-    # the identical interp double to DECIMAL(18,8) first so BOTH
-    # engines round the same exact decimal, then half-up is identical
+    # snap_round: one sf0.01 row flipped 5.2162/5.2163 under plain
+    # round(DOUBLE, 4) (engine-dependent near .00005 boundaries)
     return j.select(
         "user_id",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("day_value").isNotNull().alias("observed"),
-        F.round(interp.cast("decimal(18,8)"), 4)
-        .cast("double")
-        .alias("interp_value"),
+        snap_round(interp, 4).alias("interp_value"),
     )
 
 

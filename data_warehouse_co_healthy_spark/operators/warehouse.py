@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.numeric import snap_round
 
 
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -534,21 +535,17 @@ def zorder_layout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stacked.groupBy("layout", "dim").agg(
         F.count("*").cast("long").alias("n_files"),
-        F.round(
-            (
-                F.sum(F.col("b") - F.col("a") + 1).cast("double")
-                / F.count("*")
-                / F.lit(float(domain))
-            ).cast("decimal(18,8)"),
+        snap_round(
+            F.sum(F.col("b") - F.col("a") + 1).cast("double")
+            / F.count("*")
+            / F.lit(float(domain)),
             6,
-        ).cast("double").alias("avg_span_share"),
-        F.round(
-            (
-                F.sum(F.col("b") - F.col("a") + 1).cast("double")
-                / F.lit(float(domain))
-            ).cast("decimal(18,8)"),
+        ).alias("avg_span_share"),
+        snap_round(
+            F.sum(F.col("b") - F.col("a") + 1).cast("double")
+            / F.lit(float(domain)),
             6,
-        ).cast("double").alias("expected_files_hit"),
+        ).alias("expected_files_hit"),
     )
 
 
@@ -1201,16 +1198,18 @@ _Z_TERMS_SQL = " + ".join(
     for i in range(ZORDER_Q_BITS)
 )
 
-_ZPROFILE_METRICS = """
-    SELECT '{layout}' AS layout, '{dim}' AS dim,
+_ZPROFILE_METRICS = f"""
+    SELECT '{{layout}}' AS layout, '{{dim}}' AS dim,
            count(*)::BIGINT AS n_files,
-           CAST(round(CAST(CAST(sum({b} - {a} + 1) AS DOUBLE)
-                           / count(*) / 256.0 AS DECIMAL(18,8)), 6)
+           CAST(round(CAST(CAST(sum({{b}} - {{a}} + 1) AS DOUBLE)
+                           / count(*) / {float(1 << ZORDER_Q_BITS)}
+                           AS DECIMAL(18,8)), 6)
                 AS DOUBLE) AS avg_span_share,
-           CAST(round(CAST(CAST(sum({b} - {a} + 1) AS DOUBLE)
-                           / 256.0 AS DECIMAL(18,8)), 6)
+           CAST(round(CAST(CAST(sum({{b}} - {{a}} + 1) AS DOUBLE)
+                           / {float(1 << ZORDER_Q_BITS)}
+                           AS DECIMAL(18,8)), 6)
                 AS DOUBLE) AS expected_files_hit
-    FROM {src}
+    FROM {{src}}
 """
 
 ORACLES["zorder_layout_profile"] = f"""

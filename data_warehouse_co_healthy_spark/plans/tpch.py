@@ -26,6 +26,7 @@ from ..functions.numeric import (
     money_round_sum_sql,
     money_sum,
     money_sum_sql,
+    snap_round,
 )
 
 
@@ -275,20 +276,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
         "decimal(18,12)"
     )
-    # the sum/count double is identical on both engines, but
-    # round(DOUBLE, 4) near a .00005 boundary is not (Spark rounds the
-    # exact binary value, DuckDB scales in float): snap to
-    # DECIMAL(18,8) first so both engines round the same exact decimal
+    # the sum/count double is identical on both engines; snap_round
+    # kills the residual round(DOUBLE, 4) boundary divergence
     cost = (
         li.groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                (F.sum(ratio).cast("double") / F.count(F.lit(1)))
-                .cast("decimal(18,8)"),
-                4,
-            )
-            .cast("double")
-            .alias("unit_cost")
+            snap_round(
+                F.sum(ratio).cast("double") / F.count(F.lit(1)), 4
+            ).alias("unit_cost")
         )
     )
     w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")

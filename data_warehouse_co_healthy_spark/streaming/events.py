@@ -625,19 +625,33 @@ def read_events_stream_parts(
     ``n_parts`` files with one file per trigger — the local stand-in
     for a stream that arrives over time (Kafka offsets, hourly drops).
     Timestamps are already µs (conversion happens in the batch staging
-    read), so the streaming side needs no legacy conf."""
-    import tempfile
+    read), so the streaming side needs no legacy conf. Staged through
+    the shared ``_staged_dir`` cache (keyed on kind + source
+    fingerprint, cleaned at exit) so repeated calls — the oracle
+    sweeps, plan lint over every query, tests — share ONE rewrite
+    instead of leaking a full table copy per invocation."""
+    import os
 
     from ..catalog import load_table
+    from .docs import _staged_dir  # noqa: PLC0415
 
-    d = tempfile.mkdtemp(prefix="events_parts_")
     batch = load_table(spark, sf_dir, "events")
-    batch.repartition(n_parts).write.mode("overwrite").parquet(d)
+
+    def build(d: str) -> None:
+        batch.repartition(n_parts).write.mode("overwrite").parquet(d)
+
+    staged = _staged_dir(
+        f"events_parts{n_parts}",
+        sf_dir,
+        "events_parts_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)
         .format("parquet")
-        .load(d)
+        .load(staged)
     )
 
 

@@ -1332,3 +1332,34 @@ def test_isotonic_calibration_matches_python_pav(spark):
     for src, blocks in got.items():
         ps = [b[3] for b in sorted(blocks)]
         assert all(a < b for a, b in zip(ps, ps[1:])), src
+
+
+def test_approx_topk_degenerate_vocab_matches_oracle(spark, tmp_path):
+    """A corpus with fewer distinct tokens than K has no K-th slot and
+    therefore no tie ambiguity: the engine must return EVERY token
+    (nothing dropped) and the DuckDB oracle must agree — review found
+    the original oracle emptied out (thr CTE matched no row) while the
+    engine dropped the min-count group."""
+    import duckdb
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc", "en", "s1", 17)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["rk"], r["token"], r["est_count"])
+        for r in text.approx_topk_tokens(spark, sf).collect()
+    )
+    assert got == [(1, "aa", 3), (2, "bb", 2), (3, "cc", 1)]
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in
+        duck.sql(text.ORACLES["approx_topk_tokens"]).fetchall()
+    )
+    assert [tuple(g) for g in got] == want

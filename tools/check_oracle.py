@@ -79,6 +79,11 @@ def compare_strict(g: pd.DataFrame, w: pd.DataFrame) -> list[str]:
       differ.
     """
     problems: list[str] = []
+    if len(g) != len(w):
+        # honor the "returns problems" contract even when callers
+        # forget to pre-check: unequal lengths would otherwise raise
+        # from the Series comparison below
+        return [f"rows: {len(g)} != {len(w)}"]
     for c in g.columns:
         gf, wf = _family(g[c]), _family(w[c])
         if gf != wf:
