@@ -1973,6 +1973,42 @@ def stream_stateful_totals_drain(
     )
 
 
+def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grades the STREAM-STREAM JOIN path: the purchase→click
+    attribution join (each purchase matched to the same user's clicks
+    in the preceding 30 minutes; both sides watermarked, event-time
+    bounds evict state) executed through the symmetric-hash stream
+    join operator and drained to an append-mode sink. The bounded
+    file source delivers ONE micro-batch, so no input can be late
+    relative to the watermark and the drained result equals the batch
+    join exactly — which is the DuckDB oracle. (The multi-batch
+    variant is deliberately NOT graded: with arrival order
+    uncorrelated with event time, cross-batch matches become
+    late-data drops by DESIGN — that semantics is documented on
+    purchase_attribution and exercised in streaming tests.)
+    Completes the graded streaming triptych: windowed state
+    (stream_ohlc_drain), arbitrary custom state
+    (stream_stateful_totals_drain), and join state (this)."""
+    from ..streaming.events import (  # noqa: PLC0415
+        purchase_attribution,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    name = "stream_join_drain_sink"
+    res = purchase_attribution(read_events_stream(spark, sf_dir))
+    # bounded state-store partitioning, same rationale as the
+    # stateful drain (restored after the drain)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_to_memory(res, name, output_mode="append")
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2060,6 +2096,7 @@ QUERIES = {
     "ohlc_daily": ohlc_daily,
     "stream_ohlc_drain": stream_ohlc_drain,
     "stream_stateful_totals_drain": stream_stateful_totals_drain,
+    "stream_join_drain": stream_join_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2395,6 +2432,19 @@ ORACLES["stream_ohlc_drain"] = ORACLES["ohlc_daily"]
 # because the state is exact integer cents (order/split-independent);
 # cents/100.0 and CAST(exact DECIMAL(18,2) sum AS DOUBLE) are both the
 # nearest double to the same exact rational
+# single micro-batch => no late-data eviction => the stream-stream
+# join drain equals the plain batch interval join
+ORACLES["stream_join_drain"] = """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
 ORACLES["stream_stateful_totals_drain"] = """
     SELECT user_id, count(*)::BIGINT AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
