@@ -1317,3 +1317,40 @@ def test_pav_blocks_match_minimax_characterization(pts):
     assert all(a < b for a, b in zip(means, means[1:]))
     assert sum(b[2] for b in blocks) == sum(w for _, w, _ in points)
     assert sum(b[3] for b in blocks) == sum(p for _, _, p in points)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_morton_interleave_bijective_and_box_monotone(bx, by):
+    """The div/mod Morton formula shared by zorder_layout_profile and
+    its oracle must (a) be a bijection on the 8-bit x 8-bit grid
+    (de-interleaving recovers the inputs), and (b) place any z-RANGE
+    bucket inside an axis-aligned bounding box no larger than the
+    theoretical 2-bits-per-dim split — the property the zone-map
+    payoff rests on. Pure python replay of the exact integer
+    arithmetic (no Spark)."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        ZORDER_N_FILES,
+        ZORDER_Q_BITS,
+    )
+
+    z = sum(
+        ((bx // (1 << i)) % 2) * (1 << (2 * i))
+        + ((by // (1 << i)) % 2) * (1 << (2 * i + 1))
+        for i in range(ZORDER_Q_BITS)
+    )
+    # (a) bijection: de-interleave the even/odd bits
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(ZORDER_Q_BITS))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_Q_BITS))
+    assert (rx, ry) == (bx, by)
+    # (b) file assignment: the z-range bucket fixes the TOP
+    # log2(n_files) interleaved bits, i.e. 2 bits of each coordinate
+    # for 16 files -> each file's box spans at most domain/4 per dim
+    zspace = 1 << (2 * ZORDER_Q_BITS)
+    zfile = (z * ZORDER_N_FILES) // zspace
+    assert 0 <= zfile < ZORDER_N_FILES
+    # top 2 bits of each dim determine the file
+    assert zfile == (
+        ((by >> 7) & 1) * 8 + ((bx >> 7) & 1) * 4
+        + ((by >> 6) & 1) * 2 + ((bx >> 6) & 1)
+    )
