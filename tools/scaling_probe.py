@@ -126,6 +126,11 @@ PROBES = [
     "new_vs_returning",
     "image_intensity_histogram",
     "clamped_balance_window",
+    "zorder_layout_profile",
+    "stream_ohlc_drain",
+    "stream_stateful_totals_drain",
+    "stream_join_drain",
+    "fact_retiro_star",
 ]
 
 
