@@ -5,16 +5,15 @@ the four pipeline modules and runs them back to back,
 and write them as parquet. Thin wrapper over ``pipelines.runner.run_all``
 via ``tools/run_demo.py`` so the CLI, the demo script, and the tests all
 execute the same code path.
+
+Run from the repo root (the package is not pip-installed in this
+sandbox, so ``-m`` resolves it via the working directory — which also
+puts ``tools/`` on sys.path).
 """
 
 from __future__ import annotations
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-from tools.run_demo import main  # noqa: E402
+from tools.run_demo import main
 
 if __name__ == "__main__":
     main()

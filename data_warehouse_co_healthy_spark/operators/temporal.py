@@ -1899,6 +1899,28 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drain_bounded(
+    spark: SparkSession, res: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Shared drain scaffolding for the graded streaming queries: pin a
+    bounded state-store partition count for the stream's lifetime (the
+    count is frozen from spark.sql.shuffle.partitions at query START —
+    a real production sizing knob; the vanilla session's default 200
+    costs 200 state tasks per micro-batch against ~150-key fixtures),
+    drain synchronously, stop, restore the session conf, and return
+    the drained sink table. Stop-on-error lives in run_to_memory."""
+    from ..streaming.events import run_to_memory  # noqa: PLC0415
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_to_memory(res, name, output_mode=output_mode)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
+
+
 def stream_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-graded STREAMING path: ``ohlc_daily``'s semantics
     executed end-to-end through Structured Streaming — bounded
@@ -1917,14 +1939,12 @@ def stream_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import (  # noqa: PLC0415
         ohlc_daily_stream,
         read_events_stream,
-        run_to_memory,
     )
 
-    name = "stream_ohlc_drain_sink"
     res = ohlc_daily_stream(read_events_stream(spark, sf_dir))
-    q = run_to_memory(res, name, output_mode="complete")
-    q.stop()
-    return spark.table(name)
+    return _drain_bounded(
+        spark, res, "stream_ohlc_drain_sink", "complete"
+    )
 
 
 def stream_stateful_totals_drain(
@@ -1945,28 +1965,15 @@ def stream_stateful_totals_drain(
     encode/decode, cross-batch persistence, update-mode emission."""
     from ..streaming.events import (  # noqa: PLC0415
         read_events_stream_parts,
-        run_to_memory,
         running_user_totals_exact,
     )
 
-    name = "stream_stateful_totals_sink"
     res = running_user_totals_exact(
         read_events_stream_parts(spark, sf_dir, n_parts=4)
     )
-    # the state-store partition count is frozen from
-    # spark.sql.shuffle.partitions at query START (a real production
-    # sizing knob: one state store per partition per micro-batch); the
-    # vanilla session's default 200 costs 4x200 state tasks for a
-    # 150-key fixture — pin a bounded count for the drain, restore
-    # after (the batch reconciliation aggregate is unaffected)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = run_to_memory(res, name, output_mode="update")
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    snap = spark.table(name)
+    snap = _drain_bounded(
+        spark, res, "stream_stateful_totals_sink", "update"
+    )
     return snap.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         (F.max("cents") / F.lit(100.0)).alias("total_value"),
@@ -1992,21 +1999,12 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import (  # noqa: PLC0415
         purchase_attribution,
         read_events_stream,
-        run_to_memory,
     )
 
-    name = "stream_join_drain_sink"
     res = purchase_attribution(read_events_stream(spark, sf_dir))
-    # bounded state-store partitioning, same rationale as the
-    # stateful drain (restored after the drain)
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = run_to_memory(res, name, output_mode="append")
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
-    return spark.table(name)
+    return _drain_bounded(
+        spark, res, "stream_join_drain_sink", "append"
+    )
 
 
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
@@ -2428,10 +2426,6 @@ ORACLES["ewma_smoother"] = f"""
 # the driver hash then grades the streaming execution path itself
 ORACLES["stream_ohlc_drain"] = ORACLES["ohlc_daily"]
 
-# the stateful drain's final snapshots equal the plain batch aggregate
-# because the state is exact integer cents (order/split-independent);
-# cents/100.0 and CAST(exact DECIMAL(18,2) sum AS DOUBLE) are both the
-# nearest double to the same exact rational
 # single micro-batch => no late-data eviction => the stream-stream
 # join drain equals the plain batch interval join
 ORACLES["stream_join_drain"] = """
@@ -2445,6 +2439,10 @@ ORACLES["stream_join_drain"] = """
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
+# the stateful drain's final snapshots equal the plain batch aggregate
+# because the state is exact integer cents (order/split-independent);
+# cents/100.0 and CAST(exact DECIMAL(18,2) sum AS DOUBLE) are both the
+# nearest double to the same exact rational
 ORACLES["stream_stateful_totals_drain"] = """
     SELECT user_id, count(*)::BIGINT AS n_events,
            CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)

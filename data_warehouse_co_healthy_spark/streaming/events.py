@@ -718,12 +718,26 @@ def run_to_memory(
     result: DataFrame, name: str, output_mode: str = "complete"
 ):
     """Drain a bounded file-source stream synchronously into a memory
-    sink (the local test harness; swap for a real sink in production)."""
+    sink (the local test harness; swap for a real sink in production).
+
+    Failure hygiene: a query that dies mid-drain is STOPPED before the
+    error propagates, and any still-active query holding ``name`` is
+    stopped before start — otherwise one failed drain poisons every
+    later invocation in the session with "query name already active",
+    masking the original error."""
+    spark = result.sparkSession
+    for aq in spark.streams.active:
+        if aq.name == name:
+            aq.stop()
     q = (
         result.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
     )
-    q.processAllAvailable()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        q.stop()
+        raise
     return q

@@ -1320,20 +1320,24 @@ def test_pav_blocks_match_minimax_characterization(pts):
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.integers(0, 255), st.integers(0, 255))
-def test_morton_interleave_bijective_and_box_monotone(bx, by):
+@given(st.data())
+def test_morton_interleave_bijective_and_box_monotone(data):
     """The div/mod Morton formula shared by zorder_layout_profile and
-    its oracle must (a) be a bijection on the 8-bit x 8-bit grid
-    (de-interleaving recovers the inputs), and (b) place any z-RANGE
-    bucket inside an axis-aligned bounding box no larger than the
-    theoretical 2-bits-per-dim split — the property the zone-map
-    payoff rests on. Pure python replay of the exact integer
-    arithmetic (no Spark)."""
+    its oracle must (a) be a bijection on the quantized grid
+    (de-interleaving recovers the inputs), and (b) assign the z-range
+    file from exactly the TOP interleaved coordinate bits — the
+    property the zone-map span bound rests on. Pure python replay of
+    the exact integer arithmetic (no Spark), fully derived from the
+    module constants so retuning them revalidates rather than
+    spuriously failing."""
     from data_warehouse_co_healthy_spark.operators.warehouse import (
         ZORDER_N_FILES,
         ZORDER_Q_BITS,
     )
 
+    top = (1 << ZORDER_Q_BITS) - 1
+    bx = data.draw(st.integers(0, top))
+    by = data.draw(st.integers(0, top))
     z = sum(
         ((bx // (1 << i)) % 2) * (1 << (2 * i))
         + ((by // (1 << i)) % 2) * (1 << (2 * i + 1))
@@ -1343,14 +1347,16 @@ def test_morton_interleave_bijective_and_box_monotone(bx, by):
     rx = sum(((z >> (2 * i)) & 1) << i for i in range(ZORDER_Q_BITS))
     ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(ZORDER_Q_BITS))
     assert (rx, ry) == (bx, by)
-    # (b) file assignment: the z-range bucket fixes the TOP
-    # log2(n_files) interleaved bits, i.e. 2 bits of each coordinate
-    # for 16 files -> each file's box spans at most domain/4 per dim
+    # (b) file assignment == the top log2(n_files) interleaved bits
+    # (power-of-two n_files makes (z*n)//zspace a pure bit shift)
     zspace = 1 << (2 * ZORDER_Q_BITS)
+    log2n = ZORDER_N_FILES.bit_length() - 1
+    assert 1 << log2n == ZORDER_N_FILES  # constant must stay a power of 2
     zfile = (z * ZORDER_N_FILES) // zspace
     assert 0 <= zfile < ZORDER_N_FILES
-    # top 2 bits of each dim determine the file
-    assert zfile == (
-        ((by >> 7) & 1) * 8 + ((bx >> 7) & 1) * 4
-        + ((by >> 6) & 1) * 2 + ((bx >> 6) & 1)
-    )
+    want = 0
+    for pos in range(2 * ZORDER_Q_BITS - 1,
+                     2 * ZORDER_Q_BITS - 1 - log2n, -1):
+        coord, bit = (by, pos // 2) if pos % 2 else (bx, pos // 2)
+        want = want * 2 + ((coord >> bit) & 1)
+    assert zfile == want
