@@ -48,6 +48,7 @@ HEADLINE = [
     "holt_forecast_by_nation",  # grouped forecasting: Arrow task/series
     "fact_retiro_star",      # CO retreat pipeline star (parity floor)
     "fact_service_star",     # CO service star: 8 joins, role-playing dims
+    "stream_ohlc_drain",     # streaming path floor: windowed state drain
 ]
 
 
