@@ -1425,10 +1425,13 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar count (strictly decreasing until fixpoint, so rounds are
     bounded by peel depth, not graph size). ``localCheckpoint``
     truncates lineage per round (``checkpoint`` to HDFS on a real
-    cluster). Not SQL-expressible (per-round aggregation over the
-    recursive term), so the oracle is a pure-Python peel reference in
-    tests/test_llm.py instead of DuckDB. Fails loudly on cap
-    exhaustion — a silently partial peel would overstate core sizes."""
+    cluster). Oracle-checked: the k-core is the UNIQUE maximal
+    subgraph with min degree ≥ k, reachable from any peel schedule, so
+    a DuckDB recursive CTE carrying the surviving node set as a LIST
+    column replays the loop (see ORACLES below); a pure-Python peel in
+    tests/test_llm.py is the third independent implementation. Fails
+    loudly on cap exhaustion — a silently partial peel would overstate
+    core sizes."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     edges = (
         pairs.selectExpr("doc_a AS s", "doc_b AS d")
@@ -2140,11 +2143,53 @@ NO_ORACLE: dict[str, str] = {
     "doubles — deterministic up to float summation order, so no hash "
     "oracle; equivalence with a pure-Python power-iteration reference "
     "(atol 1e-9) and sum-to-one are pinned in tests/test_llm.py",
-    "kcore_near_dup": "iterative degree-peel to a fixpoint — each "
-    "round re-aggregates degrees over the recursive term, which SQL "
-    "recursive CTEs cannot express; exact equivalence with a "
-    "pure-Python peel reference is pinned in tests/test_llm.py",
 }
+
+# k-core IS oracle-able after all: the k-core is the UNIQUE maximal
+# subgraph with min degree >= k, and the parallel peel (drop every
+# node below k, recompute, repeat) reaches it from any schedule — so a
+# recursive CTE that carries the surviving NODE SET as a LIST column
+# and re-filters the edge table against it each iteration replays the
+# engine's loop exactly (same trick as the isotonic PAV stack; the
+# per-iteration degree re-aggregation lives in a LATERAL subquery
+# correlated on the carried list, not in a self-reference). The
+# pure-Python peel reference in tests/test_llm.py stays as the third
+# independent implementation.
+ORACLES["kcore_near_dup"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    peel AS (
+        SELECT 0 AS it,
+               (SELECT coalesce(list(DISTINCT s ORDER BY s),
+                                CAST([] AS BIGINT[]))
+                FROM edges) AS nodes
+        UNION ALL
+        SELECT p.it + 1, l.nodes2
+        FROM peel p, LATERAL (
+            SELECT coalesce(list(s ORDER BY s), CAST([] AS BIGINT[]))
+                       AS nodes2
+            FROM (
+                SELECT e.s FROM edges e
+                WHERE list_contains(p.nodes, e.s)
+                  AND list_contains(p.nodes, e.d)
+                GROUP BY e.s HAVING count(*) >= {KCORE_K}
+            )
+        ) l
+        WHERE l.nodes2 <> p.nodes
+    ),
+    fin AS (
+        SELECT nodes FROM peel ORDER BY it DESC LIMIT 1
+    )
+    SELECT e.s AS doc_id, count(*)::BIGINT AS core_degree
+    FROM edges e, fin
+    WHERE list_contains(fin.nodes, e.s)
+      AND list_contains(fin.nodes, e.d)
+    GROUP BY e.s
+"""
 
 ORACLES["dedup_cluster_labels"] = f"""
     WITH pairs AS ({ORACLES["minhash_lsh_pairs"]}),
