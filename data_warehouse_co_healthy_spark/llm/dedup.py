@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
+from ..functions.numeric import snap_round
 
 N_PERM = 16          # minhash permutations
 BAND_ROWS = 4        # rows per LSH band → 4 bands of 4
@@ -1352,10 +1353,20 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     redistributes uniformly, keeping the total at exactly 1). Edge
     weights (1/out-degree) are computed ONCE before the loop; lineage
     is truncated per round with localCheckpoint like the other
-    iterative operators. Rounds are FIXED (not convergence-tested), so
-    the op is deterministic up to float summation order — which is why
-    it sits in NO_ORACLE with a pure-Python power-iteration
-    equivalence test (tests/test_llm.py) instead of a hash oracle."""
+    iterative operators. Rounds are FIXED (not convergence-tested).
+
+    Oracle-checked: per-round contribution and dangling sums snap each
+    term to DECIMAL(38,30) (full double precision retained for values
+    < 1; the snap of identical doubles is identical on both engines)
+    and sum EXACTLY, so the whole 8-round iteration is bit-identical
+    regardless of summation order — replayed by a DuckDB recursive CTE
+    at (iteration, node) grain whose scalar subqueries read the
+    previous iteration's working table. Scalar double constants are
+    interpolated as repr literals on both sides (EWMA recipe), since
+    DuckDB would otherwise evaluate 1.0-0.85 in exact decimal while
+    Python gets 0.15000000000000002. The pure-Python power-iteration
+    equivalence test (tests/test_llm.py) stays as the third
+    implementation."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -1378,17 +1389,24 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         ranks = ranks.localCheckpoint()
         # rank mass parked on dangling (edge-less) nodes redistributes
-        # uniformly — one scalar to the driver per round
-        dangling = (
+        # uniformly — one scalar to the driver per round; EXACT decimal
+        # sum so the scalar is independent of partition order
+        drow = (
             ranks.join(linked, "node", "left_anti")
-            .agg(F.sum("rank"))
+            .agg(F.sum(F.col("rank").cast("decimal(38,30)")))
             .first()[0]
-            or 0.0
         )
+        dangling = float(drow) if drow is not None else 0.0
         contrib = (
             edges_w.join(ranks, edges_w.s == ranks.node)
             .groupBy("d")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("c"))
+            .agg(
+                F.sum(
+                    (F.col("rank") * F.col("w")).cast("decimal(38,30)")
+                )
+                .cast("double")
+                .alias("c")
+            )
         )
         base = (1.0 - PR_DAMPING) / n + PR_DAMPING * dangling / n
         ranks = (
@@ -1402,7 +1420,8 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(
-        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+        F.col("node").alias("doc_id"),
+        snap_round(F.col("rank"), 8).alias("rank"),
     )
 
 
@@ -2138,12 +2157,65 @@ ORACLES["fellegi_sunter_em"] = ORACLES["fellegi_sunter_em"].replace(
     "{FS_LINKS}", ORACLES["fellegi_sunter_links"]
 )
 
-NO_ORACLE: dict[str, str] = {
-    "pagerank_near_dup": "fixed-round damped power iteration over "
-    "doubles — deterministic up to float summation order, so no hash "
-    "oracle; equivalence with a pure-Python power-iteration reference "
-    "(atol 1e-9) and sum-to-one are pinned in tests/test_llm.py",
-}
+NO_ORACLE: dict[str, str] = {}
+
+# PageRank as a recursive CTE: the engine's per-round sums are EXACT
+# (DECIMAL(38,30)-snapped terms), so the 8-round damped power iteration
+# is bit-deterministic and the recursion replays it at (iter, node)
+# grain — the scalar dangling-mass and per-node contribution subqueries
+# read the previous iteration's working table. Double constants are
+# repr-interpolated on both sides (DuckDB literal 1.0-0.85 would
+# evaluate in exact decimal, Python gets 0.15000000000000002).
+_PR_BASE1 = repr((1.0 - PR_DAMPING))
+_PR_D = repr(PR_DAMPING)
+ORACLES["pagerank_near_dup"] = f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b AS s, doc_a AS d FROM pairs
+    ),
+    dg AS (SELECT s, count(*) AS deg FROM edges GROUP BY s),
+    ew AS MATERIALIZED (
+        SELECT e.s, e.d, CAST(1.0 AS DOUBLE) / dg.deg AS w
+        FROM edges e JOIN dg USING (s)
+    ),
+    lk AS MATERIALIZED (SELECT DISTINCT s FROM ew),
+    nnn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM documents),
+    pr AS (
+        SELECT 0 AS it, doc_id AS node,
+               CAST(1.0 AS DOUBLE) / n AS rank
+        FROM documents, nnn
+        UNION ALL
+        SELECT s.it2, d0.doc_id AS node,
+               CAST('{_PR_BASE1}' AS DOUBLE) / nnn.n
+               + CAST('{_PR_D}' AS DOUBLE) * s.dang / nnn.n
+               + CAST('{_PR_D}' AS DOUBLE) * coalesce(c.c, 0.0)
+                   AS rank
+        FROM documents d0
+        CROSS JOIN nnn
+        CROSS JOIN (
+            SELECT max(it) + 1 AS it2,
+                   coalesce(CAST(sum(CASE WHEN node NOT IN
+                                (SELECT s FROM lk)
+                                THEN CAST(rank AS DECIMAL(38,30)) END)
+                        AS DOUBLE), 0.0) AS dang
+            FROM pr
+        ) s
+        LEFT JOIN (
+            SELECT w2.d,
+                   CAST(sum(CAST(r2.rank * w2.w AS DECIMAL(38,30)))
+                        AS DOUBLE) AS c
+            FROM pr r2 JOIN ew w2 ON w2.s = r2.node
+            GROUP BY w2.d
+        ) c ON c.d = d0.doc_id
+        WHERE s.it2 <= {PR_ITERS}
+    )
+    SELECT node AS doc_id,
+           CAST(round(CAST(rank AS DECIMAL(18,8)), 8) AS DOUBLE)
+               AS rank
+    FROM pr WHERE it = {PR_ITERS}
+"""
 
 # k-core IS oracle-able after all: the k-core is the UNIQUE maximal
 # subgraph with min degree >= k, and the parallel peel (drop every
@@ -2156,8 +2228,8 @@ NO_ORACLE: dict[str, str] = {
 # pure-Python peel reference in tests/test_llm.py stays as the third
 # independent implementation.
 ORACLES["kcore_near_dup"] = f"""
-    WITH RECURSIVE pairs AS ({ORACLES["minhash_lsh_pairs"]}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({ORACLES["minhash_lsh_pairs"]}),
+    edges AS MATERIALIZED (
         SELECT doc_a AS s, doc_b AS d FROM pairs
         UNION
         SELECT doc_b AS s, doc_a AS d FROM pairs
