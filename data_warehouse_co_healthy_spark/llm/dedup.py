@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..functions.numeric import snap_round
+from ..functions.numeric import snap_round, snap_round_sql
 
 N_PERM = 16          # minhash permutations
 BAND_ROWS = 4        # rows per LSH band → 4 bands of 4
@@ -1356,17 +1356,23 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative operators. Rounds are FIXED (not convergence-tested).
 
     Oracle-checked: per-round contribution and dangling sums snap each
-    term to DECIMAL(38,30) (full double precision retained for values
-    < 1; the snap of identical doubles is identical on both engines)
-    and sum EXACTLY, so the whole 8-round iteration is bit-identical
-    regardless of summation order — replayed by a DuckDB recursive CTE
-    at (iteration, node) grain whose scalar subqueries read the
-    previous iteration's working table. Scalar double constants are
-    interpolated as repr literals on both sides (EWMA recipe), since
-    DuckDB would otherwise evaluate 1.0-0.85 in exact decimal while
-    Python gets 0.15000000000000002. The pure-Python power-iteration
-    equivalence test (tests/test_llm.py) stays as the third
-    implementation."""
+    term to DECIMAL(38,30) and sum EXACTLY, which makes each engine's
+    iteration independent of partition/summation order — the property
+    a float sum lacks. Cross-engine the snapped terms agree only to
+    ~1 ulp (Spark's double→decimal cast goes through the SHORTEST
+    decimal repr, DuckDB's through the exact binary value — they
+    differ past the 17th significant digit), so the pre-round ranks
+    are ulp-close, not bit-equal; the 8-digit snap_round output is
+    then identical unless a rank sits within ~1e-17 of a .5e-8
+    boundary (~1e-9 per row — the same accepted-risk class as
+    cosine_topk_pandas' matmul-vs-fold argument). Replayed by a
+    DuckDB recursive CTE at (iteration, node) grain whose aggregating
+    subqueries read the previous iteration's working table. Scalar
+    double constants are interpolated as repr literals on both sides
+    (EWMA recipe), since DuckDB would otherwise evaluate 1.0-0.85 in
+    exact decimal while Python gets 0.15000000000000002. The
+    pure-Python power-iteration equivalence test (tests/test_llm.py)
+    stays as the third implementation."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
@@ -1383,6 +1389,10 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n = docs.count()
+    if n == 0:
+        # no corpus, no ranks — mirror the oracle's empty result
+        # instead of dividing by zero at plan-build time
+        return spark.createDataFrame([], "doc_id long, rank double")
     nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
     linked = edges_w.select(F.col("s").alias("node")).distinct()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
@@ -2160,12 +2170,16 @@ ORACLES["fellegi_sunter_em"] = ORACLES["fellegi_sunter_em"].replace(
 NO_ORACLE: dict[str, str] = {}
 
 # PageRank as a recursive CTE: the engine's per-round sums are EXACT
-# (DECIMAL(38,30)-snapped terms), so the 8-round damped power iteration
-# is bit-deterministic and the recursion replays it at (iter, node)
-# grain — the scalar dangling-mass and per-node contribution subqueries
-# read the previous iteration's working table. Double constants are
-# repr-interpolated on both sides (DuckDB literal 1.0-0.85 would
-# evaluate in exact decimal, Python gets 0.15000000000000002).
+# (DECIMAL(38,30)-snapped terms), so each engine's 8-round iteration is
+# partition-order-independent, and the engines agree to ~1 ulp (see
+# the operator docstring for why not bit-exact: shortest-repr vs
+# binary-exact double→decimal casts); the 8dp snap_round makes the
+# graded output identical outside a ~1e-9-per-row boundary risk. The
+# recursion replays the rounds at (iter, node) grain — the dangling-
+# mass and per-node contribution subqueries read the previous
+# iteration's working table. Double constants are repr-interpolated on
+# both sides (DuckDB literal 1.0-0.85 would evaluate in exact decimal,
+# Python gets 0.15000000000000002).
 _PR_BASE1 = repr((1.0 - PR_DAMPING))
 _PR_D = repr(PR_DAMPING)
 ORACLES["pagerank_near_dup"] = f"""
@@ -2211,9 +2225,7 @@ ORACLES["pagerank_near_dup"] = f"""
         ) c ON c.d = d0.doc_id
         WHERE s.it2 <= {PR_ITERS}
     )
-    SELECT node AS doc_id,
-           CAST(round(CAST(rank AS DECIMAL(18,8)), 8) AS DOUBLE)
-               AS rank
+    SELECT node AS doc_id, {snap_round_sql("rank", 8)} AS rank
     FROM pr WHERE it = {PR_ITERS}
 """
 
