@@ -88,3 +88,21 @@ def snap_round_sql(expr: str, digits: int) -> str:
         f"CAST(round(CAST({expr} AS DECIMAL(18,8)), {digits}) "
         "AS DOUBLE)"
     )
+
+
+def nz(col: Column) -> Column:
+    """Zero→NULL denominator guard: ``x / nz(d)`` yields NULL instead
+    of an ANSI DIVIDE_BY_ZERO crash when degenerate data (a zero
+    embedding vector, an empty string, an all-equal range) drives the
+    denominator to 0. On data where the denominator is never zero the
+    result is bit-identical, so oracles need no mirror — the guard
+    only changes behavior on inputs the unguarded query would crash
+    on. Enforced repo-wide by the divide lint
+    (plans/lint.py::divide_findings)."""
+    return F.when(col != 0, col)
+
+
+def nz_sql(expr: str) -> str:
+    """SQL-string twin of :func:`nz` for selectExpr/SQL-built plans
+    (Spark and DuckDB share the NULLIF spelling)."""
+    return f"nullif({expr}, 0)"

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
+from ..functions.numeric import nz
 
 N_QUERIES = 5   # query set = vec_id < 5
 TOP_K = 5
@@ -75,7 +76,7 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
     )
 
@@ -176,7 +177,7 @@ def ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             "bucket",
-            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
@@ -235,7 +236,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a", "vec_b",
-            (F.expr(_DOT) / (F.col("a_norm") * F.col("b_norm"))).alias("cos"),
+            (F.expr(_DOT) / nz(F.col("a_norm") * F.col("b_norm"))).alias("cos"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
         .filter(F.col("cos") >= COS_DUP_THRESH)
@@ -269,7 +270,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "q_emb", "nrm", "cid",
-            (F.expr(_DOT) / (F.col("nrm") * F.col("c_norm"))).alias("ccos"),
+            (F.expr(_DOT) / nz(F.col("nrm") * F.col("c_norm"))).alias("ccos"),
         )
         .withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") == 1)
@@ -296,7 +297,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id", "cand_id", "cell",
-            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias("cos"),
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias("cos"),
         )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= IVF_TOP_K)
@@ -382,10 +383,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "aggregate(zip_with(q_raw, c_raw, (x, y) -> "
                 "cast(x AS double) * y), 0.0D, (acc, x) -> acc + x) / "
-                "(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
+                "nullif(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
                 "* x), 0.0D, (acc, x) -> acc + x)) * "
                 "sqrt(aggregate(transform(c_raw, x -> cast(x AS double) "
-                "* x), 0.0D, (acc, x) -> acc + x)))"
+                "* x), 0.0D, (acc, x) -> acc + x)), 0.0D)"
             ).alias("cos"),
         )
     )
@@ -493,10 +494,10 @@ def ivf_index_probe(
             F.expr(
                 "aggregate(zip_with(q_raw, c_raw, (x, y) -> "
                 "cast(x AS double) * y), 0.0D, (acc, x) -> acc + x) / "
-                "(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
+                "nullif(sqrt(aggregate(transform(q_raw, x -> cast(x AS double) "
                 "* x), 0.0D, (acc, x) -> acc + x)) * "
                 "sqrt(aggregate(transform(c_raw, x -> cast(x AS double) "
-                "* x), 0.0D, (acc, x) -> acc + x)))"
+                "* x), 0.0D, (acc, x) -> acc + x)), 0.0D)"
             ).alias("cos"),
         )
     )
@@ -538,8 +539,8 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "step",
         F.expr(
-            f"transform(emb, x -> cast(round((x - lo) / step) - 127 "
-            f"AS int))"
+            f"transform(emb, x -> cast(round((x - lo) / nullif(step, 0.0D)) "
+            f"- 127 AS int))"
         ).alias("q8"),
     )
     return quant.select(
@@ -550,7 +551,7 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "aggregate(zip_with(emb, q8, (x, v) -> "
                 "pow(x - (lo + (v + 127) * step), 2)), 0.0D, "
-                "(a, d) -> a + d) / size(emb)"
+                "(a, d) -> a + d) / nullif(size(emb), 0)"
             ),
             8,
         ).alias("mse"),
@@ -652,7 +653,7 @@ def embedding_drift_by_label(
             F.col("n_vecs").cast("long").alias("n_vecs"),
             F.round(
                 F.col("dot")
-                / (F.sqrt(F.col("cc")) * F.sqrt(F.col("gg"))),
+                / nz(F.sqrt(F.col("cc")) * F.sqrt(F.col("gg"))),
                 6,
             ).alias("cos_to_global"),
         )
@@ -894,7 +895,7 @@ def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias(
                 "cos"
             ),
         )
@@ -931,7 +932,7 @@ def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select(
         "label",
-        F.expr(f"transform(emb, x -> x / {norm})").alias("v"),
+        F.expr(f"transform(emb, x -> x / nullif({norm}, 0.0D))").alias("v"),
     )
     sums = (
         unit.select("label", F.posexplode("v").alias("p", "x"))
@@ -952,7 +953,7 @@ def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.round(
                 (F.col("ssq") - F.col("n"))
-                / (F.col("n") * (F.col("n") - 1)),
+                / nz(F.col("n") * (F.col("n") - 1)),
                 4,
             )
             + F.lit(0.0)
@@ -1235,7 +1236,7 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 "cand_id",
-                (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias(
                     "cos"
                 ),
             )
@@ -1308,7 +1309,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "c_emb",
             "c_norm",
-            (F.expr(_DOT) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias(
                 "rel"
             ),
         )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
-from ..functions.numeric import snap_round
+from ..functions.numeric import nz, snap_round
 
 # Tiny per-language stopword lists (public knowledge). Single source of
 # truth for BOTH the Spark plan and the generated oracle SQL.
@@ -97,9 +97,10 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(n_nospace / n_tokens, 4).alias("avg_token_len"),
-        F.round((n_chars - n_alnum_sp) / n_chars, 4).alias("punct_ratio"),
-        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.round(n_nospace / nz(n_tokens), 4).alias("avg_token_len"),
+        F.round((n_chars - n_alnum_sp) / nz(n_chars), 4)
+        .alias("punct_ratio"),
+        F.round(n_stop / nz(n_tokens), 4).alias("stopword_ratio"),
     )
 
 
@@ -498,7 +499,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.col("tf")
-                    * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
+                    * F.log(F.lit(float(n_docs)) / nz(F.col("docfreq")))
                 ),
                 4,
             ).alias("score")
@@ -1218,7 +1219,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos"),
     )
 
-    def pav(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pav(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("n_chars").reset_index(drop=True)
         blocks = pav_blocks(
             list(zip(pdf["n_chars"], pdf["w"], pdf["pos"]))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
+from ..functions.numeric import nz
 
 N_SHARDS = 16  # output shards for training-data files
 
@@ -738,12 +739,12 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_occ") * F.col("n_tokens")).alias("n_tokens"),
         F.round(
             F.sum(F.col("n_occ") * F.col("n_tokens"))
-            / F.sum("n_occ"),
+            / nz(F.sum("n_occ")),
             4,
         ).alias("tokens_per_word"),
         F.round(
             F.sum(F.col("n_occ") * F.col("n_chars"))
-            / F.sum(F.col("n_occ") * F.col("n_tokens")),
+            / nz(F.sum(F.col("n_occ") * F.col("n_tokens"))),
             4,
         ).alias("chars_per_token"),
     )

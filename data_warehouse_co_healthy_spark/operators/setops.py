@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.numeric import nz
 
 
 def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +87,7 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") / F.lit(_U60)
     )
-    priority = F.round(F.pow(u, 1.0 / F.col("n_chars")), 6)
+    priority = F.round(F.pow(u, 1.0 / nz(F.col("n_chars"))), 6)
     return (
         d.select("doc_id", "n_chars", priority.alias("priority"))
         .orderBy(F.desc("priority"), "doc_id")

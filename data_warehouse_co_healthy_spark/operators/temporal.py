@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.numeric import snap_round
+from ..functions.numeric import nz, snap_round
 
 RANGE_WINDOW_SEC = 300  # range-join window: 5 minutes
 
@@ -596,8 +596,11 @@ def seasonal_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DOUBLES is summation-order-dependent (Spark window agg vs
     # DuckDB's scan order drifted ulps and flipped round(·,4) on 8
     # rows at sf0.1); the snapped decimal sum is exact, so seasonal is
-    # the identical double on both engines
-    x = (F.col("n") - F.col("trend")).cast("decimal(18,12)")
+    # the identical double on both engines. DECIMAL(28,12) leaves 16
+    # integer digits for the residual (an hourly count deviation —
+    # 18,12's 6 digits would ANSI-overflow past ~10^6 events/hour at
+    # large SF); the window sum widens to 38 within DECIMAL range.
+    x = (F.col("n") - F.col("trend")).cast("decimal(28,12)")
     s = t.withColumn(
         "seasonal",
         F.sum(x).over(ws).cast("double")
@@ -751,7 +754,7 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["day", "rev", "cusum_pos", "cusum_neg", "alarm"]
 
-    def cusum(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def cusum(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         n = float(pdf.loc[0, "n"])
         sx = float(pdf.loc[0, "sx"])
@@ -1225,7 +1228,7 @@ def clamped_running_balance(
     ev = load_table(spark, sf_dir, "events")
     base = _clamped_delta_base(ev)
 
-    def clamp(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def clamp(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
         bal = 0.0
         out = []
@@ -1302,7 +1305,7 @@ def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dd = daily.select(
         "rev",
-        (F.col("rev") / F.max("rev").over(wday) - 1.0).alias("drawdown"),
+        (F.col("rev") / nz(F.max("rev").over(wday)) - 1.0).alias("drawdown"),
     )
     return dd.agg(
         F.count("*").alias("n_days"),
@@ -1412,7 +1415,7 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = _daily_order_revenue(spark, sf_dir)
     seeded = daily.withColumn("g", F.lit(1))
 
-    def holt(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def holt(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         ys = list(pdf["rev"])
         if len(ys) < 2:
@@ -1480,7 +1483,7 @@ def holt_forecast_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def holt_g(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def holt_g(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         ys = list(pdf["rev"])
         if len(ys) < 2:
@@ -1543,7 +1546,7 @@ def holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = _daily_order_revenue(spark, sf_dir).withColumn("g", F.lit(1))
 
-    def hw(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def hw(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("day").reset_index(drop=True)
         ys = list(pdf["rev"])
         days = [str(d) for d in pdf["day"]]
@@ -1908,7 +1911,14 @@ def _drain_bounded(
     a real production sizing knob; the vanilla session's default 200
     costs 200 state tasks per micro-batch against ~150-key fixtures),
     drain synchronously, stop, restore the session conf, and return
-    the drained sink table. Stop-on-error lives in run_to_memory."""
+    the drained sink table. Stop-on-error lives in run_to_memory.
+
+    NOTE: the override mutates the SESSION-global shuffle.partitions
+    for the drain's duration — fine for the single-threaded harness
+    (streaming itself freezes the value at query start), but a batch
+    query planned CONCURRENTLY in the same SparkSession would silently
+    pick up the reduced count. Scope per-query before ever running
+    drains under parallel test execution."""
     from ..streaming.events import run_to_memory  # noqa: PLC0415
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -3031,7 +3041,7 @@ ORACLES["seasonal_decompose_hourly"] = f"""
                      AND {TREND_HALF_WIN} FOLLOWING
         ) AS trend FROM series
     ), se AS (
-        SELECT *, CAST(sum(CAST(n - trend AS DECIMAL(18,12))) OVER (
+        SELECT *, CAST(sum(CAST(n - trend AS DECIMAL(28,12))) OVER (
                      PARTITION BY event_type, extract(hour FROM bucket)
                  ) AS DOUBLE)
                  / count(*) OVER (

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.numeric import snap_round
+from ..functions.numeric import nz, snap_round
 
 
 def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,8 +241,9 @@ def t_closeness_audit(
             "bal_band",
             (
                 F.abs(
-                    F.coalesce(F.col("n"), F.lit(0)) / F.col("n_group")
-                    - F.col("n_seg") / F.col("n_total")
+                    F.coalesce(F.col("n"), F.lit(0))
+                    / nz(F.col("n_group"))
+                    - F.col("n_seg") / nz(F.col("n_total"))
                 )
             ).alias("absdiff"),
         )

@@ -157,18 +157,18 @@ PRIORITY: tuple[str, ...] = (
     # round-4 rotation: heavies never driver-graded before (all with
     # full DuckDB oracles)
     "image_decode_stats",
-    "scd2_user_state",
     "bm25_search",
     "hybrid_search_rrf",
-    # round-5 rotation: privacy audits, scale-path CC, MV maintenance,
-    # corpus quality gate (all with full DuckDB oracles)
-    "k_anonymity_audit",
+    # round-5 rotation: scale-path CC (k_anonymity_audit,
+    # incremental_agg_refresh rotated out round 7 — both r6-green,
+    # locally oracle-tested; the grouping-audit shape stays graded via
+    # chi2_source_lang and MV-maintenance via the warehouse slots)
     "dedup_cc_star",
-    "incremental_agg_refresh",
     # round-5 second rotation: this session's oracle-backed heavies
+    # (cusum_changepoints rotated out round 7 — sequential recursion
+    # stays graded via holt_winters_daily + the stateful stream drain)
     "tfidf_cosine_pairs",
     "dedup_graph_triangles",
-    "cusum_changepoints",
     # round-5 third rotation: diversity re-rank, skyline, ranking audit
     "mmr_rerank",
     "skyline_parts",
@@ -176,15 +176,10 @@ PRIORITY: tuple[str, ...] = (
     # round-5 fourth rotation: survival curve (attribution_report
     # rotated out round 6)
     "kaplan_meier_churn",
-    # round-5 fifth rotation: probabilistic linkage (twap_daily
-    # rotated out round 6)
-    "fellegi_sunter_links",
-    # round-5 sixth rotation: the recursive-CTE SQL surface, the
-    # statistics screens (KS drift, Gini concentration, ACF
-    # diagnostics, pairwise JSD corpus similarity) and min_by/max_by
-    # OHLC bars — all with full DuckDB oracles and independent
-    # brute-force reference tests
-    "sql_recursive_hierarchy",
+    # round-5 sixth rotation: statistics screens (KS drift, pairwise
+    # JSD corpus similarity; sql_recursive_hierarchy rotated out round
+    # 7 — the recursive shape stays graded through the k-core/pagerank
+    # recursive-CTE oracles and stays locally oracle-tested)
     "ks_two_sample",
     "js_divergence_sources",
     # round-5 seventh rotation (out: left_join_miss, surrogate_keys,
@@ -228,6 +223,24 @@ PRIORITY: tuple[str, ...] = (
     "chi2_source_lang",
     "snm_adjacent_pairs",
     "retrieval_ndcg",
+    # round-7 rotation, tenth wave (out: fellegi_sunter_links —
+    # superseded by fellegi_sunter_em, the SAME blocked-comparison
+    # grain plus the EM fixpoint, so the slot now grades strictly more;
+    # scd2_user_state — warehouse family keeps zorder_layout_profile;
+    # k_anonymity_audit, incremental_agg_refresh, cusum_changepoints,
+    # sql_recursive_hierarchy — all r5/r6-green, locally oracle-tested,
+    # shapes retained as noted above): six never-driver-graded
+    # oracle-backed slots — the applyInPandasWithState multi-micro-
+    # batch stateful drain (the one executor path previously only
+    # twin-pinned), the round-6 Z-order layout flagship, the EM-fitted
+    # linkage, near-dup cluster labeling, the event-sequence Markov
+    # transition matrix, and the Heaps-law vocabulary growth fit
+    "stream_stateful_totals_drain",
+    "zorder_layout_profile",
+    "fellegi_sunter_em",
+    "dedup_cluster_labels",
+    "event_transition_matrix",
+    "vocab_growth_heaps",
 )
 
 

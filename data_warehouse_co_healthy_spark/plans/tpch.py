@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..functions.dates import date_dim
-from ..functions.numeric import (
+from ..functions.numeric import (  # noqa: I001
+    nz,
     money_round_sum,
     money_round_sum_sql,
     money_sum,
@@ -273,7 +274,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(18,12) (never exactly half at 1e-12 for this domain, so
     # both engines snap identically) makes the SUM exact and
     # order-independent; sum/count then derives the identical double.
-    ratio = (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+    ratio = (F.col("l_extendedprice") / nz(F.col("l_quantity"))).cast(
         "decimal(18,12)"
     )
     # the sum/count double is identical on both engines; snap_round

@@ -251,9 +251,23 @@ def running_user_totals_exact(events: DataFrame) -> DataFrame:
             # round BEFORE summing: value*100 in float is 3.0000...04,
             # but each rounded element is an exact integer, so the sum
             # is exact at any order/split
-            cents += int(
-                (pdf["value"] * 100).round().astype("int64").sum()
-            )
+            prod = pdf["value"] * 100
+            r = prod.round()
+            # the integer-cent state (and its agreement with the
+            # DECIMAL(18,2) half-up oracle) relies on every input
+            # being exact 2dp money: pandas .round() is banker's, so a
+            # genuine sub-cent value (e.g. 0.005) would silently
+            # diverge. Enforce the invariant instead of assuming it —
+            # 1e-6 absolute is orders of magnitude above float error
+            # on value*100 yet far below the 0.5 a sub-cent digit
+            # produces.
+            if not ((prod - r).abs() < 1e-6).all():
+                bad = pdf["value"][(prod - r).abs() >= 1e-6].iloc[0]
+                raise ValueError(
+                    "running_user_totals_exact requires exact-2dp "
+                    f"money values; got {bad!r}"
+                )
+            cents += int(r.astype("int64").sum())
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cents": [cents]}

@@ -187,9 +187,19 @@ _ALLOW_BY_RULE = {
 }
 
 
+# Queries allowed to keep an unguarded ANSI division (each with the
+# reason the lint can't see). Round-7 policy: FIX with functions.
+# numeric.nz (zero -> NULL) instead of allowlisting — the list should
+# stay empty unless a guard would genuinely change semantics.
+DIVIDE_OK: dict[str, str] = {}
+
+
 @pytest.mark.parametrize("name", sorted(entry.queries()))
 def test_plan_has_no_scale_antipatterns(spark, name):
-    from data_warehouse_co_healthy_spark.plans.lint import plan_findings
+    from data_warehouse_co_healthy_spark.plans.lint import (
+        divide_findings,
+        plan_findings,
+    )
 
     df = entry.queries()[name](spark, SF_DIR)
     findings = plan_findings(df)
@@ -197,6 +207,12 @@ def test_plan_has_no_scale_antipatterns(spark, name):
     for rule, allowed in _ALLOW_BY_RULE.items():
         if name not in allowed:
             assert not findings[rule], f"{name} violates {rule}"
+    if name not in DIVIDE_OK:
+        div = divide_findings(df)
+        assert not div, (
+            f"{name} divides without a zero guard (ANSI DIVIDE_BY_ZERO "
+            f"on degenerate data — wrap the denominator in nz()): {div}"
+        )
 
 
 def test_assert_scalable_plan_api(spark):

@@ -70,7 +70,8 @@ def test_driver_window_keeps_family_representation():
         "llm_text": {"token_count", "text_quality", "bm25_search"},
         "llm_similarity": {"cosine_topk", "hybrid_search_rrf"},
         "multimodal": {"image_decode_stats"},
-        "warehouse": {"scd2_user_state", "surrogate_keys"},
+        "warehouse": {"scd2_user_state", "surrogate_keys",
+                      "zorder_layout_profile"},
     }
     window = set(reg.PRIORITY)
     missing = [fam for fam, names in families.items()

@@ -39,10 +39,12 @@ def _family(s: pd.Series) -> str:
     return fam
 
 
-def canonicalize(df: pd.DataFrame, ndigits: int = 6) -> pd.DataFrame:
+def canonicalize(df: pd.DataFrame, ndigits: int = 8) -> pd.DataFrame:
     """Column-sort, normalize engine-incidental representations
     (datetime unit, date-as-object vs datetime64), round true floats to
-    ``ndigits`` (strictly tighter than any in-query round), row-sort.
+    ``ndigits`` (>= the widest in-query round — pagerank_near_dup emits
+    snap_round(rank, 8), so 8 keeps the checker's rounding at least as
+    tight as every emitted precision), row-sort.
 
     Deliberately does NOT coerce int<->float: the driver's value-hash
     distinguishes 8 from 8.0, so the checker must too.
@@ -85,6 +87,12 @@ def compare_strict(g: pd.DataFrame, w: pd.DataFrame) -> list[str]:
         # from the Series comparison below
         return [f"rows: {len(g)} != {len(w)}"]
     for c in g.columns:
+        if len(g) == 0 or (g[c].isna().all() and w[c].isna().all()):
+            # an empty or all-null column carries no dtype signal —
+            # one engine materializes object, the other datetime64 /
+            # float64, yet the driver hash of the (empty/null) values
+            # matches; a family mismatch here would be spurious
+            continue
         gf, wf = _family(g[c]), _family(w[c])
         if gf != wf:
             problems.append(
