@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
-from ..functions.numeric import nz
+from ..functions.numeric import nz, snap_round
 
 N_SHARDS = 16  # output shards for training-data files
 
@@ -166,94 +166,73 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per iteration: centroids (k×d floats) collect to the driver and
     re-enter the plan as literals (broadcast-by-value, like MLlib);
-    the update is one groupBy(cid) with d per-dimension avg aggregates
-    — partial-aggregated map-side, so the shuffle carries k rows per
-    partition. No oracle: iterative fixpoint is outside single-query
-    SQL; tests pin determinism and that inertia decreases monotonically.
+    the update is one (cid, dim)-grain exact-DECIMAL aggregate —
+    partial-aggregated map-side, so the shuffle carries k×d rows per
+    partition and the fixpoint is partition-order-independent (see
+    lloyd_centroids). Oracled since round 7: a DuckDB recursive CTE
+    replays the identical init/assign/update loop and value-hashes
+    (vec_id, cid, dist); tests additionally pin determinism and
+    monotone inertia.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
     centroids = trained_centroids(spark, sf_dir)
     return _assign(emb, centroids).select(
-        "vec_id", "cid", F.round("dist", 4).alias("dist")
+        "vec_id", "cid", snap_round(F.col("dist"), 4).alias("dist")
     )
 
 
 def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
     """The trained centroids themselves (k×d floats on the driver) —
     reused by kmeans_embeddings and as the IVF coarse quantizer in
-    similarity.ann_ivf_kmeans."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
+    similarity.ann_ivf_kmeans.
 
+    Each centroid update sums EXACT DECIMALS: every float32 component
+    is cast float→double (exact) →DECIMAL(26,8), and the per-(cid,
+    dim) sum of those decimals is exact, so the update is independent
+    of partition/arrival order — the pagerank trick (commit 0f8974c)
+    applied to Lloyd's, which is what makes the fixpoint replayable by
+    a DuckDB recursive-CTE oracle. The cast agreement was verified
+    empirically: 0 mismatches over every component at sf0.01 AND sf0.1
+    (the float→decimal cast WITHOUT the double hop diverges in the
+    last digit — Spark uses the float's shortest repr, DuckDB the
+    exact binary value). centroid = double(sum)/n in IEEE — identical
+    on both engines given the identical sum. Residual cross-engine
+    risk (same documented class as pagerank): an argmin between two
+    near-exactly-equidistant centroids (~1e-13) could assign
+    differently; no such tie exists in the fixtures.
+
+    The shuffle per iteration carries (cid, dim)-grain partial-agg
+    rows (k×d per task after map-side combine) — same O(k·d) driver
+    traffic as the previous float-fold, now order-exact."""
     init = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()
     centroids = [list(r.embedding) for r in init]
-    dim = len(centroids[0])
     cached = emb.persist()
     try:
         for _ in range(KM_ITERS):
-            C = np.asarray(centroids, dtype=np.float64)
-
-            def partials(batches, C=C):
-                # per-Arrow-batch partial (sum, count) per cluster —
-                # the map-side combine of the centroid update; these
-                # rows reduce again in-engine (groupBy(cid) below)
-                # before the driver sees the final k rows
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    m = np.stack(pdf["embedding"].to_numpy()).astype(
-                        np.float64
-                    )
-                    d2 = (
-                        (m * m).sum(1)[:, None]
-                        - 2.0 * (m @ C.T)
-                        + (C * C).sum(1)[None, :]
-                    )
-                    cid = d2.argmin(1)
-                    rows = []
-                    for c in np.unique(cid):
-                        sel = m[cid == c]
-                        rows.append(
-                            (int(c), sel.sum(0).tolist(), len(sel))
-                        )
-                    yield pd.DataFrame(
-                        rows, columns=["cid", "s", "n"]
-                    )
-
-            # two-level combine: per-batch partials reduce IN-ENGINE to
-            # one (sum-vector, count) row per cluster before the
-            # collect, so driver traffic is O(k·d) regardless of
-            # partition count (a treeAggregate, expressed as groupBy +
-            # an element-wise zip_with fold over the partial vectors)
             parts = (
-                cached.mapInPandas(
-                    partials, schema="cid int, s array<double>, n long"
-                )
-                .groupBy("cid")
+                _assign(cached, centroids)
+                .select("cid", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cid", "pos")
                 .agg(
-                    F.sum("n").alias("n"),
-                    F.aggregate(
-                        F.collect_list("s"),
-                        F.array_repeat(F.lit(0.0), dim),
-                        lambda acc, x: F.zip_with(
-                            acc, x, lambda a, b: a + b
-                        ),
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(26,8)")
                     ).alias("s"),
+                    F.count(F.lit(1)).alias("n"),
                 )
                 .collect()
             )
-            sums = np.zeros((K_CLUSTERS, dim))
-            counts = np.zeros(K_CLUSTERS, dtype=np.int64)
-            for r in parts:
-                sums[r.cid] = np.asarray(r.s)
-                counts[r.cid] = r.n
+            new = {
+                (r["cid"], r["pos"]): float(r["s"]) / r["n"]
+                for r in parts
+            }
             # empty clusters keep their previous centroid
             centroids = [
-                (sums[c] / counts[c]).tolist()
-                if counts[c]
-                else centroids[c]
+                [
+                    new.get((c, p), centroids[c][p])
+                    for p in range(len(centroids[c]))
+                ]
                 for c in range(K_CLUSTERS)
             ]
     finally:
@@ -277,6 +256,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell, Arrow-batched); everything before it is the k-means
     dataflow. Returns every vector with its cell, keep/drop flag, and
     the max cosine to the kept set that justified a drop.
+
+    Oracled since round 7: the DuckDB oracle replays the k-means
+    fixpoint (see _KMEANS_REC) and then the in-cell greedy as a second
+    recursive CTE — one member per cell per iteration in vec_id order,
+    the kept set carried as a LIST column, cosines summed as snapped
+    DECIMAL terms (order-independent). Residual cross-engine risk: a
+    max-cosine within ~1e-15 of SEMDEDUP_COS would flip a keep flag;
+    no fixture pair is anywhere near that close to the threshold.
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
@@ -304,7 +291,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             if ok:
                 kept_rows.append(i)
             kept.append(ok)
-            max_cos.append(round(mc, 4))
+            # RAW cosine out of the Arrow task; the engine-portable
+            # snap_round happens in the select below (Python round()
+            # is banker's, F.round is HALF_UP — the recurring trap)
+            max_cos.append(mc)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -317,6 +307,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cid").applyInPandas(
         dedup_cell,
         schema="vec_id long, cid int, kept boolean, max_cos_kept double",
+    ).select(
+        "vec_id",
+        "cid",
+        "kept",
+        snap_round(F.col("max_cos_kept"), 4).alias("max_cos_kept"),
     )
 
 
@@ -737,12 +732,12 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_word.groupBy("source").agg(
         F.sum("n_occ").alias("n_words"),
         F.sum(F.col("n_occ") * F.col("n_tokens")).alias("n_tokens"),
-        F.round(
+        snap_round(
             F.sum(F.col("n_occ") * F.col("n_tokens"))
             / nz(F.sum("n_occ")),
             4,
         ).alias("tokens_per_word"),
-        F.round(
+        snap_round(
             F.sum(F.col("n_occ") * F.col("n_chars"))
             / nz(F.sum(F.col("n_occ") * F.col("n_tokens"))),
             4,
@@ -1104,7 +1099,256 @@ QUERIES = {
     "kcenter_coreset": kcenter_coreset,
 }
 
+# Recursive-CTE replay of Lloyd's k-means (VERDICT r6 item 2): because
+# the Spark side accumulates centroid updates in exact DECIMAL (see
+# lloyd_centroids), the fixpoint is partition-order-independent and
+# DuckDB can replay it: init = the K lowest vec_ids' vectors, then per
+# iteration an argmin assignment (squared L2 summed as snapped
+# DECIMAL(38,30) terms — order-independent inside DuckDB too) and an
+# exact-DECIMAL(26,8) per-(cid, dim) mean. Shared by the
+# kmeans_embeddings and semantic_dedup oracles. Residual risk
+# (pagerank class, documented in lloyd_centroids): a near-exact
+# equidistant argmin tie could flip an assignment.
+_KMEANS_REC = f"""
+    WITH RECURSIVE
+    e AS MATERIALIZED (
+        SELECT vec_id, u.u.i::BIGINT - 1 AS pos,
+               CAST(u.u.c AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (c, i) -> {{'c': c, 'i': i}})) AS u
+              FROM embeddings) u
+    ),
+    init AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS it,
+               dense_rank() OVER (ORDER BY vec_id) - 1 AS cid,
+               pos, x AS c
+        FROM e
+        WHERE vec_id IN (SELECT vec_id FROM embeddings
+                         ORDER BY vec_id LIMIT {K_CLUSTERS})
+    ),
+    rec AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT z.* FROM (
+            WITH cur AS MATERIALIZED (
+                SELECT * FROM rec WHERE it < {KM_ITERS}
+            ),
+            asg AS MATERIALIZED (
+                SELECT vec_id, cid FROM (
+                    SELECT d.vec_id, d.cid,
+                           row_number() OVER (
+                               PARTITION BY d.vec_id
+                               ORDER BY d.d2, d.cid
+                           ) AS rk
+                    FROM (
+                        SELECT e.vec_id, cur.cid,
+                               sum(CAST((e.x - cur.c) * (e.x - cur.c)
+                                   AS DECIMAL(38,30))) AS d2
+                        FROM e JOIN cur ON cur.pos = e.pos
+                        GROUP BY e.vec_id, cur.cid
+                    ) d
+                ) r WHERE rk = 1
+            ),
+            upd AS MATERIALIZED (
+                SELECT a.cid, e.pos,
+                       CAST(sum(CAST(CAST(e.x AS DOUBLE)
+                                AS DECIMAL(26,8)))
+                            AS DOUBLE) / count(*) AS cnew
+                FROM e JOIN asg a USING (vec_id)
+                GROUP BY a.cid, e.pos
+            )
+            SELECT cur.it + 1 AS it, cur.cid, cur.pos,
+                   COALESCE(u.cnew, cur.c) AS c
+            FROM cur LEFT JOIN upd u
+                   ON u.cid = cur.cid AND u.pos = cur.pos
+        ) z
+    ),
+    fin AS MATERIALIZED (SELECT cid, pos, c FROM rec WHERE it = {KM_ITERS}),
+    d2f AS MATERIALIZED (
+        SELECT d.vec_id, d.cid, d.d2,
+               row_number() OVER (
+                   PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rk
+        FROM (
+            SELECT e.vec_id, fin.cid,
+                   sum(CAST((e.x - fin.c) * (e.x - fin.c)
+                       AS DECIMAL(38,30))) AS d2
+            FROM e JOIN fin ON fin.pos = e.pos
+            GROUP BY e.vec_id, fin.cid
+        ) d
+    ),
+    asgf AS MATERIALIZED (
+        SELECT vec_id, cid, d2 FROM d2f WHERE rk = 1
+    )
+"""
+
+# Recursive-CTE replay of the BPE trainer (VERDICT r6 item 2): the
+# greedy merge loop is a unique fixpoint — integer pair counts, total
+# (count DESC, l, r) tie-break, leftmost-first rewrite — so DuckDB can
+# replay it exactly. One recursion step per merge; the rewrite's
+# leftmost-first overlap semantics (e.g. 'aaaa' + (a,a) -> [aa, aa])
+# are the gaps-and-islands parity rule: within each maximal run of
+# consecutive match positions, merges land on every EVEN offset.
+_BPE_REC = f"""
+    WITH RECURSIVE
+    wc AS MATERIALIZED (
+        SELECT source, word, count(*)::BIGINT AS n_occ
+        FROM (SELECT source,
+                     unnest(string_split_regex(lower(text), '\\s+'))
+                         AS word
+              FROM documents) t
+        WHERE length(word) > 0
+        GROUP BY source, word
+    ),
+    words AS MATERIALIZED (
+        SELECT word, sum(n_occ)::BIGINT AS cnt,
+               row_number() OVER (ORDER BY word)::BIGINT AS wid
+        FROM wc GROUP BY word
+    ),
+    init AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS it, wid, cnt,
+               u.u.i::BIGINT AS pos, u.u.c AS sym,
+               CAST(NULL AS VARCHAR) AS l, CAST(NULL AS VARCHAR) AS r,
+               CAST(NULL AS BIGINT) AS pc
+        FROM (SELECT wid, cnt,
+                     unnest(list_transform(string_split(word, ''),
+                            (c, i) -> {{'c': c, 'i': i}})) AS u
+              FROM words) u
+    ),
+    rec AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT z.* FROM (
+            WITH cur AS MATERIALIZED (
+                SELECT * FROM rec WHERE it < {BPE_MERGES}
+            ),
+            adj AS MATERIALIZED (
+                SELECT a.wid, a.pos AS i, a.sym AS l, b.sym AS r, a.cnt
+                FROM cur a
+                JOIN cur b ON b.wid = a.wid AND b.pos = a.pos + 1
+            ),
+            best AS MATERIALIZED (
+                SELECT l, r, sum(cnt)::BIGINT AS pc
+                FROM adj GROUP BY l, r
+                ORDER BY pc DESC, l, r LIMIT 1
+            ),
+            kept AS MATERIALIZED (
+                SELECT wid, i
+                FROM (
+                    SELECT wid, i,
+                           (i - min(i) OVER (PARTITION BY wid, grp))
+                               % 2 = 0 AS k
+                    FROM (
+                        SELECT m.wid, m.i,
+                               m.i - row_number() OVER (
+                                   PARTITION BY m.wid ORDER BY m.i
+                               ) AS grp
+                        FROM adj m, best b
+                        WHERE m.l = b.l AND m.r = b.r
+                    ) g
+                ) kk WHERE k
+            )
+            SELECT nxt.it, nxt.wid, nxt.cnt,
+                   row_number() OVER (
+                       PARTITION BY nxt.wid ORDER BY nxt.pos
+                   )::BIGINT AS pos,
+                   nxt.sym, nxt.l, nxt.r, nxt.pc
+            FROM (
+                SELECT cur.it + 1 AS it, cur.wid, cur.cnt, cur.pos,
+                       CASE WHEN km.i IS NOT NULL THEN b.l || b.r
+                            ELSE cur.sym END AS sym,
+                       b.l, b.r, b.pc
+                FROM cur
+                CROSS JOIN best b
+                LEFT JOIN kept km
+                       ON km.wid = cur.wid AND km.i = cur.pos
+                LEFT JOIN kept kd
+                       ON kd.wid = cur.wid AND kd.i = cur.pos - 1
+                WHERE kd.i IS NULL
+            ) nxt
+        ) z
+    )
+"""
+
 ORACLES = {
+    "kmeans_embeddings": _KMEANS_REC + """
+        SELECT vec_id, cid::INT AS cid,
+               CAST(round(CAST(greatest(CAST(d2 AS DOUBLE), 0.0)
+                    AS DECIMAL(18,8)), 4) AS DOUBLE) AS dist
+        FROM asgf
+    """,
+    "semantic_dedup": _KMEANS_REC + f"""
+        , mem AS MATERIALIZED (
+            SELECT vec_id, cid,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY vec_id)::BIGINT AS rk
+            FROM asgf
+        ),
+        nrm AS MATERIALIZED (
+            SELECT vec_id,
+                   sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,30)))
+                        AS DOUBLE)) AS nrm
+            FROM e GROUP BY vec_id
+        ),
+        un AS MATERIALIZED (
+            SELECT e.vec_id, e.pos, e.x / n.nrm AS ux
+            FROM e JOIN nrm n USING (vec_id)
+        ),
+        gre AS (
+            SELECT 1::BIGINT AS it, cid, vec_id, TRUE AS kept,
+                   0.0::DOUBLE AS mc, [vec_id] AS kept_ids
+            FROM mem WHERE rk = 1
+            UNION ALL
+            SELECT g.it + 1, g.cid, m.vec_id,
+                   mx.mc < {SEMDEDUP_COS} AS kept, mx.mc,
+                   CASE WHEN mx.mc < {SEMDEDUP_COS}
+                        THEN list_append(g.kept_ids, m.vec_id)
+                        ELSE g.kept_ids END
+            FROM gre g
+            JOIN mem m ON m.cid = g.cid AND m.rk = g.it + 1
+            CROSS JOIN LATERAL (
+                SELECT max(CAST(s.p AS DOUBLE)) AS mc FROM (
+                    SELECT sum(CAST(a.ux * b.ux AS DECIMAL(38,30)))
+                        AS p
+                    FROM unnest(g.kept_ids) AS kl(k)
+                    JOIN un a ON a.vec_id = kl.k
+                    JOIN un b ON b.vec_id = m.vec_id
+                            AND b.pos = a.pos
+                    GROUP BY kl.k
+                ) s
+            ) mx
+        )
+        SELECT vec_id, cid::INT AS cid, kept,
+               CAST(round(CAST(mc AS DECIMAL(18,8)), 4) AS DOUBLE)
+                   AS max_cos_kept
+        FROM gre
+    """,
+    "bpe_merges": _BPE_REC + """
+        SELECT DISTINCT it AS rank, l AS "left", r AS "right",
+               l || r AS merged, pc AS pair_count
+        FROM rec WHERE it >= 1
+    """,
+    "bpe_segment": _BPE_REC + """
+        , final AS MATERIALIZED (
+            SELECT wid, count(*)::BIGINT AS n_tokens
+            FROM rec WHERE it = (SELECT max(it) FROM rec)
+            GROUP BY wid
+        )
+        SELECT wc.source,
+               sum(wc.n_occ)::BIGINT AS n_words,
+               sum(wc.n_occ * f.n_tokens)::BIGINT AS n_tokens,
+               CAST(round(CAST(
+                   sum(wc.n_occ * f.n_tokens)::DOUBLE / sum(wc.n_occ)
+                   AS DECIMAL(18,8)), 4) AS DOUBLE) AS tokens_per_word,
+               CAST(round(CAST(
+                   sum(wc.n_occ * length(w.word))::DOUBLE
+                   / sum(wc.n_occ * f.n_tokens)
+                   AS DECIMAL(18,8)), 4) AS DOUBLE) AS chars_per_token
+        FROM wc
+        JOIN words w USING (word)
+        JOIN final f ON f.wid = w.wid
+        GROUP BY wc.source
+    """,
     "dsir_importance": f"""
         WITH toks AS (
             SELECT doc_id,
@@ -1172,23 +1416,10 @@ ORACLES = {
 }
 
 NO_ORACLE = {
-    "kmeans_embeddings": "iterative fixpoint (Lloyd's) is outside "
-    "single-query SQL; determinism + monotone inertia asserted in "
-    "tests/test_llm.py",
-    "semantic_dedup": "depends on the k-means fixpoint plus a greedy "
-    "sequential in-cell pass; keep-set invariants asserted in "
-    "tests/test_llm.py",
     "quality_classifier": "gradient-descent fixpoint is outside "
     "single-query SQL (and float gradient sums are partition-order "
     "sensitive in the last ulp); separation of the label classes and "
     "accuracy-above-baseline asserted in tests/test_llm.py",
-    "bpe_merges": "iterative argmax-and-rewrite (each merge depends on "
-    "the previous rewrite) is outside single-query SQL; the first "
-    "merge is asserted equal to an independent exact pair count and "
-    "the run is deterministic — tests/test_llm.py",
-    "bpe_segment": "consumes the iteratively-trained merge table; "
-    "segmentation is asserted equal to an independent Python BPE "
-    "apply on sample words — tests/test_llm.py",
     "pca_whiten_embeddings": "the d x d eigensolve is outside SQL; "
     "asserted equal (1e-8) to an independent pure-numpy PCA of the "
     "same rows, with whitened-covariance ~ identity and component-"

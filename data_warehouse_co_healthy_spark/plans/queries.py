@@ -203,7 +203,6 @@ PRIORITY: tuple[str, ...] = (
     # heavy-tail index, the arrival-process burstiness screen, the
     # cross-engine reconciliation checksum, and the language-ID
     # confusion-matrix eval — all with full DuckDB oracles
-    "hill_tail_index",
     "burstiness_by_type",
     "table_checksum",
     "langid_confusion",
@@ -241,6 +240,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_cluster_labels",
     "event_transition_matrix",
     "vocab_growth_heaps",
+    # round-7 addition (out: hill_tail_index — r6-green, stats family
+    # keeps burstiness/ks/js/chi2/mann_kendall): the K2 bucketed-table
+    # sink graded end-to-end — a staged co-bucketed write feeding an
+    # exchange-free sort-merge join (the first sink-path slot in the
+    # driver window)
+    "bucketed_join_revenue",
 )
 
 

@@ -442,3 +442,26 @@ def test_zorder_layout_profile_bounds_both_dims(spark):
             z["expected_files_hit"]
             - z["n_files"] * z["avg_span_share"]
         ) < 1e-4
+
+
+def test_bucketed_join_revenue_plan_is_exchange_free_before_join(spark):
+    """The graded sink-path query (bucketed_join_revenue) must show
+    the bucketing payoff in its PLAN: both sides scan with
+    Bucketed: true and the SortMergeJoin consumes them with no
+    Exchange in between — the only exchange in the whole plan is the
+    final small groupBy(o_orderstatus). Guards against a silent
+    regression to a shuffled join (wrong bucket counts, a dropped
+    hint, or a planner change)."""
+    from data_warehouse_co_healthy_spark.operators.warehouse import (
+        bucketed_join_revenue,
+    )
+
+    df = bucketed_join_revenue(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" in plan, plan
+    # exactly ONE exchange: the post-join aggregate's; none below the
+    # join (the join subtree is everything after the SMJ line)
+    join_subtree = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_subtree, join_subtree
+    assert plan.count("Exchange") == 1, plan
