@@ -49,7 +49,82 @@ HEADLINE = [
     "fact_retiro_star",      # CO retreat pipeline star (parity floor)
     "fact_service_star",     # CO service star: 8 joins, role-playing dims
     "stream_ohlc_drain",     # streaming path floor: windowed state drain
+    "stream_stateful_totals_drain",  # applyInPandasWithState drain
+    "bucketed_join_revenue",  # bucketed sink + exchange-free SMJ
 ]
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed CPU-bound Spark job (hash-reduce over a generated range):
+    a machine-speed constant emitted next to the headline so
+    cross-round totals can be normalized for host noise (the shared
+    rig swings ±25% on CPU-steal alone — see SCALING_MEASURED.md's
+    round-6 bisection). min-of-3; no I/O, no shuffle beyond the 1-row
+    final reduce."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 100_000_000, 1, 32).select(
+            F.sum(F.xxhash64("id")).alias("h")
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _paired_prev_total(names: list[str], sf_dir: str):
+    """Same-day A/B against the PREVIOUS round's code: check out the
+    last 'round N: verdict/...' commit (the driver's end-of-round
+    snapshot) into a temp worktree and run ITS bench.py as a
+    subprocess on the intersection query list. Makes cross-round bench
+    deltas same-machine-same-hour comparisons instead of guesses
+    (VERDICT r6 item 5). Returns (commit, total_sec, n_queries) or
+    (None, None, 0) when no snapshot exists or the run fails."""
+    import re  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import subprocess  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        log = subprocess.run(
+            ["git", "log", "--format=%H %s"],
+            cwd=repo, capture_output=True, text=True, timeout=60,
+        ).stdout
+        m = re.search(r"^([0-9a-f]{40}) round \d+: verdict",
+                      log, re.MULTILINE)
+        if not m:
+            return None, None, 0
+        commit = m.group(1)
+        wt = tempfile.mkdtemp(prefix="bench_prev_")
+        try:
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, commit],
+                cwd=repo, capture_output=True, timeout=120, check=True,
+            )
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_PAIRED"] = "1"
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
+            out = subprocess.run(
+                [sys.executable, os.path.join(wt, "bench.py")],
+                cwd=wt, env=env, capture_output=True, text=True,
+                timeout=1800,
+            ).stdout
+            line = [ln for ln in out.splitlines()
+                    if ln.startswith("{")][-1]
+            parsed = json.loads(line)
+            return (commit[:9], parsed["value"],
+                    len(parsed.get("queries", {})))
+        finally:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=repo, capture_output=True, timeout=120,
+            )
+            shutil.rmtree(wt, ignore_errors=True)
+    except Exception:  # noqa: BLE001 - pairing is best-effort
+        return None, None, 0
 
 
 def main() -> None:
@@ -108,17 +183,24 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-            }
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    # nested paired runs (we ARE the previous-round subprocess) skip
+    # the calibration + pairing extras and print the bare line
+    if not os.environ.get("SPARK_GRAFT_BENCH_PAIRED"):
+        out["calibration_sec"] = _calibration_sec(spark)
+        prev_commit, prev_total, prev_n = _paired_prev_total(
+            names, sf_dir
         )
-    )
+        out["paired_prev_commit"] = prev_commit
+        out["paired_prev_total_sec"] = prev_total
+        out["paired_prev_n_queries"] = prev_n
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

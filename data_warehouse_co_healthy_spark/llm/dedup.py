@@ -413,11 +413,17 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tf").cast("decimal(14,6)") * F.col("idf"))
         .cast("decimal(18,12)")
         .alias("w"),
-    )
+    # persist(): w feeds the norm aggregate AND both pair sides, wn
+    # feeds both sides — unaliased subplans re-execute per consumer
+    # (the t_closeness rule), and the cache-deduped shuffle audit
+    # showed this query instantiating the explode->TF subtree 5x
+    # (35 static exchanges -> ~9 with the two persists); data-sized
+    # frames -> persist, not checkpoint
+    ).persist()
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("sq")
     )
-    wn = w.join(norms, on="doc_id")
+    wn = w.join(norms, on="doc_id").persist()
     a = wn.select(
         "tok",
         F.col("doc_id").alias("doc_a"),
@@ -1374,7 +1380,13 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python power-iteration equivalence test (tests/test_llm.py)
     stays as the third implementation."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist(): the pair graph feeds both wedge sides, the closing
+    # join and both degree projections — 5 consumers of an unaliased
+    # multi-shuffle pipeline (the cache-deduped audit showed the LSH
+    # subtree instantiating 5x -> 22 static exchanges without this)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).persist()
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
         .unionByName(
@@ -1516,7 +1528,13 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (near-dup graphs are sparse by construction — MAX_BUCKET caps the
     per-bucket pair fan-out upstream); per-node counts and degrees are
     two small aggregates. Output: linked nodes with degree >= 2."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist(): the pair graph feeds both wedge sides, the closing
+    # join and both degree projections — 5 consumers of an unaliased
+    # multi-shuffle pipeline (the cache-deduped audit showed the LSH
+    # subtree instantiating 5x -> 22 static exchanges without this)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).persist()
     wedges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .join(
@@ -1594,7 +1612,13 @@ def fellegi_sunter_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc ids, and the weight arithmetic is a fixed three-term double
     sum in whole-stage codegen — constants broadcast in the plan
     closure, no Python rows."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # persist(): the pair graph feeds both wedge sides, the closing
+    # join and both degree projections — 5 consumers of an unaliased
+    # multi-shuffle pipeline (the cache-deduped audit showed the LSH
+    # subtree instantiating 5x -> 22 static exchanges without this)
+    pairs = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).persist()
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )

@@ -1139,10 +1139,16 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: joins run at result-list grain (TOP_K rows per
     query); the only corpus-sized work is the cosine scoring pass both
     the ranking and the judge already share."""
+    # persist(): hybrid feeds gains AND hits, scored feeds gains AND
+    # the ideal ranking (and hybrid_search_rrf recomputes the same
+    # scoring internally) — unaliased subplans re-execute per consumer;
+    # the cache-deduped shuffle audit showed this eval instantiating
+    # the corpus scoring pass 3x+ (34 static exchanges before the
+    # persists). scored is data-sized -> persist, not checkpoint.
     hybrid = hybrid_search_rrf(spark, sf_dir).select(
         "query_id", "cand_id", "fused_rk"
-    )
-    scored = _scored(spark, sf_dir)
+    ).persist()
+    scored = _scored(spark, sf_dir).persist()
     gains = hybrid.join(scored, on=["query_id", "cand_id"]).select(
         "query_id",
         "cand_id",
@@ -1163,6 +1169,7 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
         )
     )
+    ideal = ideal.persist()  # feeds idcg AND the semi-join below
     idcg = ideal.groupBy("query_id").agg(
         F.sum(F.col("gain") / F.log2(F.col("irk") + 1)).alias("idcg")
     )
@@ -1180,7 +1187,7 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, on="query_id", how="left")
         .select(
             "query_id",
-            F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+            F.round(F.col("dcg") / nz(F.col("idcg")), 4).alias("ndcg"),
             F.round(
                 F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 4
             ).alias("mrr"),

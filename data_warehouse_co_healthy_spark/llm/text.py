@@ -853,7 +853,10 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.length("tok") > 0)
-    )
+    # persist(): toks feeds the per-step token counts AND the
+    # first-appearance vocab aggregate — without it the corpus
+    # explode executes twice (cache-deduped audit evidence)
+    ).persist()
     docs_per = docs.groupBy("step").agg(F.count("*").alias("nd"))
     toks_per = toks.groupBy("step").agg(F.count("*").alias("nt"))
     vocab_per = (
@@ -880,7 +883,9 @@ def vocab_growth_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce("nt", F.lit(0))).over(w).alias("tokens_cum"),
             F.sum(F.coalesce("nv", F.lit(0))).over(w).alias("vocab_cum"),
         )
-    )
+    # 8-row ladder consumed by the endpoint aggregate AND the final
+    # select — persist so the three upstream aggregates run once
+    ).persist()
     ends = cum.agg(
         F.max(F.when(F.col("step") == 1, F.col("vocab_cum"))).alias("v1"),
         F.max(F.when(F.col("step") == HEAPS_STEPS, F.col("vocab_cum"))).alias("v8"),

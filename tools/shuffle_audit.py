@@ -8,6 +8,15 @@ by descending exchange count, with broadcast exchanges (cheap: dim-sized
 payloads) separated from hash/single-partition exchanges (data-sized),
 plus the Python-eval markers (Arrow-vectorized stages).
 
+Counts are CACHE-DEDUPED (VERDICT r6 item 6): a persisted subtree
+prints once per consumer in the plan text, but its exchanges execute
+once — the audit walks the SparkPlan tree and descends into each
+InMemoryRelation exactly once (keyed by its cache builder), skips
+ReusedExchange (executes at its original site), and still includes
+subquery plans. The old regex-over-toString numbers were upper bounds;
+these are the true static counts. A `raw` column keeps the per-
+appearance count so the dedup effect stays visible.
+
 Run: python tools/shuffle_audit.py  [writes /root/repo/SHUFFLES.md]
 """
 
@@ -22,6 +31,84 @@ from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
+#: queries whose data-shuffle count legitimately exceeds 10 — each a
+#: composition or bounded iteration, not an accidental re-execution
+#: (those get persist() instead; see tfidf_cosine_pairs 35 -> 12).
+JUSTIFIED = {
+    "retrieval_ndcg": (
+        "eval harness composing THREE pipelines run once each: the "
+        "full hybrid ranking (its own ~10 exchanges), the exact-"
+        "cosine judge pass, and the per-query eval joins — all "
+        "shortlist-grain after the scoring passes"
+    ),
+    "dedup_cluster_labels": (
+        "N_LABEL_ITERS bounded min-label propagation rounds over a "
+        "persisted edge list — ~3 exchanges per round by design "
+        "(the converged/at-scale variants are dedup_connected_"
+        "components / dedup_cc_star)"
+    ),
+    "dedup_cc_star": (
+        "alternating large-star/small-star contraction — exchanges "
+        "scale with O(log^2 n) ROUNDS, not with data width"
+    ),
+    "pagerank_near_dup": (
+        "power iteration: 1 data shuffle per round + a scalar "
+        "dangling-mass job, fixed round count"
+    ),
+    "kcore_near_dup": ("iterative degree-peel: 1-2 exchanges per "
+                       "round, bounded rounds"),
+    "dedup_connected_components": (
+        "converged min-label propagation: bounded rounds over a "
+        "persisted edge list"
+    ),
+}
+
+_ARROW_CLASSES = {
+    "ArrowEvalPythonExec",
+    "MapInPandasExec",
+    "MapInArrowExec",
+    "FlatMapGroupsInPandasExec",
+    "FlatMapGroupsInPandasWithStateExec",
+    "FlatMapCoGroupsInPandasExec",
+}
+
+
+def _walk(p, seen: set, c: dict) -> None:
+    # every SparkPlan node has a session-unique id; a node (an
+    # exchange under a cached relation consumed 5 times, a scalar
+    # subquery referenced by 3 operators) EXECUTES once however many
+    # times it appears — visit each id once
+    nid = p.id()
+    if nid in seen:
+        return
+    seen.add(nid)
+    cls = p.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        _walk(p.initialPlan(), seen, c)
+        return
+    if cls == "InMemoryTableScanExec":
+        key = ("cache", p.relation().cacheBuilder().hashCode())
+        if key not in seen:
+            seen.add(key)
+            _walk(p.relation().cachedPlan(), seen, c)
+        return
+    if cls == "ShuffleExchangeExec":
+        part = p.outputPartitioning().toString()
+        if part.startswith("SinglePartition"):
+            c["single"] += 1
+        else:
+            c["data"] += 1
+    elif cls == "BroadcastExchangeExec":
+        c["bcast"] += 1
+    elif cls in _ARROW_CLASSES:
+        c["arrow"] += 1
+    ch = p.children()
+    for i in range(ch.size()):
+        _walk(ch.apply(i), seen, c)
+    sq = p.subqueries()
+    for i in range(sq.size()):
+        _walk(sq.apply(i), seen, c)
+
 
 def main() -> None:
     import __spark_entry__ as entrymod
@@ -34,20 +121,19 @@ def main() -> None:
     for name, fn in sorted(queries.items()):
         try:
             df = fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jplan = df._jdf.queryExecution().executedPlan()
+            plan_txt = jplan.toString()
+            c = {"data": 0, "single": 0, "bcast": 0, "arrow": 0}
+            _walk(jplan, set(), c)
         except Exception as exc:  # noqa: BLE001 - audit must not abort
-            rows.append((name, None, None, None, type(exc).__name__))
+            rows.append((name, None, None, None, None,
+                         type(exc).__name__))
             continue
-        hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-        single_ex = len(re.findall(r"Exchange SinglePartition", plan))
-        range_ex = len(re.findall(r"Exchange rangepartitioning", plan))
-        bcast = len(re.findall(r"BroadcastExchange", plan))
-        arrow = len(
-            re.findall(r"ArrowEvalPython|MapInPandas|MapInArrow|"
-                       r"FlatMapGroupsInPandas", plan)
+        raw = len(
+            re.findall(r"Exchange (?:hash|range)partitioning", plan_txt)
         )
         rows.append(
-            (name, hash_ex + range_ex, single_ex, bcast, arrow)
+            (name, c["data"], raw, c["single"], c["bcast"], c["arrow"])
         )
 
     rows.sort(key=lambda r: (-(r[1] or 0), r[0]))
@@ -56,32 +142,48 @@ def main() -> None:
         f"{SF_DIR})",
         "",
         "Generated by `tools/shuffle_audit.py`. `data shuffles` =",
-        "hash + range exchanges (data-sized network repartitions —",
-        "the number that matters at 100 TB). `1-part` = single-",
-        "partition exchanges (all lint-allowlisted: scalar aggregates",
-        "or provably tiny frames). `bcast` = broadcast exchanges",
-        "(dim-sized payloads shipped to every task — cheap by design).",
-        "`arrow` = vectorized Python stages. AQE may fuse or convert",
-        "some of these at runtime; counts are the static executed-plan",
-        "shape. Plans with persisted subtrees (e.g. the shared daily",
-        "aggregates in operators/temporal.py) print the cached plan",
-        "once per consumer, so their counts are UPPER bounds — the",
-        "cached exchange executes once, not once per appearance.",
+        "hash + range exchanges (data-sized network repartitions — the",
+        "number that matters at 100 TB), CACHE-DEDUPED: each persisted",
+        "subtree's exchanges are counted once (they execute once),",
+        "ReusedExchange is not double-counted, subquery plans are",
+        "included. `raw` = the per-appearance upper bound the plan",
+        "TEXT shows (cached subtrees print once per consumer). `1-",
+        "part` = single-partition exchanges (all lint-allowlisted:",
+        "scalar aggregates or provably tiny frames). `bcast` =",
+        "broadcast exchanges (dim-sized payloads shipped to every task",
+        "— cheap by design). `arrow` = vectorized Python stages. AQE",
+        "may fuse or convert some of these at runtime; counts are the",
+        "static executed-plan shape.",
         "",
-        "| query | data shuffles | 1-part | bcast | arrow |",
-        "|---|---|---|---|---|",
+        "| query | data shuffles | raw | 1-part | bcast | arrow |",
+        "|---|---|---|---|---|---|",
     ]
-    for name, hx, sx, bc, ar in rows:
-        if hx is None:
-            lines.append(f"| {name} | plan-error | | | {ar} |")
+    for name, dx, raw, sx, bc, ar in rows:
+        if dx is None:
+            lines.append(f"| {name} | plan-error | | | | {ar} |")
         else:
-            lines.append(f"| {name} | {hx} | {sx} | {bc} | {ar} |")
+            lines.append(
+                f"| {name} | {dx} | {raw} | {sx} | {bc} | {ar} |"
+            )
+    lines += [
+        "",
+        "## Justified >10-shuffle queries",
+        "",
+    ]
+    flagged = {name for name, dx, *_ in rows
+               if dx is not None and dx > 10}
+    for name in sorted(flagged):
+        reason = JUSTIFIED.get(name)
+        lines.append(
+            f"- `{name}`: {reason}" if reason
+            else f"- `{name}`: UNJUSTIFIED — investigate"
+        )
     total = sum(r[1] or 0 for r in rows)
     n = len(rows)
     lines += [
         "",
         f"**{n} queries, {total} data-sized exchanges total "
-        f"({total / n:.1f}/query).**",
+        f"({total / n:.1f}/query, cache-deduped).**",
         "",
     ]
     with open("/root/repo/SHUFFLES.md", "w") as f:
