@@ -387,7 +387,10 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("tok") > 0)
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # persist(): tf feeds the IDF aggregate AND the weight join
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    ).persist()
     n_docs = d.select(F.countDistinct("doc_id").alias("n"))
     idf = (
         tf.groupBy("tok")

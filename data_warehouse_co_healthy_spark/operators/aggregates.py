@@ -15,6 +15,7 @@ expands to a two-phase aggregate; approx_count_distinct (HLL) is the
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -783,15 +784,15 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque UDAF — Spark shuffles the group's rows to one task — so
     built-in expressions stay preferred on hot paths; this pins the
     extension point and its exact semantics vs a SQL oracle."""
-    from pyspark.sql.functions import (  # noqa: PLC0415
-        PandasUDFType,
-        pandas_udf,
-    )
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
 
-    # explicit functionType: this module's postponed annotations would
-    # otherwise hide the Series -> scalar aggregate signature
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def wavg(price, qty):
+    # Series -> scalar type hints select the GROUPED_AGG eval type
+    # (the PandasUDFType constant is deprecated and warned on every
+    # run); `pd` must be a MODULE global — postponed annotations are
+    # strings resolved against fn.__globals__, so a local import
+    # raises UNSUPPORTED_SIGNATURE
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
         # exact integer-cent accumulation: a float64 partial sum is
         # order-dependent, which flips round() at value boundaries vs
         # the oracle (see functions/numeric.py) — prices carry 2
@@ -802,8 +803,8 @@ def udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # a grouped-agg pandas UDF can't mix with built-in aggregates in
     # one agg() — the row count is a second pandas aggregate
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def nrows(qty):
+    @pandas_udf("long")
+    def nrows(qty: pd.Series) -> int:
         return len(qty)
 
     li = load_table(spark, sf_dir, "lineitem")

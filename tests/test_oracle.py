@@ -109,12 +109,14 @@ def test_row_and_column_order_insensitive(vals, rnd):
     st.integers(-5, 5),
 )
 def test_sub_rounding_noise_is_equal_but_real_drift_is_not(vals, eps_sign):
-    """Values on a NONZERO 1e-4 lattice ± <=1e-8 noise round identically
-    at the canonical 6 digits (both engines pre-round to >=4dp
-    in-query, so lattice values model real outputs); a 1e-3 drift must
-    be caught."""
+    """Values on a NONZERO 1e-4 lattice ± <=5e-10 noise round
+    identically at the canonical 8 digits (engines agree to ~1 ulp
+    pre-round — the modeled noise is generous at 1e-10-scale; the
+    round-7 ndigits 6->8 tightening means +-5e-9 would sit exactly ON
+    the half-grid, which is the boundary class snap_round exists for,
+    not checker noise); a 1e-3 drift must be caught."""
     g = pd.DataFrame({"v": np.array(vals, "float64")})
-    w = pd.DataFrame({"v": np.array(vals, "float64") + eps_sign * 1e-9})
+    w = pd.DataFrame({"v": np.array(vals, "float64") + eps_sign * 1e-10})
     assert compare_strict(canonicalize(g), canonicalize(w)) == []
     if vals:
         drifted = np.array(vals, "float64")

@@ -237,3 +237,62 @@ def test_assert_scalable_plan_api(spark):
 
     with pytest.raises(ValueError, match="unknown lint rules"):
         assert_scalable_plan(clean, allow={"not_a_rule"})
+
+
+def test_divide_findings_guard_patterns(spark):
+    """The ANSI-divide lint must flag exactly the unguarded shapes:
+    count(col) can be zero (flag), count(*) cannot (clean), CASE/If —
+    in the denominator OR enclosing the division — evaluates lazily
+    (clean), an upstream filter on the denominator counts (clean), a
+    guarded alias chases through the Aggregate/Project dataflow
+    (clean), literal zero always errors (flag), and try_divide is its
+    own guard (clean). Remainder is covered like Divide."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.plans.lint import (
+        divide_findings,
+    )
+
+    df = spark.range(10).withColumn("k", F.col("id") % 3)
+    agg = df.groupBy("k").agg(
+        F.count("k").alias("n"),
+        F.count(F.lit(1)).alias("nstar"),
+        F.sum("id").alias("s"),
+    )
+    assert divide_findings(agg.select(F.col("s") / F.col("n")))
+    assert not divide_findings(agg.select(F.col("s") / F.col("nstar")))
+    assert not divide_findings(
+        agg.select(F.col("s") / F.when(F.col("n") > 0, F.col("n")))
+    )
+    assert not divide_findings(
+        agg.select(F.when(F.col("n") > 0, F.col("s") / F.col("n")))
+    )
+    assert not divide_findings(
+        agg.filter(F.col("n") > 0).select(F.col("s") / F.col("n"))
+    )
+    assert not divide_findings(
+        agg.withColumn("safe", F.greatest(F.col("n"), F.lit(1)))
+        .select(F.col("s") / F.col("safe"))
+    )
+    assert not divide_findings(agg.select(F.col("s") / F.lit(2)))
+    assert divide_findings(agg.select(F.col("s") / F.lit(0)))
+    assert divide_findings(agg.select(F.col("s") % F.col("n")))
+    assert not divide_findings(
+        agg.selectExpr("try_divide(s, n) AS r")
+    )
+
+
+def test_nz_guard_is_value_neutral_and_nulls_zero(spark):
+    """nz(): identical result on nonzero denominators, NULL (not an
+    ANSI error) on zero — the repo-wide divide-guard contract."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.functions.numeric import nz
+
+    df = spark.createDataFrame(
+        [(10.0, 2.0), (7.0, 0.0), (3.0, None)], "x double, d double"
+    )
+    got = df.select((F.col("x") / nz(F.col("d"))).alias("r")).collect()
+    assert got[0].r == 5.0
+    assert got[1].r is None
+    assert got[2].r is None

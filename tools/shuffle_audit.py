@@ -35,6 +35,14 @@ SF_DIR = "/root/testdata/sf0.001"
 #: composition or bounded iteration, not an accidental re-execution
 #: (those get persist() instead; see tfidf_cosine_pairs 35 -> 12).
 JUSTIFIED = {
+    "tfidf_cosine_pairs": (
+        "11 = the SEQUENTIAL stages of a sparse-vector similarity "
+        "pipeline, no stage executing twice (tf/w/wn all persisted "
+        "after the audit caught 5x re-execution at 35): tokenize/TF, "
+        "two-phase distinct DF, norms, both sides of the "
+        "inverted-index self-join, the pair aggregate — plus 2 "
+        "fixture-only spread() round-robins that no-op at scale"
+    ),
     "retrieval_ndcg": (
         "eval harness composing THREE pipelines run once each: the "
         "full hybrid ranking (its own ~10 exchanges), the exact-"
