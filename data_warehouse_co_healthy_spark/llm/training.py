@@ -961,9 +961,12 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     radius (the max-min distance at selection time — monotonically
     non-increasing). Seeded deterministically at the lowest vec_id.
 
-    NO_ORACLE (iterative argmax fixpoint is outside single-query SQL);
-    pinned equal to an independent pure-numpy k-center-greedy run in
-    tests/test_llm.py."""
+    Oracled since round 7: a DuckDB recursive CTE replays the greedy —
+    one pick per iteration, per-point min-distance carried as state,
+    distances as exact-decimal term sums (residual: a farthest-point
+    tie within ~1e-15 could pick differently; none exists in the
+    fixtures). Additionally pinned equal to an independent pure-numpy
+    k-center-greedy run in tests/test_llm.py."""
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
@@ -1023,11 +1026,14 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         far = cand[0]
         picks.append((int(far.vec_id), float(far.mind)))
     return spark.createDataFrame(
-        [
-            (i, vid, round(r, 6))
-            for i, (vid, r) in enumerate(picks)
-        ],
+        [(i, vid, r) for i, (vid, r) in enumerate(picks)],
         "pick int, vec_id long, radius double",
+    ).select(
+        "pick",
+        "vec_id",
+        # snap_round, not Python round(): banker's vs HALF_UP — the
+        # recurring trap; also what lets the oracle share the rule
+        snap_round(F.col("radius"), 6).alias("radius"),
     )
 
 
@@ -1270,7 +1276,65 @@ _BPE_REC = f"""
     )
 """
 
+_KCENTER_REC = f"""
+    WITH RECURSIVE
+    e AS MATERIALIZED (
+        SELECT vec_id, u.u.i::BIGINT - 1 AS pos,
+               CAST(u.u.c AS DOUBLE) AS x
+        FROM (SELECT vec_id,
+                     unnest(list_transform(embedding,
+                            (c, i) -> {{'c': c, 'i': i}})) AS u
+              FROM embeddings) u
+    ),
+    gre AS (
+        SELECT CAST(0 AS BIGINT) AS it, e0.vec_id,
+               'infinity'::DOUBLE AS mind,
+               e0.vec_id = s.seed AS picked,
+               s.seed AS pick_vid, 0.0::DOUBLE AS pick_radius
+        FROM (SELECT DISTINCT vec_id FROM e) e0,
+             (SELECT min(vec_id) AS seed FROM e) s
+        UNION ALL
+        SELECT z.* FROM (
+            WITH st AS MATERIALIZED (
+                SELECT * FROM gre WHERE it < {KCENTER_K - 1}
+            ),
+            ctr AS MATERIALIZED (
+                SELECT pos, x FROM e
+                WHERE vec_id = (SELECT max(pick_vid) FROM st)
+            ),
+            nd AS MATERIALIZED (
+                SELECT st.it, st.vec_id,
+                       least(st.mind, sqrt(CAST(dd.dsum AS DOUBLE)))
+                           AS mind,
+                       st.picked
+                FROM st JOIN (
+                    SELECT e.vec_id,
+                           sum(CAST((e.x - ctr.x) * (e.x - ctr.x)
+                               AS DECIMAL(38,30))) AS dsum
+                    FROM e JOIN ctr USING (pos)
+                    GROUP BY e.vec_id
+                ) dd ON dd.vec_id = st.vec_id
+            ),
+            pick AS MATERIALIZED (
+                SELECT vec_id AS pv, mind AS pr FROM nd
+                WHERE NOT picked
+                ORDER BY mind DESC, vec_id LIMIT 1
+            )
+            SELECT nd.it + 1 AS it, nd.vec_id, nd.mind,
+                   nd.picked OR nd.vec_id = p.pv AS picked,
+                   p.pv AS pick_vid, p.pr AS pick_radius
+            FROM nd, pick p
+        ) z
+    )
+"""
+
 ORACLES = {
+    "kcenter_coreset": _KCENTER_REC + """
+        SELECT DISTINCT it::INT AS pick, pick_vid AS vec_id,
+               CAST(round(CAST(pick_radius AS DECIMAL(18,8)), 6)
+                    AS DOUBLE) AS radius
+        FROM gre
+    """,
     "kmeans_embeddings": _KMEANS_REC + """
         SELECT vec_id, cid::INT AS cid,
                CAST(round(CAST(greatest(CAST(d2 AS DOUBLE), 0.0)
@@ -1427,8 +1491,4 @@ NO_ORACLE = {
     "mahalanobis_outliers": "the d x d precision-matrix inverse is "
     "outside SQL; asserted equal (1e-6) to an independent pure-numpy "
     "computation over the same rows — tests/test_llm.py",
-    "kcenter_coreset": "iterative farthest-point argmax (each pick "
-    "depends on the previous) is outside single-query SQL; pinned "
-    "equal to an independent pure-numpy k-center-greedy run — "
-    "tests/test_llm.py",
 }
