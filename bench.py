@@ -37,6 +37,7 @@ HEADLINE = [
     "asof_join",             # temporal: as-of via union-merge window
     "semantic_dedup",        # LLM heavy: k-means cells + in-cell greedy
     "ann_ivf_kmeans",        # LLM heavy: trained-IVF ANN search
+    "ann_pq_adc",            # LLM heavy: PQ-ADC compressed-domain ANN
     "fact_facturacion_star", # CO payment pipeline star (driver-checked)
     "bpe_segment",           # registry tail: BPE train + corpus apply
     "dedup_cc_star",         # large-star/small-star connected components

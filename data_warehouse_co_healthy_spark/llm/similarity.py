@@ -678,6 +678,47 @@ PQ_TRAIN_N = 2048 # training-sample cap (FAISS-style bounded sample)
 _PQ_CODEBOOKS: dict[str, list] = {}
 
 
+def _seq_norms(mat):
+    """Row L2 norms via a PYTHON sequential left fold + math.sqrt:
+    numpy's norm/dot go through BLAS whose summation order is
+    implementation-defined, while a left fold is exactly DuckDB's
+    list_reduce, and math.sqrt is the correctly-rounded IEEE sqrt
+    DuckDB uses (``x ** 0.5`` goes through pow, which is NOT
+    bit-identical to sqrt on this platform — measured). Bit-identical
+    normalized vectors on both engines is what makes the PQ oracles
+    replay the float pipeline instead of approximating it."""
+    import math  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+
+    out = []
+    for row in mat:
+        acc = 0.0
+        for v in row:
+            acc = acc + float(v) * float(v)
+        out.append(math.sqrt(acc))
+    return np.asarray(out)[:, None]
+
+
+def _seq_mean_cols(rows):
+    """Column means via a PYTHON sequential left fold then ONE IEEE
+    division. PQ training is driver-side over a bounded ordered sample
+    (no distributed sum to order-protect), so a fixed fold order —
+    not the exact-DECIMAL trick the distributed kmeans needs — is the
+    simplest bit-replayable rule: DuckDB mirrors it with
+    list_reduce(list_prepend(0.0, list(x ORDER BY vec_id)), +) / n."""
+    import numpy as np  # noqa: PLC0415
+
+    n = len(rows)
+    out = []
+    for j in range(rows.shape[1]):
+        acc = 0.0
+        for v in rows[:, j]:
+            acc = acc + float(v)
+        out.append(acc / n)
+    return np.asarray(out)
+
+
 def _pq_train(spark: SparkSession, sf_dir: str) -> list:
     import numpy as np  # noqa: PLC0415
 
@@ -691,17 +732,19 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> list:
         .collect()
     )
     mat = np.stack([np.asarray(r.embedding, float) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat /= _seq_norms(mat)
     d = mat.shape[1]
     sub = d // PQ_M
     books = []
     for m in range(PQ_M):
         X = mat[:, m * sub:(m + 1) * sub]
-        # deterministic init: first PQ_K distinct subvectors in vec_id
-        # order; plain Lloyd to a fixed iteration count
+        # deterministic init: first PQ_K EXACT-distinct subvectors in
+        # vec_id order (exact-tuple dedup so the oracle's list-equality
+        # dedup is the same rule); plain Lloyd to a fixed iteration
+        # count
         seen, init = set(), []
         for v in X:
-            t = tuple(np.round(v, 9))
+            t = tuple(v)
             if t not in seen:
                 seen.add(t)
                 init.append(v)
@@ -709,35 +752,26 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> list:
                 break
         C = np.stack(init)
         for _ in range(PQ_ITERS):
-            d2 = (
-                (X * X).sum(1)[:, None]
-                - 2.0 * (X @ C.T)
-                + (C * C).sum(1)[None, :]
-            )
+            # direct (X-C)^2 sum over the 8-wide subspace: numpy sums
+            # exactly-8 contiguous elements in PAIRWISE TREE order
+            # ((t1+t2)+(t3+t4))+((t5+t6)+(t7+t8)) — measured, and
+            # mirrored verbatim by _SQL_TREE_D2 in the oracle (matmul
+            # expansion would go through dgemm, order unknowable)
+            d2 = ((X[:, None, :] - C[None]) ** 2).sum(2)
             a = d2.argmin(1)
             for k in range(PQ_K):
                 mask = a == k
                 if mask.any():
-                    C[k] = X[mask].mean(0)
+                    C[k] = _seq_mean_cols(X[mask])
         books.append(C.tolist())
     _PQ_CODEBOOKS[sf_dir] = books
     return books
 
 
-def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: each L2-normalized vector compressed to
-    PQ_M 4-bit codes (nearest codebook entry per subspace) — 64 float32
-    dims become 8 bytes, the 32x compression that makes billion-scale
-    ANN indexes fit in memory (Jégou et al. 2011; FAISS IVFPQ's
-    fine quantizer). Returns codes + per-vector reconstruction MSE (the
-    quantization-quality monitor).
-
-    Scale: codebooks are M x K x (d/M) floats riding along as a
-    closure broadcast; encoding is one Arrow-batched argmin per
-    subspace per batch — embarrassingly parallel, no shuffle. No
-    oracle (codebooks are an iterative fixpoint); code-range,
-    determinism, and MSE invariants are pinned in tests/test_llm.py.
-    """
+def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal PQ encoding frame: (vec_id, codes array<int>, RAW
+    recon_mse). ``pq_encode`` is the graded view (codes as a string,
+    snap-rounded mse); ``_pq_adc_ranked`` consumes the array codes."""
     import numpy as np  # noqa: PLC0415
 
     books = np.asarray(_pq_train(spark, sf_dir))  # M x K x sub
@@ -747,25 +781,25 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             m0 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m0 /= np.linalg.norm(m0, axis=1, keepdims=True)
+            m0 /= _seq_norms(m0)
             sub = m0.shape[1] // PQ_M
             codes = np.empty((len(m0), PQ_M), dtype=np.int32)
             mse = np.zeros(len(m0))
             for m in range(PQ_M):
                 X = m0[:, m * sub:(m + 1) * sub]
                 C = books[m]
-                d2 = (
-                    (X * X).sum(1)[:, None]
-                    - 2.0 * (X @ C.T)
-                    + (C * C).sum(1)[None, :]
-                )
+                # direct diff (see _pq_train): 8-term tree sums are
+                # replayable; d2 >= 0 by construction, no clamp
+                d2 = ((X[:, None, :] - C[None]) ** 2).sum(2)
                 codes[:, m] = d2.argmin(1)
-                mse += np.maximum(d2.min(1), 0.0)
+                mse += d2.min(1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
                     "codes": list(codes.tolist()),
-                    "recon_mse": np.round(mse / m0.shape[1], 6),
+                    # RAW mse out of the Arrow task; snap_round below
+                    # (np.round is banker's — the recurring trap)
+                    "recon_mse": mse / m0.shape[1],
                 }
             )
 
@@ -774,6 +808,37 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.mapInPandas(
         encode, schema="vec_id long, codes array<int>, recon_mse double"
+    )
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each L2-normalized vector compressed to
+    PQ_M 4-bit codes (nearest codebook entry per subspace) — 64 float32
+    dims become 8 bytes, the 32x compression that makes billion-scale
+    ANN indexes fit in memory (Jégou et al. 2011; FAISS IVFPQ's
+    fine quantizer). Returns codes (comma-joined, the hash-stable
+    form) + per-vector reconstruction MSE (the quantization-quality
+    monitor).
+
+    Scale: codebooks are M x K x (d/M) floats riding along as a
+    closure broadcast; encoding is one Arrow-batched argmin per
+    subspace per batch — embarrassingly parallel, no shuffle. Oracled
+    since round 7: training is driver-side over a bounded ORDERED
+    sample, so every float op has a fixed order a DuckDB recursive CTE
+    replays bit-exactly — sequential-fold norms and centroid means
+    (list_reduce twins), numpy's 8-term tree-order distance sums
+    (_SQL_TREE_D2), first-K exact-distinct init; code-range/
+    determinism/MSE invariants additionally pinned in
+    tests/test_llm.py.
+    """
+    from ..functions.numeric import snap_round  # noqa: PLC0415
+
+    return _pq_encoded(spark, sf_dir).select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+        snap_round(F.col("recon_mse"), 6).alias("recon_mse"),
     )
 
 
@@ -803,7 +868,7 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     Q = np.stack([np.asarray(r.embedding, float) for r in qrows])
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    Q /= _seq_norms(Q)
     qids = np.asarray([r.vec_id for r in qrows])
     sub = Q.shape[1] // PQ_M
     # LUT[q, m, k] = ||query_q subvector m - codebook[m][k]||^2
@@ -833,17 +898,28 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "query_id": out_q,
                     "cand_id": out_c,
-                    "adc_dist": np.round(d.ravel(), 6),
+                    # RAW distance; consumers snap_round after ranking
+                    "adc_dist": d.ravel(),
                 }
             )
 
+    from ..functions.numeric import snap_round  # noqa: PLC0415
+
     scored = (
-        pq_encode(spark, sf_dir)
+        _pq_encoded(spark, sf_dir)
         .mapInPandas(
             score,
             schema="query_id long, cand_id long, adc_dist double",
         )
         .filter(F.col("query_id") != F.col("cand_id"))
+        # rank on the SNAPPED distance: 6dp grid ties break on cand_id
+        # deterministically, so the order survives the ~1e-15
+        # float-vs-exact-decimal gap between engines (raw-float order
+        # would make every near-tie a coin flip)
+        .select(
+            "query_id", "cand_id",
+            snap_round(F.col("adc_dist"), 6).alias("adc_dist"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "cand_id")
     return scored.withColumn(
@@ -874,7 +950,8 @@ def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rescored for the final top-TOP_K. The expensive exact math touches
     shortlist x queries rows, never the corpus; the code scan stays
     memory-bound. Recall vs brute force is bounded by shortlist recall
-    and pinned in tests/test_llm.py.
+    and pinned in tests/test_llm.py; oracled since round 7 (ADC
+    shortlist replay + the standard sequential-fold exact cosine).
     """
     shortlist = (
         _pq_adc_ranked(spark, sf_dir)
@@ -1629,23 +1706,7 @@ ORACLES["ann_ivf"] = f"""
     FROM ranked WHERE rk <= {IVF_TOP_K}
 """
 
-NO_ORACLE = {
-    "pq_encode": (
-        "PQ codebooks are an iterative k-means fixpoint (no "
-        "single-query SQL); code range, determinism and reconstruction-"
-        "MSE bounds are pinned in tests/test_llm.py"
-    ),
-    "ann_pq_adc": (
-        "distances come from trained PQ codebooks (iterative fixpoint); "
-        "recall@k vs the oracle-checked brute force is pinned in "
-        "tests/test_llm.py"
-    ),
-    "ann_pq_refine": (
-        "shortlist comes from trained PQ codebooks (iterative "
-        "fixpoint); recall@k vs the oracle-checked brute force is "
-        "pinned in tests/test_llm.py"
-    ),
-}
+NO_ORACLE: dict[str, str] = {}
 
 # Spark's in-plan cosine is a SEQUENTIAL left fold
 # (aggregate(zip_with(...), 0.0D, acc + x)) — DuckDB replays the
@@ -1711,6 +1772,195 @@ def _ann_ivf_kmeans_oracle() -> str:
 
 
 ORACLES["ann_ivf_kmeans"] = _ann_ivf_kmeans_oracle()
+
+_PQ_SUB = 64 // PQ_M  # subspace width on the 64-dim fixture embeddings
+
+# Sequential left fold over an (already ordered) list — DuckDB twin of
+# a Python `acc = 0.0; for v: acc += v` loop.
+_SQL_SEQ_FOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {l}), (a, b) -> a + b)"
+)
+
+
+def _pq_tree_d2(a: str, b: str) -> str:
+    """Squared L2 over one 8-wide subspace in numpy's exactly-8-element
+    pairwise order ((t1+t2)+(t3+t4))+((t5+t6)+(t7+t8)) — the order
+    `((X - C) ** 2).sum(2)` uses (measured, pinned in
+    tests/test_pq_twins.py), so every distance replays bit-for-bit."""
+    t = [
+        f"(({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}]))"
+        for i in range(1, _PQ_SUB + 1)
+    ]
+    return (
+        f"((({t[0]} + {t[1]}) + ({t[2]} + {t[3]})) + "
+        f"(({t[4]} + {t[5]}) + ({t[6]} + {t[7]})))"
+    )
+
+
+def _pq_oracle_ctes() -> str:
+    """Shared replay of the PQ pipeline (oracled round 7, closing three
+    NO_ORACLE rows): training is driver-side over a bounded ORDERED
+    sample (_pq_train), so every float op has a fixed order DuckDB can
+    replay — sequential-fold norms (list_reduce = the Python loop,
+    sqrt = math.sqrt), first-K exact-distinct init in vec_id order, the
+    8-term tree-order distance sum (_pq_tree_d2), argmin ties to the
+    lower k (np.argmin first-hit = ORDER BY d2, k), and centroid means
+    as a sequential fold over rows in vec_id order divided once.
+    Residual risk: the kmeans argmin-tie class documented in
+    training.lloyd_centroids."""
+    d2_asg = _pq_tree_d2("s.s", "cur.c")
+    d2_enc = _pq_tree_d2("s.s", "f.c")
+    norm_sq = _SQL_FOLD_SQ.format(l="embedding")
+    ms = f"(SELECT unnest(range({PQ_M}))::BIGINT AS m)"
+    sl = f"m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}"
+    return f"""
+    WITH RECURSIVE
+    nrm AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   ex -> CAST(ex AS DOUBLE) / sqrt({norm_sq})) AS v
+        FROM embeddings
+    ),
+    sub AS MATERIALIZED (
+        SELECT t.vec_id, m.m, t.v[{sl}] AS s
+        FROM (SELECT vec_id, v FROM nrm
+              ORDER BY vec_id LIMIT {PQ_TRAIN_N}) t
+        CROSS JOIN {ms} m
+    ),
+    allsub AS MATERIALIZED (
+        SELECT n.vec_id, m.m, n.v[{sl}] AS s
+        FROM nrm n CROSS JOIN {ms} m
+    ),
+    init AS MATERIALIZED (
+        SELECT CAST(0 AS BIGINT) AS it, m,
+               row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                   AS k,
+               s AS c
+        FROM (
+            SELECT m, vec_id, s FROM (
+                SELECT m, vec_id, s,
+                       row_number() OVER (
+                           PARTITION BY m, s ORDER BY vec_id) AS occ
+                FROM sub)
+            WHERE occ = 1)
+        QUALIFY k < {PQ_K}
+    ),
+    rec AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT z.* FROM (
+            WITH cur AS MATERIALIZED (
+                SELECT * FROM rec WHERE it < {PQ_ITERS}
+            ),
+            asg AS MATERIALIZED (
+                SELECT m, vec_id, k FROM (
+                    SELECT s.m, s.vec_id, cur.k,
+                           row_number() OVER (
+                               PARTITION BY s.m, s.vec_id
+                               ORDER BY {d2_asg}, cur.k) AS rk
+                    FROM sub s JOIN cur ON cur.m = s.m
+                ) WHERE rk = 1
+            ),
+            pts AS MATERIALIZED (
+                SELECT u.m, u.k, u.vec_id, u.u.i::BIGINT AS j,
+                       CAST(u.u.c AS DOUBLE) AS x
+                FROM (
+                    SELECT a.m, a.k, a.vec_id,
+                           unnest(list_transform(s.s,
+                                  (c, i) -> {{'c': c, 'i': i}})) AS u
+                    FROM asg a
+                    JOIN sub s ON s.m = a.m AND s.vec_id = a.vec_id
+                ) u
+            ),
+            upd AS MATERIALIZED (
+                SELECT m, k, list(cj ORDER BY j) AS cnew
+                FROM (
+                    SELECT m, k, j,
+                           {_SQL_SEQ_FOLD.format(
+                               l='list(x ORDER BY vec_id)')}
+                               / count(*) AS cj
+                    FROM pts GROUP BY m, k, j
+                ) GROUP BY m, k
+            )
+            SELECT cur.it + 1 AS it, cur.m, cur.k,
+                   COALESCE(u.cnew, cur.c) AS c
+            FROM cur LEFT JOIN upd u
+                   ON u.m = cur.m AND u.k = cur.k
+        ) z
+    ),
+    fin AS MATERIALIZED (
+        SELECT m, k, c FROM rec WHERE it = {PQ_ITERS}
+    ),
+    enc AS MATERIALIZED (
+        SELECT m, vec_id, k AS code, d2 FROM (
+            SELECT s.m, s.vec_id, f.k, {d2_enc} AS d2,
+                   row_number() OVER (
+                       PARTITION BY s.m, s.vec_id
+                       ORDER BY {d2_enc}, f.k) AS rk
+            FROM allsub s JOIN fin f ON f.m = s.m
+        ) WHERE rk = 1
+    ),
+    lut AS MATERIALIZED (
+        SELECT s.vec_id AS query_id, f.m, f.k, {d2_enc} AS ld
+        FROM allsub s JOIN fin f ON f.m = s.m
+        WHERE s.vec_id < {N_QUERIES}
+    ),
+    adcrk AS MATERIALIZED (
+        SELECT query_id, cand_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_dist, cand_id)::BIGINT AS rk
+        FROM (
+            SELECT l.query_id, e.vec_id AS cand_id,
+                   {_SQL_SNAP6.format(
+                       x=_SQL_SEQ_FOLD.format(
+                           l='list(l.ld ORDER BY l.m)'))} AS adc_dist
+            FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+            WHERE l.query_id <> e.vec_id
+            GROUP BY l.query_id, e.vec_id
+        )
+    )
+"""
+
+
+# snap_round_sql(x, 6) with a format slot (import avoided: literal twin)
+_SQL_SNAP6 = "CAST(round(CAST(({x}) AS DECIMAL(18,8)), 6) AS DOUBLE)"
+
+ORACLES["pq_encode"] = _pq_oracle_ctes() + f"""
+    SELECT vec_id,
+           string_agg(code::VARCHAR, ',' ORDER BY m) AS codes,
+           {_SQL_SNAP6.format(
+               x=_SQL_SEQ_FOLD.format(l='list(d2 ORDER BY m)')
+               + f' / {PQ_M * _PQ_SUB}')} AS recon_mse
+    FROM enc GROUP BY vec_id
+"""
+
+ORACLES["ann_pq_adc"] = _pq_oracle_ctes() + f"""
+    SELECT query_id, cand_id, rk, adc_dist
+    FROM adcrk WHERE rk <= {TOP_K}
+"""
+
+ORACLES["ann_pq_refine"] = _pq_oracle_ctes() + f"""
+    , ex AS MATERIALIZED (
+        SELECT s.query_id, s.cand_id,
+               {_SQL_FOLD_DOT.format(a='q.embedding', b='c.embedding')}
+                   / nullif(
+                       sqrt({_SQL_FOLD_SQ.format(l='q.embedding')})
+                       * sqrt({_SQL_FOLD_SQ.format(l='c.embedding')}),
+                       0.0) AS cos
+        FROM (SELECT query_id, cand_id FROM adcrk
+              WHERE rk <= {PQ_SHORTLIST}) s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.cand_id
+    )
+    SELECT query_id, cand_id, rk, round(cos, 4) AS cos FROM (
+        SELECT query_id, cand_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id)::BIGINT
+                   AS rk
+        FROM ex
+    ) WHERE rk <= {TOP_K}
+"""
 
 _SQL_HYBRID_CTES = f"""toks AS (
         SELECT DISTINCT doc_id, w

@@ -1480,9 +1480,13 @@ ORACLES = {
 }
 
 NO_ORACLE = {
-    "quality_classifier": "gradient-descent fixpoint is outside "
-    "single-query SQL (and float gradient sums are partition-order "
-    "sensitive in the last ulp); separation of the label classes and "
+    "quality_classifier": "the gradient step is transcendental — "
+    "sigmoid goes through exp, whose last ulp differs across libm "
+    "implementations (JVM StrictMath-adjacent vs DuckDB's libstdc++), "
+    "so unlike the algebraic fixpoints oracled in r6/r7 (kmeans/PQ/"
+    "pagerank/k-center: +,*,/,sqrt only, all IEEE-exact or "
+    "order-pinned) no snap can make LR_ITERS chained exp/Adam "
+    "iterations replayable; separation of the label classes and "
     "accuracy-above-baseline asserted in tests/test_llm.py",
     "pca_whiten_embeddings": "the d x d eigensolve is outside SQL; "
     "asserted equal (1e-8) to an independent pure-numpy PCA of the "

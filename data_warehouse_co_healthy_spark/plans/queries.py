@@ -155,9 +155,10 @@ PRIORITY: tuple[str, ...] = (
     "minhash_lsh_pairs",
     "text_quality",
     # round-4 rotation: heavies never driver-graded before (all with
-    # full DuckDB oracles)
+    # full DuckDB oracles; bm25_search rotated out round 7 eleventh
+    # wave — r6-green, text retrieval stays graded via
+    # hybrid_search_rrf + retrieval_ndcg + mmr_rerank)
     "image_decode_stats",
-    "bm25_search",
     "hybrid_search_rrf",
     # round-5 rotation: scale-path CC (k_anonymity_audit,
     # incremental_agg_refresh rotated out round 7 — both r6-green,
@@ -169,10 +170,11 @@ PRIORITY: tuple[str, ...] = (
     # stays graded via holt_winters_daily + the stateful stream drain)
     "tfidf_cosine_pairs",
     "dedup_graph_triangles",
-    # round-5 third rotation: diversity re-rank, skyline, ranking audit
+    # round-5 third rotation: diversity re-rank, skyline (
+    # roc_auc_by_source rotated out round 7 eleventh wave — r6-green,
+    # the stats-screen family keeps ks/chi2/burstiness/mann_kendall)
     "mmr_rerank",
     "skyline_parts",
-    "roc_auc_by_source",
     # round-5 fourth rotation: survival curve (attribution_report
     # rotated out round 6)
     "kaplan_meier_churn",
@@ -181,7 +183,8 @@ PRIORITY: tuple[str, ...] = (
     # 7 — the recursive shape stays graded through the k-core/pagerank
     # recursive-CTE oracles and stays locally oracle-tested)
     "ks_two_sample",
-    "js_divergence_sources",
+    # (js_divergence_sources rotated out round 7 eleventh wave —
+    # r6-green, same family coverage note as roc_auc_by_source)
     # round-5 seventh rotation (out: left_join_miss, surrogate_keys,
     # supplier_scorecard, window_range_frame, t_closeness_audit,
     # holt_forecast — every family keeps an in-window representative,
@@ -246,6 +249,17 @@ PRIORITY: tuple[str, ...] = (
     # exchange-free sort-merge join (the first sink-path slot in the
     # driver window)
     "bucketed_join_revenue",
+    # round-7 eleventh wave (out: bm25_search, roc_auc_by_source,
+    # js_divergence_sources — all r6-green, locally oracle-tested,
+    # families stay repped as noted above): the three ops whose
+    # iterative float pipelines were ORACLED this round (exact-decimal
+    # / fixed-fold-order replays) get their first full value-hash
+    # driver grades — the trained-IVF ANN serve path, the PQ-ADC
+    # compressed-domain ANN path (its plan embeds the pq_encode
+    # encoder), and the k-center greedy coreset
+    "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "kcenter_coreset",
 )
 
 

@@ -561,9 +561,10 @@ def test_pq_encode_invariants(spark):
 
     a = similarity.pq_encode(spark, SF_DIR).toPandas()
     b = similarity.pq_encode(spark, SF_DIR).toPandas()
-    assert a.codes.map(len).eq(PQ_M).all()
-    assert a.codes.map(max).lt(PQ_K).all()
-    assert a.codes.map(min).ge(0).all()
+    parsed = a.codes.map(lambda c: [int(x) for x in c.split(",")])
+    assert parsed.map(len).eq(PQ_M).all()
+    assert parsed.map(max).lt(PQ_K).all()
+    assert parsed.map(min).ge(0).all()
     pd.testing.assert_frame_equal(
         a.sort_values("vec_id").reset_index(drop=True),
         b.sort_values("vec_id").reset_index(drop=True),
