@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
-from ..functions.numeric import snap_round, snap_round_sql
+from ..functions.numeric import nz, snap_round, snap_round_sql
 
 N_PERM = 16          # minhash permutations
 BAND_ROWS = 4        # rows per LSH band → 4 bands of 4
@@ -316,7 +316,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2), "
+                    # greatest(..., 1): the size(ws) >= 3 filter does
+                    # NOT protect this expression — Spark's
+                    # InferFiltersFromGenerate merges a size(gs) > 0
+                    # predicate into the SAME Filter and codegen
+                    # subexpression elimination evaluates the hoisted
+                    # transform BEFORE the AND short-circuits, so
+                    # sequence(1, size-2) must be total: on a short doc
+                    # sequence(1, 0) is DESCENDING [1, 0] and
+                    # slice(ws, 0, ..) throws. Clamping to 1 yields one
+                    # junk gram on rows the filter discards anyway.
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)), "
                     "i -> array_join(slice(ws, i, 3), ' '))"
                 )
             ).alias("gs"),
@@ -486,7 +496,17 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2), "
+                    # greatest(..., 1): the size(ws) >= 3 filter does
+                    # NOT protect this expression — Spark's
+                    # InferFiltersFromGenerate merges a size(gs) > 0
+                    # predicate into the SAME Filter and codegen
+                    # subexpression elimination evaluates the hoisted
+                    # transform BEFORE the AND short-circuits, so
+                    # sequence(1, size-2) must be total: on a short doc
+                    # sequence(1, 0) is DESCENDING [1, 0] and
+                    # slice(ws, 0, ..) throws. Clamping to 1 yields one
+                    # junk gram on rows the filter discards anyway.
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)), "
                     "i -> array_join(slice(ws, i, 3), ' '))"
                 )
             ).alias("gs"),
@@ -653,10 +673,13 @@ def dedup_editdist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "edit_sim",
+            # nz: two empty-after-canonicalization docs give
+            # greatest(len, len) = 0 — NULL drops the pair at the
+            # threshold filter instead of an ANSI crash
             F.round(
                 F.lit(1.0)
                 - F.col("editdist")
-                / F.greatest(F.length("canon_a"), F.length("canon_b")),
+                / nz(F.greatest(F.length("canon_a"), F.length("canon_b"))),
                 4,
             ),
         )
@@ -1196,7 +1219,17 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2), "
+                    # greatest(..., 1): the size(ws) >= 3 filter does
+                    # NOT protect this expression — Spark's
+                    # InferFiltersFromGenerate merges a size(gs) > 0
+                    # predicate into the SAME Filter and codegen
+                    # subexpression elimination evaluates the hoisted
+                    # transform BEFORE the AND short-circuits, so
+                    # sequence(1, size-2) must be total: on a short doc
+                    # sequence(1, 0) is DESCENDING [1, 0] and
+                    # slice(ws, 0, ..) throws. Clamping to 1 yields one
+                    # junk gram on rows the filter discards anyway.
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)), "
                     "i -> array_join(slice(ws, i, 3), ' '))"
                 )
             ).alias("g"),

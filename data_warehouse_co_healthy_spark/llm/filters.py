@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread
+from ..functions.numeric import nz
 
 # Shared Spark/DuckDB regexes — RE2-compatible (no backrefs/lookahead).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -46,7 +47,13 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.split(F.lower("text"), " ")
     base = d.select("doc_id", ws.alias("ws")).filter(F.size("ws") >= 2)
     bigrams = F.expr(
-        "transform(sequence(1, size(ws) - 1), "
+        # greatest(..., 1): keep the expression total — Spark's
+        # sequence() runs DESCENDING past the stop (sequence(1, 0) =
+        # [1, 0]) and optimizer-inferred filters can evaluate hoisted
+        # subexpressions before the size guard short-circuits (see
+        # ngram_jaccard_pairs); the clamp's junk bigram only exists on
+        # rows the size filter discards
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), "
         "i -> array_join(slice(ws, i, 2), ' '))"
     )
     return base.select(
@@ -75,7 +82,8 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2), "
+                    # total expression (see repetition_ratio note)
+                    "transform(sequence(1, greatest(size(ws) - 2, 1)), "
                     "i -> array_join(slice(ws, i, 3), ' '))"
                 )
             ).alias("g"),
@@ -630,8 +638,11 @@ def population_stability_index(
     totals = counts.groupBy("source").agg(
         F.sum("n_new").alias("t_new"), F.sum("n_old").alias("t_old")
     )
-    p_new = F.col("n_new") / F.col("t_new") + PSI_SMOOTH
-    p_old = F.col("n_old") / F.col("t_old") + PSI_SMOOTH
+    # nz: a snapshot where one side is entirely absent for a source
+    # (first load, a source created after the cutover) gives t = 0 —
+    # the PSI for that source becomes NULL instead of an ANSI crash
+    p_new = F.col("n_new") / nz(F.col("t_new")) + PSI_SMOOTH
+    p_old = F.col("n_old") / nz(F.col("t_old")) + PSI_SMOOTH
     return (
         counts.join(totals, on="source")
         .select(

@@ -543,9 +543,15 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 1), "
-                    "i -> struct(element_at(ws, i) AS w1, "
-                    "element_at(ws, i + 1) AS w2))"
+                    # total expression: greatest() keeps sequence()
+                    # ascending and try_element_at keeps the i + 1
+                    # probe from an ANSI INVALID_ARRAY_INDEX on the
+                    # 1-word rows the size filter discards — both
+                    # no-ops on surviving rows (see the
+                    # ngram_jaccard_pairs hoisting note)
+                    "transform(sequence(1, greatest(size(ws) - 1, 1)), "
+                    "i -> struct(try_element_at(ws, i) AS w1, "
+                    "try_element_at(ws, i + 1) AS w2))"
                 )
             ).alias("b")
         )

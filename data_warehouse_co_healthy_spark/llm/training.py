@@ -418,8 +418,12 @@ def train_linear_probe(spark: SparkSession, sf_dir: str):
         n_total, n_pos = counts["n"], counts["npos"]
         # class-balanced loss weights: each class contributes half the
         # total gradient mass regardless of its share of the corpus
-        w_pos = n_total / (2.0 * n_pos)
-        w_neg = n_total / (2.0 * (n_total - n_pos))
+        # max(.., 1): a single-class corpus slice (every doc passes or
+        # every doc fails the heuristic label) makes one class empty —
+        # the balanced weights degrade to plain weighting instead of a
+        # driver-side ZeroDivisionError; on two-class data identical
+        w_pos = n_total / (2.0 * max(n_pos, 1))
+        w_neg = n_total / (2.0 * max(n_total - n_pos, 1))
         dim = len(e.select("emb").first()["emb"])
         w = np.zeros(dim + 1)  # bias last
 
@@ -567,14 +571,19 @@ def _bpe_merges_from_counts(
     vocab = vocab.coalesce(max(1, n_vocab // _VOCAB_ROWS_PER_TASK + 1))
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
-        # size >= 2 guard: Spark's sequence() runs DESCENDING when the
-        # stop is below the start, so size-1 words would index 0
+        # size >= 2 guard PLUS a total expression: Spark's sequence()
+        # runs DESCENDING when the stop is below the start, and
+        # optimizer-inferred generator filters can evaluate hoisted
+        # subexpressions before the guard short-circuits (see the
+        # ngram_jaccard_pairs note) — greatest() keeps the sequence
+        # ascending and try_element_at keeps the i + 1 probe total on
+        # the size-1 words the filter discards
         pairs = vocab.filter(F.size("s") >= 2).select(
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(s) - 1), "
-                    "i -> struct(element_at(s, i) AS l, "
-                    "element_at(s, i + 1) AS r))"
+                    "transform(sequence(1, greatest(size(s) - 1, 1)), "
+                    "i -> struct(try_element_at(s, i) AS l, "
+                    "try_element_at(s, i + 1) AS r))"
                 )
             ).alias("p"),
             "cnt",

@@ -26,6 +26,7 @@ from ..functions.numeric import (
     money_avg_sql,
     money_sum,
     money_sum_sql,
+    nz,
 )
 
 
@@ -888,10 +889,14 @@ def distribution_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(F.sqrt("m2"), 4).alias("stddev_pop"),
-        F.round(F.col("m3") / F.pow("m2", 1.5), 4).alias("skewness_pop"),
-        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 4).alias(
-            "excess_kurtosis_pop"
+        # nz: a zero-variance group (constant metric) has m2 = 0 and
+        # undefined skew/kurtosis — NULL beats an ANSI crash
+        F.round(F.col("m3") / nz(F.pow("m2", 1.5)), 4).alias(
+            "skewness_pop"
         ),
+        F.round(
+            F.col("m4") / nz(F.col("m2") * F.col("m2")) - 3.0, 4
+        ).alias("excess_kurtosis_pop"),
     )
 
 
@@ -1092,9 +1097,11 @@ def revenue_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * F.col("sxy") - sx * F.col("sy")
     var_x_n = n * sxx - sx * sx
     var_y_n = n * F.col("syy") - F.col("sy") * F.col("sy")
-    slope = cov_n / var_x_n
+    # nz: a nation whose orders all land on ONE day has var_x = 0 —
+    # the OLS slope/r² are undefined there; NULL beats an ANSI crash
+    slope = cov_n / nz(var_x_n)
     intercept = (F.col("sy") - slope * sx) / n
-    r2 = (cov_n * cov_n) / (var_x_n * var_y_n)
+    r2 = (cov_n * cov_n) / nz(var_x_n * var_y_n)
     return g.select(
         "n_name",
         "n_orders",

@@ -1177,7 +1177,9 @@ def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_gaps",
         F.round(mu / 1e6, 4).alias("mean_gap_s"),
-        F.round((sg - mu) / (sg + mu), 6).alias("burstiness"),
+        # nz: all-identical timestamps (a replayed batch, a stuck
+        # producer) give sg = mu = 0 — NULL beats an ANSI crash
+        F.round((sg - mu) / nz(sg + mu), 6).alias("burstiness"),
     )
 
 

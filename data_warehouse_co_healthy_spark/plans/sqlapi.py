@@ -106,13 +106,16 @@ def sql_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured event properties through the VARIANT type
-    (Spark 4): ``parse_json`` once, typed ``variant_get`` extraction —
-    the schema-on-read path for ragged JSON at scale (binary-encoded
-    variant beats per-query string re-parsing of get_json_object)."""
+    (Spark 4): ``try_parse_json`` once, typed ``variant_get``
+    extraction — the schema-on-read path for ragged JSON at scale
+    (binary-encoded variant beats per-query string re-parsing of
+    get_json_object). try_: a malformed/empty props payload groups
+    under NULL instead of failing the scan — at 100 TB some producer
+    ALWAYS emits a bad record (plain parse_json is FAILFAST)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
-        SELECT variant_get(parse_json(props), '$.k', 'int') AS k,
+        SELECT variant_get(try_parse_json(props), '$.k', 'int') AS k,
                count(*) AS n_events,
                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS total_value
