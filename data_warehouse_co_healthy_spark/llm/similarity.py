@@ -107,6 +107,11 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not qrows:
+        # empty corpus slice: no queries, no result — not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, rk bigint, cos double"
+        )
     q_ids = np.array([r.vec_id for r in qrows])
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -337,6 +342,11 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     cents = trained_centroids(spark, sf_dir)
+    if not cents:
+        # empty corpus slice: nothing to index — not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, rk bigint, cos double"
+        )
     assigned = _assign(e, cents).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_raw"),
@@ -731,6 +741,11 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> list:
         .limit(PQ_TRAIN_N)
         .collect()
     )
+    if not rows:
+        # empty corpus slice: no codebooks to train — consumers
+        # early-return empty frames (not a crash)
+        _PQ_CODEBOOKS[sf_dir] = []
+        return []
     mat = np.stack([np.asarray(r.embedding, float) for r in rows])
     mat /= _seq_norms(mat)
     d = mat.shape[1]
@@ -774,7 +789,12 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap-rounded mse); ``_pq_adc_ranked`` consumes the array codes."""
     import numpy as np  # noqa: PLC0415
 
-    books = np.asarray(_pq_train(spark, sf_dir))  # M x K x sub
+    trained = _pq_train(spark, sf_dir)
+    if not trained:
+        return spark.createDataFrame(
+            [], "vec_id long, codes array<int>, recon_mse double"
+        )
+    books = np.asarray(trained)  # M x K x sub
 
     def encode(batches):
         for pdf in batches:
@@ -858,7 +878,7 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np  # noqa: PLC0415
 
-    books = np.asarray(_pq_train(spark, sf_dir))  # M x K x sub
+    trained = _pq_train(spark, sf_dir)
     e = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
@@ -867,6 +887,13 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     )
+    if not trained or not qrows:
+        # empty corpus slice: no codes, no queries — not a crash
+        return spark.createDataFrame(
+            [],
+            "query_id long, cand_id long, adc_dist double, rk long",
+        )
+    books = np.asarray(trained)  # M x K x sub
     Q = np.stack([np.asarray(r.embedding, float) for r in qrows])
     Q /= _seq_norms(Q)
     qids = np.asarray([r.vec_id for r in qrows])

@@ -178,6 +178,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     centroids = trained_centroids(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid int, dist double"
+        )
     return _assign(emb, centroids).select(
         "vec_id", "cid", snap_round(F.col("dist"), 4).alias("dist")
     )
@@ -207,6 +211,10 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
     rows (k×d per task after map-side combine) — same O(k·d) driver
     traffic as the previous float-fold, now order-exact."""
     init = emb.orderBy("vec_id").limit(K_CLUSTERS).collect()
+    if not init:
+        # empty corpus slice: no centroids to train — consumers
+        # early-return empty frames (not a crash)
+        return []
     centroids = [list(r.embedding) for r in init]
     cached = emb.persist()
     try:
@@ -271,7 +279,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    assigned = _assign(emb, trained_centroids(spark, sf_dir)).select(
+    cents = trained_centroids(spark, sf_dir)
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, cid int, kept boolean, max_cos_kept double",
+        )
+    assigned = _assign(emb, cents).select(
         "vec_id", "embedding", "cid"
     )
 
@@ -345,6 +359,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     below is already that shape.
     """
     w_final = train_linear_probe(spark, sf_dir)
+    if w_final is None:
+        return spark.createDataFrame(
+            [],
+            "vec_id bigint, label bigint, score double, pred bigint",
+        )
     return score_linear_probe(_probe_inputs(spark, sf_dir), w_final)
 
 
@@ -416,6 +435,11 @@ def train_linear_probe(spark: SparkSession, sf_dir: str):
             F.count("*").alias("n"), F.sum("y").alias("npos")
         ).collect()[0]
         n_total, n_pos = counts["n"], counts["npos"]
+        if not n_total:
+            # empty corpus slice: no probe to train — callers
+            # early-return an empty scored frame (not a crash)
+            _PROBE_WEIGHTS[cache_key] = None
+            return None
         # class-balanced loss weights: each class contributes half the
         # total gradient mass regardless of its share of the corpus
         # max(.., 1): a single-class corpus slice (every doc passes or
@@ -851,6 +875,9 @@ def pca_moments(emb: DataFrame) -> tuple:
     import pandas as pd  # noqa: PLC0415
 
     probe = emb.select("embedding").limit(1).collect()
+    if not probe:
+        # empty corpus slice — callers early-return on n == 0
+        return 0, None, None
     dim = len(probe[0].embedding)
 
     def partials(batches):
@@ -917,6 +944,10 @@ def pca_whiten_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     n, s, g = pca_moments(emb)
+    if not n:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, proj array<double>"
+        )
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0  # enforce exact symmetry for eigh
@@ -982,7 +1013,13 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding"
     )
-    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    seeds = emb.orderBy("vec_id").limit(1).collect()
+    if not seeds:
+        # empty corpus slice: nothing to select — not a crash
+        return spark.createDataFrame(
+            [], "pick int, vec_id bigint, radius double"
+        )
+    seed = seeds[0]
     picks = [(int(seed.vec_id), 0.0)]
     state = emb.select(
         "vec_id",
@@ -1071,6 +1108,10 @@ def mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     n, s, g = pca_moments(emb)
+    if not n:
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, maha_sq double"
+        )
     mean = s / n
     cov = g / n - np.outer(mean, mean)
     cov = (cov + cov.T) / 2.0 + PCA_EPS * np.eye(len(mean))

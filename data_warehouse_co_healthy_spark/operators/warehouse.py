@@ -372,7 +372,9 @@ def fk_containment_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{parent_t}.{parent_c}",
                 n_child,
                 n_missing,
-                round(1.0 - n_missing / n_child, 6),
+                # containment of an EMPTY child key set is undefined —
+                # None beats a driver-side ZeroDivisionError
+                round(1.0 - n_missing / n_child, 6) if n_child else None,
             )
         )
     return spark.createDataFrame(

@@ -239,7 +239,15 @@ def revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_dec"
         )
     )
-    total = float(per_cust.agg(F.sum("revenue_dec")).first()[0])
+    total_raw = per_cust.agg(F.sum("revenue_dec")).first()[0]
+    if total_raw is None:
+        # empty orders slice: no curve — not a crash
+        return spark.createDataFrame(
+            [],
+            "o_custkey bigint, revenue double, rk bigint, "
+            "cum_share double",
+        )
+    total = float(total_raw)
     w = Window.orderBy(F.desc("revenue_dec"), "o_custkey")
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return per_cust.select(

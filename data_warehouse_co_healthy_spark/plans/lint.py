@@ -170,6 +170,16 @@ def divide_findings(df: DataFrame) -> list[str]:
     point of the lint is surfacing divisions nobody thought about,
     round 6's recurring ADVICE bug class).
 
+    KNOWN-UNSOUND by design: the optimistic Filter heuristic cleared 6
+    real crash sites in round 7 (e.g. burstiness's filter on n_gaps
+    does not imply sg + mu != 0). The sound counterpart is the DYNAMIC
+    sweep — tests/test_degenerate_sweep.py executes every registry
+    query under ANSI on a warehouse where every degenerate shape is
+    present — so the division of labor is: this lint reviews NEW
+    queries cheaply at plan level; the sweep is the ground-truth gate.
+    Tightening the heuristic instead would flood the allowlist with
+    hundreds of genuinely-guarded sites for no added safety.
+
     Returns human-readable findings; empty == lint-clean.
     """
     import json  # noqa: PLC0415

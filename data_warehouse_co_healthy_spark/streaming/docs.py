@@ -288,6 +288,11 @@ def streaming_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     w = train_linear_probe(spark, sf_dir)
+    if w is None:
+        raise ValueError(
+            "score_embeddings_stream: empty embeddings table — no "
+            "probe weights to serve (train on a non-empty corpus)"
+        )
     return score_linear_probe(read_embeddings_stream(spark, sf_dir), w)
 
 

@@ -207,3 +207,25 @@ def test_query_survives_degenerate_warehouse(ansi, degen_dir, name):
         for v in r:
             if isinstance(v, float):
                 assert not math.isinf(v), f"{name}: inf in {r}"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    """Tier 2: every table ZERO rows, schema-identical. At scale this
+    is a pruned-away partition, an over-tight filter, a first load —
+    the engine must return empty results, not IndexError/ZeroDivision
+    from a driver-side trainer's collect()."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("empty_warehouse"))
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        src = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(src.slice(0, 0), f"{d}/{t}.parquet")
+    return d
+
+
+@pytest.mark.parametrize("name", sorted(reg.QUERIES))
+def test_query_survives_empty_warehouse(ansi, empty_dir, name):
+    reg.QUERIES[name](ansi, empty_dir).collect()
