@@ -114,14 +114,18 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     q_ids = np.array([r.vec_id for r in qrows])
     q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # errstate: a zero vector normalizes to NaN by IEEE design
+    # (dropped by ranking); silence the per-task RuntimeWarning
+    with np.errstate(invalid="ignore", divide="ignore"):
+        q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
     bq_ids = spark.sparkContext.broadcast(q_ids)
     bq_mat = spark.sparkContext.broadcast(q_mat)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             c = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                c /= np.linalg.norm(c, axis=1, keepdims=True)
             sims = c @ bq_mat.value.T  # (batch, n_queries)
             for j, qid in enumerate(bq_ids.value):
                 yield pd.DataFrame(
@@ -747,7 +751,8 @@ def _pq_train(spark: SparkSession, sf_dir: str) -> list:
         _PQ_CODEBOOKS[sf_dir] = []
         return []
     mat = np.stack([np.asarray(r.embedding, float) for r in rows])
-    mat /= _seq_norms(mat)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        mat /= _seq_norms(mat)  # zero vector -> NaN row (IEEE)
     d = mat.shape[1]
     sub = d // PQ_M
     books = []
@@ -801,7 +806,8 @@ def _pq_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             m0 = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m0 /= _seq_norms(m0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                m0 /= _seq_norms(m0)
             sub = m0.shape[1] // PQ_M
             codes = np.empty((len(m0), PQ_M), dtype=np.int32)
             mse = np.zeros(len(m0))
@@ -895,7 +901,8 @@ def _pq_adc_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     books = np.asarray(trained)  # M x K x sub
     Q = np.stack([np.asarray(r.embedding, float) for r in qrows])
-    Q /= _seq_norms(Q)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        Q /= _seq_norms(Q)
     qids = np.asarray([r.vec_id for r in qrows])
     sub = Q.shape[1] // PQ_M
     # LUT[q, m, k] = ||query_q subvector m - codebook[m][k]||^2
