@@ -80,8 +80,9 @@ def _paired_prev_total(names: list[str], sf_dir: str):
     snapshot) into a temp worktree and run ITS bench.py as a
     subprocess on the intersection query list. Makes cross-round bench
     deltas same-machine-same-hour comparisons instead of guesses
-    (VERDICT r6 item 5). Returns (commit, total_sec, n_queries) or
-    (None, None, 0) when no snapshot exists or the run fails."""
+    (VERDICT r6 item 5). Returns (commit, total_sec, n_queries,
+    query_names) or (None, None, 0, []) when no snapshot exists or the
+    run fails."""
     import re  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import subprocess  # noqa: PLC0415
@@ -96,7 +97,7 @@ def _paired_prev_total(names: list[str], sf_dir: str):
         m = re.search(r"^([0-9a-f]{40}) round \d+: verdict",
                       log, re.MULTILINE)
         if not m:
-            return None, None, 0
+            return None, None, 0, []
         commit = m.group(1)
         wt = tempfile.mkdtemp(prefix="bench_prev_")
         try:
@@ -117,7 +118,8 @@ def _paired_prev_total(names: list[str], sf_dir: str):
                     if ln.startswith("{")][-1]
             parsed = json.loads(line)
             return (commit[:9], parsed["value"],
-                    len(parsed.get("queries", {})))
+                    len(parsed.get("queries", {})),
+                    list(parsed.get("queries", {})))
         finally:
             subprocess.run(
                 ["git", "worktree", "remove", "--force", wt],
@@ -125,7 +127,7 @@ def _paired_prev_total(names: list[str], sf_dir: str):
             )
             shutil.rmtree(wt, ignore_errors=True)
     except Exception:  # noqa: BLE001 - pairing is best-effort
-        return None, None, 0
+        return None, None, 0, []
 
 
 def main() -> None:
@@ -178,6 +180,12 @@ def main() -> None:
         # noise spikes while min() still reports the honest steady-state
         # cost (run 1 additionally absorbs plan-specific C2 compilation).
         for _ in range(5):
+            # cold per run: queries that persist() multi-consumer
+            # frames must rematerialize them every run, otherwise
+            # runs 2-5 time a cache hit no cold execution can match
+            # and min() reports a fiction (clear is OUTSIDE the
+            # timed window)
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
@@ -195,12 +203,19 @@ def main() -> None:
     # the calibration + pairing extras and print the bare line
     if not os.environ.get("SPARK_GRAFT_BENCH_PAIRED"):
         out["calibration_sec"] = _calibration_sec(spark)
-        prev_commit, prev_total, prev_n = _paired_prev_total(
-            names, sf_dir
+        prev_commit, prev_total, prev_n, prev_names = (
+            _paired_prev_total(names, sf_dir)
         )
         out["paired_prev_commit"] = prev_commit
         out["paired_prev_total_sec"] = prev_total
         out["paired_prev_n_queries"] = prev_n
+        # the COMPARABLE current number: previous-code bench silently
+        # drops queries its registry lacks, so restrict the current
+        # total to the intersection (else value - paired_prev reads as
+        # a fake regression equal to the new queries' runtime)
+        out["paired_current_subtotal_sec"] = round(
+            sum(timings[n] for n in prev_names if n in timings), 3
+        )
     print(json.dumps(out))
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table, spread
-from ..functions.numeric import nz
+from ..functions.numeric import nz, snap_round_sql
 
 N_QUERIES = 5   # query set = vec_id < 5
 TOP_K = 5
@@ -136,9 +136,20 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    scored = e.select("vec_id", "embedding").mapInPandas(
-        score, schema="query_id long, cand_id long, cos double"
-    ).filter(F.col("cand_id") != F.col("query_id"))
+    scored = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(
+            score, schema="query_id long, cand_id long, cos double"
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        # NaN (zero-vector pair) -> NULL: Spark sorts NaN ABOVE every
+        # double, so a NaN would otherwise occupy rk=1 — NULL matches
+        # the nz()-guarded expression twin (_scored), which sorts
+        # NULLs last under desc
+        .withColumn(
+            "cos", F.when(~F.isnan("cos"), F.col("cos"))
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -1017,11 +1028,22 @@ def ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from ..functions.numeric import snap_round  # noqa: PLC0415
+
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return (
         exact.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+        # snap_round (not plain round): the pre-round cos is
+        # bit-identical cross-engine by the sequential-fold design, so
+        # the round itself is the ONLY remaining divergence source —
+        # snap both engines to the same exact decimal first
+        .select(
+            "query_id",
+            "cand_id",
+            "rk",
+            snap_round(F.col("cos"), 4).alias("cos"),
+        )
     )
 
 
@@ -1808,6 +1830,9 @@ def _ann_ivf_kmeans_oracle() -> str:
 ORACLES["ann_ivf_kmeans"] = _ann_ivf_kmeans_oracle()
 
 _PQ_SUB = 64 // PQ_M  # subspace width on the 64-dim fixture embeddings
+# _pq_tree_d2 hardcodes the 8-leaf combine tree; a PQ_M change would
+# silently compute distances over the wrong width without this pin
+assert _PQ_SUB == 8, "_pq_tree_d2's combine tree is written for 8"
 
 # Sequential left fold over an (already ordered) list — DuckDB twin of
 # a Python `acc = 0.0; for v: acc += v` loop.
@@ -1957,8 +1982,9 @@ def _pq_oracle_ctes() -> str:
 """
 
 
-# snap_round_sql(x, 6) with a format slot (import avoided: literal twin)
-_SQL_SNAP6 = "CAST(round(CAST(({x}) AS DECIMAL(18,8)), 6) AS DOUBLE)"
+# snap_round_sql with a format slot — ONE definition of the
+# engine-portable snap rule (functions/numeric.py), not a local copy
+_SQL_SNAP6 = snap_round_sql("({x})", 6)
 
 ORACLES["pq_encode"] = _pq_oracle_ctes() + f"""
     SELECT vec_id,
@@ -1987,7 +2013,9 @@ ORACLES["ann_pq_refine"] = _pq_oracle_ctes() + f"""
         JOIN embeddings q ON q.vec_id = s.query_id
         JOIN embeddings c ON c.vec_id = s.cand_id
     )
-    SELECT query_id, cand_id, rk, round(cos, 4) AS cos FROM (
+    SELECT query_id, cand_id, rk,
+           CAST(round(CAST(cos AS DECIMAL(18,8)), 4) AS DOUBLE) AS cos
+    FROM (
         SELECT query_id, cand_id, cos,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cos DESC, cand_id)::BIGINT

@@ -235,13 +235,17 @@ def lloyd_centroids(emb: DataFrame) -> list[list[float]]:
                 (r["cid"], r["pos"]): float(r["s"]) / r["n"]
                 for r in parts
             }
-            # empty clusters keep their previous centroid
+            # empty clusters keep their previous centroid. Iterate
+            # len(centroids), NOT K_CLUSTERS: a slice with 1..K-1 rows
+            # trains that many centroids (init is the available rows)
+            # — indexing centroids[K_CLUSTERS-1] would IndexError. The
+            # oracle's init (QUALIFY k < K) caps the same way.
             centroids = [
                 [
                     new.get((c, p), centroids[c][p])
                     for p in range(len(centroids[c]))
                 ]
-                for c in range(K_CLUSTERS)
+                for c in range(len(centroids))
             ]
     finally:
         cached.unpersist()
@@ -290,9 +294,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math  # noqa: PLC0415
+
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        # errstate: a zero vector normalizes to a NaN row by IEEE
+        # design; its cosines are undefined -> reported as NULL below
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
         kept_rows: list[int] = []
         kept, max_cos = [], []
         for i in range(len(pdf)):
@@ -307,8 +316,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept.append(ok)
             # RAW cosine out of the Arrow task; the engine-portable
             # snap_round happens in the select below (Python round()
-            # is banker's, F.round is HALF_UP — the recurring trap)
-            max_cos.append(mc)
+            # is banker's, F.round is HALF_UP — the recurring trap).
+            # NaN (zero-vector member) -> NULL: no defined cosine.
+            max_cos.append(mc if math.isfinite(mc) else None)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],

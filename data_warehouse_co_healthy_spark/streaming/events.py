@@ -261,8 +261,13 @@ def running_user_totals_exact(events: DataFrame) -> DataFrame:
             # 1e-6 absolute is orders of magnitude above float error
             # on value*100 yet far below the 0.5 a sub-cent digit
             # produces.
-            if not ((prod - r).abs() < 1e-6).all():
-                bad = pdf["value"][(prod - r).abs() >= 1e-6].iloc[0]
+            ok = (prod - r).abs() < 1e-6
+            if not ok.all():
+                # select with ~ok, NOT >= 1e-6: a NaN/inf value fails
+                # BOTH comparisons, which would leave the bad-row
+                # selection empty and turn the designed error into an
+                # opaque IndexError
+                bad = pdf["value"][~ok].iloc[0]
                 raise ValueError(
                     "running_user_totals_exact requires exact-2dp "
                     f"money values; got {bad!r}"

@@ -202,11 +202,11 @@ def ansi(spark):
 def test_query_survives_degenerate_warehouse(ansi, degen_dir, name):
     rows = reg.QUERIES[name](ansi, degen_dir).collect()
     # sanity on what does come back: no query may emit a non-finite
-    # double the driver hash can't represent stably
+    # double (inf OR NaN) — undefined values must surface as NULL
     for r in rows:
         for v in r:
             if isinstance(v, float):
-                assert not math.isinf(v), f"{name}: inf in {r}"
+                assert math.isfinite(v), f"{name}: non-finite in {r}"
 
 
 @pytest.fixture(scope="module")
@@ -229,3 +229,44 @@ def empty_dir(spark, tmp_path_factory):
 @pytest.mark.parametrize("name", sorted(reg.QUERIES))
 def test_query_survives_empty_warehouse(ansi, empty_dir, name):
     reg.QUERIES[name](ansi, empty_dir).collect()
+
+
+@pytest.fixture(scope="module")
+def tiny_emb_dir(spark, tmp_path_factory):
+    """Tier 3 (targeted): 1 < n < every clustering constant — the gap
+    between the 20-vector degenerate tier and the zero-row tier. A
+    3-vector corpus slice must train 3 centroids, not index
+    centroids[K_CLUSTERS-1]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("tiny_emb"))
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((3, 64)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {"vec_id": [0, 1, 2],
+             "embedding": [v.tolist() for v in emb],
+             "label": [0, 1, 0]},
+            schema=pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float32())),
+                 ("label", pa.int32())]
+            ),
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return d
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["kmeans_embeddings", "semantic_dedup", "ann_ivf_kmeans",
+     "kcenter_coreset", "pq_encode", "ann_pq_adc", "ann_pq_refine",
+     "cosine_topk_pandas", "pca_whiten_embeddings",
+     "mahalanobis_outliers", "quality_classifier"],
+)
+def test_trainers_survive_fewer_rows_than_clusters(
+    ansi, tiny_emb_dir, name
+):
+    reg.QUERIES[name](ansi, tiny_emb_dir).collect()

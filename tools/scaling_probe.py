@@ -169,6 +169,9 @@ def main() -> None:
         for sf_dir, _ in SFS:
             best = float("inf")
             for _ in range(3):
+                # cold per run: in-query persist() caches must
+                # rematerialize, else runs 2-3 time a cache hit
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).count()
                 best = min(best, time.perf_counter() - t0)
@@ -224,6 +227,7 @@ def main() -> None:
         for name in HEAVY_SF1:
             best = float("inf")
             for _ in range(3):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 queries[name](spark, SF1_DIR).count()
                 best = min(best, time.perf_counter() - t0)
