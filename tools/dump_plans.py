@@ -109,6 +109,12 @@ SHOWCASE = [
         "Morton layout planner: codegen div/mod interleave, one data "
         "scan to the (zfile, lfile) grain, tiny re-aggregates",
     ),
+    (
+        "ann_pq_adc",
+        "PQ-ADC ANN: codebooks ride the closure, encode + LUT-gather "
+        "are Arrow map-only stages, the ONLY exchange is the final "
+        "per-query ranking window",
+    ),
 ]
 
 
