@@ -198,6 +198,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        # protocol marker: since round-7 wave 11 every timed run is
+        # COLD (clearCache per run), so totals are NOT comparable with
+        # r6-and-earlier recordings for queries that persist()
+        # multi-consumer frames — use paired_prev_total_sec vs
+        # paired_current_subtotal_sec for the honest same-protocol,
+        # same-machine, same-hour comparison
+        "timing_protocol": "cold-per-run (clearCache before each run)",
     }
     # nested paired runs (we ARE the previous-round subprocess) skip
     # the calibration + pairing extras and print the bare line
