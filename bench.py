@@ -77,12 +77,19 @@ def _calibration_sec(spark) -> float:
 def _paired_prev_total(names: list[str], sf_dir: str):
     """Same-day A/B against the PREVIOUS round's code: check out the
     last 'round N: verdict/...' commit (the driver's end-of-round
-    snapshot) into a temp worktree and run ITS bench.py as a
+    snapshot) into a temp worktree and time its registry as a
     subprocess on the intersection query list. Makes cross-round bench
     deltas same-machine-same-hour comparisons instead of guesses
-    (VERDICT r6 item 5). Returns (commit, total_sec, n_queries,
-    query_names) or (None, None, 0, []) when no snapshot exists or the
-    run fails."""
+    (VERDICT r6 item 5).
+
+    PROTOCOL-MATCHED since round 7: the subprocess runs THIS file
+    (copied into the worktree) over the OLD registry, so both sides
+    time cold-per-run — the historical snapshot's own bench.py cleared
+    cache once per query and would read warm for persisted subtrees,
+    turning the wave-11 protocol change into a fake code regression.
+
+    Returns (commit, total_sec, n_queries, query_names) or
+    (None, None, 0, []) when no snapshot exists or the run fails."""
     import re  # noqa: PLC0415
     import shutil  # noqa: PLC0415
     import subprocess  # noqa: PLC0415
@@ -109,8 +116,12 @@ def _paired_prev_total(names: list[str], sf_dir: str):
             env["SPARK_GRAFT_BENCH_PAIRED"] = "1"
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             env["SPARK_GRAFT_BENCH_QUERIES"] = ",".join(names)
+            # ship the CURRENT harness into the worktree: same
+            # timing protocol on both sides, old code under test
+            harness = os.path.join(wt, "bench_paired_protocol.py")
+            shutil.copyfile(os.path.abspath(__file__), harness)
             out = subprocess.run(
-                [sys.executable, os.path.join(wt, "bench.py")],
+                [sys.executable, harness],
                 cwd=wt, env=env, capture_output=True, text=True,
                 timeout=1800,
             ).stdout
@@ -220,8 +231,12 @@ def main() -> None:
         # drops queries its registry lacks, so restrict the current
         # total to the intersection (else value - paired_prev reads as
         # a fake regression equal to the new queries' runtime)
-        out["paired_current_subtotal_sec"] = round(
-            sum(timings[n] for n in prev_names if n in timings), 3
+        out["paired_current_subtotal_sec"] = (
+            round(
+                sum(timings[n] for n in prev_names if n in timings), 3
+            )
+            if prev_total is not None
+            else None  # pairing failed: no comparable number exists
         )
     print(json.dumps(out))
 

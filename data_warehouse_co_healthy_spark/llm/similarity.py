@@ -142,13 +142,13 @@ def cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             score, schema="query_id long, cand_id long, cos double"
         )
         .filter(F.col("cand_id") != F.col("query_id"))
-        # NaN (zero-vector pair) -> NULL: Spark sorts NaN ABOVE every
-        # double, so a NaN would otherwise occupy rk=1 — NULL matches
-        # the nz()-guarded expression twin (_scored), which sorts
-        # NULLs last under desc
-        .withColumn(
-            "cos", F.when(~F.isnan("cos"), F.col("cos"))
-        )
+        # zero-vector pairs score NaN in numpy, but PySpark's Arrow
+        # serializer masks NaN float output to NULL (series.isnull()
+        # is True for NaN) — verified empirically — so what reaches
+        # the ranking is NULL, which sorts LAST under desc exactly
+        # like the nz()-guarded expression twin (_scored). No extra
+        # guard needed here; if the serializer contract ever changes,
+        # the degenerate sweep's isfinite assertion catches it.
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     return (
@@ -1832,7 +1832,9 @@ ORACLES["ann_ivf_kmeans"] = _ann_ivf_kmeans_oracle()
 _PQ_SUB = 64 // PQ_M  # subspace width on the 64-dim fixture embeddings
 # _pq_tree_d2 hardcodes the 8-leaf combine tree; a PQ_M change would
 # silently compute distances over the wrong width without this pin
-assert _PQ_SUB == 8, "_pq_tree_d2's combine tree is written for 8"
+# (if/raise, not assert: asserts vanish under python -O)
+if _PQ_SUB != 8:
+    raise RuntimeError("_pq_tree_d2's combine tree is written for 8")
 
 # Sequential left fold over an (already ordered) list — DuckDB twin of
 # a Python `acc = 0.0; for v: acc += v` loop.
@@ -2014,7 +2016,7 @@ ORACLES["ann_pq_refine"] = _pq_oracle_ctes() + f"""
         JOIN embeddings c ON c.vec_id = s.cand_id
     )
     SELECT query_id, cand_id, rk,
-           CAST(round(CAST(cos AS DECIMAL(18,8)), 4) AS DOUBLE) AS cos
+           {snap_round_sql('cos', 4)} AS cos
     FROM (
         SELECT query_id, cand_id, cos,
                row_number() OVER (PARTITION BY query_id

@@ -294,8 +294,6 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        import math  # noqa: PLC0415
-
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         # errstate: a zero vector normalizes to a NaN row by IEEE
@@ -307,18 +305,25 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(pdf)):
             if kept_rows:
                 sims = mat[kept_rows] @ mat[i]
-                mc = float(sims.max())
+                # FINITE max only: a zero vector's cosines are NaN —
+                # plain max() would poison the whole cell after the
+                # first zero-vector keep (NaN < threshold is False,
+                # dropping every later member); undefined similarity
+                # must neither block a keep nor justify a drop. SQL
+                # max ignores NULLs the same way.
+                finite = sims[np.isfinite(sims)]
+                mc = float(finite.max()) if finite.size else None
             else:
                 mc = 0.0
-            ok = mc < SEMDEDUP_COS
+            ok = mc is None or mc < SEMDEDUP_COS
             if ok:
                 kept_rows.append(i)
             kept.append(ok)
             # RAW cosine out of the Arrow task; the engine-portable
             # snap_round happens in the select below (Python round()
             # is banker's, F.round is HALF_UP — the recurring trap).
-            # NaN (zero-vector member) -> NULL: no defined cosine.
-            max_cos.append(mc if math.isfinite(mc) else None)
+            # None (zero-vector member) -> NULL: no defined cosine.
+            max_cos.append(mc)
         return pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
