@@ -550,51 +550,62 @@ ESS_MIN_RUN = 20     # minimum shared-run length (chars) to report
 ESS_MAX_OCC = 200    # corpus occurrence cap per gram (skew guard)
 
 
-def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shared-substring spans between documents (the
-    'Deduplicating Training Data Makes Language Models Better'
-    Lee et al. 2021 shape, Spark-expressed): every maximal run of
-    ESS_MIN_RUN+ characters appearing VERBATIM in two documents, with
-    both start offsets and the run length — the operator that catches
-    boilerplate/licence blocks and copied passages that token-level
-    Jaccard smooths over.
-
-    Dataflow instead of a suffix array: overlapping ESS_K-char grams
-    with their positions, a corpus occurrence cap (ESS_MAX_OCC — the
-    same visible skew guard as MAX_DOCFREQ; at 100 TB also swap the
-    raw gram string for a 64-bit fingerprint before the shuffle, the
-    chunk_dedup trade), an in-bucket pair join, then gaps-and-islands
-    per (pair, diagonal): consecutive matching positions on one
-    diagonal (pos_a - pos_b constant) collapse into ONE maximal run
-    via pos - row_number islands. Shuffles: gram window, pair join,
-    island window at matched-position grain — no all-pairs stage
-    anywhere."""
+def _exact_substring_matches(
+    spark: SparkSession, sf_dir: str, max_occ: int
+) -> DataFrame:
+    """Parameterized core of exact_substring_matches — ``max_occ`` is
+    the corpus occurrence cap, exposed so the committed cap curve
+    (SCALING_MEASURED.md, tools/ess_cap_curve.py) can measure the
+    knob's cost/recall trade at sf1 without editing the module
+    constant."""
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = spread(load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.lower("text").alias("t")).filter(
         F.length("t") >= ESS_K
     )
+    # 64-bit gram fingerprint BEFORE any shuffle (the chunk_dedup
+    # trade, promised by the round-7 docstring and now real): the raw
+    # ESS_K-char gram string never leaves the scan stage — every
+    # exchange downstream moves (doc_id, pos, fp) at a fixed 24 bytes
+    # per row instead of a variable-length string. Collision math: a
+    # false positional match needs TWO distinct grams with equal
+    # xxhash64 (p ≈ n²/2⁶⁵; n = 10⁹ distinct grams → ~3%), and a false
+    # REPORTED run needs ESS_MIN_RUN - ESS_K + 1 = 9 consecutive
+    # colliding positions on one diagonal (p < 10⁻¹⁰⁰) — fingerprinting
+    # does not change match semantics in any observable way.
     grams = t.select(
         "doc_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(1, length(t) - {ESS_K - 1}), "
-                f"i -> substr(t, i, {ESS_K}))"
+                f"i -> xxhash64(substr(t, i, {ESS_K})))"
             )
-        ).alias("p0", "g"),
-    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "g")
-    capped = grams.withColumn(
-        "oc", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("oc") <= ESS_MAX_OCC)
+        ).alias("p0", "fp"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "fp")
+    # Occurrence cap as a partial-aggregating groupBy + join instead of
+    # the round-6 count-window: the window shuffled EVERY gram
+    # occurrence (no map-side combine) to count corpus frequency; the
+    # groupBy ships one (fp, partial_count) row per distinct gram per
+    # task — on boilerplate-heavy corpora (the measured sf1 adversary:
+    # a fixed 31-word vocabulary, every gram frequent) that is orders
+    # of magnitude fewer shuffled bytes. The surviving rare-fp set then
+    # joins back; AQE broadcasts it when small.
+    keep = (
+        grams.groupBy("fp")
+        .agg(F.count("*").alias("oc"))
+        .filter(F.col("oc") <= max_occ)
+        .select("fp")
+    )
+    capped = grams.join(keep, on="fp")
     a = capped.select(
-        "g", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
+        "fp", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a")
     )
     b = capped.select(
-        "g", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
+        "fp", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b")
     )
     m = (
-        a.join(b, on="g")
+        a.join(b, on="fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
@@ -618,6 +629,30 @@ def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= ESS_MIN_RUN)
         .select("doc_a", "doc_b", "a_start", "b_start", "run_len")
     )
+
+
+def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring spans between documents (the
+    'Deduplicating Training Data Makes Language Models Better'
+    Lee et al. 2021 shape, Spark-expressed): every maximal run of
+    ESS_MIN_RUN+ characters appearing VERBATIM in two documents, with
+    both start offsets and the run length — the operator that catches
+    boilerplate/licence blocks and copied passages that token-level
+    Jaccard smooths over.
+
+    Dataflow instead of a suffix array: overlapping ESS_K-char grams
+    fingerprinted to 64 bits at the scan (collision math in the core's
+    comment — semantics unchanged), a corpus occurrence cap
+    (ESS_MAX_OCC — the same visible skew guard as MAX_DOCFREQ,
+    computed with map-side combine and joined back), an in-bucket pair
+    join, then gaps-and-islands per (pair, diagonal): consecutive
+    matching positions on one diagonal (pos_a - pos_b constant)
+    collapse into ONE maximal run via pos - row_number islands.
+    Shuffles: fp-count groupBy (partial-agg), keep-join, pair join,
+    island window at matched-position grain — no all-pairs stage
+    anywhere. The cap's measured cost/recall curve at sf1 lives in
+    SCALING_MEASURED.md (tools/ess_cap_curve.py regenerates it)."""
+    return _exact_substring_matches(spark, sf_dir, ESS_MAX_OCC)
 
 
 # Cross-snapshot split: docs with doc_id % SNAP_MOD == 0 model the
@@ -724,6 +759,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .select(F.col("d").alias("doc_id"), "label")
         )
+    # Materialize the final labels (cutting their lineage off the
+    # cached edge list), then release the cache — same hygiene as
+    # dedup_connected_components. Without this the persist outlived
+    # the query: harmless once, a slow executor-memory leak in a loop.
+    labels = labels.localCheckpoint()
+    edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -1177,12 +1177,19 @@ def _token_jaccard_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_search_rrf(
+    spark: SparkSession, sf_dir: str, scored: DataFrame | None = None
+) -> DataFrame:
     """Hybrid retrieval: lexical ranking (distinct-token Jaccard between
     the query document and every candidate) fused with semantic ranking
     (exact cosine over the aligned ``embeddings`` vectors) by Reciprocal
     Rank Fusion — score = Σ 1/(K + rank), the standard RAG-stack merge
     of a keyword index and a vector index (Cormack et al. 2009).
+
+    ``scored`` lets a composing eval (retrieval_ndcg) hand in an
+    already-persisted cosine-scoring frame so the corpus scoring pass
+    materializes ONCE across the ranking and the judge; standalone
+    calls build their own.
 
     Scale posture: the query side of both lists is broadcast (query
     token set and query vectors are O(n_queries)); the candidate scan is
@@ -1204,7 +1211,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_sem = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     sem = (
-        _scored(spark, sf_dir)
+        (_scored(spark, sf_dir) if scored is None else scored)
         .withColumn("cos_rk", F.row_number().over(w_sem).cast("long"))
         .filter(F.col("cos_rk") <= RRF_SHORTLIST)
         .select("query_id", "cand_id", "cos_rk")
@@ -1278,24 +1285,23 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: joins run at result-list grain (TOP_K rows per
     query); the only corpus-sized work is the cosine scoring pass both
     the ranking and the judge already share."""
-    # persist(): hybrid feeds gains AND hits, scored feeds gains AND
-    # the ideal ranking (and hybrid_search_rrf recomputes the same
-    # scoring internally) — unaliased subplans re-execute per consumer;
-    # the cache-deduped shuffle audit showed this eval instantiating
-    # the corpus scoring pass 3x+ (34 static exchanges before the
-    # persists). scored is data-sized -> persist, not checkpoint.
-    hybrid = hybrid_search_rrf(spark, sf_dir).select(
+    # persist(): hybrid feeds gains AND hits, scored feeds gains, the
+    # ideal ranking AND (passed in) hybrid's semantic leg — unaliased
+    # subplans re-execute per consumer; the cache-deduped shuffle audit
+    # showed this eval instantiating the corpus scoring pass 3x+ (34
+    # static exchanges before the persists; VERDICT r7 item 7 then
+    # deduped the ranking's internal scoring leg onto this SAME cache
+    # via the scored= handoff). scored is data-sized -> persist, not
+    # checkpoint.
+    scored = _scored(spark, sf_dir).persist()
+    hybrid = hybrid_search_rrf(spark, sf_dir, scored=scored).select(
         "query_id", "cand_id", "fused_rk"
     ).persist()
-    scored = _scored(spark, sf_dir).persist()
     gains = hybrid.join(scored, on=["query_id", "cand_id"]).select(
         "query_id",
         "cand_id",
         "fused_rk",
-        F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
-    )
-    dcg = gains.groupBy("query_id").agg(
-        F.sum(F.col("gain") / F.log2(F.col("fused_rk") + 1)).alias("dcg")
+        F.greatest(F.col("cos"), F.lit(0.0)).alias("gain_h"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
     ideal = (
@@ -1305,32 +1311,28 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "cand_id",
             "irk",
-            F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
+            F.greatest(F.col("cos"), F.lit(0.0)).alias("gain_i"),
         )
     )
-    ideal = ideal.persist()  # feeds idcg AND the semi-join below
-    idcg = ideal.groupBy("query_id").agg(
-        F.sum(F.col("gain") / F.log2(F.col("irk") + 1)).alias("idcg")
+    # One full-outer merge of the two judged lists + ONE groupBy
+    # computes dcg, idcg AND the first relevant hit together (sum/min
+    # skip the nulls the outer join leaves on one-sided rows) — the
+    # round-7 shape ran three separate aggregates and re-joined them,
+    # ~5 more shortlist-grain exchanges for identical output.
+    both = gains.join(ideal, on=["query_id", "cand_id"], how="full")
+    per_q = both.groupBy("query_id").agg(
+        F.sum(F.col("gain_h") / F.log2(F.col("fused_rk") + 1)).alias("dcg"),
+        F.sum(F.col("gain_i") / F.log2(F.col("irk") + 1)).alias("idcg"),
+        F.min(
+            F.when(F.col("irk").isNotNull(), F.col("fused_rk"))
+        ).alias("first_hit"),
     )
-    hits = (
-        hybrid.join(
-            ideal.select("query_id", "cand_id"),
-            on=["query_id", "cand_id"],
-            how="left_semi",
-        )
-        .groupBy("query_id")
-        .agg(F.min("fused_rk").alias("first_hit"))
-    )
-    return (
-        dcg.join(idcg, on="query_id")
-        .join(hits, on="query_id", how="left")
-        .select(
-            "query_id",
-            F.round(F.col("dcg") / nz(F.col("idcg")), 4).alias("ndcg"),
-            F.round(
-                F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 4
-            ).alias("mrr"),
-        )
+    return per_q.select(
+        "query_id",
+        F.round(F.col("dcg") / nz(F.col("idcg")), 4).alias("ndcg"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit"), F.lit(0.0)), 4
+        ).alias("mrr"),
     )
 
 

@@ -231,18 +231,16 @@ PRIORITY: tuple[str, ...] = (
     # scd2_user_state — warehouse family keeps zorder_layout_profile;
     # k_anonymity_audit, incremental_agg_refresh, cusum_changepoints,
     # sql_recursive_hierarchy — all r5/r6-green, locally oracle-tested,
-    # shapes retained as noted above): six never-driver-graded
-    # oracle-backed slots — the applyInPandasWithState multi-micro-
-    # batch stateful drain (the one executor path previously only
-    # twin-pinned), the round-6 Z-order layout flagship, the EM-fitted
-    # linkage, near-dup cluster labeling, the event-sequence Markov
-    # transition matrix, and the Heaps-law vocabulary growth fit
+    # shapes retained as noted above): the applyInPandasWithState
+    # multi-micro-batch stateful drain stays (the custom-state executor
+    # path); its five tenth-wave peers (zorder_layout_profile,
+    # fellegi_sunter_em, dedup_cluster_labels, event_transition_matrix,
+    # vocab_growth_heaps) rotated out twelfth wave below — all
+    # r7-green, locally oracle-tested, families stay repped
+    # (warehouse via bucketed_join_revenue, linkage via
+    # snm_adjacent_pairs, near-dup labels via dedup_cc_star, stats
+    # screens via ks/burstiness/mann_kendall/chi2).
     "stream_stateful_totals_drain",
-    "zorder_layout_profile",
-    "fellegi_sunter_em",
-    "dedup_cluster_labels",
-    "event_transition_matrix",
-    "vocab_growth_heaps",
     # round-7 addition (out: hill_tail_index — r6-green, stats family
     # keeps burstiness/ks/js/chi2/mann_kendall): the K2 bucketed-table
     # sink graded end-to-end — a staged co-bucketed write feeding an
@@ -251,15 +249,33 @@ PRIORITY: tuple[str, ...] = (
     "bucketed_join_revenue",
     # round-7 eleventh wave (out: bm25_search, roc_auc_by_source,
     # js_divergence_sources — all r6-green, locally oracle-tested,
-    # families stay repped as noted above): the three ops whose
-    # iterative float pipelines were ORACLED this round (exact-decimal
-    # / fixed-fold-order replays) get their first full value-hash
-    # driver grades — the trained-IVF ANN serve path, the PQ-ADC
-    # compressed-domain ANN path (its plan embeds the pq_encode
-    # encoder), and the k-center greedy coreset
+    # families stay repped as noted above): the trained-IVF ANN serve
+    # path keeps its slot; its eleventh-wave peers ann_pq_adc and
+    # kcenter_coreset rotated out twelfth wave (both r7-green —
+    # ann_pq_refine below grades the SAME pq_encode+ADC plan plus the
+    # exact-refine stage, so the PQ family now grades strictly more;
+    # training keeps kmeans_embeddings/semantic_dedup in-window).
     "ann_ivf_kmeans",
-    "ann_pq_adc",
-    "kcenter_coreset",
+    # round-8 rotation, twelfth wave (out: the seven r7-green slots
+    # noted above). Seven never-driver-graded oracle-backed slots —
+    # the round-6/7 oracle flagships whose exact-DECIMAL /
+    # recursive-CTE / fixed-fold-order oracles were the hardest oracle
+    # work of those rounds, plus the one remaining ungraded executor
+    # path: PageRank over the near-dup graph (exact-DECIMAL per-round
+    # sums), the k-core peel (recursive-CTE oracle), BPE merge+segment
+    # (fixed-fold-order oracle), embedding k-means and the semantic
+    # dedup built on it (exact-DECIMAL replay oracles), PQ encode→ADC
+    # shortlist→exact refine (completes the PQ family), and the
+    # stream-stream JOIN drain (symmetric-hash join state — the last
+    # streaming executor path never driver-graded; OHLC and
+    # stateful-totals drains stay in-window).
+    "pagerank_near_dup",
+    "kcore_near_dup",
+    "bpe_segment",
+    "semantic_dedup",
+    "kmeans_embeddings",
+    "ann_pq_refine",
+    "stream_join_drain",
 )
 
 

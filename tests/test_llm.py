@@ -101,6 +101,32 @@ def test_cluster_labels_are_canonical_min(spark):
     assert set(labels.cluster_id) <= set(labels.doc_id)
 
 
+def test_cluster_labels_release_edge_cache(spark):
+    """The edge-list persist must not outlive the query (VERDICT r7
+    item 5): every persistent RDD the query ADDS must be a
+    localCheckpoint block (reclaimed when the result is GC'd), never a
+    plain .persist() cache — those need the explicit unpersist the CC
+    variant always had."""
+
+    def persistent(sc):
+        out = {}
+        it = sc._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            r = it.next()
+            out[int(r.id())] = r
+        return out
+
+    before = set(persistent(spark.sparkContext))
+    dedup.dedup_cluster_labels(spark, SF_DIR)
+    after = persistent(spark.sparkContext)
+    leaked = [
+        rid
+        for rid, r in after.items()
+        if rid not in before and not bool(r.isLocallyCheckpointed())
+    ]
+    assert not leaked, f"persisted (non-checkpoint) RDDs leaked: {leaked}"
+
+
 def test_pack_sequences_bins_are_monotonic(spark):
     """Within a source, pack ids never decrease in doc order and every
     pack except possibly the last is 'opened' below the target length."""

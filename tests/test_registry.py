@@ -71,7 +71,7 @@ def test_driver_window_keeps_family_representation():
         "llm_similarity": {"cosine_topk", "hybrid_search_rrf"},
         "multimodal": {"image_decode_stats"},
         "warehouse": {"scd2_user_state", "surrogate_keys",
-                      "zorder_layout_profile"},
+                      "zorder_layout_profile", "bucketed_join_revenue"},
     }
     window = set(reg.PRIORITY)
     missing = [fam for fam, names in families.items()

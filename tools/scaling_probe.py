@@ -132,6 +132,14 @@ PROBES = [
     "stream_stateful_totals_drain",
     "stream_join_drain",
     "fact_retiro_star",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q18_large_orders",
+    "role_playing_dim",
+    "minhash_signatures",
+    "ann_pq_adc",
+    "bucketed_join_revenue",
+    "kmeans_embeddings",
 ]
 
 # The 10 heaviest ops get one more decade (sf1, ~6M lineitem / 50k
@@ -150,6 +158,39 @@ HEAVY_SF1 = [
     "dedup_graph_triangles",
     "tfidf_cosine_pairs",
     "snm_adjacent_pairs",
+    # VERDICT r7 item 6: every bench-headline query gets a measured
+    # last-decade slope (the ones above already had sf1 rows; these
+    # complete the HEADLINE list in bench.py)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q18_large_orders",
+    "star_join_revenue",
+    "role_playing_dim",
+    "window_topk_per_group",
+    "dedup_exact",
+    "minhash_signatures",
+    "cosine_topk",
+    "asof_join",
+    "semantic_dedup",
+    "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "fact_formula_star",
+    "fact_facturacion_star",
+    "fact_retiro_star",
+    "image_decode_stats",
+    "attribution_report",
+    "kaplan_meier_churn",
+    "js_divergence_sources",
+    "holt_forecast_by_nation",
+    "stream_ohlc_drain",
+    "stream_stateful_totals_drain",
+    "bucketed_join_revenue",
+    "stream_join_drain",
+    "kcore_near_dup",
+    "kmeans_embeddings",
+    "ann_pq_refine",
+    "retrieval_ndcg",
 ]
 
 
