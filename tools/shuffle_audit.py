@@ -44,10 +44,12 @@ JUSTIFIED = {
         "fixture-only spread() round-robins that no-op at scale"
     ),
     "retrieval_ndcg": (
-        "eval harness composing THREE pipelines run once each: the "
-        "full hybrid ranking (its own ~10 exchanges), the exact-"
-        "cosine judge pass, and the per-query eval joins — all "
-        "shortlist-grain after the scoring passes"
+        "eval harness composing the hybrid ranking (its own ~10 "
+        "exchanges), the exact-cosine judge and the per-query eval "
+        "joins; round-8 deduped the ranking's internal scoring leg "
+        "onto the eval's persisted scored frame and fused the eval "
+        "tail into one outer join + one groupBy (20 -> 15) — what "
+        "remains is each stage once, shortlist-grain after scoring"
     ),
     "dedup_cluster_labels": (
         "N_LABEL_ITERS bounded min-label propagation rounds over a "
