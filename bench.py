@@ -52,6 +52,13 @@ HEADLINE = [
     "stream_ohlc_drain",     # streaming path floor: windowed state drain
     "stream_stateful_totals_drain",  # applyInPandasWithState drain
     "bucketed_join_revenue",  # bucketed sink + exchange-free SMJ
+    # round-8 slots: the twelfth-rotation flagships driver-graded this
+    # round (ann_pq_adc above keeps the ADC-only point comparable)
+    "stream_join_drain",     # stream-stream join state drain
+    "kcore_near_dup",        # iterative degree peel
+    "kmeans_embeddings",     # Lloyd iterations, exact-DECIMAL replay
+    "ann_pq_refine",         # PQ shortlist + exact re-rank
+    "retrieval_ndcg",        # composed eval (r8: deduped to 15 exch)
 ]
 
 

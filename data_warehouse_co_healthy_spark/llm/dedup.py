@@ -655,6 +655,64 @@ def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_substring_matches(spark, sf_dir, ESS_MAX_OCC)
 
 
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated text SPANS per document — the output Lee et
+    al. 2021 actually materialize (and cut) when dedup runs at training
+    scale: for each document, every maximal character span of
+    ESS_MIN_RUN+ in which EVERY overlapping ESS_K-gram occurs at least
+    twice in the corpus. Unlike ``exact_substring_matches`` (pair
+    grain: who shares with whom, cost ~ Σ min(occ,cap)² pair rows —
+    the measured sf1 cost driver), this is span grain: no pair join
+    exists anywhere, so cost is LINEAR in corpus size regardless of
+    gram skew and there is no occurrence cap to tune. A span here may
+    be stitched from grams duplicated against DIFFERENT partners —
+    exactly Lee et al.'s removal criterion (the span's every window
+    exists elsewhere), not a claim of one contiguous partner match;
+    use the pair-grain operator when provenance matters.
+
+    Plan: 64-bit gram fingerprints at the scan (same collision math as
+    exact_substring_matches), ONE partial-aggregating groupBy(fp) for
+    the duplicated-gram set, one join back (AQE broadcasts it when
+    small), then per-document gaps-and-islands over duplicated
+    positions — shuffles: fp groupBy, dup-join, doc-grain island
+    window. At 100 TB each stage is scan-proportional."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.lower("text").alias("t")).filter(
+        F.length("t") >= ESS_K
+    )
+    grams = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {ESS_K - 1}), "
+                f"i -> xxhash64(substr(t, i, {ESS_K})))"
+            )
+        ).alias("p0", "fp"),
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "fp")
+    dup = (
+        grams.groupBy("fp")
+        .agg(F.count("*").alias("oc"))
+        .filter(F.col("oc") >= 2)
+        .select("fp")
+    )
+    hit = grams.join(dup, on="fp").select("doc_id", "pos")
+    iw = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hit.withColumn(
+        "island", F.col("pos") - F.row_number().over(iw)
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") - F.min("pos") + ESS_K).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= ESS_MIN_RUN)
+        .select("doc_id", "span_start", "span_len")
+    )
+
+
 # Cross-snapshot split: docs with doc_id % SNAP_MOD == 0 model the
 # newly-crawled batch; the rest model the previously-ingested corpus.
 SNAP_MOD = 3
@@ -1834,6 +1892,7 @@ QUERIES = {
     "ngram_containment_pairs": ngram_containment_pairs,
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "exact_substring_matches": exact_substring_matches,
+    "duplicate_spans": duplicate_spans,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
     "ngram_novelty": ngram_novelty,
@@ -2442,6 +2501,31 @@ ORACLES["exact_substring_matches"] = f"""
            (max(pos_a) - min(pos_a) + {ESS_K})::BIGINT AS run_len
     FROM isl GROUP BY doc_a, doc_b, diag, island
     HAVING max(pos_a) - min(pos_a) + {ESS_K} >= {ESS_MIN_RUN}
+"""
+
+ORACLES["duplicate_spans"] = f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+        WHERE length(lower(text)) >= {ESS_K}
+    ), g AS (
+        SELECT doc_id, i::BIGINT AS pos, substr(t, i, {ESS_K}) AS g
+        FROM t,
+             LATERAL (SELECT unnest(generate_series(
+                 1, length(t) - {ESS_K - 1})) AS i)
+    ), dup AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+    ), hit AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (g)
+    ), isl AS (
+        SELECT doc_id, pos, pos - row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos
+        ) AS island FROM hit
+    )
+    SELECT doc_id,
+           min(pos)::BIGINT AS span_start,
+           (max(pos) - min(pos) + {ESS_K})::BIGINT AS span_len
+    FROM isl GROUP BY doc_id, island
+    HAVING max(pos) - min(pos) + {ESS_K} >= {ESS_MIN_RUN}
 """
 
 ORACLES["chunk_dedup_reassemble"] = f"""

@@ -255,6 +255,74 @@ def test_exact_substring_matches_bruteforce(spark, texts):
     assert got == want
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=60),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_duplicate_spans_bruteforce(spark, texts):
+    """The span-grain dedup operator must report exactly the maximal
+    per-document spans whose every ESS_K-gram occurs >= 2 times in the
+    corpus (counting all occurrences, same-doc included), on
+    low-entropy strings — maximum gram-collision pressure for the
+    xxhash64 fingerprint path."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        ESS_K,
+        ESS_MIN_RUN,
+        duplicate_spans,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="dspan_prop_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    low = [t.lower() for t in texts]
+    from collections import Counter
+
+    occ = Counter(
+        t[i : i + ESS_K]
+        for t in low
+        for i in range(len(t) - ESS_K + 1)
+    )
+    want = set()
+    for doc_id, t in enumerate(low):
+        dup_pos = [
+            i + 1
+            for i in range(len(t) - ESS_K + 1)
+            if occ[t[i : i + ESS_K]] >= 2
+        ]
+        run = []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                span_len = run[-1] - run[0] + ESS_K
+                if span_len >= ESS_MIN_RUN:
+                    want.add((doc_id, run[0], span_len))
+                run = []
+            if p is not None:
+                run.append(p)
+    got = {
+        (int(r.doc_id), int(r.span_start), int(r.span_len))
+        for r in duplicate_spans(spark, d).collect()
+    }
+    assert got == want
+
+
 def _events_parquet(rows):
     """Write a synthetic events fixture; rows = (user_id, event_type,
     offset_sec). Returns the directory."""
