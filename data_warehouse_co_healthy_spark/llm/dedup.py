@@ -651,7 +651,10 @@ def exact_substring_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles: fp-count groupBy (partial-agg), keep-join, pair join,
     island window at matched-position grain — no all-pairs stage
     anywhere. The cap's measured cost/recall curve at sf1 lives in
-    SCALING_MEASURED.md (tools/ess_cap_curve.py regenerates it)."""
+    SCALING_MEASURED.md (tools/ess_cap_curve.py regenerates it).
+    When the frequent-gram tail itself is the target (boilerplate /
+    licence blocks), use ``duplicate_spans`` — span grain, no pair
+    join, linear in corpus size, no cap to tune."""
     return _exact_substring_matches(spark, sf_dir, ESS_MAX_OCC)
 
 

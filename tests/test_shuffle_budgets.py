@@ -55,6 +55,19 @@ BUDGETS = {
     # zorder profile: 1 data-sized exchange (the (zfile, lfile) grain
     # groupBy); the other 4 are <=16-row zone/stack re-aggregates
     "zorder_layout_profile": 5,
+    # round-8 bench additions (twelfth-rotation flagships) + the two
+    # reworked dedup operators
+    "kcore_near_dup": 1,
+    "kmeans_embeddings": 1,
+    "ann_pq_refine": 5,
+    # eval harness composing three pipelines once each (justified in
+    # SHUFFLES.md; r8 deduped 20 -> 15)
+    "retrieval_ndcg": 15,
+    # fp-count groupBy + keep-join + pair join + island window (+
+    # fixture-only spread round-robins)
+    "exact_substring_matches": 7,
+    # fp groupBy + dup join + per-doc island window (+ spread)
+    "duplicate_spans": 4,
 }
 
 
