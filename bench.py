@@ -54,7 +54,7 @@ HEADLINE = [
     "bucketed_join_revenue",  # bucketed sink + exchange-free SMJ
     # round-8 slots: the twelfth-rotation flagships driver-graded this
     # round (ann_pq_adc above keeps the ADC-only point comparable)
-    "stream_join_drain",     # stream-stream join state drain
+    "stream_join_multibatch_drain",  # cross-batch join state drain
     "kcore_near_dup",        # iterative degree peel
     "kmeans_embeddings",     # Lloyd iterations, exact-DECIMAL replay
     "ann_pq_refine",         # PQ shortlist + exact re-rank

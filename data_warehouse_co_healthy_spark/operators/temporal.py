@@ -2019,6 +2019,43 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_multibatch_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades CROSS-BATCH stream-stream join state: the
+    purchase→click attribution join executed over FOUR event-time-
+    ordered micro-batches (events range-partitioned on ts, one file
+    per trigger in ts order — read_events_stream_ordered). Under
+    ordered arrival no input is ever late, and an inner join whose
+    event-time horizon (24 h here — wide enough that matches straddle
+    the fixture's batch boundaries, verified in tests) is below the
+    watermark delay (48 h) loses no cross-batch match: a buffered
+    click is evicted at the end of batch k only when watermark =
+    max_ts(k) − 48 h has passed it, by which point every purchase
+    within its 24-h horizon (≤ click_ts + 24 h < eviction threshold +
+    48 h ≤ max_ts(k)) has already arrived and matched. The drained
+    append-mode result therefore equals the batch join EXACTLY — the
+    oracle — while the execution path it certifies is the one the
+    single-batch ``stream_join_drain`` cannot: symmetric-hash join
+    state persisted ACROSS micro-batches, watermark advance, and state
+    eviction. (Unordered multi-batch arrival remains ungraded by
+    design: cross-batch matches become late-data drops — semantics
+    documented on purchase_attribution.)"""
+    from ..streaming.events import (  # noqa: PLC0415
+        purchase_attribution,
+        read_events_stream_ordered,
+    )
+
+    res = purchase_attribution(
+        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        horizon_min=24 * 60,
+        watermark="48 hours",
+    )
+    return _drain_bounded(
+        spark, res, "stream_join_multibatch_sink", "append"
+    )
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2107,6 +2144,7 @@ QUERIES = {
     "stream_ohlc_drain": stream_ohlc_drain,
     "stream_stateful_totals_drain": stream_stateful_totals_drain,
     "stream_join_drain": stream_join_drain,
+    "stream_join_multibatch_drain": stream_join_multibatch_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2448,6 +2486,20 @@ ORACLES["stream_join_drain"] = """
       ON c.user_id = p.user_id
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+# the multi-batch drain replays the same batch-join semantics through
+# four ordered micro-batches with a 24-h horizon (no-late-input proof
+# in its docstring; wide horizon so matches straddle batch boundaries)
+ORACLES["stream_join_multibatch_drain"] = """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 24 HOUR
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 

@@ -674,6 +674,64 @@ def read_events_stream_parts(
     )
 
 
+def read_events_stream_ordered(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """Multi-micro-batch file stream in EVENT-TIME ORDER: the events
+    table range-partitioned on ``ts`` into ``n_parts`` files, staged
+    with strictly increasing modification times, read one file per
+    trigger — so batch k+1 contains only events with ts >= every event
+    of batch k (range partitioning guarantees the order property for
+    ANY sampled boundaries; part-00000 is the lowest range). This is
+    the local stand-in for the common production reality of a
+    roughly-time-ordered source (Kafka with event-time ≈ ingest-time,
+    hourly file drops), under which NO input is ever late relative to
+    the watermark — the precondition that makes cross-batch
+    stream-stream JOIN state exactly replayable against a batch oracle
+    (see stream_join_multibatch_drain). FileStreamSource picks files
+    oldest-mtime-first (latestFirst=false default); mtimes are pinned
+    1s apart so the order is deterministic, never a same-second tie."""
+    import glob as _glob
+    import os
+
+    from ..catalog import load_table
+    from .docs import _staged_dir  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events")
+
+    def build(d: str) -> None:
+        batch.repartitionByRange(n_parts, F.col("ts")).write.mode(
+            "overwrite"
+        ).parquet(d)
+        # part-0000i is range partition i (ascending ts); pin mtimes
+        # to the same ascending order, 1 s apart
+        t0 = 1_600_000_000
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        ):
+            os.utime(f, (t0 + i, t0 + i))
+
+    staged = _staged_dir(
+        f"events_ordered{n_parts}",
+        sf_dir,
+        "events_ordered_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC
+        # so the cast preserves the wall-clock value (same handling as
+        # read_events_stream)
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def merge_user_totals_sink(spark: SparkSession, target: str):
     """foreachBatch MERGE: each micro-batch's per-user aggregates are
     upserted into a versioned parquet table (matched rows accumulate,

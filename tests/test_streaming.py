@@ -198,6 +198,95 @@ def test_stream_stream_join_matches_batch(spark, stream):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_multibatch_join_crosses_batches_and_matches_batch(spark):
+    """The ordered multi-batch drain must (a) equal the batch join
+    exactly and (b) actually exercise CROSS-batch join state on the
+    fixtures — some matches must straddle a micro-batch boundary, else
+    the 'cross-batch' grade is hollow. (b) pins the staging geometry:
+    if the horizon or range partitioning changes so no match crosses
+    files anymore, this fails loudly rather than silently downgrading
+    the certified path."""
+    import glob
+    import os
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_join_multibatch_drain,
+    )
+    from data_warehouse_co_healthy_spark.streaming.docs import _STAGED_DIRS
+
+    got = (
+        stream_join_multibatch_drain(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["event_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    want = (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+            ),
+        )
+        .select("event_id", "user_id", "purchase_ts", "click_id", "click_ts")
+        .toPandas()
+        .sort_values(["event_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # (b): at least one match joins events from two different staged
+    # files (micro-batches)
+    d = [v for k, v in _STAGED_DIRS.items() if k[0] == "events_ordered4"]
+    assert d, "ordered staging dir not built"
+    files = sorted(glob.glob(os.path.join(d[0], "part-*.parquet")))
+    assert len(files) == 4
+    batched = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(f).withColumn("b", F.lit(i))
+            for i, f in enumerate(files)
+        ],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = batched.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("pts"),
+        F.col("b").alias("pb"),
+    )
+    c = batched.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("cts"),
+        F.col("b").alias("cb"),
+    )
+    cross = (
+        p.join(c, "u")
+        .filter(
+            (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS"))
+            & (F.col("pb") != F.col("cb"))
+        )
+        .count()
+    )
+    assert cross > 0, "no match straddles a micro-batch boundary"
+
+
 def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     """Exactly-once across restart: a checkpointed foreachBatch stream
     stopped and restarted against the SAME checkpoint must not re-emit

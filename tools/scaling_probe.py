@@ -131,6 +131,8 @@ PROBES = [
     "stream_ohlc_drain",
     "stream_stateful_totals_drain",
     "stream_join_drain",
+    "stream_join_multibatch_drain",
+    "duplicate_spans",
     "fact_retiro_star",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -186,7 +188,8 @@ HEAVY_SF1 = [
     "stream_ohlc_drain",
     "stream_stateful_totals_drain",
     "bucketed_join_revenue",
-    "stream_join_drain",
+    "stream_join_multibatch_drain",
+    "duplicate_spans",
     "kcore_near_dup",
     "kmeans_embeddings",
     "ann_pq_refine",
