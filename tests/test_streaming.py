@@ -254,7 +254,14 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
 
     # (b): at least one match joins events from two different staged
     # files (micro-batches)
-    d = [v for k, v in _STAGED_DIRS.items() if k[0] == "events_ordered4"]
+    # key on sf_dir too: the degenerate/empty-warehouse sweeps stage
+    # their own events_ordered4 dirs under other sf_dirs in the same
+    # session, and picking one of those made this assert vacuous-false
+    d = [
+        v
+        for k, v in _STAGED_DIRS.items()
+        if k[0] == "events_ordered4" and k[1] == SF_DIR
+    ]
     assert d, "ordered staging dir not built"
     files = sorted(glob.glob(os.path.join(d[0], "part-*.parquet")))
     assert len(files) == 4
