@@ -23,6 +23,11 @@ SHOWCASE = [
     ("gapfill_forward", "dense grid + LOCF sharing one user_id shuffle"),
     ("interval_overlap_join", "interval x interval as bucketized equi-join"),
     ("topk_agg_per_group", "sort-free top-k: partial-agg'd collect + slice"),
+    (
+        "duplicate_spans",
+        "span-grain Lee-et-al dedup: fp groupBy + dup join + per-doc "
+        "islands, no pair join",
+    ),
     ("dq_expectation_report", "N rules = one conditional-sum scan"),
     (
         "fact_facturacion_star",
