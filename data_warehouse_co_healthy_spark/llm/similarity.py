@@ -1285,18 +1285,25 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture: joins run at result-list grain (TOP_K rows per
     query); the only corpus-sized work is the cosine scoring pass both
     the ranking and the judge already share."""
-    # persist(): hybrid feeds gains AND hits, scored feeds gains, the
-    # ideal ranking AND (passed in) hybrid's semantic leg — unaliased
-    # subplans re-execute per consumer; the cache-deduped shuffle audit
-    # showed this eval instantiating the corpus scoring pass 3x+ (34
-    # static exchanges before the persists; VERDICT r7 item 7 then
-    # deduped the ranking's internal scoring leg onto this SAME cache
-    # via the scored= handoff). scored is data-sized -> persist, not
-    # checkpoint.
+    # persist(): scored feeds gains, the ideal ranking AND (passed in)
+    # hybrid's semantic leg — unaliased subplans re-execute per
+    # consumer; the cache-deduped shuffle audit showed this eval
+    # instantiating the corpus scoring pass 3x+ (34 static exchanges
+    # before the persist; VERDICT r7 item 7 then deduped the ranking's
+    # internal scoring leg onto this SAME cache via the scored=
+    # handoff). The cache is deliberately session-lifetime (same
+    # posture as tfidf_cosine_pairs' tf/w/wn): an eager checkpoint
+    # would release it but also truncate the returned plan and blind
+    # the shuffle-budget guard (tests/test_shuffle_budgets.py); loop
+    # callers use spark.catalog.clearCache() between iterations —
+    # exactly what bench.py's cold-per-run protocol does. hybrid lost
+    # its second consumer in the round-8 eval-tail fusion (first_hit
+    # now comes from the same outer join as dcg/idcg), so it is no
+    # longer persisted.
     scored = _scored(spark, sf_dir).persist()
     hybrid = hybrid_search_rrf(spark, sf_dir, scored=scored).select(
         "query_id", "cand_id", "fused_rk"
-    ).persist()
+    )
     gains = hybrid.join(scored, on=["query_id", "cand_id"]).select(
         "query_id",
         "cand_id",

@@ -2000,14 +2000,15 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     join operator and drained to an append-mode sink. The bounded
     file source delivers ONE micro-batch, so no input can be late
     relative to the watermark and the drained result equals the batch
-    join exactly — which is the DuckDB oracle. (The multi-batch
-    variant is deliberately NOT graded: with arrival order
-    uncorrelated with event time, cross-batch matches become
-    late-data drops by DESIGN — that semantics is documented on
-    purchase_attribution and exercised in streaming tests.)
-    Completes the graded streaming triptych: windowed state
-    (stream_ohlc_drain), arbitrary custom state
-    (stream_stateful_totals_drain), and join state (this)."""
+    join exactly — which is the DuckDB oracle. (Only the UNORDERED
+    multi-batch variant stays ungraded by design — with arrival order
+    uncorrelated with event time, cross-batch matches become late-data
+    drops, semantics documented on purchase_attribution; the ORDERED
+    multi-batch variant IS graded: stream_join_multibatch_drain
+    certifies join state persisted across micro-batches.) Completes
+    the graded streaming triptych: windowed state (stream_ohlc_drain),
+    arbitrary custom state (stream_stateful_totals_drain), and join
+    state (this + the multibatch drain)."""
     from ..streaming.events import (  # noqa: PLC0415
         purchase_attribution,
         read_events_stream,

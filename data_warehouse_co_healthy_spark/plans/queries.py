@@ -277,10 +277,11 @@ PRIORITY: tuple[str, ...] = (
     "ann_pq_refine",
     # The join slot grades the MULTI-batch variant: event-time-ordered
     # staging makes cross-batch join state exactly batch-replayable
-    # (46 of 860 fixture matches straddle a micro-batch boundary —
-    # pinned in test_streaming), so it certifies strictly more than
-    # the single-batch stream_join_drain (which stays registered and
-    # locally oracle-tested).
+    # (test_streaming pins that cross-batch matches EXIST — >0, not a
+    # specific count; 46 of 860 measured on the round-8 fixture), so
+    # it certifies strictly more than the single-batch
+    # stream_join_drain (which stays registered and locally
+    # oracle-tested).
     "stream_join_multibatch_drain",
 )
 

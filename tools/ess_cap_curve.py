@@ -51,7 +51,6 @@ def pair_rows(spark, sf_dir: str, cap: int) -> int:
     )
     per_fp = grams.groupBy("fp").agg(
         F.count("*").alias("oc"),
-        F.count_distinct("doc_id").alias("nd"),
     ).filter(F.col("oc") <= cap)
     # doc_a < doc_b pair rows per gram = (oc² - Σ_doc occ_doc²) / 2;
     # approximate cheaply with the exact same-doc correction:

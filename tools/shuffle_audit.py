@@ -73,6 +73,30 @@ JUSTIFIED = {
     ),
 }
 
+#: Queries whose returned frame is localCheckpoint-truncated: their
+#: exchanges execute INSIDE the query call (the checkpoint is eager)
+#: but the returned plan is a bare checkpoint scan, so the static
+#: audit books them at ~0. Recorded here with their last
+#: pre-truncation audited counts so the budget stays reviewable —
+#: a regression inside these queries shows up in bench/SCALING
+#: timings, not in this table.
+CHECKPOINT_TRUNCATED = {
+    "dedup_cluster_labels": (
+        "~11 data shuffles at call time (r7 audit, before the r8 "
+        "leak fix moved the result behind an eager localCheckpoint): "
+        "N_LABEL_ITERS bounded propagation rounds over the persisted "
+        "edge list, ~3 exchanges/round"
+    ),
+    "dedup_connected_components": (
+        "converged min-label propagation: 2-3 exchanges per round at "
+        "call time, bounded rounds, per-round localCheckpoint"
+    ),
+    "dedup_cc_star": (
+        "large-star/small-star contraction: 2-4 exchanges per round "
+        "at call time, O(log^2 n) rounds, per-round localCheckpoint"
+    ),
+}
+
 _ARROW_CLASSES = {
     "ArrowEvalPythonExec",
     "MapInPandasExec",
@@ -188,12 +212,27 @@ def main() -> None:
             f"- `{name}`: {reason}" if reason
             else f"- `{name}`: UNJUSTIFIED — investigate"
         )
+    lines += [
+        "",
+        "## Checkpoint-truncated queries (exchanges execute at call "
+        "time, invisible above)",
+        "",
+        "These return an eagerly localCheckpoint-ed frame: the static "
+        "plan the audit walks is a bare checkpoint scan, so the table "
+        "books ~0 where the call actually runs the counts below. "
+        "Regressions here surface in bench/SCALING timings, not in "
+        "this table.",
+        "",
+    ]
+    for name, note in sorted(CHECKPOINT_TRUNCATED.items()):
+        lines.append(f"- `{name}`: {note}")
     total = sum(r[1] or 0 for r in rows)
     n = len(rows)
     lines += [
         "",
         f"**{n} queries, {total} data-sized exchanges total "
-        f"({total / n:.1f}/query, cache-deduped).**",
+        f"({total / n:.1f}/query, cache-deduped; checkpoint-truncated "
+        f"queries above excluded from the total by construction).**",
         "",
     ]
     with open("/root/repo/SHUFFLES.md", "w") as f:
