@@ -716,6 +716,91 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al TRANSFORMATION, end to end: remove every
+    ``duplicate_spans`` span from its document and emit the cleaned
+    (lowercased — spans are positions in the case-folded text) result
+    per doc: merged-span count, characters cut, cleaned length, and
+    the cleaned text's md5 (full text stays executor-side; the hash
+    keeps the oracle comparison compact, same recipe as
+    pii_redaction). Detection → cut is the whole dedup last mile.
+
+    Char spans from different gram islands can overlap by up to
+    ESS_K−1 chars (an island's span extends ESS_K−1 past its last
+    duplicated position), so spans are first MERGED per document
+    (classic interval merge: running-max-end window → group → min/max)
+    and the cut then folds the sorted merged spans once per doc
+    (F.aggregate over a per-doc array bounded by span count), copying
+    the kept segments between them.
+
+    Scale posture: inherits duplicate_spans' linear stages; the merge
+    adds one doc-grain window over SPAN rows (≪ gram rows) and the
+    fold is per-doc work proportional to output size. No pair join
+    anywhere."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    spans = duplicate_spans(spark, sf_dir).select(
+        "doc_id",
+        F.col("span_start").alias("ms0"),
+        (F.col("span_start") + F.col("span_len") - 1).alias("me0"),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("ms0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("ms0")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        spans.withColumn(
+            "ng",
+            (
+                F.col("ms0")
+                > F.coalesce(F.max("me0").over(w_prev), F.lit(0))
+            ).cast("int"),
+        )
+        .withColumn("grp", F.sum("ng").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("ms0").alias("ms"), F.max("me0").alias("me"))
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ms"), F.col("me")))
+        ).alias("spans"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms") + 1).alias("chars_cut"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower("text").alias("t")
+    )
+    cleaned = F.when(F.col("spans").isNull(), F.col("t")).otherwise(
+        F.expr(
+            "aggregate(spans, struct(CAST(1 AS BIGINT) AS pos, '' AS txt), "
+            "(acc, s) -> struct(s.me + 1 AS pos, "
+            "concat(acc.txt, substr(t, CAST(acc.pos AS INT), "
+            "CAST(s.ms - acc.pos AS INT))) AS txt), "
+            "acc -> concat(acc.txt, substr(t, CAST(acc.pos AS INT), "
+            "CAST(length(t) - acc.pos + 1 AS INT))))"
+        )
+    )
+    return (
+        docs.join(per_doc, on="doc_id", how="left")
+        .withColumn("clean", cleaned)
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("chars_cut"), F.lit(0))
+            .cast("long")
+            .alias("chars_cut"),
+            F.length("clean").cast("long").alias("clean_len"),
+            F.md5("clean").alias("clean_fp"),
+        )
+    )
+
+
 # Cross-snapshot split: docs with doc_id % SNAP_MOD == 0 model the
 # newly-crawled batch; the rest model the previously-ingested corpus.
 SNAP_MOD = 3
@@ -1896,6 +1981,7 @@ QUERIES = {
     "tfidf_cosine_pairs": tfidf_cosine_pairs,
     "exact_substring_matches": exact_substring_matches,
     "duplicate_spans": duplicate_spans,
+    "cut_duplicate_spans": cut_duplicate_spans,
     "cross_snapshot_dedup": cross_snapshot_dedup,
     "dedup_editdist_rerank": dedup_editdist_rerank,
     "ngram_novelty": ngram_novelty,
@@ -2529,6 +2615,75 @@ ORACLES["duplicate_spans"] = f"""
            (max(pos) - min(pos) + {ESS_K})::BIGINT AS span_len
     FROM isl GROUP BY doc_id, island
     HAVING max(pos) - min(pos) + {ESS_K} >= {ESS_MIN_RUN}
+"""
+
+ORACLES["cut_duplicate_spans"] = f"""
+    WITH d AS (
+        SELECT doc_id, lower(text) AS t FROM documents
+    ), tk AS (
+        SELECT doc_id, t FROM d WHERE length(t) >= {ESS_K}
+    ), g AS (
+        SELECT doc_id, i::BIGINT AS pos, substr(t, i, {ESS_K}) AS g
+        FROM tk,
+             LATERAL (SELECT unnest(generate_series(
+                 1, length(t) - {ESS_K - 1})) AS i)
+    ), dup AS (
+        SELECT g FROM g GROUP BY g HAVING count(*) >= 2
+    ), hit AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (g)
+    ), isl AS (
+        SELECT doc_id, pos, pos - row_number() OVER (
+            PARTITION BY doc_id ORDER BY pos
+        ) AS island FROM hit
+    ), spans AS (
+        SELECT doc_id, min(pos) AS ms0, max(pos) + {ESS_K - 1} AS me0
+        FROM isl GROUP BY doc_id, island
+        HAVING max(pos) - min(pos) + {ESS_K} >= {ESS_MIN_RUN}
+    ), flag AS (
+        SELECT doc_id, ms0, me0,
+               CASE WHEN ms0 > coalesce(max(me0) OVER (
+                   PARTITION BY doc_id ORDER BY ms0
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) THEN 1 ELSE 0 END AS ng
+        FROM spans
+    ), grp AS (
+        SELECT *, sum(ng) OVER (
+            PARTITION BY doc_id ORDER BY ms0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS grp FROM flag
+    ), merged AS (
+        SELECT doc_id, min(ms0) AS ms, max(me0) AS me
+        FROM grp GROUP BY doc_id, grp
+    ), stats AS (
+        SELECT doc_id, count(*)::BIGINT AS n_spans,
+               sum(me - ms + 1)::BIGINT AS chars_cut
+        FROM merged GROUP BY doc_id
+    ), segs AS (
+        SELECT doc_id,
+               coalesce(lag(me) OVER (
+                   PARTITION BY doc_id ORDER BY ms
+               ), 0) + 1 AS ss,
+               ms - 1 AS se
+        FROM merged
+        UNION ALL
+        SELECT doc_id, max(me) + 1 AS ss, NULL AS se
+        FROM merged GROUP BY doc_id
+    ), agg AS (
+        SELECT s.doc_id,
+               string_agg(
+                   substr(d.t, ss::INT,
+                          (coalesce(se, length(d.t)) - ss + 1)::INT),
+                   '' ORDER BY ss
+               ) AS txt
+        FROM segs s JOIN d USING (doc_id) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(x.n_spans, 0)::BIGINT AS n_spans,
+           coalesce(x.chars_cut, 0)::BIGINT AS chars_cut,
+           length(coalesce(a.txt, d.t))::BIGINT AS clean_len,
+           md5(coalesce(a.txt, d.t)) AS clean_fp
+    FROM d LEFT JOIN stats x USING (doc_id)
+           LEFT JOIN agg a USING (doc_id)
 """
 
 ORACLES["chunk_dedup_reassemble"] = f"""

@@ -323,6 +323,99 @@ def test_duplicate_spans_bruteforce(spark, texts):
     assert got == want
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=60),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_cut_duplicate_spans_bruteforce(spark, texts):
+    """The cut transformation must equal a pure-python replay: find
+    duplicated positions, island them into spans, merge overlapping
+    char spans, cut them out of the lowercased text, and compare the
+    cleaned text (via md5 + length), span count and chars cut."""
+    import hashlib
+    import os
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from data_warehouse_co_healthy_spark.llm.dedup import (
+        ESS_K,
+        ESS_MIN_RUN,
+        cut_duplicate_spans,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+        }
+    )
+    docs["n_chars"] = docs.text.str.len().astype("int64")
+    d = tempfile.mkdtemp(prefix="dcut_prop_")
+    docs.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+
+    low = [t.lower() for t in texts]
+    occ = Counter(
+        t[i : i + ESS_K]
+        for t in low
+        for i in range(len(t) - ESS_K + 1)
+    )
+
+    def spans_of(t: str) -> list:
+        dup_pos = [
+            i + 1
+            for i in range(len(t) - ESS_K + 1)
+            if occ[t[i : i + ESS_K]] >= 2
+        ]
+        out, run = [], []
+        for p in dup_pos + [None]:
+            if run and (p is None or p != run[-1] + 1):
+                if run[-1] - run[0] + ESS_K >= ESS_MIN_RUN:
+                    out.append((run[0], run[-1] + ESS_K - 1))
+                run = []
+            if p is not None:
+                run.append(p)
+        return out
+
+    want = {}
+    for doc_id, t in enumerate(low):
+        merged = []
+        for ms, me in spans_of(t):  # already sorted by start
+            if merged and ms <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], me))
+            else:
+                merged.append((ms, me))
+        clean, cur = [], 1
+        for ms, me in merged:
+            clean.append(t[cur - 1 : ms - 1])
+            cur = me + 1
+        clean.append(t[cur - 1 :])
+        txt = "".join(clean)
+        want[doc_id] = (
+            len(merged),
+            sum(me - ms + 1 for ms, me in merged),
+            len(txt),
+            hashlib.md5(txt.encode()).hexdigest(),
+        )
+    got = {
+        int(r.doc_id): (
+            int(r.n_spans),
+            int(r.chars_cut),
+            int(r.clean_len),
+            r.clean_fp,
+        )
+        for r in cut_duplicate_spans(spark, d).collect()
+    }
+    assert got == want
+
+
 def _events_parquet(rows):
     """Write a synthetic events fixture; rows = (user_id, event_type,
     offset_sec). Returns the directory."""

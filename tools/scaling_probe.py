@@ -133,6 +133,7 @@ PROBES = [
     "stream_join_drain",
     "stream_join_multibatch_drain",
     "duplicate_spans",
+    "cut_duplicate_spans",
     "fact_retiro_star",
     "q3_shipping_priority",
     "q5_local_supplier",
