@@ -59,6 +59,7 @@ HEADLINE = [
     "kmeans_embeddings",     # Lloyd iterations, exact-DECIMAL replay
     "ann_pq_refine",         # PQ shortlist + exact re-rank
     "retrieval_ndcg",        # composed eval (r8: deduped to 15 exch)
+    "stream_dedup_drain",    # dedup state-store drops, 4 ordered batches
 ]
 
 

@@ -2057,6 +2057,33 @@ def stream_join_multibatch_drain(
     )
 
 
+def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grades the STREAMING DEDUP state operator
+    (dropDuplicatesWithinWatermark): the events table with planted
+    exact duplicates (every DUP_MOD-th event appears twice — full-row
+    copies, so the kept row is identical whichever copy wins) flows
+    through four event-time-ordered micro-batches and the dedup state
+    store drops the second copies; the drained append-mode output is
+    therefore EXACTLY the original events table — the oracle. Ordered
+    arrival means no input is late (nothing silently dropped as late
+    data), duplicate copies share the original's event time so both
+    always sit inside the watermark horizon, and ids are held in state
+    across batches — the fourth graded streaming state path, joining
+    windowed aggregation, arbitrary custom state, and join state."""
+    from ..streaming.events import (  # noqa: PLC0415
+        dedup_within_watermark,
+        read_events_stream_ordered_with_dups,
+    )
+
+    res = dedup_within_watermark(
+        read_events_stream_ordered_with_dups(spark, sf_dir, n_parts=4),
+        watermark="48 hours",
+    )
+    return _drain_bounded(
+        spark, res, "stream_dedup_sink", "append"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2146,6 +2173,7 @@ QUERIES = {
     "stream_stateful_totals_drain": stream_stateful_totals_drain,
     "stream_join_drain": stream_join_drain,
     "stream_join_multibatch_drain": stream_join_multibatch_drain,
+    "stream_dedup_drain": stream_dedup_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2502,6 +2530,13 @@ ORACLES["stream_join_multibatch_drain"] = """
      AND c.ts <= p.ts
      AND c.ts >= p.ts - INTERVAL 24 HOUR
     WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+# dedup drain: planted exact duplicates dropped by the dedup state
+# store; output = the original table (drain docstring has the
+# determinism argument)
+ORACLES["stream_dedup_drain"] = """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
 """
 
 # the stateful drain's final snapshots equal the plain batch aggregate

@@ -219,7 +219,10 @@ PRIORITY: tuple[str, ...] = (
     # the streaming drain, the Lee-et-al exact-substring screen, the
     # bigram LM perplexity, the chi-squared source/lang independence
     # test, sorted-neighborhood blocking, and the NDCG retrieval eval
-    "stream_ohlc_drain",
+    # stream_ohlc_drain rotated out round 8 (r6+r7 green — the
+    # windowed-aggregate state path stays locally oracle-tested) for
+    # stream_dedup_drain below: the dedup state store was the one
+    # streaming state operator never driver-graded.
     "exact_substring_matches",
     "bigram_perplexity",
     "chi2_source_lang",
@@ -283,6 +286,11 @@ PRIORITY: tuple[str, ...] = (
     # stream_join_drain (which stays registered and locally
     # oracle-tested).
     "stream_join_multibatch_drain",
+    # round-8 addition (in place of stream_ohlc_drain, note above):
+    # dropDuplicatesWithinWatermark state-store drops over planted
+    # exact duplicates, four ordered micro-batches — the fourth
+    # streaming state path, first driver grade.
+    "stream_dedup_drain",
 )
 
 

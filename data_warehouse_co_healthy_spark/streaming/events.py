@@ -732,6 +732,60 @@ def read_events_stream_ordered(
     return raw
 
 
+DUP_MOD = 5  # every DUP_MOD-th event gets an exact duplicate copy
+
+
+def read_events_stream_ordered_with_dups(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """``read_events_stream_ordered`` over a corpus with PLANTED exact
+    duplicates: every DUP_MOD-th event appears twice (full-row copy, so
+    whichever copy a dedup operator keeps, the output is identical —
+    the winner choice stays deterministic). The fixture's event_ids are
+    naturally unique, so without this enrichment a streaming-dedup
+    grade would never execute a drop. Duplicate copies share the
+    original's event time, so range staging puts both in the same
+    micro-batch (range ties hash to one partition) and both are always
+    inside the watermark horizon."""
+    import glob as _glob
+    import os
+
+    from ..catalog import load_table
+    from .docs import _staged_dir  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events")
+    doubled = batch.unionByName(
+        batch.filter(F.col("event_id") % DUP_MOD == 0)
+    )
+
+    def build(d: str) -> None:
+        doubled.repartitionByRange(n_parts, F.col("ts")).write.mode(
+            "overwrite"
+        ).parquet(d)
+        t0 = 1_600_000_000
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        ):
+            os.utime(f, (t0 + i, t0 + i))
+
+    staged = _staged_dir(
+        f"events_ordered_dup{n_parts}",
+        sf_dir,
+        "events_ordered_dup_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def merge_user_totals_sink(spark: SparkSession, target: str):
     """foreachBatch MERGE: each micro-batch's per-user aggregates are
     upserted into a versioned parquet table (matched rows accumulate,

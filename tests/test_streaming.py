@@ -294,6 +294,36 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     assert cross > 0, "no match straddles a micro-batch boundary"
 
 
+def test_stream_dedup_drain_actually_drops(spark):
+    """The graded dedup drain must do real work: the planted-duplicate
+    staging feeds MORE rows than the original table, and the drained
+    output equals the original exactly — so state-store drops, not a
+    pass-through, produced the result."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_dedup_drain,
+    )
+    from data_warehouse_co_healthy_spark.streaming.events import (
+        DUP_MOD,
+        read_events_stream_ordered_with_dups,
+    )
+    from data_warehouse_co_healthy_spark.streaming.docs import _STAGED_DIRS
+
+    got = stream_dedup_drain(spark, SF_DIR).count()
+    n_orig = load_table(spark, SF_DIR, "events").count()
+    assert got == n_orig
+    # the staged input really contains the duplicates
+    read_events_stream_ordered_with_dups(spark, SF_DIR)
+    d = [
+        v
+        for k, v in _STAGED_DIRS.items()
+        if k[0] == "events_ordered_dup4" and k[1] == SF_DIR
+    ]
+    assert d
+    staged_rows = spark.read.parquet(d[0]).count()
+    assert staged_rows == n_orig + n_orig // DUP_MOD
+    assert staged_rows > got
+
+
 def test_checkpoint_recovery_no_duplicates(spark, tmp_path):
     """Exactly-once across restart: a checkpointed foreachBatch stream
     stopped and restarted against the SAME checkpoint must not re-emit
