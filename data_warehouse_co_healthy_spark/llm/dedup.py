@@ -885,7 +885,14 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 3 rounds). For CONVERGED labels use
     ``dedup_connected_components`` (fixpoint propagation) or, at
     scale, ``dedup_cc_star`` (large-star/small-star contraction —
-    O(log² n) rounds regardless of component diameter)."""
+    O(log² n) rounds regardless of component diameter).
+
+    EAGER: constructing this DataFrame runs the whole propagation —
+    the final labels are ``localCheckpoint``-ed (eager by design) so
+    the cached edge list can be released before returning. Callers
+    get a materialized result, not a lazy plan; static plan tooling
+    (shuffle audit, dump_plans) sees the truncated lineage and books
+    ~0 exchanges (acknowledged in CHECKPOINT_TRUNCATED)."""
     pairs = minhash_lsh_pairs(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     edges = (
@@ -2560,6 +2567,16 @@ ORACLES["dedup_connected_components"] = f"""
 # same oracle as the fixpoint label propagation
 ORACLES["dedup_cc_star"] = ORACLES["dedup_connected_components"]
 
+# NOTE on the fingerprint gap (applies to this oracle AND the
+# duplicate_spans / cut_duplicate_spans oracles below): the oracles
+# group RAW gram strings — the collision-FREE ideal — while the Spark
+# side counts/joins xxhash64 fingerprints of the same grams. A 64-bit
+# collision would pool two distinct grams' occurrence counts under the
+# cap filter (p ≈ n²/2⁶⁵ for n distinct grams; ~3% at n = 10⁹, nil at
+# fixture scale), and a false REPORTED run needs ESS_MIN_RUN - ESS_K +
+# 1 consecutive colliding diagonal positions (p < 10⁻¹⁰⁰). The
+# divergence is structural but unobservable; the collision math lives
+# in _exact_substring_matches' scan-stage comment.
 ORACLES["exact_substring_matches"] = f"""
     WITH t AS (
         SELECT doc_id, lower(text) AS t FROM documents

@@ -1284,7 +1284,13 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: joins run at result-list grain (TOP_K rows per
     query); the only corpus-sized work is the cosine scoring pass both
-    the ranking and the judge already share."""
+    the ranking and the judge already share.
+
+    CACHING: the shared corpus-sized scoring frame is ``persist()``-ed
+    with session lifetime (rationale in the inline comment below) —
+    library consumers calling this in a loop should run
+    ``spark.catalog.clearCache()`` between iterations to release it,
+    exactly as bench.py's cold-per-run protocol does."""
     # persist(): scored feeds gains, the ideal ranking AND (passed in)
     # hybrid's semantic leg — unaliased subplans re-execute per
     # consumer; the cache-deduped shuffle audit showed this eval

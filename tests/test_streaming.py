@@ -319,8 +319,18 @@ def test_stream_dedup_drain_actually_drops(spark):
         if k[0] == "events_ordered_dup4" and k[1] == SF_DIR
     ]
     assert d
+    from pyspark.sql import functions as F
+
     staged_rows = spark.read.parquet(d[0]).count()
-    assert staged_rows == n_orig + n_orig // DUP_MOD
+    # expected duplicate count from the table itself (not n_orig //
+    # DUP_MOD, which assumes dense 0..n-1 event_ids)
+    n_dups = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_id") % DUP_MOD == 0)
+        .count()
+    )
+    assert staged_rows == n_orig + n_dups
+    assert n_dups > 0
     assert staged_rows > got
 
 

@@ -13,10 +13,14 @@ Prints a markdown table (paste into SCALING_MEASURED.md).
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+# repo root = parent of tools/ — works from any checkout location
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -74,8 +78,16 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     spark = get_spark("ess-cap-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup (JVM/codegen) on the smallest fixtures
-    _exact_substring_matches(spark, "/root/testdata/sf0.001", 200).count()
+    # warmup (JVM/codegen) on the smallest available fixture — prefer
+    # the standard sf0.001 layout, fall back to the target dir itself
+    # so the tool still runs on machines without that fixture tree
+    warmup_dir = os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+    )
+    if not os.path.isdir(warmup_dir):
+        warmup_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warmup_dir):
+        _exact_substring_matches(spark, warmup_dir, 200).count()
 
     print(f"ESS cap curve at {sf_dir} (cold per run, best of 2)\n")
     print("| cap | wall sec | in-cap pair rows | maximal runs |")
