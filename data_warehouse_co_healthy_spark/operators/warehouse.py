@@ -968,8 +968,41 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pysource_paged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark-4 Python DataSource graded end to end (VERDICT r8
+    item 4): the ``documents`` fixture is read through the
+    ``parquetpages`` custom source — driver plans one input partition
+    per page from the parquet FOOTER only, executors read their single
+    row group with pyarrow and emit Arrow RecordBatch slices (the
+    vectorized DataSource path; sources/pysource.py) — then aggregated
+    per (lang, source). The oracle reads the SAME parquet through
+    DuckDB's native scan, so a value-hash match certifies the custom
+    executor read path end to end: partition planning, Arrow batch
+    decode, schema mapping. page_size=64 forces ≥8 pages at sf0.01, so
+    the fan-out genuinely executes."""
+    import os  # noqa: PLC0415
+
+    from ..sources.pysource import register_parquet_pages  # noqa: PLC0415
+
+    register_parquet_pages(spark)
+    docs = (
+        spark.read.format("parquetpages")
+        .option("path", os.path.join(sf_dir, "documents.parquet"))
+        .option("page_size", 64)
+        .load()
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("total_text_len"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 QUERIES = {
     "bucketed_join_revenue": bucketed_join_revenue,
+    "pysource_paged_docs": pysource_paged_docs,
     "dp_noisy_counts": dp_noisy_counts,
     "inferred_dim_members": inferred_dim_members,
     "table_checksum": table_checksum,
@@ -996,6 +1029,14 @@ _EXPECT_UNION = "\n        UNION ALL ".join(
 )
 
 ORACLES = {
+    "pysource_paged_docs": """
+        SELECT lang, source, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(length(text))::BIGINT AS total_text_len,
+               min(doc_id)::BIGINT AS min_doc_id,
+               max(doc_id)::BIGINT AS max_doc_id
+        FROM documents GROUP BY lang, source
+    """,
     "bucketed_join_revenue": """
         SELECT o_orderstatus, count(*)::BIGINT AS n_items,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)

@@ -122,13 +122,12 @@ PRIORITY: tuple[str, ...] = (
     "fact_facturacion_star",
     "fact_retiro_star",
     "fact_service_star",
-    # §2.7 set ops / dedup (U1-U4; except_keys rotated out round 5,
-    # union_by_name rotated out sixth rotation — dedup_rows keeps the
-    # family repped, and unionByName runs inside several local tests)
-    "dedup_rows",
-    # §2.8 scalar functions (F1-F9) and §2.1 S6 generated sources
-    # (month_name_mapping rotated out round 5 — F6 stays local-green)
-    "date_dim_generate",
+    # §2.7 set ops / dedup: dedup_rows rotated out thirteenth wave
+    # (r1–r8 green — dropDuplicates semantics stay graded via
+    # dedup_exact and the stream_dedup_drain state path)
+    # §2.8 scalar functions / §2.1 S6: date_dim_generate rotated out
+    # thirteenth wave (r8-green — the same generated date dim runs
+    # graded inside fact_formula_star and fact_service_star)
     # §1.1/O3 in-plan surrogate keys: surrogate_keys rotated out
     # seventh rotation — the same row_number key build runs graded
     # inside multi_key_join and fact_facturacion_star
@@ -145,7 +144,9 @@ PRIORITY: tuple[str, ...] = (
     # seventh rotation — range frames run graded inside several
     # temporal slots)
     "window_topk_per_group",
-    "order_limit_topk",
+    # order_limit_topk rotated out thirteenth wave (r1–r8 green — the
+    # global sort+limit shape stays graded inside window_topk_per_group
+    # and every TPC-H star slot's ordered output)
     # LLM-pipeline operators (dedup / similarity / text; simhash_pairs,
     # cosine_topk and token_count rotated out sixth rotation —
     # minhash_lsh keeps near-dup pairs graded, hybrid_search_rrf and
@@ -170,14 +171,12 @@ PRIORITY: tuple[str, ...] = (
     # stays graded via holt_winters_daily + the stateful stream drain)
     "tfidf_cosine_pairs",
     "dedup_graph_triangles",
-    # round-5 third rotation: diversity re-rank, skyline (
-    # roc_auc_by_source rotated out round 7 eleventh wave — r6-green,
-    # the stats-screen family keeps ks/chi2/burstiness/mann_kendall)
-    "mmr_rerank",
-    "skyline_parts",
-    # round-5 fourth rotation: survival curve (attribution_report
-    # rotated out round 6)
-    "kaplan_meier_churn",
+    # mmr_rerank + skyline_parts rotated out thirteenth wave (both
+    # r5–r8 green — similarity stays graded via hybrid_search_rrf /
+    # retrieval_ndcg / the ANN slots; the dominance/prune shape stays
+    # local-strict); kaplan_meier_churn rotated out thirteenth wave
+    # (r5–r8 green — the stats-screen family keeps ks_two_sample,
+    # did_report, mann_kendall_trend, chi2, burstiness)
     # round-5 sixth rotation: statistics screens (KS drift, pairwise
     # JSD corpus similarity; sql_recursive_hierarchy rotated out round
     # 7 — the recursive shape stays graded through the k-core/pagerank
@@ -207,7 +206,9 @@ PRIORITY: tuple[str, ...] = (
     # cross-engine reconciliation checksum, and the language-ID
     # confusion-matrix eval — all with full DuckDB oracles
     "burstiness_by_type",
-    "table_checksum",
+    # table_checksum rotated out thirteenth wave (r5–r8 green — the
+    # cross-engine reconciliation shape stays local-strict and the
+    # md5-fold runs graded inside several sampling slots)
     "langid_confusion",
     # round-6 rotation, ninth wave (out: ohlc_daily — superseded by
     # stream_ohlc_drain, the SAME bars and oracle but executed through
@@ -224,7 +225,8 @@ PRIORITY: tuple[str, ...] = (
     # stream_dedup_drain below: the dedup state store was the one
     # streaming state operator never driver-graded.
     "exact_substring_matches",
-    "bigram_perplexity",
+    # bigram_perplexity rotated out thirteenth wave (r6–r8 green —
+    # text stays graded via text_quality/langid_confusion/chi2)
     "chi2_source_lang",
     "snm_adjacent_pairs",
     "retrieval_ndcg",
@@ -291,6 +293,36 @@ PRIORITY: tuple[str, ...] = (
     # exact duplicates, four ordered micro-batches — the fourth
     # streaming state path, first driver grade.
     "stream_dedup_drain",
+    # round-9 rotation, thirteenth wave (out: dedup_rows,
+    # date_dim_generate, order_limit_topk, mmr_rerank, skyline_parts,
+    # kaplan_meier_churn, table_checksum, bigram_perplexity — all
+    # multi-round green, families stay repped per the notes above).
+    # In: the VERDICT r8 item-1 list plus the two new round-9 paths.
+    # The Lee-et-al span family — span grain, no pair join, linear in
+    # corpus size; cut_duplicate_spans is the actual removal transform
+    # (interval merge + per-doc segment fold):
+    "duplicate_spans",
+    "cut_duplicate_spans",
+    # the persisted-IVF serve path: stored quantizer + hive-partitioned
+    # vectors, probe prunes unprobed cell directories (the first
+    # index-ARTIFACT slot; result pinned equal to ann_ivf_kmeans):
+    "ivf_index_probe_topk",
+    # recursive-CTE org hierarchy (re-graded after its r7 rotation out
+    # — the SQL-surface recursion representative):
+    "sql_recursive_hierarchy",
+    # cross-snapshot incremental LSH (in-bucket expansion restricted to
+    # new docs — the ε·B² scale path) and the multi-signal dedup
+    # decision matrix:
+    "incremental_lsh_pairs",
+    "dedup_decision_matrix",
+    # round-9 additions, first grades: watermark-DISCARD semantics
+    # (the one streaming behavior no prior drain touched — late
+    # cohort provably dropped, determinism argument on the drain) and
+    # the Spark-4 Python DataSource executor read path (paged parquet
+    # pages, Arrow-batch decode, vs DuckDB's native scan of the same
+    # file):
+    "stream_late_drop_drain",
+    "pysource_paged_docs",
 )
 
 

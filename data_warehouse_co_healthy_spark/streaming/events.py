@@ -732,6 +732,69 @@ def read_events_stream_ordered(
     return raw
 
 
+LATE_COHORTS = 3  # modulo split for the pinned-late-cohort stream
+
+
+def read_events_stream_cohorts(
+    spark: SparkSession, sf_dir: str, n_cohorts: int = LATE_COHORTS
+) -> DataFrame:
+    """Multi-micro-batch file stream with a PINNED LATE cohort: batch
+    k is every event_id ≡ k (mod n_cohorts) row. Every cohort spans
+    the WHOLE event-time range, so batch 0 advances the watermark to
+    (its frontier − delay) and each later batch is mostly stragglers
+    that arrive long after the watermark passed them. Because the
+    split is a pure event_id predicate and the file order is pinned
+    (mtimes 1 s apart, as in read_events_stream_ordered), the exact
+    set a watermark DISCARDS is a deterministic function of the table
+    alone — SQL-computable by an oracle. n_cohorts must be ≥ 3 to
+    observe drops at all: since SPARK-40925 the late-event filter of
+    batch k uses the watermark DISPLAYED for batch k−1 (one batch
+    behind the eviction watermark), so a 2-batch stream filters batch
+    1 against the initial 1970 watermark and never drops anything —
+    measured, not speculated (numRowsDroppedByWatermark stayed 0).
+    This staged adversary is what ``stream_late_drop_drain`` grades;
+    the ordered readers are its complement (no row ever late)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from .docs import _staged_dir  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events")
+
+    def build(d: str) -> None:
+        t0 = 1_600_000_000
+        for i in range(n_cohorts):
+            sub = os.path.join(d, f"stage_{i}")
+            batch.filter(
+                F.col("event_id") % n_cohorts == i
+            ).coalesce(1).write.mode("overwrite").parquet(sub)
+            src = _glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"part-{i:05d}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+            shutil.rmtree(sub)
+
+    staged = _staged_dir(
+        f"events_cohorts{n_cohorts}",
+        sf_dir,
+        "events_cohorts_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 DUP_MOD = 5  # every DUP_MOD-th event gets an exact duplicate copy
 
 

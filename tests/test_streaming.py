@@ -294,6 +294,70 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     assert cross > 0, "no match straddles a micro-batch boundary"
 
 
+def test_stream_late_drop_drain_drops_and_keeps(spark):
+    """The watermark-discard grade must certify BOTH halves of the
+    semantics: (a) drops are provably non-zero — the state store's
+    numRowsDroppedByWatermark metric counts real discards of the late
+    cohort, and the kept total is strictly below the table count; (b)
+    keeps are non-trivial — some cohort-2 stragglers SURVIVE the
+    filter (their windows were still open at the late-event
+    watermark), so the filter is a boundary, not a drop-everything."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        _drain_bounded,
+    )
+    from data_warehouse_co_healthy_spark.streaming.events import (
+        read_events_stream_cohorts,
+        run_to_memory,
+    )
+
+    raw = read_events_stream_cohorts(spark, SF_DIR)
+    res = (
+        raw.withWatermark("ts", "24 hours")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_to_memory(res, "late_drop_metrics", output_mode="append")
+        dropped = sum(
+            (p.stateOperators[0].numRowsDroppedByWatermark or 0)
+            for p in q.recentProgress
+            if p.stateOperators
+        )
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert dropped > 0, "no late rows were discarded by the watermark"
+
+    events = load_table(spark, SF_DIR, "events")
+    n_total = events.count()
+    wmf = events.filter(F.col("event_id") % 3 == 0).agg(
+        F.max("ts")
+    ).first()[0]
+    # cohort-2 stragglers inside the last 24 h of the cohort-0
+    # frontier survive the late filter — the kept-late set the drain's
+    # oracle credits must be non-empty on this fixture
+    kept_late = events.filter(
+        (F.col("event_id") % 3 == 2)
+        & (F.col("ts") >= F.lit(wmf) - F.expr("INTERVAL 24 HOURS"))
+    ).count()
+    assert kept_late > 0
+    assert dropped + kept_late >= events.filter(
+        F.col("event_id") % 3 == 2
+    ).count() - kept_late  # sanity: filter split covers the cohort
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_late_drop_drain,
+    )
+
+    emitted = stream_late_drop_drain(spark, SF_DIR)
+    n_kept = emitted.agg(F.sum("n")).first()[0]
+    assert 0 < n_kept < n_total
+
+
 def test_stream_dedup_drain_actually_drops(spark):
     """The graded dedup drain must do real work: the planted-duplicate
     staging feeds MORE rows than the original table, and the drained
