@@ -397,46 +397,56 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("tok") > 0)
     )
-    # persist(): tf feeds the IDF aggregate AND the weight join
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").alias("tf")
-    ).persist()
-    n_docs = d.select(F.countDistinct("doc_id").alias("n"))
-    idf = (
-        tf.groupBy("tok")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # Round-9 exchange shave (VERDICT r8 item 8, 11 → ≤8 data
+    # shuffles): DF/IDF and the per-doc norm ride WINDOWS instead of
+    # the round-6 groupBy+join pairs. tf is (doc, tok)-grain, so
+    # count(*) over (partition by tok) IS the document frequency (no
+    # countDistinct expansion, no token-grain aggregate, no join
+    # back), and sum(w²) over (partition by doc_id) IS the squared
+    # norm. The windows shuffle the same posting volume the old joins
+    # already moved — what disappears is the aggregate-side exchanges
+    # and the joins. doc_id is the table key, so corpus size is a
+    # plain count (1-row broadcast).
+    n_docs = d.select(F.count("doc_id").alias("n"))
+    wn = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count("*").over(Window.partitionBy("tok")))
         .filter(F.col("df") <= MAX_DOCFREQ)
-        .crossJoin(F.broadcast(n_docs))
         .select(
             "tok",
-            F.round(F.log(F.col("n") / F.col("df")), 6)
-            .cast("decimal(14,6)")
-            .alias("idf"),
+            "doc_id",
+            # (14,6)×(14,6) → exact DECIMAL(29,12); the downcast to
+            # (18,12) is VALUE-IDENTICAL (same scale, w ≪ 10^6) but
+            # keeps the squares/products below Spark's 38-digit clamp:
+            # (29,12)² would silently round to scale 6, while (18,12)²
+            # is exact (37,24) — matching DuckDB's always-exact
+            # widening (ANSI errors loudly on a genuine overflow
+            # instead of rounding)
+            (
+                F.col("tf").cast("decimal(14,6)")
+                * F.round(F.log(F.col("n") / F.col("df")), 6)
+                .cast("decimal(14,6)")
+            )
+            .cast("decimal(18,12)")
+            .alias("w"),
         )
+        .withColumn(
+            "sq",
+            F.sum(F.col("w") * F.col("w")).over(
+                Window.partitionBy("doc_id")
+            ),
+        )
+        # re-shuffle by tok LAST so the cached frame's partitioning is
+        # exactly the self-join key: both pair sides read the SAME
+        # cache co-partitioned on tok and the join plans with no
+        # exchange (sorts only). persist, not checkpoint — data-sized,
+        # and the shuffle audit counts the cached subtree once.
+        .repartition("tok")
+        .persist()
     )
-    w = tf.join(idf, on="tok").select(
-        "tok",
-        "doc_id",
-        # (14,6)×(14,6) → exact DECIMAL(29,12); the downcast to (18,12)
-        # is VALUE-IDENTICAL (same scale, w ≪ 10^6) but keeps the
-        # squares/products below Spark's 38-digit clamp: (29,12)² would
-        # silently round to scale 6, while (18,12)² is exact (37,24) —
-        # matching DuckDB's always-exact widening (ANSI errors loudly
-        # on a genuine overflow instead of rounding)
-        (F.col("tf").cast("decimal(14,6)") * F.col("idf"))
-        .cast("decimal(18,12)")
-        .alias("w"),
-    # persist(): w feeds the norm aggregate AND both pair sides, wn
-    # feeds both sides — unaliased subplans re-execute per consumer
-    # (the t_closeness rule), and the cache-deduped shuffle audit
-    # showed this query instantiating the explode->TF subtree 5x
-    # (35 static exchanges -> ~9 with the two persists); data-sized
-    # frames -> persist, not checkpoint
-    ).persist()
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).alias("sq")
-    )
-    wn = w.join(norms, on="doc_id").persist()
     a = wn.select(
         "tok",
         F.col("doc_id").alias("doc_a"),

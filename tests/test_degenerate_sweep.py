@@ -259,6 +259,106 @@ def tiny_emb_dir(spark, tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def span_edge_dirs(spark, tmp_path_factory):
+    """Tier 4 (targeted, VERDICT r8 item 7): the span family's
+    adversarial corpus shapes the 8-doc degenerate tier never
+    produces. (a) ALL-DUPLICATE: every document identical — every
+    gram occurs corpus-wide ≥ 2, so the whole document is ONE merged
+    span and the cut must produce clean_len 0 (the full-document-cut
+    edge of the interval merge + segment fold). (b) SINGLE-DOC, two
+    variants: unique text (no duplicated gram anywhere → zero spans,
+    cut is the identity) and internally repetitive text (the
+    duplicated-gram set is fed entirely by self-occurrences — spans
+    exist with no second document)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(d, docs):
+        pq.write_table(
+            pa.table(
+                {"doc_id": [x[0] for x in docs],
+                 "text": [x[1] for x in docs],
+                 "lang": ["en"] * len(docs),
+                 "source": ["srcA"] * len(docs),
+                 "n_chars": [len(x[1]) for x in docs]},
+                schema=pa.schema(
+                    [("doc_id", pa.int64()), ("text", pa.string()),
+                     ("lang", pa.string()), ("source", pa.string()),
+                     ("n_chars", pa.int64())]
+                ),
+            ),
+            f"{d}/documents.parquet",
+        )
+
+    base = tmp_path_factory.mktemp("span_edges")
+    boiler = "all rights reserved under the license agreement terms"
+    alldup = str(base / "alldup")
+    single_uniq = str(base / "single_uniq")
+    single_rep = str(base / "single_rep")
+    for d in (alldup, single_uniq, single_rep):
+        import os
+
+        os.makedirs(d, exist_ok=True)
+    write(alldup, [(i, boiler) for i in range(4)])
+    write(single_uniq, [(0, "abcdefghijklmnopqrstuvwxyz0123456789")])
+    write(single_rep, [(0, "xyzq" * 16)])  # every gram self-repeats
+    return {"alldup": alldup, "single_uniq": single_uniq,
+            "single_rep": single_rep}
+
+
+def test_span_family_all_duplicate_corpus(ansi, span_edge_dirs):
+    """Every doc identical → one span covering the whole (lowercased)
+    text per doc, and the cut removes EVERYTHING: clean_len 0,
+    clean_fp = md5('') — the full-document-cut edge."""
+    import hashlib
+
+    from data_warehouse_co_healthy_spark.llm import dedup
+
+    d = span_edge_dirs["alldup"]
+    spans = {
+        r.doc_id: (r.span_start, r.span_len)
+        for r in dedup.duplicate_spans(ansi, d).collect()
+    }
+    text_len = 53  # len of the boilerplate line
+    assert set(spans) == {0, 1, 2, 3}
+    assert all(v == (1, text_len) for v in spans.values())
+
+    cut = {r.doc_id: r for r in
+           dedup.cut_duplicate_spans(ansi, d).collect()}
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in cut.values():
+        assert r.n_spans == 1
+        assert r.chars_cut == text_len
+        assert r.clean_len == 0
+        assert r.clean_fp == empty_md5
+
+
+def test_span_family_single_doc_corpus(ansi, span_edge_dirs):
+    """One document, no duplicated gram → zero spans and an identity
+    cut; one internally-repetitive document → spans from pure
+    self-occurrence, still cut correctly."""
+    import hashlib
+
+    from data_warehouse_co_healthy_spark.llm import dedup
+
+    uniq = span_edge_dirs["single_uniq"]
+    assert dedup.duplicate_spans(ansi, uniq).count() == 0
+    (r,) = dedup.cut_duplicate_spans(ansi, uniq).collect()
+    assert (r.n_spans, r.chars_cut) == (0, 0)
+    assert r.clean_len == 36
+    assert r.clean_fp == hashlib.md5(
+        b"abcdefghijklmnopqrstuvwxyz0123456789"
+    ).hexdigest()
+
+    rep = span_edge_dirs["single_rep"]
+    spans = dedup.duplicate_spans(ansi, rep).collect()
+    assert len(spans) == 1  # one maximal self-repeating span
+    assert (spans[0].span_start, spans[0].span_len) == (1, 64)
+    (r,) = dedup.cut_duplicate_spans(ansi, rep).collect()
+    assert (r.n_spans, r.clean_len) == (1, 0)
+
+
 @pytest.mark.parametrize(
     "name",
     ["kmeans_embeddings", "semantic_dedup", "ann_ivf_kmeans",

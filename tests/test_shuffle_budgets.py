@@ -68,6 +68,11 @@ BUDGETS = {
     "exact_substring_matches": 7,
     # fp groupBy + dup join + per-doc island window (+ spread)
     "duplicate_spans": 4,
+    # round-9 rework (VERDICT r8 item 8, 11 -> 7): TF groupBy, DF
+    # window (tok), norm window (doc_id), repartition(tok) feeding the
+    # exchange-free self-join, pair groupBy (+ 2 fixture-only spread
+    # round-robins); corpus size is a 1-part scalar broadcast
+    "tfidf_cosine_pairs": 7,
 }
 
 
