@@ -158,8 +158,14 @@ PRIORITY: tuple[str, ...] = (
     # round-4 rotation: heavies never driver-graded before (all with
     # full DuckDB oracles; bm25_search rotated out round 7 eleventh
     # wave — r6-green, text retrieval stays graded via
-    # hybrid_search_rrf + retrieval_ndcg + mmr_rerank)
-    "image_decode_stats",
+    # hybrid_search_rrf + retrieval_ndcg + mmr_rerank).
+    # image_decode_stats (r4–r8 green) superseded thirteenth wave by
+    # jpeg_decode_stats: the SAME decoded-pixel-stat grade, but
+    # through the vendored T.81 baseline-JPEG codec (Huffman entropy
+    # decode, IDCT, 4:2:0 upsample, restart markers) instead of the
+    # header-parse BMP/PPM path — the media slot now grades strictly
+    # more; BMP/PPM stays local-strict.
+    "jpeg_decode_stats",
     "hybrid_search_rrf",
     # round-5 rotation: scale-path CC (k_anonymity_audit,
     # incremental_agg_refresh rotated out round 7 — both r6-green,

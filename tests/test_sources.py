@@ -186,6 +186,77 @@ def test_image_codec_roundtrip_all_paddings():
                 imagecodec.encode_ppm(img)) == img).all()
 
 
+def test_jpeg_codec_gray_exact_all_variants():
+    """The jpeg_decode_stats oracle's exactness argument, pinned: a
+    solid gray with EVEN value decodes bit-exactly through every
+    coding variant — 4:4:4, 4:2:0 subsampled, restart intervals —
+    because Y=v/Cb=Cr=128 is exact, a constant block is DC-only, and
+    the Annex-K DC quantizers divide 8·(v−128) for even v."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    for v in (0, 2, 64, 128, 200, 254):
+        for sub in (False, True):
+            for rst in (0, 2):
+                img = np.full((5, 7, 3), v, dtype=np.uint8)
+                out = imagecodec.decode(
+                    imagecodec.encode_jpeg_baseline(
+                        img, subsample=sub, restart_interval=rst
+                    )
+                )
+                assert np.array_equal(out, img), (v, sub, rst)
+
+
+def test_jpeg_codec_gradient_bounded_error():
+    """Lossy-but-correct: a smooth gradient survives encode→decode
+    within single-digit per-channel error in every variant (a Huffman
+    /zigzag/DC-prediction/IDCT bug produces garbage, not ±10), and
+    the decoded shape equals the source even when dimensions are not
+    MCU multiples (edge-block crop)."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    y, x = np.mgrid[0:33, 0:29]
+    img = np.stack(
+        [(6 * y).clip(0, 255), (6 * x).clip(0, 255),
+         (3 * x + 3 * y).clip(0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in (False, True):
+        for rst in (0, 3):
+            out = imagecodec.decode_jpeg(
+                imagecodec.encode_jpeg_baseline(
+                    img, subsample=sub, restart_interval=rst
+                )
+            )
+            assert out.shape == img.shape
+            d = np.abs(out.astype(int) - img.astype(int))
+            assert d.max() <= 12, (sub, rst, d.max())
+
+
+def test_jpeg_codec_rejects_progressive_and_truncation():
+    """The honest boundary: progressive JPEG (SOF2) raises naming the
+    unsupported process; a truncated entropy segment raises rather
+    than returning garbage."""
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    data = bytearray(imagecodec.encode_jpeg_baseline(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline sequential only"):
+        imagecodec.decode_jpeg(bytes(data))
+
+    good = imagecodec.encode_jpeg_baseline(img)
+    with pytest.raises(ValueError):
+        # cut inside the entropy segment, drop EOI
+        imagecodec.decode_jpeg(good[: len(good) // 2])
+
+
 def test_image_codec_topdown_bmp_and_ppm_comments():
     """Decoder-only paths an encoder round-trip can't reach: top-down
     BMP (negative height) and PPM header comments."""
