@@ -60,6 +60,12 @@ HEADLINE = [
     "ann_pq_refine",         # PQ shortlist + exact re-rank
     "retrieval_ndcg",        # composed eval (r8: deduped to 15 exch)
     "stream_dedup_drain",    # dedup state-store drops, 4 ordered batches
+    # round-9 slots: the thirteenth-rotation flagships
+    "jpeg_decode_stats",     # vendored T.81 entropy+IDCT decode path
+    "stream_late_drop_drain",  # watermark-discard semantics drain
+    "ivf_index_probe_topk",  # persisted-index probe, partition-pruned
+    "cut_duplicate_spans",   # span-grain Lee-et-al removal transform
+    "tfidf_cosine_pairs",    # sparse cosine (r9: deduped 11 -> 7 exch)
 ]
 
 

@@ -757,14 +757,145 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     ).astype(np.uint8)
 
 
+# ------------------------------------------------------------- PNG
+#
+# Vendored PNG codec (RFC 2083 / ISO 15948): the compression layer is
+# stdlib zlib (DEFLATE ships with CPython — no external codec
+# library), everything PNG-specific is implemented here: signature,
+# chunk walk + CRC check, IHDR, IDAT reassembly, scanline filter
+# reconstruction (None/Sub/Up/Average/Paeth), alpha strip. Scope:
+# 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA), non-
+# interlaced — the shapes `encode_png` itself writes plus the common
+# screenshot/diagram output. Palette, 16-bit and Adam7 raise loudly.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """Encode an H×W×3 RGB uint8 array as an 8-bit truecolor PNG
+    (filter 0 scanlines, one zlib IDAT). Lossless — decode_png
+    round-trips bit-exactly."""
+    import binascii  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected H x W x 3 array, got {rgb.shape}")
+    h, w = rgb.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        crc = binascii.crc32(tag + payload) & 0xFFFFFFFF
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type None
+        raw += rgb[y].tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB/RGBA non-interlaced PNG into an
+    H×W×3 RGB uint8 array (alpha stripped, gray broadcast). Chunk
+    CRCs are verified; palette/16-bit/Adam7 raise loudly."""
+    import binascii  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    data = bytes(data)
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if len(payload) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if binascii.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if interlace:
+        raise ValueError("unsupported PNG Adam7 interlacing")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(
+            f"unsupported PNG color type {ctype} (gray/RGB/RGBA only)"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64)
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: serial in x
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    cur[x] = (line[x] + a) % 256
+                elif ft == 3:
+                    cur[x] = (line[x] + (a + b) // 2) % 256
+                else:
+                    cur[x] = (line[x] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 # ------------------------------------------------------------ dispatch
 
 
 def decode(data: bytes) -> np.ndarray:
     """Decode an image payload by magic-byte dispatch: BMP ('BM'),
-    binary PPM ('P6'), or baseline JPEG (SOI 0xFFD8). PNG/WebP/
-    progressive-JPEG need a codec library this container doesn't
-    ship → ValueError, loudly."""
+    binary PPM ('P6'), baseline JPEG (SOI 0xFFD8), or 8-bit
+    non-interlaced PNG. WebP/progressive-JPEG/exotic PNG profiles
+    need a codec library this container doesn't ship → ValueError,
+    loudly."""
     data = bytes(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
@@ -772,8 +903,10 @@ def decode(data: bytes) -> np.ndarray:
         return decode_ppm(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise ValueError(
         f"unsupported image format (magic {data[:4]!r}); this vendored "
-        "codec handles 24-bit BMP, binary PPM and baseline JPEG — "
-        "plug a codec library in for PNG/WebP/progressive"
+        "codec handles 24-bit BMP, binary PPM, baseline JPEG and 8-bit "
+        "PNG — plug a codec library in for WebP/progressive"
     )

@@ -3,10 +3,11 @@ image/audio/video as opaque ``binary`` payloads with typed metadata,
 processed by Arrow-batched pandas functions over ``mapInPandas``.
 
 Image DECODE is REAL: ``decode_image`` dispatches on magic bytes to
-the vendored pure-Python 24-bit-BMP / binary-PPM codec
-(``llm.imagecodec``) and returns decoded pixels; formats needing a
-codec library the container doesn't ship (JPEG/PNG/WebP) raise
-ValueError loudly. Audio DSP (windowed RMS) is likewise real
+the vendored pure-Python codec (``llm.imagecodec``) — 24-bit BMP,
+binary PPM, baseline JPEG (T.81) and 8-bit PNG — and returns decoded
+pixels; formats needing a codec library the container doesn't ship
+(WebP, progressive JPEG) raise ValueError loudly. Audio DSP
+(windowed RMS) is likewise real
 arithmetic over the raw bytes. Only the media PAYLOADS here are
 synthetic where no fixture media exists — generated from closed-form
 pixel/byte formulas precisely so DuckDB can verify the decoded
@@ -41,10 +42,11 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes):
     """REAL image decode via the vendored pure-Python codec
     (``llm.imagecodec``): 24-bit uncompressed BMP, binary PPM (P6)
-    and baseline-sequential JPEG (ITU-T T.81 — Huffman entropy
-    decode, dequant, IDCT, sampling-factor upsample, YCbCr→RGB)
+    baseline-sequential JPEG (ITU-T T.81 — Huffman entropy decode,
+    dequant, IDCT, sampling-factor upsample, YCbCr→RGB) and 8-bit
+    non-interlaced PNG (stdlib-zlib inflate + scanline unfilter)
     parse to an H×W×3 RGB uint8 numpy array. Formats needing a codec
-    library the container doesn't ship (PNG/WebP/progressive JPEG)
+    library the container doesn't ship (WebP, progressive JPEG)
     raise ValueError loudly."""
     from . import imagecodec  # noqa: PLC0415
 
@@ -317,20 +319,25 @@ def _synth_rgb(media_id: int):
 
 
 def media_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary image column: one real encoded file per document — BMP
-    for even ids, PPM for odd — built executor-side (Arrow binary
-    batches, never via the driver)."""
+    """Binary image column: one real encoded file per document — BMP /
+    PPM / PNG rotating on doc_id mod 3 (all three are LOSSLESS, so the
+    closed-form pixel oracle is format-independent; PNG additionally
+    exercises the zlib-inflate + scanline-unfilter path) — built
+    executor-side (Arrow binary batches, never via the driver)."""
     from . import imagecodec  # noqa: PLC0415
+
+    enc = {
+        "bmp": imagecodec.encode_bmp,
+        "ppm": imagecodec.encode_ppm,
+        "png": imagecodec.encode_png,
+    }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            fmts = ["bmp" if d % 2 == 0 else "ppm" for d in ids]
+            fmts = [("bmp", "ppm", "png")[d % 3] for d in ids]
             payloads = [
-                imagecodec.encode_bmp(_synth_rgb(d))
-                if f == "bmp"
-                else imagecodec.encode_ppm(_synth_rgb(d))
-                for d, f in zip(ids, fmts)
+                enc[f](_synth_rgb(d)) for d, f in zip(ids, fmts)
             ]
             yield pd.DataFrame(
                 {"media_id": ids, "fmt": fmts, "payload": payloads}
@@ -684,7 +691,8 @@ ORACLES = {
 ORACLES["image_decode_stats"] = f"""
     WITH dims AS (
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    ELSE 'png' END AS fmt,
                ({IMG_W_BASE} + doc_id % {IMG_W_MOD})::INTEGER AS width,
                ({IMG_H_BASE} + doc_id % {IMG_H_MOD})::INTEGER AS height
         FROM documents
@@ -733,7 +741,8 @@ ORACLES["jpeg_decode_stats"] = f"""
 ORACLES["image_intensity_histogram"] = f"""
     WITH dims AS (
         SELECT doc_id AS media_id,
-               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+               CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    ELSE 'png' END AS fmt,
                ({IMG_W_BASE} + doc_id % {IMG_W_MOD}) AS width,
                ({IMG_H_BASE} + doc_id % {IMG_H_MOD}) AS height
         FROM documents

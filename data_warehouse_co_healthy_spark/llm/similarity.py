@@ -474,6 +474,12 @@ def ivf_index_probe(
     import pandas as pd  # noqa: PLC0415
 
     cent_rows = spark.read.parquet(f"{path}/quantizer").collect()
+    if not cent_rows:
+        # empty corpus slice: an index over nothing answers nothing —
+        # same guard as ann_ivf_kmeans, not a crash
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, rk bigint, cos double"
+        )
     C = np.zeros((len(cent_rows), len(cent_rows[0].centroid)))
     for r in cent_rows:
         C[r.cell] = np.asarray(r.centroid)

@@ -183,12 +183,17 @@ class ParquetPagesReader(DataSourceReader):
                         g, off, min(off + self.page_size, n)
                     )
                 )
-        return parts
+        # a zero-row file (pruned partition, first load) must still
+        # return ONE partition: an empty list makes Spark call
+        # read(None) — observed, not hypothetical
+        return parts or [_RowRangePartition(0, 0, 0)]
 
     def read(self, partition: _RowRangePartition):
         # Runs ON THE EXECUTOR: one row-group read, sliced to the page.
         import pyarrow.parquet as pq  # noqa: PLC0415
 
+        if partition is None or partition.end == partition.start:
+            return  # zero-row page: nothing to yield
         table = pq.ParquetFile(self.path).read_row_group(
             partition.row_group
         )

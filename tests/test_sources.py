@@ -158,10 +158,90 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_multimodal_decode_unsupported_format_raises():
-    """Formats needing a codec library (PNG here) fail LOUDLY, never
-    silently — the honest boundary of the vendored BMP/PPM codec."""
+    """Formats needing a codec library (WebP here) fail LOUDLY, never
+    silently — the honest boundary of the vendored codec."""
     with pytest.raises(ValueError, match="unsupported image format"):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n...")
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+
+def test_png_codec_roundtrip_filters_and_variants():
+    """PNG is lossless: encode→decode is the identity for RGB; the
+    decoder also reconstructs every scanline filter type (a Sub/Up/
+    Average/Paeth stream crafted by re-filtering the raster by hand),
+    handles gray and RGBA inputs, verifies chunk CRCs, and rejects
+    profiles outside its declared scope loudly."""
+    import binascii
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import imagecodec
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    assert np.array_equal(
+        imagecodec.decode(imagecodec.encode_png(img)), img
+    )
+
+    # hand-filter the same raster with Sub/Up/Average/Paeth cycling
+    h, w = img.shape[:2]
+    bpp, stride = 3, w * 3
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = (y % 4) + 1  # 1=Sub 2=Up 3=Average 4=Paeth
+        raw.append(ft)
+        cur = flat[y]
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if ft == 1:
+                v = cur[x] - a
+            elif ft == 2:
+                v = cur[x] - b
+            elif ft == 3:
+                v = cur[x] - (a + b) // 2
+            else:
+                v = cur[x] - imagecodec._paeth(int(a), int(b), int(c))
+            raw.append(int(v) % 256)
+        prev = cur
+
+    def chunk(tag, payload):
+        crc = binascii.crc32(tag + payload) & 0xFFFFFFFF
+        return (_struct.pack(">I", len(payload)) + tag + payload
+                + _struct.pack(">I", crc))
+
+    png = (imagecodec._PNG_SIG
+           + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert np.array_equal(imagecodec.decode_png(png), img)
+
+    # gray broadcast + RGBA alpha strip
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    raw_g = bytearray()
+    for y in range(4):
+        raw_g.append(0)
+        raw_g += gray[y].tobytes()
+    png_g = (imagecodec._PNG_SIG
+             + chunk(b"IHDR", _struct.pack(">IIBBBBB", 5, 4, 8, 0, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(bytes(raw_g)))
+             + chunk(b"IEND", b""))
+    out_g = imagecodec.decode_png(png_g)
+    assert np.array_equal(out_g, np.repeat(gray[:, :, None], 3, axis=2))
+
+    # corrupted CRC and out-of-scope profiles raise
+    bad = bytearray(imagecodec.encode_png(img))
+    bad[-6] ^= 0xFF  # flip a CRC byte of IEND
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        imagecodec.decode_png(bytes(bad))
+    png16 = (imagecodec._PNG_SIG
+             + chunk(b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)))
+    with pytest.raises(ValueError, match="bit depth"):
+        imagecodec.decode_png(png16)
 
 
 def test_image_codec_roundtrip_all_paddings():
@@ -344,8 +424,10 @@ def test_image_decode_stats_spark_path(spark):
     assert len(stats) == n_docs
     assert (stats.width == 5 + stats.media_id % 4).all()
     assert (stats.height == 3 + stats.media_id % 3).all()
-    assert set(stats.fmt) == {"bmp", "ppm"}
-    assert (stats[stats.media_id % 2 == 0].fmt == "bmp").all()
+    assert set(stats.fmt) == {"bmp", "ppm", "png"}
+    assert (stats[stats.media_id % 3 == 0].fmt == "bmp").all()
+    assert (stats[stats.media_id % 3 == 1].fmt == "ppm").all()
+    assert (stats[stats.media_id % 3 == 2].fmt == "png").all()
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
