@@ -2084,6 +2084,55 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grades the SESSION-WINDOW state operator — the sixth
+    streaming state path (after windowed, custom, join, dedup and
+    late-drop): gap-based per-user sessions via ``session_window``
+    executed over four event-time-ordered micro-batches, append-mode
+    drain. Session state MERGES (an in-gap event extends the window
+    and fuses adjacent windows), which no tumbling-window grade
+    exercises; ordered arrival means no event is late, so the final
+    emitted set is a deterministic function of the table: every
+    session whose end (last event + 30 min) the final watermark
+    (floor_ms(max ts) − 48 h) has passed, with exactly the batch
+    gaps-and-islands membership.
+
+    Boundary semantics, Spark-true and test-pinned: two point events
+    exactly gap apart MERGE (Spark's window-overlap test is
+    next.start <= prev.end, boundary-inclusive — measured, the
+    synthetic exact-gap test pins it), so the oracle breaks at
+    diff > gap, the SAME convention as the batch twin
+    ``sessionize_events``. Counts and integer-cent sums keep the
+    hash exact."""
+    from ..streaming.events import (  # noqa: PLC0415
+        read_events_stream_ordered,
+    )
+
+    raw = read_events_stream_ordered(spark, sf_dir, n_parts=4)
+    res = (
+        raw.withWatermark("ts", "48 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            (F.col("cents") / 100.0).alias("total_value"),
+        )
+    )
+    return _drain_bounded(
+        spark, res, "stream_session_sink", "append"
+    )
+
+
 def stream_late_drop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-grades WATERMARK-DISCARD semantics — the one streaming
     behavior no other drain touches (they all arrange for no row to
@@ -2231,6 +2280,7 @@ QUERIES = {
     "stream_join_multibatch_drain": stream_join_multibatch_drain,
     "stream_dedup_drain": stream_dedup_drain,
     "stream_late_drop_drain": stream_late_drop_drain,
+    "stream_session_drain": stream_session_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2594,6 +2644,40 @@ ORACLES["stream_join_multibatch_drain"] = """
 # determinism argument)
 ORACLES["stream_dedup_drain"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+# session-window replay (determinism argument on the drain): ordered
+# arrival => batch gaps-and-islands membership; break at diff > gap —
+# Spark MERGES two point events exactly gap apart (its overlap test is
+# next.start <= prev.end, boundary-inclusive; pinned empirically in
+# test_stream_session_drain_exact_gap_boundary), the same > convention
+# as the batch twin sessionize_events; emitted = sessions whose end
+# the final watermark passed
+ORACLES["stream_session_drain"] = """
+    WITH wm AS (
+        SELECT CAST(date_trunc('millisecond', max(ts)) AS TIMESTAMP)
+               - INTERVAL 48 HOUR AS w
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800 THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), sess AS (
+        SELECT user_id, ts, value,
+               sum(brk) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*)::BIGINT AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM sess GROUP BY user_id, sid
+    HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
 """
 
 # watermark-discard replay (determinism argument in the drain's

@@ -138,8 +138,9 @@ PRIORITY: tuple[str, ...] = (
     # TPC-H star-query family (q3 rotated out sixth rotation — the
     # global-top-k shape stays graded via window_topk_per_group)
     "q5_local_supplier",
-    # engine-added temporal operator (as-of join)
-    "asof_join",
+    # asof_join rotated out thirteenth wave (r1–r8 green — the as-of
+    # shape stays graded inside conversion_latency's self-excluding
+    # cumulative-window binding and stays local-strict)
     # §2.6 windows / sort / limit (window_range_frame rotated out
     # seventh rotation — range frames run graded inside several
     # temporal slots)
@@ -329,6 +330,11 @@ PRIORITY: tuple[str, ...] = (
     # file):
     "stream_late_drop_drain",
     "pysource_paged_docs",
+    # the SIXTH streaming state path, first grade: session-window
+    # MERGING state (gap sessions over 4 ordered micro-batches;
+    # boundary-inclusive merge pinned by a synthetic exact-gap test,
+    # oracle = batch gaps-and-islands + final-watermark emission)
+    "stream_session_drain",
 )
 
 

@@ -294,6 +294,60 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     assert cross > 0, "no match straddles a micro-batch boundary"
 
 
+def test_stream_session_drain_exact_gap_boundary(spark, tmp_path):
+    """Pins the session-merge boundary the oracle encodes: Spark's
+    window-overlap test is boundary-INCLUSIVE (next.start <=
+    prev.end), so two events exactly gap apart MERGE into one
+    session, and one second beyond the gap they break — the > break
+    convention the oracle (and the batch twin) uses. A third,
+    far-future event advances the watermark so sessions emit."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_session_drain,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def stage(d, gap_sec):
+        rows = [
+            (0, t0, 1, "view", 1.0, "{}"),
+            (1, t0 + dt.timedelta(seconds=gap_sec), 1, "view", 1.0, "{}"),
+            (2, t0 + dt.timedelta(days=30), 2, "view", 1.0, "{}"),
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": pa.array([r[1] for r in rows],
+                                   type=pa.timestamp("us")),
+                    "user_id": [r[2] for r in rows],
+                    "event_type": [r[3] for r in rows],
+                    "value": [r[4] for r in rows],
+                    "props": [r[5] for r in rows],
+                },
+            ),
+            f"{d}/events.parquet",
+        )
+        return str(d)
+
+    d1 = tmp_path / "exact_gap"
+    d1.mkdir()
+    out = stream_session_drain(spark, stage(d1, 1800))
+    u1 = out.filter("user_id = 1").collect()
+    # exactly-gap: MERGE (boundary-inclusive overlap)
+    assert len(u1) == 1 and u1[0].n_events == 2, [tuple(r) for r in u1]
+
+    d2 = tmp_path / "beyond_gap"
+    d2.mkdir()
+    out2 = stream_session_drain(spark, stage(d2, 1801))
+    u2 = out2.filter("user_id = 1").collect()
+    assert len(u2) == 2, [tuple(r) for r in u2]  # past-gap: BREAK
+
+
 def test_stream_late_drop_drain_drops_and_keeps(spark):
     """The watermark-discard grade must certify BOTH halves of the
     semantics: (a) drops are provably non-zero — the state store's
