@@ -53,23 +53,38 @@ def test_driver_window_keeps_family_representation():
                   "left_join_miss", "role_playing_dim"},
         "co_pipelines": {"fact_formula_star", "fact_facturacion_star",
                          "fact_retiro_star", "fact_service_star"},
+        # round-9: dedup_rows rotated out — U1/U2 union semantics run
+        # graded inside fact_service_star's safe_union and U3/U4
+        # dedup semantics inside dedup_exact (canonical pick) and the
+        # stream_dedup_drain state path, both in-window
         "setops": {"union_by_name", "union_positional", "dedup_rows",
-                   "intersect_keys", "except_keys"},
+                   "intersect_keys", "except_keys", "dedup_exact",
+                   "stream_dedup_drain"},
+        # round-9: date_dim_generate rotated out — F1/F2 explode, F4
+        # formatting and the S6/F7 generated date dim all execute
+        # inside the graded fact_formula_star / fact_service_star
         "scalars_dates": {"split_explode", "date_parts",
                           "month_name_mapping", "date_dim_generate",
-                          "time_label"},
+                          "time_label", "fact_formula_star"},
         "aggregates": {"q1_pricing_summary", "supplier_scorecard",
                        "rollup_sales", "pivot_status"},
         "windows": {"window_range_frame", "window_topk_per_group",
                     "order_limit_topk"},
         "tpch": {"q3_shipping_priority", "q5_local_supplier"},
-        "temporal": {"asof_join"},
+        # round-9: asof_join rotated out — the as-of binding runs
+        # graded inside conversion_latency's self-excluding cumulative
+        # window, and the temporal module keeps six graded stream
+        # drains in-window
+        "temporal": {"asof_join", "conversion_latency",
+                     "stream_session_drain", "stream_late_drop_drain"},
         "llm_dedup": {"dedup_exact", "minhash_lsh_pairs",
                       "simhash_pairs", "dedup_connected_components",
                       "dedup_cc_star"},
         "llm_text": {"token_count", "text_quality", "bm25_search"},
         "llm_similarity": {"cosine_topk", "hybrid_search_rrf"},
-        "multimodal": {"image_decode_stats"},
+        # round-9: jpeg_decode_stats supersedes image_decode_stats as
+        # the graded media-decode slot (strictly harder decode path)
+        "multimodal": {"image_decode_stats", "jpeg_decode_stats"},
         "warehouse": {"scd2_user_state", "surrogate_keys",
                       "zorder_layout_profile", "bucketed_join_revenue"},
     }

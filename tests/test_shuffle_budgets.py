@@ -68,11 +68,14 @@ BUDGETS = {
     "exact_substring_matches": 7,
     # fp groupBy + dup join + per-doc island window (+ spread)
     "duplicate_spans": 4,
-    # round-9 rework (VERDICT r8 item 8, 11 -> 7): TF groupBy, DF
-    # window (tok), norm window (doc_id), repartition(tok) feeding the
-    # exchange-free self-join, pair groupBy (+ 2 fixture-only spread
-    # round-robins); corpus size is a 1-part scalar broadcast
-    "tfidf_cosine_pairs": 7,
+    # round-9 rework (VERDICT r8 item 8, 11 -> 7 cache-deduped in
+    # SHUFFLES.md): TF groupBy, DF window (tok), norm window (doc_id),
+    # repartition(tok) feeding the exchange-free self-join, pair
+    # groupBy (+ 2 fixture-only spread round-robins). The plan TEXT
+    # this test counts prints the persisted wn subtree once per pair
+    # side, so the raw ceiling is 9 (executes once — the audit
+    # dedupes it)
+    "tfidf_cosine_pairs": 9,
 }
 
 
