@@ -405,6 +405,65 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
 
 
+WAV_BASE_SAMPLES = 256   # samples per synthetic clip, + 64 per id%3
+WAV_SAMPLE_MOD = 4001    # sample[i] = (31*id + 17*i) % 4001 - 2000
+
+
+def wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container decode: per document a 16-bit PCM
+    RIFF/WAVE file is ENCODED from a closed-form int16 sample formula
+    and then DECODED through the vendored WAV codec
+    (``llm.audiocodec`` — chunk walk, fmt validation, little-endian
+    int16 raster), and per-64-sample-window RMS energy is computed
+    over the decoded samples. Complements ``audio_energy_windows``
+    (raw-byte stand-in payloads) with the real container format the
+    way ``jpeg_decode_stats`` complements the synthetic image path.
+
+    Window sums are exact integer math and the window width is a
+    power of two, so the RMS double is engine-identical and the
+    oracle replays it from the same formula by arithmetic alone.
+    Scale posture: one mapInPandas stage, no shuffle; payloads live
+    only in executor Arrow batches."""
+    import numpy as np  # noqa: PLC0415
+
+    from . import audiocodec  # noqa: PLC0415
+
+    out_schema = (
+        "media_id long, n_samples int, rate int, win_idx long, "
+        "rms double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "n_samples", "rate", "win_idx", "rms",
+            )}
+            for mid in pdf["doc_id"].astype("int64"):
+                n = WAV_BASE_SAMPLES + (int(mid) % 3) * 64
+                i = np.arange(n, dtype=np.int64)
+                s = ((31 * int(mid) + 17 * i) % WAV_SAMPLE_MOD
+                     - 2000).astype(np.int16)
+                payload = audiocodec.encode_wav(s, sample_rate=16_000)
+                dec, rate = audiocodec.decode_wav(payload)
+                a = dec.astype(np.int64)
+                nw = len(a) // AUDIO_WIN
+                w = a[: nw * AUDIO_WIN].reshape(nw, AUDIO_WIN)
+                rms = np.round(
+                    np.sqrt((w * w).sum(axis=1) / float(AUDIO_WIN)), 4
+                )
+                rows["media_id"].extend([int(mid)] * nw)
+                rows["n_samples"].extend([len(dec)] * nw)
+                rows["rate"].extend([rate] * nw)
+                rows["win_idx"].extend(range(nw))
+                rows["rms"].extend(rms)
+            yield pd.DataFrame(rows).astype(
+                {"n_samples": "int32", "rate": "int32"}
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(run, schema=out_schema)
+
+
 JPEG_GRAY_MOD = 128  # gray v = 2*((7*doc_id) % 128): even 0..254
 
 
@@ -629,6 +688,7 @@ QUERIES = {
     "binary_metadata": binary_metadata,
     "image_decode_stats": image_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
+    "wav_energy_windows": wav_energy_windows,
     "image_intensity_histogram": image_intensity_histogram,
     "frame_sample": frame_sample,
     "resize_media": resize_media,
@@ -714,6 +774,30 @@ ORACLES["image_decode_stats"] = f"""
            sum(b)::BIGINT AS sum_b,
            sum((i + 1) * (r + 2 * g + 3 * b))::BIGINT AS pos_weighted
     FROM px GROUP BY media_id
+"""
+
+# closed-form replay of the WAV clip formula: the codec round trip is
+# lossless (PCM16), window sums are exact integers, AUDIO_WIN a power
+# of two — same engine-identical-RMS argument as audio_energy_windows
+ORACLES["wav_energy_windows"] = f"""
+    WITH clips AS (
+        SELECT doc_id AS media_id,
+               ({WAV_BASE_SAMPLES} + (doc_id % 3) * 64)::INTEGER
+                   AS n_samples
+        FROM documents
+    ), s AS (
+        SELECT media_id, n_samples, i,
+               (31 * media_id + 17 * i) % {WAV_SAMPLE_MOD} - 2000 AS v
+        FROM clips,
+             LATERAL (SELECT unnest(generate_series(
+                 0, n_samples - 1)) AS i)
+    )
+    SELECT media_id,
+           any_value(n_samples) AS n_samples,
+           16000 AS rate,
+           i // {AUDIO_WIN} AS win_idx,
+           round(sqrt(sum(v * v) / {AUDIO_WIN}.0), 4) AS rms
+    FROM s GROUP BY media_id, i // {AUDIO_WIN}
 """
 
 # closed-form replay of the exact-by-construction gray JPEGs (the

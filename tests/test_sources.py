@@ -337,6 +337,44 @@ def test_jpeg_codec_rejects_progressive_and_truncation():
         imagecodec.decode_jpeg(good[: len(good) // 2])
 
 
+def test_wav_codec_roundtrip_chunkwalk_and_rejection():
+    """WAV is lossless PCM: encode→decode is the identity for mono
+    and stereo int16; the decoder's chunk walk skips unknown chunks
+    (a LIST chunk inserted between fmt and data, odd-length +
+    word-aligned) and rejects non-PCM formats loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import audiocodec
+
+    rng = np.random.default_rng(3)
+    mono = rng.integers(-32768, 32768, size=101, dtype=np.int16)
+    out, rate = audiocodec.decode_wav(audiocodec.encode_wav(mono, 8000))
+    assert rate == 8000 and np.array_equal(out, mono)
+
+    stereo = rng.integers(-32768, 32768, size=(40, 2), dtype=np.int16)
+    out2, _ = audiocodec.decode_wav(audiocodec.encode_wav(stereo))
+    assert out2.shape == (40, 2) and np.array_equal(out2, stereo)
+
+    # splice an odd-length LIST chunk between fmt and data
+    data = audiocodec.encode_wav(mono, 8000)
+    di = data.find(b"data")
+    junk = b"LIST" + _struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+    spliced = data[:di] + junk + data[di:]
+    spliced = (spliced[:4]
+               + _struct.pack("<I", len(spliced) - 8) + spliced[8:])
+    out3, _ = audiocodec.decode_wav(spliced)
+    assert np.array_equal(out3, mono)
+
+    # IEEE-float format tag rejected loudly
+    bad = bytearray(audiocodec.encode_wav(mono, 8000))
+    fi = bad.find(b"fmt ") + 8
+    bad[fi:fi + 2] = _struct.pack("<H", 3)  # tag 3 = IEEE float
+    with pytest.raises(ValueError, match="format tag 3"):
+        audiocodec.decode_wav(bytes(bad))
+
+
 def test_image_codec_topdown_bmp_and_ppm_comments():
     """Decoder-only paths an encoder round-trip can't reach: top-down
     BMP (negative height) and PPM header comments."""
