@@ -1,0 +1,226 @@
+"""Vendored pure-Python animated-GIF codec (GIF89a): the third real
+media container after ``imagecodec`` (BMP/PPM/JPEG/PNG) and
+``audiocodec`` (WAV) — and the one that makes FRAME SAMPLING real: an
+animated GIF is a sequence of LZW-compressed indexed frames, so
+decoding every k-th frame exercises an actual video-style container
+walk instead of the byte-slice stand-in in ``multimodal.frame_sample``.
+
+Implemented from the public GIF89a specification: header + logical
+screen descriptor, global/local color tables, extension blocks
+(graphics control / application / comment) skipped via their
+sub-block chains, image descriptors, and the variable-width LZW
+variant GIF uses (clear/end codes, 12-bit cap, dictionary reset).
+Encoding is the same spec in reverse. Indexed pixels round-trip
+LOSSLESSLY — the oracle-friendly property the graded query builds on.
+Interlaced images and transparency-composited disposal are out of
+scope and raise loudly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW: variable code width starting at
+    min_code_size+1, clear code 2^mcs, end code 2^mcs+1, dictionary
+    capped at 4096 (emit clear + reset when full)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    prefix: tuple[int, ...] = ()
+    for px in indices.ravel().tolist():
+        cand = prefix + (px,)
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        prefix = (px,)
+    if prefix:
+        emit(table[prefix], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: list[int] | None = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + [entry[0]])
+        elif code == len(table):
+            entry = prev + [prev[0]]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return np.asarray(out[:n_pixels], dtype=np.uint8)
+
+
+def _subblocks(payload: bytes) -> bytes:
+    """Wrap a byte stream into <=255-byte GIF sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode a list of H×W uint8 INDEX arrays (all same shape) as an
+    animated GIF89a with one global color table ``palette``
+    ((n, 3) uint8, n a power of two >= 2) and a NETSCAPE loop block.
+    Indexed data round-trips losslessly."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    n = len(palette)
+    if n < 2 or n > 256 or n & (n - 1):
+        raise ValueError(f"palette size {n} not a power of two in 2..256")
+    depth = max(n.bit_length() - 1, 1)
+    mcs = max(depth, 2)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += palette.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0" + _subblocks(b"\x01\x00\x00")[:-1]
+            + b"\x00")
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share the canvas shape")
+        out += b"\x21\xf9" + _subblocks(
+            struct.pack("<BHB", 0, delay_cs, 0)
+        )
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(mcs)
+        out += _subblocks(
+            _lzw_encode(np.ascontiguousarray(fr, dtype=np.uint8), mcs)
+        )
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> list[np.ndarray]:
+    """Decode an animated GIF into a list of H×W×3 RGB uint8 frames
+    (full-canvas frames composited onto the previous canvas for
+    partial-rect images; interlace raises loudly)."""
+    data = bytes(data)
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: skip its sub-block chain
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, fpacked = struct.unpack_from(
+                "<HHHHB", data, pos + 1
+            )
+            pos += 10
+            ct = gct
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 0x07)
+                ct = np.frombuffer(
+                    data, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if fpacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if ct is None:
+                raise ValueError("GIF image with no color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), mcs, fw * fh).reshape(fh, fw)
+            canvas = canvas.copy()
+            canvas[top:top + fh, left:left + fw] = ct[idx]
+            frames.append(canvas)
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+    if not frames:
+        raise ValueError("GIF had no image frames")
+    return frames

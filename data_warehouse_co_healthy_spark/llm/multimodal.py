@@ -405,6 +405,83 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_images(spark, sf_dir).mapInPandas(run, schema=out_schema)
 
 
+GIF_PALETTE_N = 16     # 16-color global table: palette[j] = (5j,11j,23j)%256
+GIF_BASE_FRAMES = 2    # frames per clip = 2 + doc_id % 3
+
+
+def gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling over a REAL animated container: per
+    document an animated GIF89a — n = 2 + doc_id%3 full-canvas frames,
+    16-color global palette, frame f's pixel i indexed by the closed
+    form (doc_id + 7f + 3i) mod 16 — is ENCODED and every
+    FRAME_STRIDE-th frame DECODED back through the vendored LZW codec
+    (``llm.gifcodec``: extension-block walk, variable-width LZW with
+    clear/end codes and dictionary reset, color-table lookup). This is
+    the video-shaped 1→N fanout ``frame_sample`` stands in for, now
+    exercised against an actual container format; GIF's indexed data
+    is lossless, so the per-frame pixel stats are pure arithmetic and
+    the DuckDB oracle replays them from the formula alone. One
+    mapInPandas stage, no shuffle."""
+    import numpy as np  # noqa: PLC0415
+
+    from . import gifcodec  # noqa: PLC0415
+
+    pal = np.stack(
+        [
+            (5 * np.arange(GIF_PALETTE_N)) % 256,
+            (11 * np.arange(GIF_PALETTE_N)) % 256,
+            (23 * np.arange(GIF_PALETTE_N)) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+    out_schema = (
+        "media_id long, n_frames int, frame_idx long, width int, "
+        "height int, sum_r long, sum_g long, sum_b long, "
+        "pos_weighted long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "media_id", "n_frames", "frame_idx", "width", "height",
+                "sum_r", "sum_g", "sum_b", "pos_weighted",
+            )}
+            for mid in pdf["doc_id"].astype("int64"):
+                w = IMG_W_BASE + int(mid) % IMG_W_MOD
+                h = IMG_H_BASE + int(mid) % IMG_H_MOD
+                nf = GIF_BASE_FRAMES + int(mid) % 3
+                i = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((int(mid) + 7 * f + 3 * i) % GIF_PALETTE_N)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                payload = gifcodec.encode_gif(frames, pal)
+                decoded = gifcodec.decode_gif(payload)
+                for f in range(0, nf, FRAME_STRIDE):
+                    img = decoded[f].astype(np.int64)
+                    flat = img.reshape(-1, 3)
+                    pos = np.arange(1, len(flat) + 1, dtype=np.int64)
+                    mix = flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2]
+                    rows["media_id"].append(int(mid))
+                    rows["n_frames"].append(nf)
+                    rows["frame_idx"].append(f)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sum_r"].append(int(flat[:, 0].sum()))
+                    rows["sum_g"].append(int(flat[:, 1].sum()))
+                    rows["sum_b"].append(int(flat[:, 2].sum()))
+                    rows["pos_weighted"].append(int((pos * mix).sum()))
+            yield pd.DataFrame(rows).astype(
+                {"n_frames": "int32", "width": "int32",
+                 "height": "int32"}
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+    return d.mapInPandas(run, schema=out_schema)
+
+
 WAV_BASE_SAMPLES = 256   # samples per synthetic clip, + 64 per id%3
 WAV_SAMPLE_MOD = 4001    # sample[i] = (31*id + 17*i) % 4001 - 2000
 
@@ -689,6 +766,7 @@ QUERIES = {
     "image_decode_stats": image_decode_stats,
     "jpeg_decode_stats": jpeg_decode_stats,
     "wav_energy_windows": wav_energy_windows,
+    "gif_frame_stats": gif_frame_stats,
     "image_intensity_histogram": image_intensity_histogram,
     "frame_sample": frame_sample,
     "resize_media": resize_media,
@@ -774,6 +852,41 @@ ORACLES["image_decode_stats"] = f"""
            sum(b)::BIGINT AS sum_b,
            sum((i + 1) * (r + 2 * g + 3 * b))::BIGINT AS pos_weighted
     FROM px GROUP BY media_id
+"""
+
+# closed-form replay of the animated-GIF frames: indexed GIF data is
+# lossless through LZW, so sampled-frame pixel stats reduce to the
+# index formula + palette arithmetic
+ORACLES["gif_frame_stats"] = f"""
+    WITH clips AS (
+        SELECT doc_id AS media_id,
+               ({GIF_BASE_FRAMES} + doc_id % 3)::INTEGER AS n_frames,
+               ({IMG_W_BASE} + doc_id % {IMG_W_MOD})::INTEGER AS width,
+               ({IMG_H_BASE} + doc_id % {IMG_H_MOD})::INTEGER AS height
+        FROM documents
+    ), sampled AS (
+        SELECT media_id, n_frames, width, height, f
+        FROM clips,
+             LATERAL (SELECT unnest(generate_series(
+                 0, n_frames - 1, {FRAME_STRIDE})) AS f)
+    ), px AS (
+        SELECT media_id, n_frames, width, height, f, i,
+               (media_id + 7 * f + 3 * i) % {GIF_PALETTE_N} AS idx
+        FROM sampled,
+             LATERAL (SELECT unnest(generate_series(
+                 0, width * height - 1)) AS i)
+    )
+    SELECT media_id,
+           any_value(n_frames) AS n_frames,
+           f::BIGINT AS frame_idx,
+           any_value(width) AS width,
+           any_value(height) AS height,
+           sum((5 * idx) % 256)::BIGINT AS sum_r,
+           sum((11 * idx) % 256)::BIGINT AS sum_g,
+           sum((23 * idx) % 256)::BIGINT AS sum_b,
+           sum((i + 1) * ((5 * idx) % 256 + 2 * ((11 * idx) % 256)
+               + 3 * ((23 * idx) % 256)))::BIGINT AS pos_weighted
+    FROM px GROUP BY media_id, f
 """
 
 # closed-form replay of the WAV clip formula: the codec round trip is

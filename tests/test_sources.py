@@ -337,6 +337,56 @@ def test_jpeg_codec_rejects_progressive_and_truncation():
         imagecodec.decode_jpeg(good[: len(good) // 2])
 
 
+def test_gif_codec_lossless_animation_roundtrip():
+    """Animated GIF89a round trip is LOSSLESS on indexed data across
+    palette sizes (2/16/256 colors — the 256 case grows LZW codes to
+    12 bits and forces dictionary resets), multi-frame sequences
+    decode in order, a partial-rect frame composites onto the previous
+    canvas, and interlace/garbage are rejected loudly."""
+    import struct as _struct
+
+    import numpy as np
+
+    from data_warehouse_co_healthy_spark.llm import gifcodec
+
+    rng = np.random.default_rng(13)
+    for ncol in (2, 16, 256):
+        pal = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames = [
+            rng.integers(0, ncol, size=(9, 13), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        dec = gifcodec.decode_gif(gifcodec.encode_gif(frames, pal))
+        assert len(dec) == 3
+        for d, f in zip(dec, frames):
+            assert np.array_equal(d, pal[f]), ncol
+
+    # big frame: guarantees 12-bit growth + at least one dict reset
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, size=(64, 90), dtype=np.uint8)
+    dec = gifcodec.decode_gif(gifcodec.encode_gif([big], pal))
+    assert np.array_equal(dec[0], pal[big])
+
+    # partial-rect second frame composites onto the first canvas
+    base = gifcodec.encode_gif(
+        [np.zeros((6, 8), dtype=np.uint8)],
+        np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8),
+    )
+    # splice a hand-built 2x2 frame at (left=3, top=2), indices all 1
+    idx = np.ones((2, 2), dtype=np.uint8)
+    lzw = gifcodec._lzw_encode(idx, 2)
+    frame = (b"\x2c" + _struct.pack("<HHHHB", 3, 2, 2, 2, 0)
+             + bytes([2]) + gifcodec._subblocks(lzw))
+    spliced = base[:-1] + frame + b"\x3b"
+    dec = gifcodec.decode_gif(spliced)
+    assert len(dec) == 2
+    assert dec[1][2, 3].tolist() == [255, 0, 0]  # painted rect
+    assert dec[1][0, 0].tolist() == [0, 0, 0]    # untouched canvas
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        gifcodec.decode_gif(b"NOPE....")
+
+
 def test_wav_codec_roundtrip_chunkwalk_and_rejection():
     """WAV is lossless PCM: encode→decode is the identity for mono
     and stereo int16; the decoder's chunk walk skips unknown chunks
