@@ -2084,6 +2084,45 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
+def stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-grades the stream-stream OUTER join's NULL-emission
+    path — the seventh streaming state behavior (windowed, custom,
+    join, dedup, late-drop, session, and now watermark-DELAYED outer
+    results): the purchase→click attribution join as LEFT OUTER over
+    four event-time-ordered micro-batches. Inner matches emit on
+    arrival; an unattributed purchase's null-click row is emitted
+    only when the watermark proves no matching click can still
+    arrive — the correctness/latency trade every streaming outer
+    join makes, and an executor path (state eviction → null-padded
+    emission) the inner-join drains never execute.
+
+    Determinism (ordered arrival, no late input): the final emitted
+    set is the batch LEFT join restricted on the null side to
+    purchases the FINAL watermark passed. Two pinned subtleties the
+    oracle encodes: (a) the global watermark is the MIN across the
+    two watermarked sides (multipleWatermarkPolicy=min default), so
+    wm = floor_ms(least(max click_ts, max purchase_ts)) − 48 h — on
+    this fixture using the events-global max admits 2 extra null
+    rows, measured; (b) a purchase is evictable once wm passes its
+    own ts (its horizon only admits PAST clicks: click_ts ≤
+    purchase_ts), predicate ts < wm with the usual sub-ms tie class
+    documented, not observable on µs-grain data."""
+    from ..streaming.events import (  # noqa: PLC0415
+        purchase_attribution,
+        read_events_stream_ordered,
+    )
+
+    res = purchase_attribution(
+        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        horizon_min=24 * 60,
+        watermark="48 hours",
+        how="left_outer",
+    )
+    return _drain_bounded(
+        spark, res, "stream_outer_join_sink", "append"
+    )
+
+
 def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-grades the SESSION-WINDOW state operator — the sixth
     streaming state path (after windowed, custom, join, dedup and
@@ -2281,6 +2320,7 @@ QUERIES = {
     "stream_dedup_drain": stream_dedup_drain,
     "stream_late_drop_drain": stream_late_drop_drain,
     "stream_session_drain": stream_session_drain,
+    "stream_outer_join_drain": stream_outer_join_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -2644,6 +2684,42 @@ ORACLES["stream_join_multibatch_drain"] = """
 # determinism argument)
 ORACLES["stream_dedup_drain"] = """
     SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+# outer-join replay (determinism argument on the drain): inner part =
+# the batch interval join; null part = unmatched purchases the FINAL
+# watermark passed, where the watermark is the MIN across the two
+# watermarked sides (multipleWatermarkPolicy=min default — using the
+# events-global max admits 2 extra null rows on this fixture,
+# measured) and eviction is ts < wm
+ORACLES["stream_outer_join_drain"] = """
+    WITH wm AS (
+        SELECT least(
+            (SELECT CAST(date_trunc('millisecond', max(ts))
+                    AS TIMESTAMP)
+             FROM events WHERE event_type = 'click'),
+            (SELECT CAST(date_trunc('millisecond', max(ts))
+                    AS TIMESTAMP)
+             FROM events WHERE event_type = 'purchase')
+        ) - INTERVAL 48 HOUR AS w
+    ), matched AS (
+        SELECT p.event_id AS event_id, p.user_id AS user_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p JOIN events c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 24 HOUR
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    )
+    SELECT * FROM matched
+    UNION ALL
+    SELECT p.event_id, p.user_id, p.ts,
+           NULL::BIGINT AS click_id, NULL::TIMESTAMP AS click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.event_id NOT IN (SELECT event_id FROM matched)
+      AND p.ts < (SELECT w FROM wm)
 """
 
 # session-window replay (determinism argument on the drain): ordered

@@ -294,6 +294,47 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     assert cross > 0, "no match straddles a micro-batch boundary"
 
 
+def test_stream_outer_join_drain_null_emission(spark):
+    """The outer drain must exercise BOTH emission paths: inner
+    matches equal the batch interval join, and the null-click rows
+    are non-empty but strictly fewer than the batch unmatched set —
+    the watermark-delayed tail (purchases the final watermark hasn't
+    passed) is withheld, which is exactly the semantics the oracle's
+    min-side watermark encodes."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_outer_join_drain,
+    )
+
+    out = stream_outer_join_drain(spark, SF_DIR)
+    n_null = out.filter("click_id IS NULL").count()
+    assert n_null > 0
+
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("pid"), F.col("ts").alias("pts"),
+        F.col("user_id").alias("pu"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+    )
+    matched = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    n_purchases = p.count()
+    batch_unmatched = n_purchases - matched
+    assert 0 < n_null < batch_unmatched  # delayed tail withheld
+
+
 def test_stream_session_drain_exact_gap_boundary(spark, tmp_path):
     """Pins the session-merge boundary the oracle encodes: Spark's
     window-overlap test is boundary-INCLUSIVE (next.start <=
