@@ -66,6 +66,10 @@ HEADLINE = [
     "ivf_index_probe_topk",  # persisted-index probe, partition-pruned
     "cut_duplicate_spans",   # span-grain Lee-et-al removal transform
     "tfidf_cosine_pairs",    # sparse cosine (r9: deduped 11 -> 7 exch)
+    "stream_session_drain",  # session-window merging state drain
+    "stream_outer_join_drain",  # outer-join null-emission drain
+    "gif_frame_stats",       # animated-GIF LZW frame sampling
+    "wav_energy_windows",    # RIFF/WAVE PCM16 windowed RMS
 ]
 
 
