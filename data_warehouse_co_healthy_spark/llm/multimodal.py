@@ -547,9 +547,11 @@ JPEG_GRAY_MOD = 128  # gray v = 2*((7*doc_id) % 128): even 0..254
 def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode graded end to end (VERDICT r8 item
     5): per document a solid-gray JPEG — gray v = 2·((7·doc_id) mod
-    128), size from the shared synth formula (widths 5–8 / heights
-    3–5, never multiples of the 8/16 MCU grid, so edge-block padding
-    and final cropping execute on every image) — is ENCODED and then
+    128), size = the shared synth formula + 8 on each axis (widths
+    13–16 / heights 11–13: never multiples of the 8/16 MCU grid, so
+    edge-block padding and final cropping execute on every image, and
+    the 4:4:4 grid is ≥ 2×2 MCUs so the 'rst' variant genuinely
+    crosses restart boundaries) — is ENCODED and then
     DECODED executor-side through the vendored T.81 codec
     (``llm.imagecodec``): Annex-K tables, Huffman entropy coding, DC
     prediction, dequant + IDCT, YCbCr→RGB. doc_id mod 3 rotates the
@@ -584,8 +586,15 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )}
             for mid in pdf["doc_id"].astype("int64"):
                 v = 2 * ((7 * int(mid)) % JPEG_GRAY_MOD)
-                w = IMG_W_BASE + int(mid) % IMG_W_MOD
-                h = IMG_H_BASE + int(mid) % IMG_H_MOD
+                # +8 on both axes so the 4:4:4 grid is 2x2 MCUs: the
+                # 'rst' variant then really crosses a restart boundary
+                # (interval 2 < 4 MCUs) — at the base 5-8 x 3-5 size
+                # everything fit in ONE MCU and no RST was ever
+                # emitted, making the variant a silent no-op (review
+                # finding, round 9); the marker presence is now
+                # test-pinned
+                w = IMG_W_BASE + 8 + int(mid) % IMG_W_MOD
+                h = IMG_H_BASE + 8 + int(mid) % IMG_H_MOD
                 variant = ("444", "420", "rst")[int(mid) % 3]
                 img = np.full((h, w, 3), v, dtype=np.uint8)
                 payload = imagecodec.encode_jpeg_baseline(
@@ -922,8 +931,10 @@ ORACLES["jpeg_decode_stats"] = f"""
                CASE doc_id % 3 WHEN 0 THEN '444' WHEN 1 THEN '420'
                     ELSE 'rst' END AS variant,
                2 * ((7 * doc_id) % {JPEG_GRAY_MOD}) AS v,
-               ({IMG_W_BASE} + doc_id % {IMG_W_MOD})::INTEGER AS width,
-               ({IMG_H_BASE} + doc_id % {IMG_H_MOD})::INTEGER AS height
+               ({IMG_W_BASE + 8} + doc_id % {IMG_W_MOD})::INTEGER
+                   AS width,
+               ({IMG_H_BASE + 8} + doc_id % {IMG_H_MOD})::INTEGER
+                   AS height
         FROM documents
     )
     SELECT media_id, variant, width, height,

@@ -567,11 +567,23 @@ def ivf_index_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot grades that the inline slot can't: the index WRITE layout, the
     stored-quantizer probe, and partition-pruned scan correctness."""
     import hashlib  # noqa: PLC0415
+    import os  # noqa: PLC0415
 
     from ..sources import hadoopfs  # noqa: PLC0415
 
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key the staged index on the SOURCE fingerprint, not just the
+    # path (same rationale as streaming.docs._staged_dir): a
+    # regenerated fixture at the same path must rebuild, never serve
+    # the stale index. Partial writes self-heal: the existence check
+    # needs both subdirs and ivf_index_write overwrites both.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{sf_dir}|{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        fp = sf_dir
+    tag = hashlib.md5(fp.encode()).hexdigest()[:8]
     path = f"{wh.rstrip('/')}/r9_ivf_index_{tag}"
     if not (
         hadoopfs.exists(spark, f"{path}/quantizer")

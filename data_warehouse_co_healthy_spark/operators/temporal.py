@@ -2736,9 +2736,13 @@ ORACLES["stream_session_drain"] = """
         FROM events
     ), marked AS (
         SELECT user_id, ts, event_id, value,
-               CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
-                        PARTITION BY user_id ORDER BY ts, event_id))
-                    > 1800 THEN 1 ELSE 0 END AS brk
+               -- interval comparison, NOT epoch() doubles: epoch()
+               -- quantizes at ~2.4e-7 s near 1.6e9, so an EXACT
+               -- 1800 s gap could flip > 1800 and falsely break the
+               -- session Spark merges (review finding, round 9)
+               CASE WHEN ts - lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
         FROM events
     ), sess AS (
         SELECT user_id, ts, value,

@@ -301,7 +301,8 @@ MEDIA_STAGE_N = 60  # files staged per fixture dir (bounded, cached)
 
 def stage_media_dir(spark: SparkSession, sf_dir: str) -> str:
     """Stage a bounded directory of REAL encoded image files
-    (.bmp/.ppm via the vendored codec) derived from the documents
+    (.bmp/.ppm/.png via the vendored codec — PNG rotated in round 9
+    with media_images' mod-3 fmt split) derived from the documents
     fixture — the on-disk media lake both the batch binaryFile reader
     and the streaming source ingest (shared ``_staged_dir`` cache —
     keyed on the documents fixture's fingerprint, so rewriting the

@@ -324,6 +324,20 @@ def test_jpeg_codec_rejects_progressive_and_truncation():
 
     from data_warehouse_co_healthy_spark.llm import imagecodec
 
+    # a 13x11 canvas is a 2x2 MCU grid at 4:4:4 — restart_interval=2
+    # must emit a real RSTn marker mid-stream (the graded
+    # jpeg_decode_stats 'rst' variant relies on this; at one-MCU
+    # sizes the variant would silently degenerate to plain 4:4:4)
+    big = np.full((11, 13, 3), 100, dtype=np.uint8)
+    rst_payload = imagecodec.encode_jpeg_baseline(
+        big, restart_interval=2
+    )
+    sos_at = rst_payload.find(b"\xff\xda")
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in rst_payload[sos_at:] for i in range(8)
+    ), "no RSTn marker in the entropy stream"
+    assert np.array_equal(imagecodec.decode(rst_payload), big)
+
     img = np.full((8, 8, 3), 100, dtype=np.uint8)
     data = bytearray(imagecodec.encode_jpeg_baseline(img))
     sof = data.find(b"\xff\xc0")

@@ -399,9 +399,6 @@ def test_stream_late_drop_drain_drops_and_keeps(spark):
     watermark), so the filter is a boundary, not a drop-everything."""
     from pyspark.sql import functions as F
 
-    from data_warehouse_co_healthy_spark.operators.temporal import (
-        _drain_bounded,
-    )
     from data_warehouse_co_healthy_spark.streaming.events import (
         read_events_stream_cohorts,
         run_to_memory,

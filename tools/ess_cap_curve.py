@@ -78,9 +78,11 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
     spark = get_spark("ess-cap-curve")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup (JVM/codegen) on the smallest available fixture — prefer
-    # the standard sf0.001 layout, fall back to the target dir itself
-    # so the tool still runs on machines without that fixture tree
+    # warmup (JVM/codegen) on the smallest available fixture: the
+    # sf0.001 sibling of the target dir, else the standard fixture
+    # path. When neither exists the warmup is SKIPPED (warming on the
+    # full target could cost more than the measurement) — noted on
+    # stdout because the first timed row then absorbs JVM startup.
     warmup_dir = os.path.join(
         os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
     )
@@ -88,6 +90,9 @@ def main() -> None:
         warmup_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warmup_dir):
         _exact_substring_matches(spark, warmup_dir, 200).count()
+    else:
+        print("warmup fixture not found: first row includes JVM "
+              "startup cost")
 
     print(f"ESS cap curve at {sf_dir} (cold per run, best of 2)\n")
     print("| cap | wall sec | in-cap pair rows | maximal runs |")
