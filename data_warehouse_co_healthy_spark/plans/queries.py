@@ -337,6 +337,16 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_drain",
 )
 
+# Round-10 rotation candidates, registered + strict-green this round
+# but built after the window filled (50 slots, 9 first-time grades):
+# stream_outer_join_drain (the outer-join null-emission state path —
+# min-of-sides watermark + eviction boundary pinned in its oracle),
+# wav_energy_windows (RIFF/WAVE PCM16 container decode),
+# gif_frame_stats (animated-GIF LZW frame sampling). Obvious rotate-
+# outs when they go in: multi-round-green q5_local_supplier /
+# window_topk_per_group peers per the family sets in
+# tests/test_registry.py.
+
 
 def _apply_priority() -> None:
     """Reorder QUERIES in place so PRIORITY names come first (in that

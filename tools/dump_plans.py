@@ -120,6 +120,21 @@ SHOWCASE = [
         "are Arrow map-only stages, the ONLY exchange is the final "
         "per-query ranking window",
     ),
+    (
+        "tfidf_cosine_pairs",
+        "round-9 rewrite: DF/IDF + norms as two windows, pair "
+        "self-join exchange-free off the tok-partitioned cache",
+    ),
+    (
+        "ivf_index_probe_topk",
+        "persisted IVF serve: stored-quantizer probe, partition-"
+        "pruned vector scan (cell IN-list as PartitionFilters)",
+    ),
+    (
+        "jpeg_decode_stats",
+        "vendored T.81 decode: two chained Arrow stages, zero "
+        "exchanges — media decode is scan-shaped at any scale",
+    ),
 ]
 
 
