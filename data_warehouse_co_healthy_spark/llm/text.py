@@ -1399,8 +1399,114 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HTML_CHUNK = 200  # chars per synthesized <p> chunk
+
+
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-stripping HTML main-text extraction — the
+    canonical first step of a web-scrape → training-text pipeline,
+    exercised end to end against a REAL parser: each document's
+    (whitespace-normalized) text is wrapped executor-side into a full
+    page — head/title/style/script, a nav menu, the text escaped and
+    split into HTML_CHUNK-char ``<p>`` chunks, a footer — and the
+    main text is then RECOVERED with the stdlib ``html.parser``
+    state machine (tag stack, script/style/nav/header/footer
+    suppression, entity unescaping via convert_charrefs). Because
+    escape → parse → unescape is the identity and the chunks
+    concatenate back losslessly, the extraction contract is exact:
+    recovered text == normalized source — so the DuckDB oracle is
+    pure arithmetic on the documents table (normalize, length,
+    ceil-div chunk count, md5), and any parser-state bug (boilerplate
+    leaking in, entity mishandling, chunk loss) breaks the hash.
+
+    Scale posture: one mapInPandas stage, no shuffle; pages live only
+    inside executor Arrow batches. On real crawl data the build step
+    disappears and the same parser runs over fetched payloads."""
+    import hashlib  # noqa: PLC0415
+    import html as _html  # noqa: PLC0415
+    import re as _re  # noqa: PLC0415
+    from html.parser import HTMLParser  # noqa: PLC0415
+
+    _ws = _re.compile(r"[ \t\n\r\f\v]+")
+    _skip = {"script", "style", "nav", "header", "footer", "head"}
+
+    class _Main(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__()  # convert_charrefs=True: entities
+            self.depth = 0      # arrive unescaped inside handle_data
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _skip:
+                self.depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in _skip and self.depth:
+                self.depth -= 1
+
+        def handle_data(self, data):
+            if self.depth == 0:
+                self.parts.append(data)
+
+    def build_page(doc_id: int, norm: str) -> str:
+        chunks = [
+            norm[i:i + HTML_CHUNK]
+            for i in range(0, len(norm), HTML_CHUNK)
+        ]
+        body = "".join(
+            f"<p>{_html.escape(c)}</p>" for c in chunks
+        )
+        return (
+            f"<html><head><title>doc {doc_id}</title>"
+            "<style>p{margin:0}</style>"
+            "<script>track(&quot;x&quot;);</script></head><body>"
+            "<nav><a href=\"/\">home</a> | <a href=\"/a\">about</a>"
+            "</nav>" + body
+            + "<footer>&copy; boilerplate footer</footer>"
+            "</body></html>"
+        )
+
+    out_schema = (
+        "doc_id long, extracted_len long, n_chunks long, "
+        "extracted_md5 string"
+    )
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415 - executor-side import
+
+        for pdf in batches:
+            ids, lens, chunks, sums = [], [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                norm = _ws.sub(" ", text or "").strip()
+                page = build_page(int(mid), norm)
+                p = _Main()
+                p.feed(page)
+                p.close()
+                # <p> chunks are exact substrings and every
+                # boilerplate container (nav/footer/script/style/
+                # head) is depth-suppressed — concatenating the data
+                # events restores the normalized text byte-for-byte
+                got = "".join(p.parts)
+                ids.append(int(mid))
+                lens.append(len(got))
+                chunks.append((len(norm) + HTML_CHUNK - 1) // HTML_CHUNK)
+                sums.append(
+                    hashlib.md5(got.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "extracted_len": lens,
+                 "n_chunks": chunks, "extracted_md5": sums}
+            )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    return d.mapInPandas(run, schema=out_schema)
+
+
 QUERIES = {
     "zipf_rank_slope": zipf_rank_slope,
+    "html_extract_text": html_extract_text,
     "isotonic_calibration": isotonic_calibration,
     "js_divergence_sources": js_divergence_sources,
     "ks_two_sample": ks_two_sample,
@@ -1439,6 +1545,23 @@ _SQL_N_CHUNKS = (
 )
 
 ORACLES = {
+    # the extraction contract is exact (escape→parse→unescape is the
+    # identity, boilerplate containers depth-suppressed), so the
+    # oracle is pure arithmetic on the normalized source text
+    "html_extract_text": f"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(coalesce(text, ''),
+                        '[ \t\n\r\f\v]+', ' ', 'g')) AS norm
+            FROM documents
+        )
+        SELECT doc_id,
+               length(norm)::BIGINT AS extracted_len,
+               ((length(norm) + {HTML_CHUNK - 1}) // {HTML_CHUNK})
+                   ::BIGINT AS n_chunks,
+               md5(norm) AS extracted_md5
+        FROM n
+    """,
     "zipf_rank_slope": """
         WITH words AS (
             SELECT unnest(string_split_regex(lower(trim(text)), '\\s+'))

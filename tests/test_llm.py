@@ -1390,3 +1390,50 @@ def test_approx_topk_degenerate_vocab_matches_oracle(spark, tmp_path):
         duck.sql(text.ORACLES["approx_topk_tokens"]).fetchall()
     )
     assert [tuple(g) for g in got] == want
+
+
+def test_html_extract_text_adversarial(spark, tmp_path):
+    """The parser contract under adversarial text: markup-looking
+    characters in the SOURCE are data (escaped on build, unescaped by
+    the parser), boilerplate containers never leak into the
+    extraction, and a multi-chunk doc reassembles byte-for-byte."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_warehouse_co_healthy_spark.llm.text import (
+        HTML_CHUNK,
+        html_extract_text,
+    )
+
+    evil = '<script>alert("x")</script> & <b>bold</b>\t end'
+    long = ("word " * 120).strip()  # 599 chars -> 3 chunks
+    docs = [(0, evil), (1, long), (2, ""), (3, "   ")]
+    pq.write_table(
+        pa.table(
+            {"doc_id": [d[0] for d in docs],
+             "text": [d[1] for d in docs],
+             "lang": ["en"] * 4, "source": ["s"] * 4,
+             "n_chars": [len(d[1]) for d in docs]},
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]),
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    out = {r.doc_id: r for r in
+           html_extract_text(spark, str(tmp_path)).collect()}
+
+    norm_evil = '<script>alert("x")</script> & <b>bold</b> end'
+    assert out[0].extracted_len == len(norm_evil)
+    assert out[0].extracted_md5 == hashlib.md5(
+        norm_evil.encode()).hexdigest()
+
+    assert out[1].n_chunks == (len(long) + HTML_CHUNK - 1) // HTML_CHUNK
+    assert out[1].extracted_md5 == hashlib.md5(long.encode()).hexdigest()
+
+    for i in (2, 3):  # empty/whitespace-only: empty extraction
+        assert out[i].extracted_len == 0 and out[i].n_chunks == 0
+        assert out[i].extracted_md5 == hashlib.md5(b"").hexdigest()
