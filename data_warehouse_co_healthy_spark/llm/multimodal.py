@@ -733,8 +733,9 @@ def file_decode_stats(files: DataFrame) -> DataFrame:
     source produce, so one transform serves ingest-time decode on a
     stream and backfill decode in batch with bit-identical outputs
     (tests/test_streaming.py pins the equality). Payload bytes stay
-    inside executor Arrow batches; the magic-byte dispatch decodes BMP
-    and PPM for real and fails loudly on anything else."""
+    inside executor Arrow batches; the magic-byte dispatch decodes
+    BMP, PPM, baseline JPEG and non-interlaced PNG for real and fails
+    loudly on anything else."""
     import numpy as np  # noqa: PLC0415
 
     out_schema = (

@@ -2228,6 +2228,63 @@ def stream_late_drop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_late_drop_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades LATE-DATA DROPS IN STREAM-STREAM JOIN STATE — the
+    eighth streaming state behavior (VERDICT r9 item 2): the
+    purchase→click attribution join (24-h horizon, 24-h watermark
+    delay, inner) fed by the 3-cohort pinned-late stream
+    (read_events_stream_cohorts: batch k = event_id ≡ k mod 3, every
+    cohort spanning the full time range). Batch 0 advances the
+    watermark to its frontier − 24 h; batch 2's stragglers are then
+    dropped by the symmetric-hash join's per-side late-row filter
+    BEFORE they can store or match, so matches the batch join finds
+    are genuinely lost (487 of 860 at sf0.01, 53 of 94 at sf0.001 —
+    provably non-zero, pinned in tests/test_streaming.py). The other
+    join drains all arrange for no input to ever be late; this one
+    grades the drop path itself.
+
+    Determinism — why the emitted set is a pure function of the table:
+
+    - late filter for batch k uses the watermark displayed for batch
+      k−1 (SPARK-40925, same split as stream_late_drop_drain), so
+      cohort 1 is filtered by the initial 1970 watermark (kept
+      entirely) and cohort 2 by wmF = floor_ms(least(max click ts,
+      max purchase ts) | cohort 0) − 24 h — the MIN across the two
+      watermarked sides (multipleWatermarkPolicy=min default), each
+      side's max taken over ITS cohort-0 rows because the watermark
+      node sits above the event-type filter;
+    - state eviction never drops a surviving match: eviction during
+      batch k uses a threshold ≤ wmF until all joins are done
+      (1970 in batch 0/1-processing; wmF at end of batch 1; the
+      batch-2 eviction runs after batch 2's join). A click evicted at
+      end of batch 1 has click_ts < wmF − 24 h, so every purchase it
+      could match (purchase_ts ≤ click_ts + 24 h < wmF) is itself
+      below batch 2's late filter; symmetrically an evicted purchase
+      (purchase_ts < wmF) can only match clicks below wmF. Evicted
+      state and surviving late rows are therefore disjoint in match
+      space, and the emitted set = the batch join over the KEPT input
+      set (cohorts 0/1 plus cohort-2 rows with ts ≥ wmF) — the oracle.
+
+    Tie class documented, not observable on µs-grain data: Spark keeps
+    ts ≥ wm (drops ts ≤ wm − 1 µs); a row exactly AT the ms-floored
+    watermark minus the whole-hour delay would sit on the boundary."""
+    from ..streaming.events import (  # noqa: PLC0415
+        purchase_attribution,
+        read_events_stream_cohorts,
+    )
+
+    res = purchase_attribution(
+        read_events_stream_cohorts(spark, sf_dir),
+        horizon_min=24 * 60,
+        watermark="24 hours",
+    )
+    return _drain_bounded(
+        spark, res, "stream_join_late_drop_sink", "append"
+    )
+
+
 ACF_MAX_LAG = 7  # weekly seasonality window, shared with the oracle
 
 
@@ -2319,6 +2376,7 @@ QUERIES = {
     "stream_join_multibatch_drain": stream_join_multibatch_drain,
     "stream_dedup_drain": stream_dedup_drain,
     "stream_late_drop_drain": stream_late_drop_drain,
+    "stream_join_late_drop_drain": stream_join_late_drop_drain,
     "stream_session_drain": stream_session_drain,
     "stream_outer_join_drain": stream_outer_join_drain,
     "asof_join": asof_join,
@@ -2720,6 +2778,37 @@ ORACLES["stream_outer_join_drain"] = """
     WHERE p.event_type = 'purchase'
       AND p.event_id NOT IN (SELECT event_id FROM matched)
       AND p.ts < (SELECT w FROM wm)
+"""
+
+# late-data join replay (determinism argument on the drain): kept =
+# cohorts 0/1 plus cohort-2 rows the cohort-0 watermark had not passed
+# (wmF = floor_ms(min-of-sides max over cohort 0) − 24 h); emitted =
+# the batch interval join over kept — evicted state is disjoint from
+# kept late rows in match space, so eviction removes nothing extra
+ORACLES["stream_join_late_drop_drain"] = """
+    WITH wmf AS (
+        SELECT least(
+            (SELECT CAST(date_trunc('millisecond', max(ts))
+                    AS TIMESTAMP)
+             FROM events
+             WHERE event_type = 'click' AND event_id % 3 = 0),
+            (SELECT CAST(date_trunc('millisecond', max(ts))
+                    AS TIMESTAMP)
+             FROM events
+             WHERE event_type = 'purchase' AND event_id % 3 = 0)
+        ) - INTERVAL 24 HOUR AS w
+    ), kept AS (
+        SELECT * FROM events
+        WHERE event_id % 3 < 2 OR ts >= (SELECT w FROM wmf)
+    )
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM kept p JOIN kept c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 24 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 # session-window replay (determinism argument on the drain): ordered

@@ -450,6 +450,82 @@ def test_stream_late_drop_drain_drops_and_keeps(spark):
     assert 0 < n_kept < n_total
 
 
+def test_stream_join_late_drop_drain_drops_matches(spark):
+    """The late-data JOIN grade must certify all three halves of the
+    semantics: (a) the join's per-side late-row filter genuinely drops
+    input — numRowsDroppedByWatermark on the join state operator is
+    non-zero; (b) MATCHES are genuinely lost — the drained set is a
+    strict subset of the batch join (487 of 860 pairs lost at sf0.01,
+    53 of 94 at sf0.001); (c) the filter is a boundary, not
+    drop-everything — some cohort-2 rows survive and still match
+    (pairs involving a cohort-2 event exist in the drained output)."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_join_late_drop_drain,
+    )
+    from data_warehouse_co_healthy_spark.streaming.events import (
+        purchase_attribution,
+        read_events_stream_cohorts,
+        run_to_memory,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_to_memory(
+            purchase_attribution(
+                read_events_stream_cohorts(spark, SF_DIR),
+                horizon_min=24 * 60,
+                watermark="24 hours",
+            ),
+            "jld_metrics",
+            output_mode="append",
+        )
+        dropped_inputs = sum(
+            (p.stateOperators[0].numRowsDroppedByWatermark or 0)
+            for p in q.recentProgress
+            if p.stateOperators
+        )
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert dropped_inputs > 0, (
+        "join state operator dropped no late input rows"
+    )
+
+    drained = stream_join_late_drop_drain(spark, SF_DIR)
+    n_drained = drained.count()
+
+    events = load_table(spark, SF_DIR, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "event_id"
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 24 HOURS")
+        ),
+    )
+    n_batch = batch.count()
+    assert 0 < n_drained < n_batch, (
+        f"expected a strict subset: drained={n_drained} batch={n_batch}"
+    )
+    # (c) survivors: some drained pair involves a cohort-2 event
+    n_late_side = drained.filter(
+        (F.col("event_id") % 3 == 2) | (F.col("click_id") % 3 == 2)
+    ).count()
+    assert n_late_side > 0, "late cohort contributed no surviving match"
+
+
 def test_stream_dedup_drain_actually_drops(spark):
     """The graded dedup drain must do real work: the planted-duplicate
     staging feeds MORE rows than the original table, and the drained
@@ -808,6 +884,56 @@ def test_streaming_media_decode_bit_equal_to_batch(spark):
     ids = got.file_name.str.extract(r"media_(\d+)\.")[0].astype(int)
     assert (got.width.values == 5 + ids % 4).all()
     assert (got.height.values == 3 + ids % 3).all()
+
+
+def test_streaming_jpeg_decode_bit_equal_to_batch(spark):
+    """Ingest-time JPEG decode (VERDICT r9 item 6): the binaryFile
+    STREAM over the staged baseline-JPEG lake must produce
+    bit-identical decoded stats to the batch binaryFile read of the
+    same directory — and the decoded pixels must equal the closed-form
+    gray construction (sum_r = v·w·h), proving the stream ran the real
+    Huffman/IDCT path, not a header parse."""
+    from data_warehouse_co_healthy_spark.llm.multimodal import (
+        IMG_H_BASE,
+        IMG_H_MOD,
+        IMG_W_BASE,
+        IMG_W_MOD,
+        JPEG_GRAY_MOD,
+        file_decode_stats,
+    )
+    from data_warehouse_co_healthy_spark.sources.readers import (
+        read_binary_files,
+    )
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    got = (
+        _drain(
+            spark,
+            sd.streaming_jpeg_decode(spark, SF_DIR),
+            "jpeg_decode_stream",
+            mode="append",
+        )
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    media_dir = sd.stage_media_dir_jpeg(spark, SF_DIR)
+    want = (
+        file_decode_stats(read_binary_files(spark, media_dir))
+        .toPandas()
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    assert len(got) == sd.MEDIA_STAGE_N
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ids = got.file_name.str.extract(r"media_(\d+)\.")[0].astype(int)
+    v = 2 * ((7 * ids) % JPEG_GRAY_MOD)
+    assert (got.width.values == IMG_W_BASE + 8 + ids % IMG_W_MOD).all()
+    assert (got.height.values == IMG_H_BASE + 8 + ids % IMG_H_MOD).all()
+    # constant-gray JPEG decodes exactly (DC-only, even v): every
+    # channel sum is v per pixel
+    assert (got.sum_r.values == (v * got.width * got.height).values).all()
+    assert (got.sum_g.values == got.sum_r.values).all()
+    assert (got.sum_b.values == got.sum_r.values).all()
 
 
 def test_staged_dir_rebuilds_when_fixture_rewritten(tmp_path):
