@@ -168,7 +168,13 @@ class ParquetPagesReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("parquetpages source requires option 'path'")
-        self.page_size = int(options.get("page_size", 10_000))
+        raw = options.get("page_size", "auto")
+        # "auto" = production posture: one page per row group, sized
+        # from the footer — the page IS the I/O unit, so a task never
+        # re-reads a group it only needed a slice of. An integer
+        # page_size remains the explicit knob (undersizing it is the
+        # fan-out stress test pysource_paged_docs pins).
+        self.page_size = None if raw == "auto" else int(raw)
 
     def partitions(self):
         import pyarrow.parquet as pq  # noqa: PLC0415
@@ -177,11 +183,10 @@ class ParquetPagesReader(DataSourceReader):
         parts = []
         for g in range(md.num_row_groups):
             n = md.row_group(g).num_rows
-            for off in range(0, n, self.page_size):
+            step = n if self.page_size is None else self.page_size
+            for off in range(0, n, step):
                 parts.append(
-                    _RowRangePartition(
-                        g, off, min(off + self.page_size, n)
-                    )
+                    _RowRangePartition(g, off, min(off + step, n))
                 )
         # a zero-row file (pruned partition, first load) must still
         # return ONE partition: an empty list makes Spark call

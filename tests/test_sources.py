@@ -662,6 +662,38 @@ def test_python_datasource_opendata(spark):
     assert per_dept.count() == 32
 
 
+def test_parquetpages_auto_sizes_pages_to_row_groups(spark, tmp_path):
+    """page_size="auto" (production posture) plans ONE page per row
+    group from the footer — the page equals the I/O unit — while an
+    explicit undersized page_size oversplits the same groups (the
+    fan-out stress shape pysource_paged_docs pins). Both read the same
+    rows."""
+    import pyarrow.parquet as pq
+
+    from data_warehouse_co_healthy_spark.sources.pysource import (
+        ParquetPagesReader,
+        register_parquet_pages,
+    )
+
+    src = f"{SF_DIR}/documents.parquet"
+    n_groups = pq.ParquetFile(src).metadata.num_row_groups
+    auto = ParquetPagesReader({"path": src})
+    assert len(auto.partitions()) == n_groups
+    split = ParquetPagesReader({"path": src, "page_size": "64"})
+    assert len(split.partitions()) > n_groups
+
+    register_parquet_pages(spark)
+    df = (
+        spark.read.format("parquetpages")
+        .option("path", src)
+        .option("page_size", "auto")
+        .load()
+    )
+    native = spark.read.parquet(src)
+    assert df.count() == native.count()
+    assert df.rdd.getNumPartitions() == n_groups
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     """ORC round-trip preserves content, and a filter reaches the ORC
     scan as a pushed predicate (same data-skipping posture as parquet)."""
