@@ -70,6 +70,11 @@ HEADLINE = [
     "stream_outer_join_drain",  # outer-join null-emission drain
     "gif_frame_stats",       # animated-GIF LZW frame sampling
     "wav_energy_windows",    # RIFF/WAVE PCM16 windowed RMS
+    # round-10 slots: the fourteenth-rotation flagships
+    "stream_join_late_drop_drain",  # join-state late-data drops drain
+    "pysource_rowgroup_docs",  # DataSource at production page sizing
+    "html_extract_text",     # stdlib-parser main-text extraction
+    "skew_hybrid_join",      # salted/broadcast hybrid skew join
 ]
 
 

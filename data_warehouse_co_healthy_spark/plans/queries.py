@@ -108,6 +108,27 @@ for _m in _MODULES:
 # roc_auc_by_source (tie-corrected Mann-Whitney AUC at distinct-score
 # grain).
 PRIORITY: tuple[str, ...] = (
+    # Round-10 rotation, fourteenth wave (out: q5_local_supplier,
+    # window_topk_per_group, did_report, mann_kendall_trend,
+    # weighted_median_by_group, holt_winters_daily,
+    # dedup_graph_triangles, retrieval_ndcg — all multi-round green,
+    # every family keeps an in-window representative per the notes
+    # below and the sets in tests/test_registry.py; plus
+    # pysource_paged_docs, superseded as the graded DataSource slot by
+    # the production-posture pysource_rowgroup_docs, VERDICT r9 item
+    # 3 — the oversplit fan-out variant stays registered and
+    # test-pinned). In: the four VERDICT r9 item-1 names
+    # (stream_outer_join_drain, wav_energy_windows, gif_frame_stats,
+    # html_extract_text), the two round-10 builds
+    # (stream_join_late_drop_drain — late-data JOIN state drops,
+    # VERDICT item 2; pysource_rowgroup_docs — VERDICT item 3), and
+    # three never-driver-graded strict-green tails (skew_hybrid_join —
+    # the salted/broadcast hybrid skew-join scale path;
+    # ewma_smoother — recursive window smoother, keeps the windows
+    # family repped after window_topk_per_group retires;
+    # l_diversity_audit — restores privacy-audit representation lost
+    # when k_anonymity/t_closeness rotated out in round 7). Nine
+    # first-time grades.
     # flagship (J1-J4 + F1/F2 + S6 composed)
     "fact_formula_star",
     # §2.3 projections / filters / column ops (P1-P8; project_select /
@@ -135,19 +156,25 @@ PRIORITY: tuple[str, ...] = (
     # rotated out sixth rotation — rollup/cube/grouping-sets stay
     # local-green and pivot_status keeps the multi-dim shape graded)
     "q1_pricing_summary",
-    # TPC-H star-query family (q3 rotated out sixth rotation — the
-    # global-top-k shape stays graded via window_topk_per_group)
-    "q5_local_supplier",
+    # TPC-H star-query family: q5_local_supplier rotated out
+    # fourteenth wave (r1–r9 green — q1_pricing_summary above IS
+    # TPC-H q1, so the family stays driver-graded; q3 rotated out
+    # sixth rotation)
     # asof_join rotated out thirteenth wave (r1–r8 green — the as-of
     # shape stays graded inside conversion_latency's self-excluding
     # cumulative-window binding and stays local-strict)
-    # §2.6 windows / sort / limit (window_range_frame rotated out
-    # seventh rotation — range frames run graded inside several
-    # temporal slots)
-    "window_topk_per_group",
-    # order_limit_topk rotated out thirteenth wave (r1–r8 green — the
-    # global sort+limit shape stays graded inside window_topk_per_group
-    # and every TPC-H star slot's ordered output)
+    # §2.6 windows / sort / limit: window_topk_per_group rotated out
+    # fourteenth wave (r1–r9 green — ewma_smoother below keeps window
+    # functions driver-graded, and ordered-window shapes run inside
+    # conversion_latency and every TPC-H star slot's ordered output;
+    # window_range_frame out seventh, order_limit_topk out thirteenth)
+    # the salted/broadcast HYBRID skew join — the join-skew scale
+    # path (hot keys broadcast, cold keys shuffled), never
+    # driver-graded before the fourteenth wave:
+    "skew_hybrid_join",
+    # the recursive EWMA smoother (window-sequential recursion via
+    # closed-form unroll), fourteenth wave:
+    "ewma_smoother",
     # LLM-pipeline operators (dedup / similarity / text; simhash_pairs,
     # cosine_topk and token_count rotated out sixth rotation —
     # minhash_lsh keeps near-dup pairs graded, hybrid_search_rrf and
@@ -177,13 +204,15 @@ PRIORITY: tuple[str, ...] = (
     # (cusum_changepoints rotated out round 7 — sequential recursion
     # stays graded via holt_winters_daily + the stateful stream drain)
     "tfidf_cosine_pairs",
-    "dedup_graph_triangles",
+    # dedup_graph_triangles rotated out fourteenth wave (r5–r9 green —
+    # the pair-graph family keeps pagerank_near_dup, kcore_near_dup
+    # and dedup_cc_star in-window)
     # mmr_rerank + skyline_parts rotated out thirteenth wave (both
     # r5–r8 green — similarity stays graded via hybrid_search_rrf /
-    # retrieval_ndcg / the ANN slots; the dominance/prune shape stays
+    # the ANN slots; the dominance/prune shape stays
     # local-strict); kaplan_meier_churn rotated out thirteenth wave
     # (r5–r8 green — the stats-screen family keeps ks_two_sample,
-    # did_report, mann_kendall_trend, chi2, burstiness)
+    # chi2, burstiness)
     # round-5 sixth rotation: statistics screens (KS drift, pairwise
     # JSD corpus similarity; sql_recursive_hierarchy rotated out round
     # 7 — the recursive shape stays graded through the k-core/pagerank
@@ -198,11 +227,13 @@ PRIORITY: tuple[str, ...] = (
     # forecaster): the quasi-experimental DiD, the Mann-Kendall trend
     # test, the DP release, conversion latency, the weighted median,
     # and the Holt-Winters capstone — all with full DuckDB oracles
-    "did_report",
-    "mann_kendall_trend",
+    # did_report, mann_kendall_trend, weighted_median_by_group and
+    # holt_winters_daily rotated out fourteenth wave (all r5–r9 green
+    # — the stats-screen family keeps ks_two_sample,
+    # chi2_source_lang and burstiness_by_type in-window, the
+    # sequential-recursion shape stays graded via ewma_smoother and
+    # the stateful stream drain, and all four stay local-strict)
     "conversion_latency",
-    "weighted_median_by_group",
-    "holt_winters_daily",
     # round-5 eighth rotation (out: multi_key_join — joins keep
     # star_join_revenue/role_playing_dim; explode_grain — F1/F2 runs
     # graded inside fact_formula_star's explode; pivot_status —
@@ -236,7 +267,9 @@ PRIORITY: tuple[str, ...] = (
     # text stays graded via text_quality/langid_confusion/chi2)
     "chi2_source_lang",
     "snm_adjacent_pairs",
-    "retrieval_ndcg",
+    # retrieval_ndcg rotated out fourteenth wave (r6–r9 green — the
+    # retrieval-eval shape stays local-strict; similarity keeps
+    # hybrid_search_rrf and the three ANN slots in-window)
     # round-7 rotation, tenth wave (out: fellegi_sunter_links —
     # superseded by fellegi_sunter_em, the SAME blocked-comparison
     # grain plus the EM fixpoint, so the slot now grades strictly more;
@@ -329,12 +362,41 @@ PRIORITY: tuple[str, ...] = (
     # pages, Arrow-batch decode, vs DuckDB's native scan of the same
     # file):
     "stream_late_drop_drain",
-    "pysource_paged_docs",
+    # pysource_paged_docs rotated out fourteenth wave — superseded as
+    # the graded DataSource slot by the production-posture
+    # pysource_rowgroup_docs below (pages auto-sized to row groups
+    # from the footer, VERDICT r9 item 3); the oversplit page_size=64
+    # fan-out variant stays registered and test-pinned
+    "pysource_rowgroup_docs",
     # the SIXTH streaming state path, first grade: session-window
     # MERGING state (gap sessions over 4 ordered micro-batches;
     # boundary-inclusive merge pinned by a synthetic exact-gap test,
     # oracle = batch gaps-and-islands + final-watermark emission)
     "stream_session_drain",
+    # Round-10 fourteenth wave, first grades (rotate-outs noted at the
+    # top of this list). The SEVENTH streaming state behavior:
+    # outer-join null emission (min-of-sides watermark + eviction
+    # boundary pinned in its oracle, registered strict-green round 9):
+    "stream_outer_join_drain",
+    # the EIGHTH: late-data drops in stream-stream JOIN state — the
+    # 3-cohort pinned-late stream feeding the attribution join, drops
+    # provably non-zero (487 of 860 matches lost at sf0.01, pinned in
+    # tests/test_streaming.py), oracle = batch join over the kept set
+    # (VERDICT r9 item 2):
+    "stream_join_late_drop_drain",
+    # vendored-codec media slots, registered strict-green round 9:
+    # RIFF/WAVE PCM16 container decode + windowed energy, and
+    # animated-GIF LZW frame sampling (jpeg_decode_stats stays
+    # in-window — the three together grade three distinct codecs):
+    "wav_energy_windows",
+    "gif_frame_stats",
+    # the web-scrape→training-text extraction step (stdlib html.parser
+    # state machine, escape→parse→unescape identity oracle):
+    "html_extract_text",
+    # privacy-audit representation restored (k_anonymity/t_closeness
+    # rotated out round 7; l-diversity grades the same QI-grain audit
+    # plus the within-group sensitive-value distribution):
+    "l_diversity_audit",
 )
 
 # Round-10 rotation candidates, registered + strict-green this round

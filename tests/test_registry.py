@@ -68,9 +68,16 @@ def test_driver_window_keeps_family_representation():
                           "time_label", "fact_formula_star"},
         "aggregates": {"q1_pricing_summary", "supplier_scorecard",
                        "rollup_sales", "pivot_status"},
+        # round-10: window_topk_per_group rotated out — ewma_smoother
+        # keeps window functions driver-graded (ordered window + lag
+        # unroll), and ordered-window shapes run inside
+        # conversion_latency and the TPC-H stars' ordered output
         "windows": {"window_range_frame", "window_topk_per_group",
-                    "order_limit_topk"},
-        "tpch": {"q3_shipping_priority", "q5_local_supplier"},
+                    "order_limit_topk", "ewma_smoother"},
+        # round-10: q5_local_supplier rotated out — q1_pricing_summary
+        # IS TPC-H q1, so the family stays driver-graded
+        "tpch": {"q3_shipping_priority", "q5_local_supplier",
+                 "q1_pricing_summary"},
         # round-9: asof_join rotated out — the as-of binding runs
         # graded inside conversion_latency's self-excluding cumulative
         # window, and the temporal module keeps six graded stream
