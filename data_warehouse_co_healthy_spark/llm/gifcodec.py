@@ -99,6 +99,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         if code == end:
             break
         if prev is None:
+            if code >= len(table) or not table[code]:
+                # first code after a clear must be a literal root; a
+                # larger value means the stream lies about its state
+                raise ValueError("corrupt GIF LZW code")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -112,6 +116,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
         prev = entry
         if len(table) == (1 << width) and width < 12:
             width += 1
+    if len(out) < n_pixels:
+        # END arrived before the raster was complete: a short frame
+        # must fail loudly, never silently pad or crop downstream
+        raise ValueError("GIF LZW stream ended before raster complete")
     return np.asarray(out[:n_pixels], dtype=np.uint8)
 
 
@@ -171,6 +179,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
     data = bytes(data)
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated GIF: logical screen descriptor")
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None
@@ -182,9 +192,26 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
         pos += n * 3
     frames: list[np.ndarray] = []
     canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    try:
+        frames = _walk_blocks(data, pos, gct, canvas)
+    except (IndexError, struct.error) as e:
+        # a byte walk over a truncated container runs off the end —
+        # surface the codec's uniform error type, never a raw crash
+        raise ValueError(f"truncated GIF container: {e}") from e
+    if not frames:
+        raise ValueError("GIF had no image frames")
+    return frames
+
+
+def _walk_blocks(
+    data: bytes, pos: int, gct, canvas: np.ndarray
+) -> list[np.ndarray]:
+    frames: list[np.ndarray] = []
+    saw_trailer = False
     while pos < len(data):
         block = data[pos]
         if block == 0x3B:  # trailer
+            saw_trailer = True
             break
         if block == 0x21:  # extension: skip its sub-block chain
             pos += 2
@@ -221,6 +248,8 @@ def decode_gif(data: bytes) -> list[np.ndarray]:
             frames.append(canvas)
         else:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
-    if not frames:
-        raise ValueError("GIF had no image frames")
+    if not saw_trailer:
+        # without the trailer the stream may be an arbitrary prefix
+        # (same contract as the PNG IEND / JPEG EOI checks)
+        raise ValueError("truncated GIF: missing trailer")
     return frames

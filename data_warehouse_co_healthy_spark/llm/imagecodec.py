@@ -594,6 +594,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
+        if pos + 1 >= len(data):
+            # a cut can land exactly between 0xFF and its marker byte
+            raise ValueError("truncated JPEG: marker byte cut off")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -667,6 +670,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 scan.append(
                     {"c": comp, "td": tabs >> 4, "ta": tabs & 0xF}
                 )
+            if b"\xff\xd9" not in data[pos + 2 + ln:]:
+                # without the EOI trailer the stream may be an
+                # arbitrary prefix: refuse rather than decode whatever
+                # entropy data happened to arrive (same contract as
+                # the PNG missing-IEND check)
+                raise ValueError("truncated JPEG: missing EOI")
             return _decode_scan(
                 data, pos + 2 + ln, frame, scan, qt, huff,
                 restart_interval,
@@ -821,11 +830,13 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     ihdr = None
     idat = bytearray()
+    saw_iend = False
     while pos + 12 <= len(data):
         (ln,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
         payload = data[pos + 8:pos + 8 + ln]
-        if len(payload) != ln:
+        if len(payload) != ln or pos + 12 + ln > len(data):
+            # body or its trailing CRC word cut off
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
         if binascii.crc32(tag + payload) & 0xFFFFFFFF != crc:
@@ -835,10 +846,15 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
+            saw_iend = True
             break
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
+    if not saw_iend:
+        # without the trailer the stream may be an arbitrary prefix:
+        # refuse rather than decode whatever IDAT happened to arrive
+        raise ValueError("truncated PNG: missing IEND")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
@@ -849,7 +865,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG color type {ctype} (gray/RGB/RGBA only)"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # CRC-valid chunks can still carry a corrupt deflate stream
+        # (re-CRC'd tampering): surface the codec's uniform error type
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")

@@ -370,3 +370,214 @@ def test_trainers_survive_fewer_rows_than_clusters(
     ansi, tiny_emb_dir, name
 ):
     reg.QUERIES[name](ansi, tiny_emb_dir).collect()
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-payload fuzz tier (VERDICT r9 item 7): mutated REAL containers
+# fed to all four vendored codecs. Contract: every mutation below raises
+# ValueError naming the problem — never a raw crash (IndexError,
+# struct.error, zlib.error) and never silently-wrong stats. Each case is
+# a lie a real data lake actually tells: truncated uploads, bit rot,
+# re-CRC'd tampering, headers that promise a different body.
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+import numpy as np
+
+from data_warehouse_co_healthy_spark.llm import (
+    audiocodec,
+    gifcodec,
+    imagecodec,
+)
+
+_IMG = np.full((13, 14, 3), 100, dtype=np.uint8)
+_PAL16 = np.stack(
+    [
+        (5 * np.arange(16)) % 256,
+        (11 * np.arange(16)) % 256,
+        (23 * np.arange(16)) % 256,
+    ],
+    axis=1,
+).astype(np.uint8)
+
+
+def _jpeg() -> bytes:
+    return imagecodec.encode_jpeg_baseline(_IMG)
+
+
+def _png() -> bytes:
+    return imagecodec.encode_png(_IMG)
+
+
+def _gif() -> bytes:
+    frames = [
+        ((3 * np.arange(20)) % 16).astype(np.uint8).reshape(4, 5),
+        ((7 + 3 * np.arange(20)) % 16).astype(np.uint8).reshape(4, 5),
+    ]
+    return gifcodec.encode_gif(frames, _PAL16)
+
+
+def _wav() -> bytes:
+    s = ((17 * np.arange(100)) % 4001 - 2000).astype(np.int16)
+    return audiocodec.encode_wav(s, sample_rate=16_000)
+
+
+def _png_with_fixed_crc(mutate) -> bytes:
+    """Apply ``mutate(bytearray)`` then re-CRC every chunk, modeling a
+    tamperer who keeps the container self-consistent."""
+    b = bytearray(_png())
+    mutate(b)
+    pos = 8
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        body = bytes(b[pos + 4:pos + 8 + ln])
+        struct.pack_into(
+            ">I", b, pos + 8 + ln, zlib.crc32(body) & 0xFFFFFFFF
+        )
+        pos += 12 + ln
+    return bytes(b)
+
+
+def _wav_fmt_patch(field_off: int, value: int) -> bytes:
+    b = bytearray(_wav())
+    struct.pack_into("<H", b, b.index(b"fmt ") + 8 + field_off, value)
+    return bytes(b)
+
+
+def _gif_overlong_first_code() -> tuple[bytes, int, int]:
+    """Raw LZW stream whose first post-clear code (31) exceeds the
+    16-root table — the over-long-code lie fed straight to the
+    decoder core."""
+    out, acc, n = bytearray(), 0, 0
+    for code in (16, 31):  # clear, then out-of-range
+        acc |= code << n
+        n += 5
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out), 4, 10
+
+
+_JPEG_CASES = {
+    "bad_soi": lambda p: b"XX" + p[2:],
+    "bad_marker_byte": lambda p: p[:2] + b"\x00" + p[3:],
+    "truncated_segment": lambda p: p[: int(len(p) * 0.6)],
+    "truncated_scan": lambda p: p[:-10],
+}
+
+_PNG_CASES = {
+    "bad_signature": lambda p: b"\x89PNX" + p[4:],
+    "idat_bit_flip_crc": lambda p: _flip(p, p.index(b"IDAT") + 8),
+    "truncated_iend": lambda p: p[:-5],
+    "adam7_claim": lambda p: _png_with_fixed_crc(
+        lambda b: b.__setitem__(16 + 12, 1)
+    ),
+    "deflate_corrupt_recrcd": lambda p: _png_with_fixed_crc(
+        lambda b: b.__setitem__(
+            bytes(b).index(b"IDAT") + 10,
+            b[bytes(b).index(b"IDAT") + 10] ^ 0x55,
+        )
+    ),
+}
+
+_GIF_CASES = {
+    "bad_magic": lambda p: b"XIF89a" + p[6:],
+    "truncated_lzw": lambda p: p[:-8],
+    "unknown_block": lambda p: p[:-1] + b"\x00\x3b",
+}
+
+_WAV_CASES = {
+    "bad_magic": lambda p: b"XIFF" + p[4:],
+    "float_tag_lie": lambda p: _wav_fmt_patch(0, 3),
+    "bit_depth_lie": lambda p: _wav_fmt_patch(14, 8),
+    "channel_lie": lambda p: _wav_fmt_patch(2, 3),
+    "truncated_data": lambda p: p[:-7],
+    "length_lie": lambda p: _patch_u32(p, p.index(b"data") + 4, 10_000),
+}
+
+
+def _flip(p: bytes, off: int) -> bytes:
+    b = bytearray(p)
+    b[off] ^= 0xFF
+    return bytes(b)
+
+
+def _patch_u32(p: bytes, off: int, v: int) -> bytes:
+    b = bytearray(p)
+    struct.pack_into("<I", b, off, v)
+    return bytes(b)
+
+
+@pytest.mark.parametrize("case", sorted(_JPEG_CASES))
+def test_fuzz_jpeg_mutations_raise_valueerror(case):
+    with pytest.raises(ValueError):
+        imagecodec.decode(_JPEG_CASES[case](_jpeg()))
+
+
+@pytest.mark.parametrize("case", sorted(_PNG_CASES))
+def test_fuzz_png_mutations_raise_valueerror(case):
+    with pytest.raises(ValueError):
+        imagecodec.decode(_PNG_CASES[case](_png()))
+
+
+@pytest.mark.parametrize("case", sorted(_GIF_CASES))
+def test_fuzz_gif_mutations_raise_valueerror(case):
+    with pytest.raises(ValueError):
+        gifcodec.decode_gif(_GIF_CASES[case](_gif()))
+
+
+def test_fuzz_gif_overlong_lzw_code_raises():
+    data, mcs, n_px = _gif_overlong_first_code()
+    with pytest.raises(ValueError, match="corrupt GIF LZW code"):
+        gifcodec._lzw_decode(data, mcs, n_px)
+
+
+def test_fuzz_gif_short_lzw_stream_raises():
+    # a valid 2-code stream (clear, end) that promises 10 pixels but
+    # delivers zero must refuse, not pad or crop
+    out, acc, n = bytearray(), 0, 0
+    for code in (16, 17):  # clear, end
+        acc |= code << n
+        n += 5
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    with pytest.raises(ValueError, match="ended before raster"):
+        gifcodec._lzw_decode(bytes(out), 4, 10)
+
+
+@pytest.mark.parametrize("case", sorted(_WAV_CASES))
+def test_fuzz_wav_mutations_raise_valueerror(case):
+    with pytest.raises(ValueError):
+        audiocodec.decode_wav(_WAV_CASES[case](_wav()))
+
+
+def test_fuzz_prefix_truncation_never_crashes_raw():
+    """Systematic prefix truncation of all four containers: every
+    prefix either decodes to the full-fidelity result (impossible for
+    strict prefixes of these encodings) or raises ValueError — never
+    an IndexError/struct.error/zlib.error escape."""
+    payloads = {
+        "jpeg": (_jpeg(), imagecodec.decode),
+        "png": (_png(), imagecodec.decode),
+        "gif": (_gif(), gifcodec.decode_gif),
+        "wav": (_wav(), audiocodec.decode_wav),
+    }
+    for name, (p, dec) in payloads.items():
+        for cut in range(1, len(p), 7):
+            try:
+                dec(p[:cut])
+            except ValueError:
+                continue
+            raise AssertionError(
+                f"{name} prefix of {cut}/{len(p)} bytes decoded "
+                "without error"
+            )
