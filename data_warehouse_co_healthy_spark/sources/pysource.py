@@ -175,6 +175,7 @@ class ParquetPagesReader(DataSourceReader):
         # page_size remains the explicit knob (undersizing it is the
         # fan-out stress test pysource_paged_docs pins).
         self.page_size = None if raw == "auto" else int(raw)
+        self._filters: list = []
 
     def partitions(self):
         import pyarrow.parquet as pq  # noqa: PLC0415
@@ -182,7 +183,24 @@ class ParquetPagesReader(DataSourceReader):
         md = pq.ParquetFile(self.path).metadata
         parts = []
         for g in range(md.num_row_groups):
-            n = md.row_group(g).num_rows
+            rg = md.row_group(g)
+            if self._filters:
+                stats_by_col: dict = {}
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    st = col.statistics
+                    if st is not None:
+                        stats_by_col[col.path_in_schema] = {
+                            "has_min_max": st.has_min_max,
+                            "min": st.min,
+                            "max": st.max,
+                        }
+                if not all(
+                    self._group_can_match(stats_by_col, f)
+                    for f in self._filters
+                ):
+                    continue  # provably no matching row: never planned
+            n = rg.num_rows
             step = n if self.page_size is None else self.page_size
             for off in range(0, n, step):
                 parts.append(
@@ -208,10 +226,68 @@ class ParquetPagesReader(DataSourceReader):
         yield from page.to_batches()
 
 
+class PruningParquetPagesReader(ParquetPagesReader):
+    """``ParquetPagesReader`` + Spark-4.1 filter pushdown: ZONE-MAP
+    row-group pruning from footer statistics. Opt-in via
+    ``.option("pushdown", "true")`` and
+    ``spark.sql.python.filterPushdown.enabled=true`` — it must be a
+    SEPARATE class because Spark hard-fails ANY reader that merely
+    implements ``pushFilters`` when that conf is off (the vanilla
+    driver session's default), so the default reader must not carry
+    the method at all."""
+
+    def pushFilters(self, filters):
+        """Keep single-column comparison filters for zone-map pruning
+        in ``partitions()`` and return ALL filters as unhandled —
+        pruning is advisory (a group whose footer min/max proves no
+        row can match is never planned) and Spark re-applies every
+        predicate post-scan, so semantics stay exact even when stats
+        are missing or a group survives conservatively. Exactly how
+        engine-native parquet zone maps behave, expressed through the
+        Python DataSource API."""
+        kept = []
+        for f in filters:
+            kept.append(f)
+            attr = getattr(f, "attribute", None)
+            if attr is not None and len(attr) == 1:
+                self._filters.append(f)
+        return iter(kept)
+
+    @staticmethod
+    def _group_can_match(stats_by_col: dict, f) -> bool:
+        """Conservative zone-map test: False ONLY when the row-group
+        footer stats PROVE no row satisfies the filter."""
+        from pyspark.sql import datasource as dsf  # noqa: PLC0415
+
+        st = stats_by_col.get(f.attribute[0])
+        if st is None or not st.get("has_min_max"):
+            return True
+        lo, hi = st["min"], st["max"]
+        try:
+            if isinstance(f, dsf.EqualTo):
+                return lo <= f.value <= hi
+            if isinstance(f, dsf.GreaterThan):
+                return hi > f.value
+            if isinstance(f, dsf.GreaterThanOrEqual):
+                return hi >= f.value
+            if isinstance(f, dsf.LessThan):
+                return lo < f.value
+            if isinstance(f, dsf.LessThanOrEqual):
+                return lo <= f.value
+            if isinstance(f, dsf.In):
+                return any(lo <= v <= hi for v in f.values)
+        except TypeError:
+            return True  # incomparable types: never prune
+        return True
+
+
 class ParquetPagesSource(DataSource):
     """``spark.read.format("parquetpages").option("path", f)
     .option("page_size", N).load()`` — schema is declared from the
-    parquet footer at plan time (driver metadata read only)."""
+    parquet footer at plan time (driver metadata read only).
+    ``.option("pushdown", "true")`` additionally prunes row groups
+    from footer zone maps (requires
+    spark.sql.python.filterPushdown.enabled=true)."""
 
     @classmethod
     def name(cls):
@@ -231,6 +307,8 @@ class ParquetPagesSource(DataSource):
         )
 
     def reader(self, schema):
+        if self.options.get("pushdown") == "true":
+            return PruningParquetPagesReader(self.options)
         return ParquetPagesReader(self.options)
 
 

@@ -694,6 +694,80 @@ def test_parquetpages_auto_sizes_pages_to_row_groups(spark, tmp_path):
     assert df.rdd.getNumPartitions() == n_groups
 
 
+def test_parquetpages_zone_map_pruning(spark, tmp_path):
+    """Spark-4.1 filter pushdown on the Python DataSource: with
+    .option("pushdown", "true") (+ the session conf), row groups whose
+    footer min/max PROVE no match are never planned — 10-group file,
+    doc_id < 150 plans exactly 2 partitions — while results stay equal
+    to the native scan (pruning is advisory; Spark re-applies every
+    predicate). The DEFAULT reader must not even carry pushFilters:
+    Spark hard-fails readers that implement it when the conf is off,
+    which is the vanilla driver session's state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.sources.pysource import (
+        ParquetPagesReader,
+        register_parquet_pages,
+    )
+
+    src = str(tmp_path / "docs10g.parquet")
+    n = 1000
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "val": pa.array([i % 7 for i in range(n)], pa.int64()),
+            }
+        ),
+        src,
+        row_group_size=100,
+    )
+    assert pq.ParquetFile(src).metadata.num_row_groups == 10
+    # not OVERRIDDEN on the default reader (Spark's hard-fail check)
+    from pyspark.sql.datasource import DataSourceReader
+
+    assert (
+        ParquetPagesReader.pushFilters is DataSourceReader.pushFilters
+    )
+
+    register_parquet_pages(spark)
+    # default reader keeps working with the pushdown conf OFF
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    plain = (
+        spark.read.format("parquetpages").option("path", src).load()
+    )
+    assert plain.count() == n
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("parquetpages")
+            .option("path", src)
+            .option("pushdown", "true")
+            .load()
+        )
+        filt = df.filter(F.col("doc_id") < 150)
+        # groups [0,100) and [100,200) survive; eight are pruned
+        assert filt.rdd.getNumPartitions() == 2
+        native = (
+            spark.read.parquet(src).filter(F.col("doc_id") < 150)
+        )
+        assert filt.count() == native.count() == 150
+        assert (
+            filt.agg(F.sum("val")).first()[0]
+            == native.agg(F.sum("val")).first()[0]
+        )
+        # a filter no zone map can satisfy plans the zero-row guard
+        none = df.filter(F.col("doc_id") > 10_000)
+        assert none.count() == 0
+    finally:
+        spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "false"
+        )
+
+
 def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     """ORC round-trip preserves content, and a filter reaches the ORC
     scan as a pushed predicate (same data-skipping posture as parquet)."""
