@@ -771,6 +771,77 @@ def file_decode_stats(files: DataFrame) -> DataFrame:
     )
 
 
+def file_av_stats(files: DataFrame) -> DataFrame:
+    """Audio/video-container stats over a (path, content) frame — the
+    GIF/WAV counterpart of ``file_decode_stats`` (images), completing
+    the ingest-time decode surface across all four vendored codecs.
+    Magic-byte dispatch: GIF payloads decode every frame through the
+    LZW codec and reduce to exact-integer pixel sums; RIFF/WAVE
+    payloads decode the int16 raster and reduce to exact-integer
+    energy. One transform serves both the batch ``binaryFile`` reader
+    and the streaming binaryFile source with bit-identical outputs
+    (tests/test_streaming.py pins the equality); anything that is
+    neither container fails loudly."""
+    import numpy as np  # noqa: PLC0415
+
+    from . import audiocodec, gifcodec  # noqa: PLC0415
+
+    out_schema = (
+        "file_name string, kind string, n_units int, "
+        "width int, height int, stat_sum long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "file_name", "kind", "n_units",
+                    "width", "height", "stat_sum",
+                )
+            }
+            for path, payload in zip(pdf["path"], pdf["content"]):
+                raw = bytes(payload)
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    frames = gifcodec.decode_gif(raw)
+                    h, w = frames[0].shape[:2]
+                    out["kind"].append("gif")
+                    out["n_units"].append(len(frames))
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["stat_sum"].append(
+                        int(
+                            sum(
+                                f.astype(np.int64).sum()
+                                for f in frames
+                            )
+                        )
+                    )
+                elif raw[:4] == b"RIFF":
+                    samples, rate = audiocodec.decode_wav(raw)
+                    a = samples.astype(np.int64)
+                    out["kind"].append("wav")
+                    out["n_units"].append(int(a.shape[0]))
+                    out["width"].append(rate)
+                    out["height"].append(0)
+                    out["stat_sum"].append(int((a * a).sum()))
+                else:
+                    raise ValueError(
+                        f"unsupported A/V container (magic "
+                        f"{raw[:6]!r}); this path decodes GIF and "
+                        "RIFF/WAVE"
+                    )
+                out["file_name"].append(path.rsplit("/", 1)[1])
+            yield pd.DataFrame(out).astype(
+                {"n_units": "int32", "width": "int32",
+                 "height": "int32"}
+            )
+
+    return files.select("path", "content").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 QUERIES = {
     "binary_metadata": binary_metadata,
     "image_decode_stats": image_decode_stats,

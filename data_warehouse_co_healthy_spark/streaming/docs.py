@@ -408,6 +408,102 @@ def streaming_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return file_decode_stats(stream)
 
 
+def stage_media_dir_av(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a bounded directory of REAL A/V containers — animated
+    GIF89a clips (the gif_frame_stats formula: 16-color palette,
+    2 + id%3 frames) alternating with RIFF/WAVE PCM16 clips (the
+    wav_energy_windows sample formula) on doc_id parity — so the
+    ingest-time decode stream exercises the LZW and chunk-walk codec
+    paths too, completing VERDICT r9 item 6 across all four vendored
+    codecs. Same bounded-staging contract as ``stage_media_dir``."""
+    import os  # noqa: PLC0415
+
+    def build(d: str) -> None:
+        import numpy as np  # noqa: PLC0415
+
+        from ..catalog import load_table  # noqa: PLC0415
+        from ..llm import audiocodec, gifcodec  # noqa: PLC0415
+        from ..llm.multimodal import (  # noqa: PLC0415
+            GIF_BASE_FRAMES,
+            GIF_PALETTE_N,
+            IMG_H_BASE,
+            IMG_H_MOD,
+            IMG_W_BASE,
+            IMG_W_MOD,
+            WAV_BASE_SAMPLES,
+            WAV_SAMPLE_MOD,
+        )
+
+        pal = np.stack(
+            [
+                (5 * np.arange(GIF_PALETTE_N)) % 256,
+                (11 * np.arange(GIF_PALETTE_N)) % 256,
+                (23 * np.arange(GIF_PALETTE_N)) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        ids = [
+            r[0]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(MEDIA_STAGE_N)
+            .collect()  # bounded by MEDIA_STAGE_N tiny files
+        ]
+        for mid in ids:
+            if mid % 2 == 0:
+                w = IMG_W_BASE + mid % IMG_W_MOD
+                h = IMG_H_BASE + mid % IMG_H_MOD
+                nf = GIF_BASE_FRAMES + mid % 3
+                i = np.arange(w * h, dtype=np.int64)
+                frames = [
+                    ((mid + 7 * f + 3 * i) % GIF_PALETTE_N)
+                    .astype(np.uint8)
+                    .reshape(h, w)
+                    for f in range(nf)
+                ]
+                payload = gifcodec.encode_gif(frames, pal)
+                name = f"media_{mid}.gif"
+            else:
+                n = WAV_BASE_SAMPLES + (mid % 3) * 64
+                i = np.arange(n, dtype=np.int64)
+                s = (
+                    (31 * mid + 17 * i) % WAV_SAMPLE_MOD - 2000
+                ).astype(np.int16)
+                payload = audiocodec.encode_wav(s, sample_rate=16_000)
+                name = f"media_{mid}.wav"
+            with open(os.path.join(d, name), "wb") as f:
+                f.write(payload)
+
+    return _staged_dir(
+        "media_av",
+        sf_dir,
+        "media_av_stream_",
+        build,
+        src=os.path.join(sf_dir, "documents.parquet"),
+    )
+
+
+def streaming_av_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time GIF/WAV decode: binaryFile stream over the staged
+    A/V lake through the shared ``file_av_stats`` transform — each
+    arriving container runs the full vendored LZW (GIF) or chunk-walk
+    PCM16 (WAV) path the moment it lands. Stream-vs-batch
+    bit-equality pinned in tests/test_streaming.py."""
+    from ..llm.multimodal import file_av_stats  # noqa: PLC0415
+
+    media_dir = stage_media_dir_av(spark, sf_dir)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(media_dir)
+    )
+    return file_av_stats(stream)
+
+
 def streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-time image decode: a binaryFile STREAM over the staged
     media lake, each arriving file's bytes parsed by the vendored

@@ -76,6 +76,18 @@ BUDGETS = {
     # side, so the raw ceiling is 9 (executes once — the audit
     # dedupes it)
     "tfidf_cosine_pairs": 9,
+    # round-10 bench additions (fourteenth-rotation flagships; the
+    # streaming drains stay unpinned — their plan is the drained sink
+    # scan, not the stateful stream): the DataSource agg's single
+    # groupBy; the pure map-side HTML extraction (zero exchanges); the
+    # hybrid skew join's hot/cold split (hot-key count agg, cold
+    # shuffle join sides, union re-agg); the EWMA window sort; the
+    # QI-grain audit's two aggregation grains
+    "pysource_rowgroup_docs": 1,
+    "html_extract_text": 0,
+    "skew_hybrid_join": 4,
+    "ewma_smoother": 1,
+    "l_diversity_audit": 2,
 }
 
 

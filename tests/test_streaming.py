@@ -936,6 +936,57 @@ def test_streaming_jpeg_decode_bit_equal_to_batch(spark):
     assert (got.sum_b.values == got.sum_r.values).all()
 
 
+def test_streaming_av_decode_bit_equal_to_batch(spark):
+    """Ingest-time GIF/WAV decode: the binaryFile STREAM over the
+    staged A/V lake must produce bit-identical decoded stats to the
+    batch binaryFile read of the same directory, and the decoded
+    values must match the closed-form constructions (frame counts,
+    sample counts, exact-integer pixel/energy sums) — proving the
+    stream ran the real LZW / chunk-walk paths. Completes the
+    four-codec ingest-decode surface (BMP/PPM/PNG, JPEG, GIF, WAV)."""
+    from data_warehouse_co_healthy_spark.llm.multimodal import (
+        GIF_BASE_FRAMES,
+        WAV_BASE_SAMPLES,
+        file_av_stats,
+    )
+    from data_warehouse_co_healthy_spark.sources.readers import (
+        read_binary_files,
+    )
+    from data_warehouse_co_healthy_spark.streaming import docs as sd
+
+    got = (
+        _drain(
+            spark,
+            sd.streaming_av_decode(spark, SF_DIR),
+            "av_decode_stream",
+            mode="append",
+        )
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    media_dir = sd.stage_media_dir_av(spark, SF_DIR)
+    want = (
+        file_av_stats(read_binary_files(spark, media_dir))
+        .toPandas()
+        .sort_values("file_name")
+        .reset_index(drop=True)
+    )
+    assert len(got) == sd.MEDIA_STAGE_N
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    ids = got.file_name.str.extract(r"media_(\d+)\.")[0].astype(int)
+    gifs, wavs = got[ids % 2 == 0], got[ids % 2 == 1]
+    assert len(gifs) > 0 and len(wavs) > 0
+    assert (gifs.kind == "gif").all() and (wavs.kind == "wav").all()
+    gif_ids = ids[ids % 2 == 0]
+    assert (gifs.n_units.values == GIF_BASE_FRAMES + gif_ids % 3).all()
+    wav_ids = ids[ids % 2 == 1]
+    assert (
+        wavs.n_units.values == WAV_BASE_SAMPLES + (wav_ids % 3) * 64
+    ).all()
+    assert (wavs.width == 16_000).all()  # decoded sample rate
+    assert (got.stat_sum > 0).all()
+
+
 def test_staged_dir_rebuilds_when_fixture_rewritten(tmp_path):
     """The staging cache keys on the SOURCE FIXTURE'S fingerprint
     (mtime+size, like llm.training._probe_cache_key): rewriting the

@@ -135,6 +135,21 @@ SHOWCASE = [
         "vendored T.81 decode: two chained Arrow stages, zero "
         "exchanges — media decode is scan-shaped at any scale",
     ),
+    (
+        "skew_hybrid_join",
+        "round-10 showcase: hybrid skew join — hot keys broadcast, "
+        "cold keys shuffled, one union re-agg",
+    ),
+    (
+        "pysource_rowgroup_docs",
+        "round-10 showcase: Python DataSource at production sizing — "
+        "BatchEvalPython-free Arrow scan, ONE agg exchange",
+    ),
+    (
+        "html_extract_text",
+        "round-10 showcase: stdlib-parser main-text extraction — "
+        "pure map-side Arrow stage, zero exchanges",
+    ),
 ]
 
 
