@@ -324,6 +324,7 @@ def register_parquet_pages(spark) -> None:
 from dataclasses import dataclass  # noqa: E402
 
 from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -408,3 +409,92 @@ class JsonlDirSink(DataSource):
 def register_sink(spark) -> None:
     """Idempotent registration of the jsonldir sink."""
     spark.dataSource.register(JsonlDirSink)
+
+
+class ParquetDirArrowWriter(DataSourceArrowWriter):
+    """Arrow-VECTORIZED committable parquet sink — the writer-side
+    twin of ``ParquetPagesReader``: each task streams its
+    ``pyarrow.RecordBatch`` iterator straight into one staging part
+    file through ``pyarrow.parquet.ParquetWriter`` (no Spark Row ever
+    materializes in Python — the same zero-per-row contract as the
+    reader's RecordBatch output), returns a commit message, and only
+    the driver-side ``commit`` publishes the manifest. Same two-phase
+    atomicity as JsonlDirWriter, at Arrow batch speed; the row-group
+    size per part is whatever batch sizing Spark hands over, so at
+    scale part files arrive pre-chunked for the paged reader.
+
+    LOCAL-FS ONLY as written (same caveat as JsonlDirWriter): swap the
+    raw ``open``/``os`` calls for fsspec/Hadoop-FS handles on a
+    cluster; the protocol is unchanged."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("parquetdir sink requires option 'path'")
+
+    def write(self, iterator):
+        # Runs ON THE EXECUTOR: one pyarrow writer per partition.
+        import os  # noqa: PLC0415
+        import uuid  # noqa: PLC0415
+
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        os.makedirs(self.path, exist_ok=True)
+        part = os.path.join(
+            self.path, f"part-{uuid.uuid4().hex}.parquet"
+        )
+        writer = None
+        n = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(part, batch.schema)
+                writer.write_batch(batch)
+                n += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _PartFile(path="", n_rows=0)  # empty partition
+        return _PartFile(path=part, n_rows=n)
+
+    def commit(self, messages):
+        import json  # noqa: PLC0415
+        import os  # noqa: PLC0415
+
+        files = [
+            {"path": os.path.basename(m.path), "n_rows": m.n_rows}
+            for m in messages
+            if m.path
+        ]
+        manifest = {
+            "files": files,
+            "total_rows": sum(f["n_rows"] for f in files),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os  # noqa: PLC0415
+
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class ParquetDirSink(DataSource):
+    """``df.write.format("parquetdir").option("path", d)
+    .mode("append").save()`` — Arrow-batch parquet parts + manifest
+    commit."""
+
+    @classmethod
+    def name(cls):
+        return "parquetdir"
+
+    def writer(self, schema, overwrite):
+        return ParquetDirArrowWriter(self.options)
+
+
+def register_parquet_sink(spark) -> None:
+    """Idempotent registration of the parquetdir Arrow sink."""
+    spark.dataSource.register(ParquetDirSink)

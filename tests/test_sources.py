@@ -817,6 +817,57 @@ def test_jsonl_robust_quarantines_corrupt_lines(spark, tmp_path):
     assert any("not json" in r for r in b._corrupt_record)
 
 
+def test_parquetdir_arrow_sink_round_trip(spark, tmp_path):
+    """The Arrow-vectorized committable parquet sink: executor tasks
+    stream RecordBatches into staging part files, the driver commit
+    publishes the manifest, and a native read of the committed
+    directory returns exactly the written rows. Empty partitions
+    contribute no part file but don't break the commit."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.sources.pysource import (
+        register_parquet_sink,
+    )
+
+    register_parquet_sink(spark)
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id"),
+            (F.col("id") % 7).alias("bucket"),
+            F.concat(F.lit("row_"), F.col("id")).alias("tag"),
+        )
+        # one provably EMPTY partition among four
+        .repartitionByRange(4, F.col("id"))
+        .filter(F.col("id") >= 250)
+    )
+    out = str(tmp_path / "pq_sink")
+    df.write.format("parquetdir").option("path", out).mode(
+        "append"
+    ).save()
+
+    manifest = json.load(open(f"{out}/_SUCCESS"))
+    assert manifest["total_rows"] == 750
+    assert all(f["n_rows"] > 0 for f in manifest["files"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == 750
+    assert back.agg(F.sum("id")).first()[0] == sum(range(250, 1000))
+    assert (
+        back.filter(F.col("tag") == "row_999").count() == 1
+    )
+    # manifest names exactly the part files on disk
+    import os
+
+    on_disk = {
+        f for f in os.listdir(out)
+        if f.startswith("part-") and f.endswith(".parquet")
+    }
+    assert {f["path"] for f in manifest["files"]} == on_disk
+
+
 def test_python_datasource_streams_pages_incrementally(spark):
     """The Python DataSource's streaming side must drain the paged
     dataset exactly once across micro-batches (offset = page cursor)."""
