@@ -851,10 +851,6 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
-    if not saw_iend:
-        # without the trailer the stream may be an arbitrary prefix:
-        # refuse rather than decode whatever IDAT happened to arrive
-        raise ValueError("truncated PNG: missing IEND")
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
@@ -865,6 +861,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(
             f"unsupported PNG color type {ctype} (gray/RGB/RGBA only)"
         )
+    if not saw_iend:
+        # without the trailer the stream may be an arbitrary prefix:
+        # refuse rather than decode whatever IDAT happened to arrive.
+        # Checked AFTER the feature gates so an unsupported profile
+        # reports its actual problem, not a truncation guess.
+        raise ValueError("truncated PNG: missing IEND")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:

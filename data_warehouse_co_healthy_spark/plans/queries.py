@@ -399,15 +399,23 @@ PRIORITY: tuple[str, ...] = (
     "l_diversity_audit",
 )
 
-# Round-10 rotation candidates, registered + strict-green this round
-# but built after the window filled (50 slots, 9 first-time grades):
-# stream_outer_join_drain (the outer-join null-emission state path —
-# min-of-sides watermark + eviction boundary pinned in its oracle),
-# wav_energy_windows (RIFF/WAVE PCM16 container decode),
-# gif_frame_stats (animated-GIF LZW frame sampling). Obvious rotate-
-# outs when they go in: multi-round-green q5_local_supplier /
-# window_topk_per_group peers per the family sets in
-# tests/test_registry.py.
+# (The round-9 rotation-candidate note is resolved: all three named
+# candidates went into the fourteenth wave above.)
+#
+# Round-11 rotation candidates — never driver-graded, strict-green in
+# every full sweep, strongest remaining representatives of their
+# shapes: cross_snapshot_dedup (incremental dedup across snapshot
+# versions), gapfill_linear (time-grid interpolation),
+# isotonic_calibration (PAV monotone fit, brute-force-pinned),
+# ngram_containment_pairs (asymmetric near-dup), token_length_histogram
+# / char_entropy (corpus-stats tail), rfm_segments (entity scoring),
+# sql_groupby_all (SQL-surface tail), fellegi_sunter_em (EM record
+# linkage, rotated out r8 while still r7-green). Obvious rotate-outs:
+# the longest-green of ks_two_sample / chi2_source_lang /
+# burstiness_by_type (stats screens keep two), conversion_latency,
+# langid_confusion, dedup_exact-family redundancy per the family sets
+# in tests/test_registry.py. ~140 oracled queries remain never
+# driver-graded; keep retiring the tail.
 
 
 def _apply_priority() -> None:

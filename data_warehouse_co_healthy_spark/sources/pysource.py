@@ -201,7 +201,9 @@ class ParquetPagesReader(DataSourceReader):
                 ):
                     continue  # provably no matching row: never planned
             n = rg.num_rows
-            step = n if self.page_size is None else self.page_size
+            # max(n,1) so a zero-row group (empty warehouse, pruned
+            # partition) can't make range()'s step 0 under "auto"
+            step = max(n, 1) if self.page_size is None else self.page_size
             for off in range(0, n, step):
                 parts.append(
                     _RowRangePartition(g, off, min(off + step, n))
