@@ -1260,29 +1260,64 @@ def hybrid_search_rrf(
     inverted-index-shaped token table and the semantic list from the
     IVF/PQ path — the fusion stage is unchanged.
     """
-    jac = _token_jaccard_scores(spark, sf_dir)
-    w_lex = Window.partitionBy("query_id").orderBy(F.desc("jac"), "cand_id")
-    lex = (
-        jac.withColumn("lex_rk", F.row_number().over(w_lex).cast("long"))
-        .filter(F.col("lex_rk") <= RRF_SHORTLIST)
-        .select("query_id", "cand_id", "lex_rk")
+    # Round-10 exchange shave (6 -> 2 hash shuffles measured): the old
+    # shape ranked each leg under its own query_id window, then
+    # full-outer-joined the shortlists on (query_id, cand_id) — and
+    # because join co-partitioning requires ALL join keys, BOTH sides
+    # re-shuffled on the pair even though each was already partitioned
+    # by query_id. Instead: UNION the two score lists, repartition by
+    # query_id ONCE, and let the subset-partitioning rule carry that
+    # one exchange through everything downstream — the per-leg rank
+    # window (clustered on (query_id, leg) ⊇ {query_id}), the
+    # pair-grain fusion aggregate (clustered on (query_id, cand_id) ⊇
+    # {query_id}; aggregates accept subset partitioning, joins do
+    # not), and the final fused window. Semantics identical: the
+    # fusion groupBy reproduces the full-outer join exactly (a
+    # candidate present in one leg only gets a null rank on the other).
+    jac = _token_jaccard_scores(spark, sf_dir).select(
+        "query_id", "cand_id", F.col("jac").alias("score"),
+        F.lit("lex").alias("leg"),
     )
-    w_sem = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
-    sem = (
+    sem_scores = (
         (_scored(spark, sf_dir) if scored is None else scored)
-        .withColumn("cos_rk", F.row_number().over(w_sem).cast("long"))
-        .filter(F.col("cos_rk") <= RRF_SHORTLIST)
-        .select("query_id", "cand_id", "cos_rk")
+        .select(
+            "query_id", "cand_id", F.col("cos").alias("score"),
+            F.lit("sem").alias("leg"),
+        )
     )
-    fused = lex.join(sem, on=["query_id", "cand_id"], how="full").select(
-        "query_id",
-        "cand_id",
-        "lex_rk",
-        "cos_rk",
-        (
-            F.coalesce(F.lit(1.0) / (RRF_K + F.col("lex_rk")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("cos_rk")), F.lit(0.0))
-        ).alias("rrf"),
+    w_leg = Window.partitionBy("query_id", "leg").orderBy(
+        F.desc("score"), "cand_id"
+    )
+    shortlists = (
+        jac.unionByName(sem_scores)
+        .repartition(F.col("query_id"))
+        .withColumn("rk", F.row_number().over(w_leg).cast("long"))
+        .filter(F.col("rk") <= RRF_SHORTLIST)
+    )
+    fused = (
+        shortlists.groupBy("query_id", "cand_id")
+        .agg(
+            F.max(F.when(F.col("leg") == "lex", F.col("rk"))).alias(
+                "lex_rk"
+            ),
+            F.max(F.when(F.col("leg") == "sem", F.col("rk"))).alias(
+                "cos_rk"
+            ),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "lex_rk",
+            "cos_rk",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (RRF_K + F.col("lex_rk")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (RRF_K + F.col("cos_rk")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
     )
     w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "cand_id")
     return (

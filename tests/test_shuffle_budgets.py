@@ -61,8 +61,15 @@ BUDGETS = {
     "kmeans_embeddings": 1,
     "ann_pq_refine": 5,
     # eval harness composing three pipelines once each (justified in
-    # SHUFFLES.md; r8 deduped 20 -> 15)
-    "retrieval_ndcg": 15,
+    # SHUFFLES.md; r8 deduped 20 -> 15, r10's RRF union-fusion rework
+    # brought the plan-text count to 7)
+    "retrieval_ndcg": 7,
+    # round-10 rework (join-free RRF fusion): ONE repartition(query_id)
+    # carried through the per-leg rank window, the pair-grain fusion
+    # aggregate and the final window via the subset-partitioning rule,
+    # plus the lexical pair groupBy — was 6 (each leg's window + both
+    # full-join sides re-shuffling on the pair key)
+    "hybrid_search_rrf": 2,
     # fp-count groupBy + keep-join + pair join + island window (+
     # fixture-only spread round-robins)
     "exact_substring_matches": 7,

@@ -44,12 +44,13 @@ JUSTIFIED = {
         "fixture-only spread() round-robins that no-op at scale"
     ),
     "retrieval_ndcg": (
-        "eval harness composing the hybrid ranking (its own ~10 "
-        "exchanges), the exact-cosine judge and the per-query eval "
-        "joins; round-8 deduped the ranking's internal scoring leg "
-        "onto the eval's persisted scored frame and fused the eval "
-        "tail into one outer join + one groupBy (20 -> 15) — what "
-        "remains is each stage once, shortlist-grain after scoring"
+        "eval harness composing the hybrid ranking, the exact-cosine "
+        "judge and the per-query eval joins; round-8 deduped the "
+        "ranking's internal scoring leg onto the eval's persisted "
+        "scored frame and fused the eval tail into one outer join + "
+        "one groupBy (20 -> 15), round-10's join-free RRF fusion "
+        "took the ranking leg from 6 to 2 — what remains is each "
+        "stage once, shortlist-grain after scoring"
     ),
     "dedup_cluster_labels": (
         "N_LABEL_ITERS bounded min-label propagation rounds over a "
