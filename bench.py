@@ -75,6 +75,7 @@ HEADLINE = [
     "pysource_rowgroup_docs",  # DataSource at production page sizing
     "html_extract_text",     # stdlib-parser main-text extraction
     "skew_hybrid_join",      # salted/broadcast hybrid skew join
+    "url_canonical_dedup",   # crawl-stage URL canonicalization+dedup
 ]
 
 

@@ -654,7 +654,158 @@ def population_stability_index(
     )
 
 
+URL_HOSTS = 5   # planted-URL host universe: site0..site4.example.com
+URL_PATHS = 11  # planted-URL path universe: /path/0../path/10
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-pipeline step that
+    collapses the many spellings of one resource before fetch/dedup
+    (scheme and default port, host case, ``www.`` prefix, tracking
+    params, param order, trailing slash, fragments). The fixture
+    corpus has no organic URLs (same situation as pii_redaction), so
+    each document plants TWO deterministic messy URLs in-plan — the
+    variant rotating on doc_id mod 4 across all eight noise classes —
+    and the oracle plants the identical set.
+
+    Canonical key = host (lowered, port and ``www.`` stripped) + path
+    (trailing slash stripped; case preserved — paths are
+    case-sensitive) + surviving query params (``utm_*`` dropped,
+    remainder sorted, '&'-joined). All eight variant shapes of one
+    (host, path) collapse to a single canonical row — pinned in
+    tests (n_variants ≥ 2 for every canonical on the fixture).
+
+    Scale posture: pure map-side string algebra (split/lower/filter/
+    array_sort — all codegen) to the canonical key, then ONE groupBy
+    at canonical grain. At 100 TB the same plan runs over URLs pulled
+    from text by ``regexp_extract_all(URL_RE)`` (extraction parity
+    with DuckDB already proven by pii_redaction's n_urls) or over a
+    crawl frontier table; the canonicalization column is unchanged."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
+
+    def planted(idx_off: int, host_mul: int, path_mul: int):
+        h = ((F.col("doc_id") + idx_off) % URL_HOSTS).cast("string")
+        p = (
+            (F.col("doc_id") * path_mul + idx_off) % URL_PATHS
+        ).cast("string")
+        v = (F.col("doc_id") + idx_off) % 4
+        return (
+            F.when(
+                v == 0,
+                F.concat(
+                    F.lit("https://WWW.Site"), h,
+                    F.lit(".Example.com:443/path/"), p,
+                    F.lit("/?utm_source=x&b=2&a=1"),
+                ),
+            )
+            .when(
+                v == 1,
+                F.concat(
+                    F.lit("https://www.site"), h,
+                    F.lit(".example.com/path/"), p,
+                    F.lit("?a=1&b=2"),
+                ),
+            )
+            .when(
+                v == 2,
+                F.concat(
+                    F.lit("https://site"), h,
+                    F.lit(".example.com/path/"), p,
+                    F.lit("/?b=2&a=1#section"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://site"), h,
+                    F.lit(".example.com:80/path/"), p,
+                    F.lit("?b=2&a=1&utm_campaign=y"),
+                ),
+            )
+        )
+
+    urls = d.select(
+        "doc_id",
+        F.explode(
+            F.array(planted(0, 1, 1), planted(3, 1, 2))
+        ).alias("url"),
+    )
+    parts = urls.select(
+        "doc_id",
+        "url",
+        F.split(F.split(F.col("url"), "#")[0], "://")[1].alias("after"),
+    ).select(
+        "doc_id",
+        "url",
+        "after",
+        F.split(F.col("after"), "/")[0].alias("hostport"),
+    ).select(
+        "doc_id",
+        "url",
+        "hostport",
+        # everything past the authority: '/path...?query'
+        F.expr(
+            "substring(after, length(hostport) + 1)"
+        ).alias("rest"),
+    )
+    canon = parts.select(
+        "doc_id",
+        "url",
+        F.regexp_replace(
+            F.lower(F.split(F.col("hostport"), ":")[0]), r"^www\.", ""
+        ).alias("host"),
+        F.regexp_replace(
+            F.split(F.col("rest"), r"\?")[0], "/$", ""
+        ).alias("path"),
+        F.when(
+            F.col("rest").contains("?"),
+            F.expr("substring_index(rest, '?', -1)"),
+        )
+        .otherwise(F.lit(""))
+        .alias("rawq"),
+    ).select(
+        "doc_id",
+        "url",
+        "host",
+        "path",
+        F.array_join(
+            F.array_sort(
+                F.expr(
+                    "filter(split(rawq, '&'), "
+                    "p -> p != '' AND NOT startswith(p, 'utm_'))"
+                )
+            ),
+            "&",
+        ).alias("q"),
+    )
+    canon = canon.select(
+        "doc_id",
+        "url",
+        "host",
+        F.concat(
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.col("q") != "", F.concat(F.lit("?"), F.col("q"))
+            ).otherwise(F.lit("")),
+        ).alias("canonical"),
+    )
+    return (
+        canon.groupBy("canonical", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .select(
+            "canonical", "host", "n_occurrences", "n_docs",
+            "n_variants", "keeper_doc",
+        )
+    )
+
+
 QUERIES = {
+    "url_canonical_dedup": url_canonical_dedup,
     "repetition_ratio": repetition_ratio,
     "population_stability_index": population_stability_index,
     "train_val_test_split": train_val_test_split,
@@ -700,6 +851,80 @@ _SQL_POIS = _poisson_case(
 )
 
 ORACLES = {
+    "url_canonical_dedup": f"""
+        WITH raw AS (
+            SELECT doc_id, 0 AS off, 1 AS mul FROM documents
+            UNION ALL
+            SELECT doc_id, 3, 2 FROM documents
+        ), built AS (
+            SELECT doc_id,
+              CASE ((doc_id + off) % 4)
+                WHEN 0 THEN 'https://WWW.Site'
+                    || ((doc_id + off) % {URL_HOSTS})
+                    || '.Example.com:443/path/'
+                    || ((doc_id * mul + off) % {URL_PATHS})
+                    || '/?utm_source=x&b=2&a=1'
+                WHEN 1 THEN 'https://www.site'
+                    || ((doc_id + off) % {URL_HOSTS})
+                    || '.example.com/path/'
+                    || ((doc_id * mul + off) % {URL_PATHS})
+                    || '?a=1&b=2'
+                WHEN 2 THEN 'https://site'
+                    || ((doc_id + off) % {URL_HOSTS})
+                    || '.example.com/path/'
+                    || ((doc_id * mul + off) % {URL_PATHS})
+                    || '/?b=2&a=1#section'
+                ELSE 'http://site'
+                    || ((doc_id + off) % {URL_HOSTS})
+                    || '.example.com:80/path/'
+                    || ((doc_id * mul + off) % {URL_PATHS})
+                    || '?b=2&a=1&utm_campaign=y'
+              END AS url
+            FROM raw
+        ), p1 AS (
+            SELECT doc_id, url,
+                   split_part(split_part(url, '#', 1), '://', 2)
+                       AS after
+            FROM built
+        ), p2 AS (
+            SELECT doc_id, url,
+                   split_part(after, '/', 1) AS hostport,
+                   substr(after,
+                          length(split_part(after, '/', 1)) + 1)
+                       AS rest
+            FROM p1
+        ), p3 AS (
+            SELECT doc_id, url,
+                   regexp_replace(
+                       lower(split_part(hostport, ':', 1)),
+                       '^www\\.', '') AS host,
+                   regexp_replace(split_part(rest, '?', 1), '/$', '')
+                       AS path,
+                   CASE WHEN position('?' IN rest) > 0
+                        THEN substr(rest, position('?' IN rest) + 1)
+                        ELSE '' END AS rawq
+            FROM p2
+        ), keyed AS (
+            SELECT doc_id, url, host,
+                   host || path
+                   || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                       AS canonical
+            FROM (
+                SELECT doc_id, url, host, path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(rawq, '&'),
+                           p -> p <> ''
+                                AND NOT starts_with(p, 'utm_'))),
+                           '&') AS q
+                FROM p3)
+        )
+        SELECT canonical, host,
+               count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(DISTINCT url)::BIGINT AS n_variants,
+               min(doc_id)::BIGINT AS keeper_doc
+        FROM keyed GROUP BY 1, 2
+    """,
     "population_stability_index": f"""
         WITH binned AS (
             SELECT source,

@@ -410,7 +410,9 @@ PRIORITY: tuple[str, ...] = (
 # ngram_containment_pairs (asymmetric near-dup), token_length_histogram
 # / char_entropy (corpus-stats tail), rfm_segments (entity scoring),
 # sql_groupby_all (SQL-surface tail), fellegi_sunter_em (EM record
-# linkage, rotated out r8 while still r7-green). Obvious rotate-outs:
+# linkage, rotated out r8 while still r7-green), url_canonical_dedup
+# (round-10 post-sweep addition: crawl-pipeline URL canonicalization,
+# MATCH at all 3 sfs, never in a driver window). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

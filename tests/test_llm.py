@@ -843,6 +843,35 @@ def test_psi_nonnegative_and_complete(spark):
     assert np.isfinite(out.psi).all()
 
 
+def test_url_canonical_dedup_collapses_all_noise_shapes(spark):
+    """URL canonicalization must collapse every planted spelling of one
+    resource to a single canonical row: the fixture rotates each
+    (host, path) through all four messy variants (scheme/port, host
+    case, www., utm_ params, param order, trailing slash, fragment),
+    so every canonical must aggregate >= 2 distinct raw spellings —
+    and the canonical string itself must carry none of the noise."""
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = filters.url_canonical_dedup(spark, SF_DIR).toPandas()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # one row per (host, path) resource: the full planted universe
+    assert len(out) == filters.URL_HOSTS * filters.URL_PATHS
+    # every doc plants exactly two URLs; nothing lost, nothing invented
+    assert int(out.n_occurrences.sum()) == 2 * n_docs
+    # each canonical collapsed multiple raw spellings
+    assert (out.n_variants >= 2).all()
+    assert (out.n_variants <= 8).all()  # 4 shapes x 2 plant slots
+    # the canonical key is noise-free: lowered host, no scheme/port/
+    # fragment, tracking params dropped, survivors sorted
+    assert not out.canonical.str.contains("://|www\\.|#|utm_|:443|:80").any()
+    assert out.canonical.str.match(r"site\d\.example\.com/path/\d+\?a=1&b=2$").all()
+    assert (out.host == out.canonical.str.split("/").str[0]).all()
+    # keeper is the min contributing doc, and plausible
+    assert (out.keeper_doc >= 0).all()
+    assert (out.keeper_doc < n_docs).all()
+
+
 def test_retrieval_ndcg_bounds_and_hybrid_value(spark):
     """NDCG and MRR live in [0, 1]; the RRF fusion should put at least
     one true-top-5 candidate in its list for most queries (MRR > 0),

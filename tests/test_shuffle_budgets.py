@@ -36,6 +36,10 @@ BUDGETS = {
     "fact_facturacion_star": 2,
     "bpe_segment": 1,
     "image_decode_stats": 0,
+    # map-side canonicalization, then count+2×countDistinct at the
+    # 55-key canonical grain: Expand + two aggregate phases — only the
+    # first exchange is data-sized, the rest move <= |canonicals| rows
+    "url_canonical_dedup": 3,
     "attribution_report": 3,
     "kaplan_meier_churn": 2,
     # round-5 bench additions (upper bounds per the SHUFFLES.md header:
