@@ -89,6 +89,9 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .dropDuplicates(["doc_id", "g"])
+        # persisted: the eval-side gram set and the training side each
+        # re-ran the explode + dedup shuffle before round 10
+        .persist()
     )
     is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
     eval_grams = (
@@ -246,10 +249,13 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.when(
         F.col("source").isin(*MIX_HOT_SOURCES), F.lit(MIX_HOT_WEIGHT)
     ).otherwise(F.lit(MIX_COLD_WEIGHT))
+    # source-grain (tiny) — persisted: its two consumers (totals, the
+    # rate table) each re-ran the corpus count before round 10
     stats = (
         d.groupBy("source")
         .agg(F.count("*").alias("n_s"))
         .withColumn("w", w)
+        .persist()
     )
     totals = stats.agg(
         F.sum("n_s").alias("n_total"), F.sum("w").alias("w_total")
@@ -329,13 +335,16 @@ def length_matched_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     d = spread(load_table(spark, sf_dir, "documents"))
+    # thin 3-column frame, persisted: its three consumers (target
+    # histogram, raw histogram, the raw rank window) each re-scanned
+    # the corpus before round 10
     docs = d.select(
         "doc_id",
         "lang",
         F.expr(
             f"least(n_chars div {LEN_BUCKET_CHARS}, {LEN_BUCKET_MAX})"
         ).alias("bucket"),
-    )
+    ).persist()
     tgt = (
         docs.filter(F.col("lang") == LM_TARGET_LANG)
         .groupBy("bucket")
@@ -598,7 +607,9 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(rm, 0.5)"), 4).alias("ci_mid"),
         F.round(F.expr("percentile(rm, 0.975)"), 4).alias("ci_hi"),
     )
-    return point.join(ci, on="source").select(
+    # source-grain tiny frames: broadcast the CI side instead of
+    # co-shuffling both legs on source (round-10 shave)
+    return point.join(F.broadcast(ci), on="source").select(
         "source", "n_docs", "mean_chars", "ci_lo", "ci_mid", "ci_hi"
     )
 
@@ -631,10 +642,13 @@ def population_stability_index(
             F.floor(F.col("n_chars") / width), F.lit(PSI_BINS - 1)
         ).cast("long").alias("bin"),
     )
+    # (source, bin) grain (tiny) — persisted: the per-source totals
+    # and the PSI-term join each re-ran the corpus aggregate before
+    # round 10; the totals side is broadcast (source-grain)
     counts = binned.groupBy("source", "bin").agg(
         F.sum(F.col("is_new").cast("long")).alias("n_new"),
         F.sum((~F.col("is_new")).cast("long")).alias("n_old"),
-    )
+    ).persist()
     totals = counts.groupBy("source").agg(
         F.sum("n_new").alias("t_new"), F.sum("n_old").alias("t_old")
     )
@@ -644,7 +658,7 @@ def population_stability_index(
     p_new = F.col("n_new") / nz(F.col("t_new")) + PSI_SMOOTH
     p_old = F.col("n_old") / nz(F.col("t_old")) + PSI_SMOOTH
     return (
-        counts.join(totals, on="source")
+        counts.join(F.broadcast(totals), on="source")
         .select(
             "source",
             ((p_new - p_old) * F.log(p_new / p_old)).alias("term"),

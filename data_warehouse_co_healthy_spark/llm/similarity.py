@@ -273,7 +273,14 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is a broadcast join against IVF_CELLS
     centroids + one argmax per vector (map-side partial agg); the probe
     is an equi-join on cell id. Candidate volume per query is N/nlist
-    on average instead of N — the IVF contract."""
+    on average instead of N — the IVF contract.
+
+    CACHING: the assigned (vector, cell) frame is ``persist()``-ed
+    with session lifetime (same posture as tfidf_cosine_pairs' tf
+    cache): its two consumers — the probe's query side and candidate
+    side — each re-ran the centroid-assignment pass before round 10.
+    Loop callers release it with ``spark.catalog.clearCache()``,
+    bench.py's cold-per-run protocol."""
     e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
     norm = F.expr(_NORM.format(c="emb"))
     vecs = e.select("vec_id", "emb", norm.alias("nrm"))
@@ -298,6 +305,7 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("q_emb").alias("emb"), "nrm",
             F.col("cid").alias("cell"),
         )
+        .persist()
     )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1131,20 +1139,29 @@ def intra_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(f"transform(emb, x -> x / nullif({norm}, 0.0D))").alias("v"),
     )
-    sums = (
-        unit.select("label", F.posexplode("v").alias("p", "x"))
+    # Round-10 single-pass rewrite: the row count n used to be its own
+    # corpus scan + a label join. posexplode_OUTER keeps one (p=null)
+    # row per empty vector, so n per label = rows at p 0 plus the
+    # null-p rows — exactly the old count(*), recovered from the SAME
+    # (label, p) aggregate that builds the component sums (sum(null)
+    # on the null-p group squares to null and drops out of ssq).
+    per_pos = (
+        unit.select("label", F.posexplode_outer("v").alias("p", "x"))
         .groupBy("label", "p")
-        .agg(F.sum("x").alias("s"))
-        .groupBy("label")
-        .agg(F.sum(F.col("s") * F.col("s")).alias("ssq"))
+        .agg(F.sum("x").alias("s"), F.count("*").alias("c"))
     )
-    counts = unit.groupBy("label").agg(F.count("*").alias("n"))
+    sums = per_pos.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ssq"),
+        F.sum(
+            F.when(F.col("p").isNull() | (F.col("p") == 0), F.col("c"))
+        ).alias("n"),
+    )
     # + 0.0 after the round: a mean that is zero up to float noise
     # rounds to -0.0 or +0.0 depending on each engine's summation
     # order, and the driver hash distinguishes the sign (bit at sf0.1:
     # spark 0.0 vs oracle -0.0); IEEE -0.0 + 0.0 = +0.0 normalizes
     # both sides
-    return sums.join(counts, on="label").select(
+    return sums.select(
         "label",
         "n",
         (
@@ -1403,34 +1420,47 @@ def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid = hybrid_search_rrf(spark, sf_dir, scored=scored).select(
         "query_id", "cand_id", "fused_rk"
     )
-    gains = hybrid.join(scored, on=["query_id", "cand_id"]).select(
-        "query_id",
-        "cand_id",
-        "fused_rk",
-        F.greatest(F.col("cos"), F.lit(0.0)).alias("gain_h"),
-    )
+    # Round-10 exchange shave: the old eval tail ran THREE pair-grain
+    # hash joins over `scored` (gains = hybrid ⋈ scored, then
+    # gains ⟗ ideal on (query_id, cand_id) — each re-shuffling both
+    # sides on the pair) plus the ideal window's own exchange. Instead:
+    # rank the WHOLE persisted scoring frame once (one query_id
+    # exchange), LEFT-BROADCAST the fused shortlist onto it (the
+    # shortlist is O(n_queries × RRF_SHORTLIST) rows by construction —
+    # eval-set sized at any corpus scale — and a broadcast join
+    # preserves the window's partitioning), and compute dcg / idcg /
+    # first_hit in the same single groupBy, now with explicit irk/
+    # fused_rk guards replaying exactly the rows the outer merge used
+    # to keep: hybrid-shortlist rows for dcg, the cosine top-K for
+    # idcg, their intersection for first_hit. Every pair in either leg
+    # is a (query, cand≠query) pair of `scored`, so the one frame
+    # covers both.
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
-    ideal = (
+    judged = (
         scored.withColumn("irk", F.row_number().over(w).cast("long"))
-        .filter(F.col("irk") <= TOP_K)
+        .join(F.broadcast(hybrid), on=["query_id", "cand_id"], how="left")
         .select(
             "query_id",
-            "cand_id",
             "irk",
-            F.greatest(F.col("cos"), F.lit(0.0)).alias("gain_i"),
+            "fused_rk",
+            F.greatest(F.col("cos"), F.lit(0.0)).alias("gain"),
         )
     )
-    # One full-outer merge of the two judged lists + ONE groupBy
-    # computes dcg, idcg AND the first relevant hit together (sum/min
-    # skip the nulls the outer join leaves on one-sided rows) — the
-    # round-7 shape ran three separate aggregates and re-joined them,
-    # ~5 more shortlist-grain exchanges for identical output.
-    both = gains.join(ideal, on=["query_id", "cand_id"], how="full")
-    per_q = both.groupBy("query_id").agg(
-        F.sum(F.col("gain_h") / F.log2(F.col("fused_rk") + 1)).alias("dcg"),
-        F.sum(F.col("gain_i") / F.log2(F.col("irk") + 1)).alias("idcg"),
+    per_q = judged.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("fused_rk").isNotNull(),
+                F.col("gain") / F.log2(F.col("fused_rk") + 1),
+            )
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("irk") <= TOP_K,
+                F.col("gain") / F.log2(F.col("irk") + 1),
+            )
+        ).alias("idcg"),
         F.min(
-            F.when(F.col("irk").isNotNull(), F.col("fused_rk"))
+            F.when(F.col("irk") <= TOP_K, F.col("fused_rk"))
         ).alias("first_hit"),
     )
     return per_q.select(
@@ -1460,65 +1490,80 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     MRL-trained models put the information mass in the prefix, so
     truncated search is the standard latency/recall dial).
 
-    Two brute-force passes share one scan each against the broadcast
-    query set (same shape as ``cosine_topk``); the two k-row-per-query
-    top-k frames join on (query_id, cand_id) and roll up to a recall
-    per query. Exact double math throughout — the truncated pass
+    ONE brute-force pass against the broadcast query set (same shape
+    as ``cosine_topk``) scores BOTH similarities per (query, cand)
+    pair — the full-dimension cosine and the prefix cosine — then two
+    ``row_number`` windows over the SAME ``query_id`` partitioning
+    rank them (one hash exchange, two sorts: Catalyst satisfies the
+    second window's partitioning from the first, so no re-shuffle),
+    and the recall rolls up in place: a full-top-k pair is a hit iff
+    its prefix rank is also <= k. Round 10 rewrote this from two
+    passes + a (query, cand) self-join + re-agg (9 cache-deduped data
+    shuffles, embeddings scanned twice) to the join-free single pass
+    (2: the small-fixture ``spread`` fan-out + the window exchange —
+    at 100 TB the scan is read ONCE and only one pair-grain exchange
+    moves data). Exact double math throughout — the truncated cosine
     slices the array BEFORE the fold, so both engines sum the same
-    MRL_DIMS products in the same order."""
+    MRL_DIMS products in the same order, identically to the two-pass
+    formulation the oracle replays."""
     e = _cast_double(spread(load_table(spark, sf_dir, "embeddings")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
-
-    def topk(frame: DataFrame, emb_expr: str) -> DataFrame:
-        sub = frame.select(
-            "vec_id", F.expr(emb_expr).alias("emb")
-        )
-        norm = F.expr(_NORM.format(c="emb"))
-        q = sub.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("emb").alias("q_emb"),
-            norm.alias("q_norm"),
-        )
-        c = sub.select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("emb").alias("c_emb"),
-            norm.alias("c_norm"),
-        )
-        return (
-            c.crossJoin(F.broadcast(q))
-            .filter(F.col("cand_id") != F.col("query_id"))
-            .select(
-                "query_id",
-                "cand_id",
-                (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias(
-                    "cos"
-                ),
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= TOP_K)
-            .select("query_id", "cand_id")
-        )
-
-    full = topk(e, "emb")
-    trunc = (
-        topk(e, f"slice(emb, 1, {MRL_DIMS})")
-        .withColumnRenamed("cand_id", "t_cand_id")
-        .withColumnRenamed("query_id", "t_query_id")
+    sub = e.select(
+        "vec_id",
+        "emb",
+        F.expr(f"slice(emb, 1, {MRL_DIMS})").alias("emb_t"),
     )
-    hits = full.join(
-        trunc,
-        (full.query_id == trunc.t_query_id)
-        & (full.cand_id == trunc.t_cand_id),
-        "left",
-    ).groupBy("query_id")
-    return hits.agg(
-        F.sum(
-            F.when(F.col("t_cand_id").isNotNull(), 1).otherwise(0)
-        ).alias("n_hits")
-    ).select(
-        "query_id",
-        "n_hits",
-        F.round(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias("recall"),
+    q = sub.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("emb_t").alias("q_emb_t"),
+        F.expr(_NORM.format(c="emb")).alias("q_norm"),
+        F.expr(_NORM.format(c="emb_t")).alias("q_norm_t"),
+    )
+    c = sub.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("emb").alias("c_emb"),
+        F.col("emb_t").alias("c_emb_t"),
+        F.expr(_NORM.format(c="emb")).alias("c_norm"),
+        F.expr(_NORM.format(c="emb_t")).alias("c_norm_t"),
+    )
+    dot_t = _DOT.replace("q_emb", "q_emb_t").replace("c_emb", "c_emb_t")
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.expr(_DOT) / nz(F.col("q_norm") * F.col("c_norm"))).alias(
+                "cos_full"
+            ),
+            (F.expr(dot_t) / nz(F.col("q_norm_t") * F.col("c_norm_t"))).alias(
+                "cos_trunc"
+            ),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "cand_id"
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), "cand_id"
+    )
+    return (
+        pairs.withColumn("rk_full", F.row_number().over(w_full))
+        .withColumn("rk_trunc", F.row_number().over(w_trunc))
+        .filter(F.col("rk_full") <= TOP_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("rk_trunc") <= TOP_K, 1).otherwise(0)
+            ).alias("n_hits")
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(TOP_K)), 4).alias(
+                "recall"
+            ),
+        )
     )
 
 

@@ -474,7 +474,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (token) grain — both carry vocabulary-bounded rows, never
     occurrences; N is a scalar; the final top-k window partitions by
     source (source cardinality ≈ a handful), after an agg that has
-    already collapsed to |sources|×|vocab| rows."""
+    already collapsed to |sources|×|vocab| rows.
+
+    CACHING: the (doc, source, token) tf frame is ``persist()``-ed
+    with session lifetime (same posture as tfidf_cosine_pairs' tf
+    cache): its two consumers — document frequency and the scoring
+    join — each re-ran the corpus tokenize + aggregate before round
+    10. Loop callers release it with ``spark.catalog.clearCache()``,
+    bench.py's cold-per-run protocol."""
     d = spread(load_table(spark, sf_dir, "documents"))
     n_docs = d.count()
     tf = (
@@ -486,6 +493,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") > 0)
         .groupBy("doc_id", "source", "token")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df_ = tf.groupBy("token").agg(
         F.countDistinct("doc_id").alias("docfreq")
@@ -528,7 +536,14 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial-aggregated so the shuffles carry
     vocabulary-bounded rows, not occurrences; the unigram side joins
     back broadcast (a vocabulary fits in memory at any corpus scale);
-    the corpus total is a 1-row broadcast."""
+    the corpus total is a 1-row broadcast.
+
+    CACHING: the vocab-grain unigram counts are ``persist()``-ed with
+    session lifetime (three consumers below — the corpus total and
+    both broadcast legs — each re-ran the corpus tokenize + aggregate
+    before round 10); vocab-grain is bounded at any corpus scale, and
+    loop callers release it with ``spark.catalog.clearCache()``
+    exactly as bench.py's cold-per-run protocol does."""
     d = spread(load_table(spark, sf_dir, "documents"))
     ws = d.select(F.split(F.lower("text"), r"\s+").alias("ws"))
     uni = (
@@ -536,6 +551,7 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("uc"))
+        .persist()
     )
     tot = uni.agg(F.sum("uc").cast("double").alias("total_u"))
     bi = (
@@ -604,7 +620,14 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     row — no per-doc length aggregate and no length join in the plan);
     corpus stats reduce to one broadcast row; per-term df is a
     |terms|-row broadcast. One vocabulary-free shuffle at (doc, term)
-    grain, one final per-doc sum."""
+    grain, one final per-doc sum.
+
+    CACHING: the query-term tf frame is ``persist()``-ed with session
+    lifetime (it is filtered to the |query| terms BEFORE the shuffle,
+    so it is shortlist-sized at any corpus scale): its two consumers —
+    per-term df and the scoring join — each re-ran the corpus scan +
+    explode before round 10. Loop callers release it with
+    ``spark.catalog.clearCache()``, bench.py's cold-per-run protocol."""
     d = spread(load_table(spark, sf_dir, "documents"))
     base = d.select(
         "doc_id",
@@ -626,6 +649,7 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").isin(*BM25_TERMS))
         .groupBy("doc_id", "dl", "w")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
     df_ = tf.groupBy("w").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
@@ -659,13 +683,20 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream. The token stream is shuffled once on the word key; the
     probability join is a broadcast (vocab ≪ corpus). Fully built-in —
     log/avg in codegen — and oracle-checked.
+
+    CACHING: the vocab-grain counts are ``persist()``-ed with session
+    lifetime (two consumers — the corpus total and the probability
+    table — each re-ran the corpus tokenize + aggregate before round
+    10); vocab-grain is bounded at any corpus scale. Loop callers
+    release it with ``spark.catalog.clearCache()``, bench.py's
+    cold-per-run protocol.
     """
     d = spread(load_table(spark, sf_dir, "documents"))
     words = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"),
     )
-    counts = words.groupBy("w").agg(F.count("*").alias("c"))
+    counts = words.groupBy("w").agg(F.count("*").alias("c")).persist()
     total = counts.agg(F.sum("c").alias("tot"))
     probs = counts.crossJoin(F.broadcast(total)).select(
         "w", (F.col("c") / F.col("tot")).alias("p")
@@ -699,7 +730,14 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(w1); scoring re-joins the bigram stream against the BROADCAST
     count tables (vocab² candidates ≪ corpus at any scale — only
     observed bigrams materialize). Two token-key shuffles total, the
-    same budget as unigram_surprisal."""
+    same budget as unigram_surprisal.
+
+    CACHING: the bigram stream is ``persist()``-ed with session
+    lifetime (same posture and rationale as tfidf_cosine_pairs' tf
+    cache): its three consumers — C(w1,w2), C(w1) and the scoring
+    re-join — each re-ran the scan + tokenize + in-array bigram build
+    before round 10. Loop callers release it with
+    ``spark.catalog.clearCache()``, bench.py's cold-per-run protocol."""
     d = spread(load_table(spark, sf_dir, "documents"))
     wd = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
@@ -712,7 +750,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(w, i) -> struct(w AS w1, element_at(ws, i + 2) AS w2))"
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).select("doc_id", "b.w1", "b.w2").persist()
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     vocab = (
@@ -752,11 +790,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One broadcast-join of the (tiny) pair list against the signature
     matrix, twice — shuffle-free beyond what the signatures already
-    paid."""
+    paid.
+
+    CACHING: the signature matrix is ``persist()``-ed with session
+    lifetime (N_PERM longs per doc — sketch-sized at any corpus
+    scale): its two join legs each re-ran the shingle + minhash build
+    before round 10. Loop callers release it with
+    ``spark.catalog.clearCache()``, bench.py's cold-per-run protocol."""
     from . import dedup as _d  # noqa: PLC0415
 
     pairs = _d.minhash_lsh_pairs(spark, sf_dir)
-    sig = _d.minhash_signatures(spark, sf_dir)
+    sig = _d.minhash_signatures(spark, sf_dir).persist()
     a = sig.select(
         F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ma")
     )
@@ -936,14 +980,23 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("t"),
     ).filter(F.length("t") > 0)
+    # round-10 rewrite: ONE corpus pass — the (source, token) counts
+    # are persisted (type-grain, bounded) and the global vocabulary
+    # derives from them (Σ_sources n IS the global count exactly,
+    # integer sums over a partition of the stream); before, the vocab
+    # leg re-ran the corpus explode as a second scan
+    per_type = (
+        tok.groupBy("source", "t")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
     vocab = (
-        tok.groupBy("t")
-        .agg(F.count("*").alias("cnt"))
+        per_type.groupBy("t")
+        .agg(F.sum("n").alias("cnt"))
         .orderBy(F.desc("cnt"), "t")
         .limit(VOCAB_OOV_N)
         .select(F.col("t").alias("vt"))
     )
-    per_type = tok.groupBy("source", "t").agg(F.count("*").alias("n"))
     flagged = per_type.join(
         F.broadcast(vocab), per_type.t == F.col("vt"), "left"
     )

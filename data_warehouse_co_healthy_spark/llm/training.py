@@ -840,13 +840,17 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     is_tgt = (F.col("lang") == DSIR_TARGET_LANG).cast("long")
+    # bucket-grain (DSIR_BUCKETS rows) — persisted because the model
+    # totals below derive from it; before round 10 `totals` re-ran the
+    # whole corpus tokenize as a third scan, yet Σ_b n_raw IS tot_raw
+    # exactly (integer sums over a partition of the token stream)
     counts = toks.groupBy("b").agg(
         F.count("*").alias("n_raw"),
         F.sum(is_tgt).alias("n_tgt"),
-    )
-    totals = toks.agg(
-        F.count("*").alias("tot_raw"),
-        F.sum(is_tgt).alias("tot_tgt"),
+    ).persist()
+    totals = counts.agg(
+        F.sum("n_raw").alias("tot_raw"),
+        F.sum("n_tgt").alias("tot_tgt"),
     )
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "b",

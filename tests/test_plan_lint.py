@@ -16,8 +16,8 @@ from tests.conftest import SF_DIR
 NESTED_LOOP_OK = {
     "cosine_topk",          # brute-force scoring vs broadcast query set
     "cosine_topk_pandas",   # same, Arrow variant
-    "matryoshka_topk",      # two brute-force passes (full + prefix)
-                            # vs the broadcast query set
+    "matryoshka_topk",      # one brute-force pass scoring full +
+                            # prefix cosine vs the broadcast query set
     "mmr_rerank",           # relevance pass vs broadcast query set
                             # feeding the per-query bounded greedy
     "hybrid_search_rrf",    # semantic list reuses the brute-force

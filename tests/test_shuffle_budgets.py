@@ -36,10 +36,14 @@ BUDGETS = {
     "fact_facturacion_star": 2,
     "bpe_segment": 1,
     "image_decode_stats": 0,
+    # single brute-force pass scoring both cosines per pair: ONE hash
+    # exchange on query_id shared by both rank windows AND the final
+    # aggregate (round-10 rewrite from two passes + pair self-join)
+    "matryoshka_topk": 1,
     # map-side canonicalization, then count+2×countDistinct at the
     # 55-key canonical grain: Expand + two aggregate phases — only the
     # first exchange is data-sized, the rest move <= |canonicals| rows
-    "url_canonical_dedup": 3,
+    "url_canonical_dedup": 2,
     "attribution_report": 3,
     "kaplan_meier_churn": 2,
     # round-5 bench additions (upper bounds per the SHUFFLES.md header:
@@ -67,7 +71,10 @@ BUDGETS = {
     # eval harness composing three pipelines once each (justified in
     # SHUFFLES.md; r8 deduped 20 -> 15, r10's RRF union-fusion rework
     # brought the plan-text count to 7)
-    "retrieval_ndcg": 7,
+    # round-10 eval-tail shave: one window exchange over the persisted
+    # scoring frame + a left-BROADCAST of the eval-sized fused
+    # shortlist replaced three pair-grain hash joins (was 7)
+    "retrieval_ndcg": 3,
     # round-10 rework (join-free RRF fusion): ONE repartition(query_id)
     # carried through the per-leg rank window, the pair-grain fusion
     # aggregate and the final window via the subset-partitioning rule,
@@ -99,6 +106,25 @@ BUDGETS = {
     "skew_hybrid_join": 4,
     "ewma_smoother": 1,
     "l_diversity_audit": 2,
+    # round-10 cache-dedup sweep (multi-instantiated shared subplans
+    # now persist() once — vocab/sketch/shortlist-grain caches, see
+    # each docstring's CACHING note): pinned at the post-shave raw
+    # hash counts so a dropped cache resurfaces here
+    "pmi_bigrams": 4,
+    "bigram_perplexity": 4,
+    "bm25_search": 5,
+    "unigram_surprisal": 3,
+    "ann_ivf": 3,
+    "tfidf_top_terms": 6,
+    "minhash_jaccard_estimate": 6,
+    "dsir_importance": 3,
+    "mix_sources_weighted": 2,
+    "length_matched_sample": 3,
+    "contamination_overlap": 4,
+    "bootstrap_ci": 3,
+    "population_stability_index": 4,
+    "intra_label_cosine": 2,
+    "vocab_oov_rate": 4,
 }
 
 

@@ -43,7 +43,8 @@ SHOWCASE = [
     ),
     (
         "hybrid_search_rrf",
-        "RRF fusion: broadcast query sets, shortlist-grain full join",
+        "RRF fusion, join-free since round 10: legs UNIONed, ONE "
+        "query_id exchange carried through rank windows + fusion agg",
     ),
     (
         "snm_adjacent_pairs",
@@ -149,6 +150,18 @@ SHOWCASE = [
         "html_extract_text",
         "round-10 showcase: stdlib-parser main-text extraction — "
         "pure map-side Arrow stage, zero exchanges",
+    ),
+    (
+        "matryoshka_topk",
+        "round-10 showcase: join-free truncation audit — one brute "
+        "pass scores full+prefix cosine, two rank windows share ONE "
+        "query_id exchange, recall rolls up in place (9 -> 3)",
+    ),
+    (
+        "retrieval_ndcg",
+        "round-10 showcase: eval tail = one window over the persisted "
+        "scoring frame + left-BROADCAST of the fused shortlist — "
+        "three pair-grain hash joins removed (11 -> 7)",
     ),
 ]
 
