@@ -350,9 +350,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # persisted: the a/b legs of the pair self-join each re-ran the
+    # scan + gram explode + doc-frequency window before round 10 —
+    # the cache halves the upstream and the g-grain shuffle (round-10
+    # exchange-shave sweep; clearCache contract as tfidf_cosine_pairs)
     rare = grams.withColumn(
         "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= MAX_DOCFREQ)
+    ).filter(F.col("df") <= MAX_DOCFREQ).persist()
     a = rare.select(
         "g", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
     )
@@ -540,9 +544,13 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window  # noqa: PLC0415
 
+    # persisted: the a/b legs of the pair self-join each re-ran the
+    # scan + gram explode + doc-frequency window before round 10 —
+    # the cache halves the upstream and the g-grain shuffle (round-10
+    # exchange-shave sweep; clearCache contract as tfidf_cosine_pairs)
     rare = grams.withColumn(
         "df", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("df") <= MAX_DOCFREQ)
+    ).filter(F.col("df") <= MAX_DOCFREQ).persist()
     a = rare.select(
         "g", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
     )

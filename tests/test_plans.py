@@ -58,6 +58,11 @@ def test_q1_partial_aggregation(spark):
 def test_minhash_has_single_agg_exchange(spark):
     """The signature matrix must NOT multiply rows per permutation
     through a shuffle: one spread repartition + one groupBy exchange."""
+    # cold-plan: _signature_wide persists since round 10, and a cache
+    # MATERIALIZED by an earlier test changes how the subtree prints
+    # (finalized AQE stages under InMemoryRelation repeat "Exchange"
+    # lines) — same remedy as tests/test_shuffle_budgets.py
+    spark.catalog.clearCache()
     plan = _plan(dedup._signature_wide(spark, SF_DIR))
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
     # all 16 permutation mins in ONE aggregate, not 16 plans

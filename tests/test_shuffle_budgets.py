@@ -125,6 +125,8 @@ BUDGETS = {
     "population_stability_index": 4,
     "intra_label_cosine": 2,
     "vocab_oov_rate": 4,
+    "ngram_jaccard_pairs": 3,
+    "ngram_containment_pairs": 3,
 }
 
 
