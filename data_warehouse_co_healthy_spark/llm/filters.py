@@ -116,6 +116,77 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_url_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING crawl-frontier dedup — the incremental twin of
+    ``url_canonical_dedup``: discovered URLs arrive in micro-batches,
+    are canonicalized IN-STREAM with the exact map-side transform the
+    batch query uses (``_canonicalized`` — stateless string algebra,
+    legal on a streaming frame), and
+    ``dropDuplicatesWithinWatermark(["canonical"])`` admits each
+    RESOURCE once across batches — the "have we already scheduled this
+    URL" gate every crawler runs, with state bounded by the watermark
+    horizon instead of growing with the crawl.
+
+    Fixture layout (what makes the state path non-trivial): the staged
+    stream is range-partitioned on the spelling VARIANT, so successive
+    micro-batches carry DIFFERENT spellings of the same resources —
+    re-emission is prevented only by canonical-key state held across
+    batches, never by in-batch uniqueness. Determinism under racy
+    in-batch winners uses the stream_dedup_drain trick: the emitted
+    projection (canonical, host) is identical whichever raw spelling
+    wins the state race, so the drained append output is EXACTLY the
+    distinct resource universe — the oracle. Every crawl_ts shares one
+    frontier epoch (doc_id microseconds apart), so nothing is ever
+    late; watermark-DISCARD itself is graded by
+    stream_late_drop_drain."""
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    from ..operators.temporal import _drain_bounded  # noqa: PLC0415
+    from ..streaming.docs import _staged_dir  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    feed = _planted_urls(docs).withColumn(
+        "crawl_ts",
+        F.timestamp_micros(
+            F.lit(1_600_000_000_000_000) + F.col("doc_id")
+        ),
+    )
+
+    def build(d: str) -> None:
+        feed.repartitionByRange(
+            4, F.col("v"), F.col("doc_id")
+        ).write.mode("overwrite").parquet(d)
+        t0 = 1_600_000_000
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        ):
+            os.utime(f, (t0 + i, t0 + i))
+
+    staged = _staged_dir(
+        "url_frontier4",
+        sf_dir,
+        "url_frontier_",
+        build,
+        src=os.path.join(sf_dir, "documents.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    res = (
+        _canonicalized(raw, keep=["crawl_ts"])
+        .withWatermark("crawl_ts", "48 hours")
+        .dropDuplicatesWithinWatermark(["canonical"])
+        .select("canonical", "host")
+    )
+    return _drain_bounded(
+        spark, res, "stream_url_frontier_sink", "append"
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: count and redact emails, URLs and phone numbers with
     shared RE2-safe regexes (email → URL → phone, in that order). The
@@ -672,6 +743,129 @@ URL_HOSTS = 5   # planted-URL host universe: site0..site4.example.com
 URL_PATHS = 11  # planted-URL path universe: /path/0../path/10
 
 
+def _planted_url(idx_off: int, path_mul: int):
+    """One deterministic messy URL per doc row: the (host, path)
+    resource rotates on doc_id, and the SPELLING rotates through four
+    noise shapes on (doc_id + idx_off) mod 4 — together the eight
+    standard noise classes (scheme/default port, host case, ``www.``,
+    ``utm_`` params, param order, trailing slash, fragment). Shared by
+    the batch dedup and the streaming frontier so both plant the
+    identical universe the oracle replays."""
+    h = ((F.col("doc_id") + idx_off) % URL_HOSTS).cast("string")
+    p = (
+        (F.col("doc_id") * path_mul + idx_off) % URL_PATHS
+    ).cast("string")
+    v = (F.col("doc_id") + idx_off) % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://WWW.Site"), h,
+                F.lit(".Example.com:443/path/"), p,
+                F.lit("/?utm_source=x&b=2&a=1"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("https://www.site"), h,
+                F.lit(".example.com/path/"), p,
+                F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://site"), h,
+                F.lit(".example.com/path/"), p,
+                F.lit("/?b=2&a=1#section"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), h,
+                F.lit(".example.com:80/path/"), p,
+                F.lit("?b=2&a=1&utm_campaign=y"),
+            ),
+        )
+    )
+    return F.struct(url.alias("url"), v.alias("v"))
+
+
+def _planted_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, v): the two planted URLs per document with each
+    spelling's variant index (v drives the streaming fixture's
+    micro-batch layout)."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array(_planted_url(0, 1), _planted_url(3, 2))
+        ).alias("u"),
+    ).select("doc_id", "u.url", "u.v")
+
+
+def _canonicalized(urls: DataFrame, keep: list[str]) -> DataFrame:
+    """Map-side URL canonicalization (pure codegen string algebra —
+    works identically on batch and STREAMING frames): lowers the host,
+    strips scheme/default port/``www.``/fragment/trailing slash, drops
+    ``utm_*`` params and sorts the survivors. Returns
+    keep + (host, canonical)."""
+    parts = urls.select(
+        *keep,
+        F.split(F.split(F.col("url"), "#")[0], "://")[1].alias("after"),
+    ).select(
+        *keep,
+        "after",
+        F.split(F.col("after"), "/")[0].alias("hostport"),
+    ).select(
+        *keep,
+        "hostport",
+        # everything past the authority: '/path...?query'
+        F.expr(
+            "substring(after, length(hostport) + 1)"
+        ).alias("rest"),
+    )
+    canon = parts.select(
+        *keep,
+        F.regexp_replace(
+            F.lower(F.split(F.col("hostport"), ":")[0]), r"^www\.", ""
+        ).alias("host"),
+        F.regexp_replace(
+            F.split(F.col("rest"), r"\?")[0], "/$", ""
+        ).alias("path"),
+        F.when(
+            F.col("rest").contains("?"),
+            F.expr("substring_index(rest, '?', -1)"),
+        )
+        .otherwise(F.lit(""))
+        .alias("rawq"),
+    ).select(
+        *keep,
+        "host",
+        "path",
+        F.array_join(
+            F.array_sort(
+                F.expr(
+                    "filter(split(rawq, '&'), "
+                    "p -> p != '' AND NOT startswith(p, 'utm_'))"
+                )
+            ),
+            "&",
+        ).alias("q"),
+    )
+    return canon.select(
+        *keep,
+        "host",
+        F.concat(
+            F.col("host"),
+            F.col("path"),
+            F.when(
+                F.col("q") != "", F.concat(F.lit("?"), F.col("q"))
+            ).otherwise(F.lit("")),
+        ).alias("canonical"),
+    )
+
+
 def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + dedup — the crawl-pipeline step that
     collapses the many spellings of one resource before fetch/dedup
@@ -696,113 +890,8 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with DuckDB already proven by pii_redaction's n_urls) or over a
     crawl frontier table; the canonicalization column is unchanged."""
     d = spread(load_table(spark, sf_dir, "documents")).select("doc_id")
-
-    def planted(idx_off: int, host_mul: int, path_mul: int):
-        h = ((F.col("doc_id") + idx_off) % URL_HOSTS).cast("string")
-        p = (
-            (F.col("doc_id") * path_mul + idx_off) % URL_PATHS
-        ).cast("string")
-        v = (F.col("doc_id") + idx_off) % 4
-        return (
-            F.when(
-                v == 0,
-                F.concat(
-                    F.lit("https://WWW.Site"), h,
-                    F.lit(".Example.com:443/path/"), p,
-                    F.lit("/?utm_source=x&b=2&a=1"),
-                ),
-            )
-            .when(
-                v == 1,
-                F.concat(
-                    F.lit("https://www.site"), h,
-                    F.lit(".example.com/path/"), p,
-                    F.lit("?a=1&b=2"),
-                ),
-            )
-            .when(
-                v == 2,
-                F.concat(
-                    F.lit("https://site"), h,
-                    F.lit(".example.com/path/"), p,
-                    F.lit("/?b=2&a=1#section"),
-                ),
-            )
-            .otherwise(
-                F.concat(
-                    F.lit("http://site"), h,
-                    F.lit(".example.com:80/path/"), p,
-                    F.lit("?b=2&a=1&utm_campaign=y"),
-                ),
-            )
-        )
-
-    urls = d.select(
-        "doc_id",
-        F.explode(
-            F.array(planted(0, 1, 1), planted(3, 1, 2))
-        ).alias("url"),
-    )
-    parts = urls.select(
-        "doc_id",
-        "url",
-        F.split(F.split(F.col("url"), "#")[0], "://")[1].alias("after"),
-    ).select(
-        "doc_id",
-        "url",
-        "after",
-        F.split(F.col("after"), "/")[0].alias("hostport"),
-    ).select(
-        "doc_id",
-        "url",
-        "hostport",
-        # everything past the authority: '/path...?query'
-        F.expr(
-            "substring(after, length(hostport) + 1)"
-        ).alias("rest"),
-    )
-    canon = parts.select(
-        "doc_id",
-        "url",
-        F.regexp_replace(
-            F.lower(F.split(F.col("hostport"), ":")[0]), r"^www\.", ""
-        ).alias("host"),
-        F.regexp_replace(
-            F.split(F.col("rest"), r"\?")[0], "/$", ""
-        ).alias("path"),
-        F.when(
-            F.col("rest").contains("?"),
-            F.expr("substring_index(rest, '?', -1)"),
-        )
-        .otherwise(F.lit(""))
-        .alias("rawq"),
-    ).select(
-        "doc_id",
-        "url",
-        "host",
-        "path",
-        F.array_join(
-            F.array_sort(
-                F.expr(
-                    "filter(split(rawq, '&'), "
-                    "p -> p != '' AND NOT startswith(p, 'utm_'))"
-                )
-            ),
-            "&",
-        ).alias("q"),
-    )
-    canon = canon.select(
-        "doc_id",
-        "url",
-        "host",
-        F.concat(
-            F.col("host"),
-            F.col("path"),
-            F.when(
-                F.col("q") != "", F.concat(F.lit("?"), F.col("q"))
-            ).otherwise(F.lit("")),
-        ).alias("canonical"),
-    )
+    urls = _planted_urls(d)
+    canon = _canonicalized(urls, keep=["doc_id", "url"])
     return (
         canon.groupBy("canonical", "host")
         .agg(
@@ -820,6 +909,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
+    "stream_url_frontier_drain": stream_url_frontier_drain,
     "repetition_ratio": repetition_ratio,
     "population_stability_index": population_stability_index,
     "train_val_test_split": train_val_test_split,
@@ -864,8 +954,11 @@ _SQL_POIS = _poisson_case(
     "1, 8))::BIGINT / 4294967296.0)"
 )
 
-ORACLES = {
-    "url_canonical_dedup": f"""
+# Shared DuckDB replay of the planted-URL universe and its
+# canonicalization (CTE chain ending in `keyed`): composed by the
+# batch dedup oracle and the streaming frontier oracle.
+_SQL_URL_KEYED = f"""
+
         WITH raw AS (
             SELECT doc_id, 0 AS off, 1 AS mul FROM documents
             UNION ALL
@@ -932,12 +1025,21 @@ ORACLES = {
                            '&') AS q
                 FROM p3)
         )
+"""
+
+ORACLES = {
+    "url_canonical_dedup": f"""
+        {_SQL_URL_KEYED}
         SELECT canonical, host,
                count(*)::BIGINT AS n_occurrences,
                count(DISTINCT doc_id)::BIGINT AS n_docs,
                count(DISTINCT url)::BIGINT AS n_variants,
                min(doc_id)::BIGINT AS keeper_doc
         FROM keyed GROUP BY 1, 2
+    """,
+    "stream_url_frontier_drain": f"""
+        {_SQL_URL_KEYED}
+        SELECT DISTINCT canonical, host FROM keyed
     """,
     "population_stability_index": f"""
         WITH binned AS (

@@ -412,7 +412,10 @@ PRIORITY: tuple[str, ...] = (
 # sql_groupby_all (SQL-surface tail), fellegi_sunter_em (EM record
 # linkage, rotated out r8 while still r7-green), url_canonical_dedup
 # (round-10 post-sweep addition: crawl-pipeline URL canonicalization,
-# MATCH at all 3 sfs, never in a driver window). Obvious rotate-outs:
+# MATCH at all 3 sfs, never in a driver window),
+# stream_url_frontier_drain (its STREAMING twin — the ninth streaming
+# state shape: cross-batch canonical-key frontier dedup over
+# variant-partitioned batches, MATCH at all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets
