@@ -76,6 +76,7 @@ HEADLINE = [
     "html_extract_text",     # stdlib-parser main-text extraction
     "skew_hybrid_join",      # salted/broadcast hybrid skew join
     "url_canonical_dedup",   # crawl-stage URL canonicalization+dedup
+    "stream_url_frontier_drain",  # streaming frontier dedup drain
 ]
 
 
