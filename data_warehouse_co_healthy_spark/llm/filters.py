@@ -187,6 +187,135 @@ def stream_url_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_K = 5  # podium size held per source in the ranked state
+
+
+def stream_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING per-source best-K — the TENTH streaming state shape:
+    BOUNDED RANKED state. Every shape graded so far holds either a
+    scalar accumulator (totals), a set (dedup / frontier), an interval
+    (session), or a match buffer (joins); this one holds an ORDERED
+    top-K podium per key that each micro-batch must merge into and
+    truncate — the "keep only the best K documents per domain" gate a
+    quality-curated pretraining mix runs at ingest, where K is the
+    per-domain budget and score is the quality signal.
+
+    Execution: the documents table is staged as four files
+    HASH-partitioned on doc_id, one file per trigger, so each source's
+    contenders are scattered across micro-batches and the final podium
+    exists only in cross-batch state (pinned in tests: every source's
+    final top-K draws from ≥2 staged files at sf0.01). State per key is
+    exactly K (score, doc_id) pairs plus a seen-counter — O(K), never
+    O(stream); merging is associative (top-K of a union = top-K of
+    merged top-Ks), so the final podium is independent of how the
+    hash split the stream, which is what makes it reconcilable.
+
+    Determinism of the drained sink: update-mode emits one snapshot per
+    (source, batch-with-rows), and ``n_seen`` strictly increases across
+    a key's snapshots (a key's update fires only when the batch carries
+    its rows), so the FINAL podium per source is the snapshot at
+    max(n_seen) — selected by window below. Ties in score are broken
+    by doc_id ascending in both the state merge and the oracle's
+    row_number ordering (the sf0.01 fixture has 15 in-source tie
+    classes, so the tie path is genuinely exercised).
+
+    At 100 TB: state is keys × K rows; the only shuffle is the
+    groupBy(source) exchange every stateful operator pays. The
+    update-mode snapshot stream is podium-grain, not input-grain."""
+    import glob as _glob  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    from ..operators.temporal import _drain_bounded  # noqa: PLC0415
+    from ..streaming.docs import _staged_dir  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def build(d: str) -> None:
+        docs.repartition(4, F.col("doc_id")).write.mode(
+            "overwrite"
+        ).parquet(d)
+        t0 = 1_600_000_000
+        for i, f in enumerate(
+            sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        ):
+            os.utime(f, (t0 + i, t0 + i))
+
+    staged = _staged_dir(
+        "topk_docs4",
+        sf_dir,
+        "topk_docs_",
+        build,
+        src=os.path.join(sf_dir, "documents.parquet"),
+    )
+
+    out_schema = "source string, rnk int, doc_id long, score long, n_seen long"
+    state_schema = "doc_ids array<long>, scores array<long>, n_seen long"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            doc_ids, scores, n_seen = state.get
+            pairs = [
+                (int(s), int(d)) for s, d in zip(scores, doc_ids)
+            ]
+        else:
+            pairs, n_seen = [], 0
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            pairs.extend(
+                zip(
+                    pdf["n_chars"].astype("int64").tolist(),
+                    pdf["doc_id"].astype("int64").tolist(),
+                )
+            )
+        # highest score first, doc_id ascending inside a tie class —
+        # the oracle's ORDER BY n_chars DESC, doc_id
+        pairs.sort(key=lambda p: (-p[0], p[1]))
+        pairs = pairs[:TOPK_K]
+        state.update(
+            (
+                [d for _, d in pairs],
+                [s for s, _ in pairs],
+                int(n_seen),
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(pairs),
+                "rnk": list(range(1, len(pairs) + 1)),
+                "doc_id": [d for _, d in pairs],
+                "score": [s for s, _ in pairs],
+                "n_seen": [int(n_seen)] * len(pairs),
+            }
+        )
+
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    res = raw.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    snap = _drain_bounded(spark, res, "stream_topk_sink", "update")
+    final_seen = F.max("n_seen").over(Window.partitionBy("source"))
+    return (
+        snap.withColumn("mx", final_seen)
+        .where(F.col("n_seen") == F.col("mx"))
+        .select("source", "rnk", "doc_id", "score")
+    )
+
+
 def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: count and redact emails, URLs and phone numbers with
     shared RE2-safe regexes (email → URL → phone, in that order). The
@@ -910,6 +1039,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
     "stream_url_frontier_drain": stream_url_frontier_drain,
+    "stream_topk_drain": stream_topk_drain,
     "repetition_ratio": repetition_ratio,
     "population_stability_index": population_stability_index,
     "train_val_test_split": train_val_test_split,
@@ -1040,6 +1170,22 @@ ORACLES = {
     "stream_url_frontier_drain": f"""
         {_SQL_URL_KEYED}
         SELECT DISTINCT canonical, host FROM keyed
+    """,
+    # Final podium per source = top-K of the WHOLE table: the ranked
+    # state's merge is associative, so the cross-batch result equals
+    # the batch window exactly. row_number (not rank) mirrors the
+    # state's strict doc_id tie-break; ::INT matches the out_schema.
+    "stream_topk_drain": f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars AS score,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id
+                   )::INT AS rnk
+            FROM documents
+        )
+        SELECT source, rnk, doc_id, score
+        FROM ranked WHERE rnk <= {TOPK_K}
     """,
     "population_stability_index": f"""
         WITH binned AS (

@@ -415,7 +415,10 @@ PRIORITY: tuple[str, ...] = (
 # MATCH at all 3 sfs, never in a driver window),
 # stream_url_frontier_drain (its STREAMING twin — the ninth streaming
 # state shape: cross-batch canonical-key frontier dedup over
-# variant-partitioned batches, MATCH at all 3 sfs). Obvious rotate-outs:
+# variant-partitioned batches, MATCH at all 3 sfs),
+# stream_topk_drain (the TENTH streaming state shape: bounded RANKED
+# state — per-source best-K podium merged/truncated across
+# doc_id-hash-partitioned batches, MATCH at all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets
