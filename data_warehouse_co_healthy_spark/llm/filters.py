@@ -1036,10 +1036,116 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _robots_rules(spark: SparkSession) -> DataFrame:
+    """The planted per-host robots.txt rule set (deterministic, shared
+    verbatim with the oracle's VALUES replay): every host disallows
+    ``/path/1`` (a PREFIX — it also matches ``/path/10``), allows the
+    longer ``/path/10`` (the longest-match override every real ruleset
+    exercises), disallows one host-specific path, and carries an
+    equal-length allow/disallow pair on ``/path/2`` (the spec's
+    allow-wins tie)."""
+    hosts = spark.range(URL_HOSTS).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.col("id").alias("h"),
+    )
+
+    def rule(prefix, is_allow):
+        return F.struct(
+            prefix.alias("prefix"),
+            F.lit(is_allow).alias("is_allow"),
+        )
+
+    return hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                rule(F.lit("/path/1"), 0),
+                rule(F.lit("/path/10"), 1),
+                rule(
+                    F.concat(
+                        F.lit("/path/"),
+                        ((F.lit(3) + F.col("h") * 2) % 11).cast(
+                            "string"
+                        ),
+                    ),
+                    0,
+                ),
+                rule(F.lit("/path/2"), 1),
+                rule(F.lit("/path/2"), 0),
+            )
+        ).alias("r"),
+    ).select("host", "r.prefix", "r.is_allow")
+
+
+def robots_disallow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-politeness gate — the third crawl-stage operator
+    (canonicalize → frontier-dedup → THIS): each canonical resource is
+    checked against its host's robots.txt rules under the standard
+    precedence (longest matching prefix wins; on an exact length tie,
+    Allow beats Disallow — the Google/RFC 9309 rule), emitting one
+    verdict row per resource with the winning rule. The planted rule
+    set (_robots_rules) exercises all three precedence behaviors:
+    plain prefix block (``/path/1`` also blocks nothing it shouldn't),
+    longest-match override (``/path/10`` is re-allowed by the longer
+    rule through the ``/path/1`` block), and the equal-length
+    allow-wins tie on ``/path/2``. Resources matching no rule are
+    allowed by default (NULL winning rule).
+
+    At 100 TB the shape is: resource universe (already deduped by
+    url_canonical_dedup) LEFT-joined to a BROADCAST rules table (real
+    robots rulesets are thousands of rows — driver-tiny), then one
+    window at (host, resource) grain over the handful of matched
+    rules. No data-sized shuffle beyond the window's resource-grain
+    exchange."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    resources = (
+        _canonicalized(_planted_urls(docs), keep=[])
+        .select("host", "canonical")
+        .distinct()
+    )
+    with_path = resources.withColumn(
+        "path",
+        F.split(
+            F.expr("substring(canonical, length(host) + 1)"), r"\?"
+        )[0],
+    )
+    rules = _robots_rules(spark)
+    matched = with_path.join(
+        F.broadcast(rules),
+        (with_path["host"] == rules["host"])
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    ).select(with_path["host"], "canonical", "prefix", "is_allow")
+    w = Window.partitionBy("host", "canonical").orderBy(
+        F.length("prefix").desc(), F.col("is_allow").desc()
+    )
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "host",
+            "canonical",
+            F.when(
+                F.col("prefix").isNull() | (F.col("is_allow") == 1),
+                F.lit("allowed"),
+            )
+            .otherwise(F.lit("blocked"))
+            .alias("verdict"),
+            F.col("prefix").alias("rule"),
+        )
+    )
+
+
 QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
     "stream_url_frontier_drain": stream_url_frontier_drain,
     "stream_topk_drain": stream_topk_drain,
+    "robots_disallow_filter": robots_disallow_filter,
     "repetition_ratio": repetition_ratio,
     "population_stability_index": population_stability_index,
     "train_val_test_split": train_val_test_split,
@@ -1186,6 +1292,45 @@ ORACLES = {
         )
         SELECT source, rnk, doc_id, score
         FROM ranked WHERE rnk <= {TOPK_K}
+    """,
+    # Longest-matching-prefix precedence, allow wins length ties
+    # (RFC 9309); rules replayed verbatim from _robots_rules.
+    "robots_disallow_filter": f"""
+        {_SQL_URL_KEYED}
+        , res AS (
+            SELECT DISTINCT host, canonical FROM keyed
+        ), wp AS (
+            SELECT host, canonical,
+                   split_part(
+                       substr(canonical, length(host) + 1), '?', 1
+                   ) AS path
+            FROM res
+        ), hosts AS (
+            SELECT 'site' || h || '.example.com' AS host, h
+            FROM range({URL_HOSTS}) t(h)
+        ), rules AS (
+            SELECT host, '/path/1' AS prefix, 0 AS is_allow FROM hosts
+            UNION ALL SELECT host, '/path/10', 1 FROM hosts
+            UNION ALL
+            SELECT host, '/path/' || ((3 + h * 2) % 11), 0 FROM hosts
+            UNION ALL SELECT host, '/path/2', 1 FROM hosts
+            UNION ALL SELECT host, '/path/2', 0 FROM hosts
+        ), m AS (
+            SELECT wp.host, wp.canonical, r.prefix, r.is_allow,
+                   row_number() OVER (
+                       PARTITION BY wp.host, wp.canonical
+                       ORDER BY length(r.prefix) DESC,
+                                r.is_allow DESC
+                   ) AS rn
+            FROM wp LEFT JOIN rules r
+              ON r.host = wp.host
+             AND starts_with(wp.path, r.prefix)
+        )
+        SELECT host, canonical,
+               CASE WHEN prefix IS NULL OR is_allow = 1
+                    THEN 'allowed' ELSE 'blocked' END AS verdict,
+               prefix AS rule
+        FROM m WHERE rn = 1
     """,
     "population_stability_index": f"""
         WITH binned AS (

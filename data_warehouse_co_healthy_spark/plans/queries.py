@@ -418,7 +418,11 @@ PRIORITY: tuple[str, ...] = (
 # variant-partitioned batches, MATCH at all 3 sfs),
 # stream_topk_drain (the TENTH streaming state shape: bounded RANKED
 # state — per-source best-K podium merged/truncated across
-# doc_id-hash-partitioned batches, MATCH at all 3 sfs). Obvious rotate-outs:
+# doc_id-hash-partitioned batches, MATCH at all 3 sfs),
+# robots_disallow_filter (crawl politeness: RFC-9309 longest-match /
+# allow-wins-tie precedence over a broadcast rule table, MATCH at all
+# 3 sfs — graded alongside url_canonical_dedup it certifies the whole
+# crawl stage). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

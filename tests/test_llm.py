@@ -1466,3 +1466,52 @@ def test_html_extract_text_adversarial(spark, tmp_path):
     for i in (2, 3):  # empty/whitespace-only: empty extraction
         assert out[i].extracted_len == 0 and out[i].n_chunks == 0
         assert out[i].extracted_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_robots_disallow_filter_precedence(spark):
+    """The politeness gate must implement RFC-9309 precedence exactly:
+    longest matching prefix wins, Allow beats Disallow on a length
+    tie, no-match defaults to allowed — each behavior pinned on the
+    planted rule set."""
+    from data_warehouse_co_healthy_spark.llm import filters
+
+    out = (
+        filters.robots_disallow_filter(spark, SF_DIR)
+        .toPandas()
+        .set_index("canonical")
+    )
+    assert len(out) == filters.URL_HOSTS * filters.URL_PATHS
+    for h in range(filters.URL_HOSTS):
+        host = f"site{h}.example.com"
+
+        def row(p, host=host):
+            hits = out[
+                (out.index.str.startswith(f"{host}/path/{p}?"))
+                | (out.index == f"{host}/path/{p}")
+            ]
+            assert len(hits) == 1
+            return hits.iloc[0]
+
+        # plain prefix block
+        r1 = row(1)
+        assert (r1.verdict, r1.rule) == ("blocked", "/path/1")
+        # longest-match override: /path/10 matches the /path/1
+        # disallow AND the longer /path/10 allow — allow wins
+        r10 = row(10)
+        assert (r10.verdict, r10.rule) == ("allowed", "/path/10")
+        # equal-length tie: allow beats disallow
+        r2 = row(2)
+        assert (r2.verdict, r2.rule) == ("allowed", "/path/2")
+        # host-specific disallow
+        rx = row((3 + 2 * h) % 11)
+        assert rx.verdict == "blocked"
+        # no-match default: pick a path outside every rule
+        free = next(
+            p
+            for p in range(3, 10)
+            if p not in (1, 2, (3 + 2 * h) % 11)
+        )
+        rf = row(free)
+        assert rf.verdict == "allowed" and rf.rule is None
+    # corpus-level shape: exactly 2 blocked paths per host
+    assert (out.verdict == "blocked").sum() == 2 * filters.URL_HOSTS
