@@ -422,7 +422,11 @@ PRIORITY: tuple[str, ...] = (
 # robots_disallow_filter (crawl politeness: RFC-9309 longest-match /
 # allow-wins-tie precedence over a broadcast rule table, MATCH at all
 # 3 sfs — graded alongside url_canonical_dedup it certifies the whole
-# crawl stage). Obvious rotate-outs:
+# crawl stage), stream_idle_flush_drain (the ELEVENTH streaming state
+# shape: event-time TIMEOUT eviction — hasTimedOut / setTimeoutTimestamp
+# / no-data invocation / state.remove, the executor surface no other
+# drain touches; recursive-CTE oracle incl. Spark's no-data final
+# micro-batch, MATCH at all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

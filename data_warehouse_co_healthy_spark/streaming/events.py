@@ -795,6 +795,74 @@ def read_events_stream_cohorts(
     return raw
 
 
+THIN_MOD = 29  # idle-flush stream keeps every THIN_MOD-th event
+
+
+def read_events_stream_quartiles_thinned(
+    spark: SparkSession, sf_dir: str, n_parts: int = 4
+) -> DataFrame:
+    """Event-time-ordered multi-batch stream whose batch boundaries
+    are EXACTLY SQL-replayable: the events table thinned to every
+    THIN_MOD-th event_id (sparsity is the point — per-user activity
+    gaps are what let idle timeouts fire; the full table has every
+    user active in every batch), then split into ``n_parts`` files by
+    explicit row_number quartile over (ts, event_id) — unlike
+    repartitionByRange's sampled boundaries, ``floor((rn-1)·P/N)`` is
+    a pure function of the table, so an oracle can reconstruct each
+    micro-batch verbatim. Files carry ascending mtimes 1 s apart, one
+    file per trigger (the read_events_stream_ordered protocol)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from ..catalog import load_table
+    from .docs import _staged_dir  # noqa: PLC0415
+
+    batch = load_table(spark, sf_dir, "events")
+    thin = batch.filter(F.col("event_id") % THIN_MOD == 0)
+    w = Window.orderBy("ts", "event_id")
+    n_total = thin.count()
+    keyed = thin.withColumn(
+        "k",
+        F.floor(
+            (F.row_number().over(w) - 1) * n_parts / F.lit(n_total)
+        ).cast("int"),
+    )
+
+    def build(d: str) -> None:
+        t0 = 1_600_000_000
+        for i in range(n_parts):
+            sub = os.path.join(d, f"stage_{i}")
+            keyed.filter(F.col("k") == i).drop("k").coalesce(
+                1
+            ).write.mode("overwrite").parquet(sub)
+            src = _glob.glob(os.path.join(sub, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"part-{i:05d}.parquet")
+            shutil.move(src, dst)
+            os.utime(dst, (t0 + i, t0 + i))
+            shutil.rmtree(sub)
+
+    staged = _staged_dir(
+        f"events_quartiles{n_parts}",
+        sf_dir,
+        "events_quartiles_",
+        build,
+        src=os.path.join(sf_dir, "events.parquet"),
+    )
+    raw = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(staged)
+    )
+    if isinstance(raw.schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 DUP_MOD = 5  # every DUP_MOD-th event gets an exact duplicate copy
 
 

@@ -1283,3 +1283,61 @@ def test_stream_topk_drain_cross_batch_ranked_state(spark):
         for _, gg in g.groupby("n_seen"):
             assert sorted(gg["rnk"]) == list(range(1, len(gg) + 1))
             assert len(gg) <= TOPK_K
+
+
+def test_stream_idle_flush_drain_timeout_lifecycle(spark):
+    """Every emitted row of the idle-flush drain comes from the
+    timed-out branch (data calls never yield), so the drain's output
+    pins the full timeout lifecycle: (a) flushes happen at all, (b)
+    at least one user is flushed, reappears, and is flushed AGAIN
+    (state re-creation after remove), (c) at least one user's live
+    state is NEVER flushed (the final watermark had not cleared it —
+    no phantom flush at stream end for recently-active users), and
+    (d) every flushed (n_events, last_ts) is consistent with the
+    user's thinned event prefix: n_events counts a contiguous run of
+    that user's events ending at last_ts."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        IDLE_MS,
+        stream_idle_flush_drain,
+    )
+    from data_warehouse_co_healthy_spark.streaming.events import THIN_MOD
+
+    got = stream_idle_flush_drain(spark, SF_DIR).toPandas()
+    assert len(got) > 0
+    per_user = got.groupby("user_id").size()
+    assert (per_user >= 2).any(), "no re-flush (state re-creation) case"
+
+    thin = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("event_id") % THIN_MOD == 0)
+        .select("user_id", "ts")
+        .toPandas()
+    )
+    stream_users = set(thin.user_id)
+    flushed_users = set(got.user_id)
+    assert flushed_users <= stream_users
+    # (c): someone active near the end holds un-flushed state forever
+    assert flushed_users < stream_users, "every state flushed?!"
+    never = stream_users - flushed_users
+    # those never flushed must be 'recently active': their final gap
+    # to the stream's end is under the idle horizon + one batch span
+    # (coarse bound — the exact condition is the oracle's CTE)
+    end = thin.ts.max()
+    for u in never:
+        last = thin[thin.user_id == u].ts.max()
+        assert (end - last).total_seconds() * 1000 < IDLE_MS * 2.5
+
+    # (d): each flush's n_events equals the count of that user's
+    # events in the half-open window (previous flush ts, last_ts]
+    for u, g in got.groupby("user_id"):
+        g = g.sort_values("last_ts")
+        prev = None
+        for _, row in g.iterrows():
+            mine = thin[thin.user_id == u].ts
+            lo = mine > prev if prev is not None else mine == mine
+            run = mine[lo & (mine <= row.last_ts)]
+            assert len(run) == row.n_events
+            assert run.max() == row.last_ts
+            prev = row.last_ts
