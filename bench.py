@@ -77,6 +77,8 @@ HEADLINE = [
     "skew_hybrid_join",      # salted/broadcast hybrid skew join
     "url_canonical_dedup",   # crawl-stage URL canonicalization+dedup
     "stream_url_frontier_drain",  # streaming frontier dedup drain
+    "stream_topk_drain",     # bounded ranked state (per-key top-K)
+    "stream_idle_flush_drain",  # event-time timeout state eviction
 ]
 
 
