@@ -79,6 +79,7 @@ HEADLINE = [
     "stream_url_frontier_drain",  # streaming frontier dedup drain
     "stream_topk_drain",     # bounded ranked state (per-key top-K)
     "stream_idle_flush_drain",  # event-time timeout state eviction
+    "stream_chained_state_drain",  # two state stores in one stream
 ]
 
 

@@ -2383,6 +2383,63 @@ def stream_idle_flush_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_chained_state_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades CHAINED STATEFUL OPERATORS in one streaming query
+    — the twelfth streaming state shape (SPARK-42376 machinery): TWO
+    state stores in a single plan, ``dropDuplicatesWithinWatermark``
+    feeding a watermarked tumbling-window aggregate, with the
+    watermark PROPAGATED between them — the surface none of the
+    single-operator drains execute (every other drain runs exactly one
+    stateful operator; this one certifies the dedup store's output
+    becoming the agg store's input inside one micro-batch, and the
+    shared watermark finalizing the agg's windows downstream of
+    dedup's eviction horizon).
+
+    The input is the planted-duplicate ordered stream
+    (read_events_stream_ordered_with_dups): if the dedup stage leaked
+    even one copy across the operator boundary, a window's count and
+    cents would double-count and the value hash would diverge — so
+    the grade proves the chain, not just the final agg. Determinism:
+    ordered arrival means no input is late; the dedup output equals
+    the original events table (full-row copies, stream_dedup_drain's
+    argument), and append mode emits exactly the windows the FINAL
+    watermark closed (the post-stream no-data batch advances it to
+    floor_ms(max ts) − 48 h; a window emits when its end has been
+    passed — the midnight-boundary tie class is unobservable on
+    µs-grain data, same note as the other drains). The oracle is the
+    batch daily aggregate restricted to those closed windows.
+
+    At 100 TB: two bounded state stores (ids within the watermark
+    horizon; one row per open window), one exchange per stateful
+    operator — the linear-chain cost every multi-stage streaming
+    pipeline pays by construction."""
+    from ..streaming.events import (  # noqa: PLC0415
+        dedup_within_watermark,
+        read_events_stream_ordered_with_dups,
+    )
+
+    raw = read_events_stream_ordered_with_dups(
+        spark, sf_dir, n_parts=4
+    )
+    dd = dedup_within_watermark(raw, watermark="48 hours")
+    agg = dd.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("long")
+        ).alias("cents"),
+    )
+    res = agg.select(
+        F.col("w.start").alias("day"), "event_type", "n", "cents"
+    )
+    return _drain_bounded(
+        spark, res, "stream_chained_state_sink", "append"
+    )
+
+
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function (lags 1..ACF_MAX_LAG) of the daily
     order-revenue series — the diagnostic every forecaster runs before
@@ -2475,6 +2532,7 @@ QUERIES = {
     "stream_session_drain": stream_session_drain,
     "stream_outer_join_drain": stream_outer_join_drain,
     "stream_idle_flush_drain": stream_idle_flush_drain,
+    "stream_chained_state_drain": stream_chained_state_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -3698,4 +3756,24 @@ ORACLES["stream_idle_flush_drain"] = f"""
     SELECT user_id, n AS n_events,
            make_timestamp(last_us) AS last_ts
     FROM sim WHERE typ = 'flush'
+"""
+
+# Chained-state replay: dedup output = the original events table
+# (full-row planted copies — stream_dedup_drain's argument), so the
+# chain's final result is the batch daily aggregate over events,
+# restricted to windows the FINAL watermark (floor_ms(max ts) − 48 h)
+# closed. The midnight tie class (wm exactly on a window end) is
+# unobservable on µs-grain data.
+ORACLES["stream_chained_state_drain"] = """
+    WITH wm AS (
+        SELECT CAST(date_trunc('millisecond', max(ts)) AS TIMESTAMP)
+               - INTERVAL 48 HOUR AS w
+        FROM events
+    )
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+           count(*)::BIGINT AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS cents
+    FROM events
+    GROUP BY 1, 2
+    HAVING day + INTERVAL 1 DAY <= (SELECT w FROM wm)
 """

@@ -426,7 +426,11 @@ PRIORITY: tuple[str, ...] = (
 # shape: event-time TIMEOUT eviction — hasTimedOut / setTimeoutTimestamp
 # / no-data invocation / state.remove, the executor surface no other
 # drain touches; recursive-CTE oracle incl. Spark's no-data final
-# micro-batch, MATCH at all 3 sfs). Obvious rotate-outs:
+# micro-batch, MATCH at all 3 sfs), stream_chained_state_drain (the
+# TWELFTH: chained stateful operators — dedup state store feeding a
+# windowed-agg state store in one plan with watermark propagation
+# between them, SPARK-42376; chain sensitivity test-pinned, MATCH at
+# all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

@@ -1341,3 +1341,60 @@ def test_stream_idle_flush_drain_timeout_lifecycle(spark):
             assert len(run) == row.n_events
             assert run.max() == row.last_ts
             prev = row.last_ts
+
+
+def test_stream_chained_state_drain_dedup_feeds_agg(spark):
+    """The chained-state drain must prove BOTH stores did their job:
+    (a) the drained result equals the batch daily aggregate over the
+    ORIGINAL events restricted to watermark-closed windows, and (b)
+    the planted duplicate copies would have changed that result had
+    the dedup stage leaked them into the aggregate — i.e. the grade
+    is sensitive to the operator chain, not just the final agg."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_chained_state_drain,
+    )
+    from data_warehouse_co_healthy_spark.streaming.events import DUP_MOD
+
+    got = (
+        stream_chained_state_drain(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["day", "event_type"])
+        .reset_index(drop=True)
+    )
+    events = load_table(spark, SF_DIR, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts.replace(microsecond=max_ts.microsecond // 1000 * 1000)
+    wm = wm - __import__("datetime").timedelta(hours=48)
+
+    def daily(df):
+        return (
+            df.groupBy(
+                F.date_trunc("day", "ts").alias("day"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+            .where(
+                F.col("day") + F.expr("INTERVAL 1 DAY") <= F.lit(wm)
+            )
+            .toPandas()
+            .sort_values(["day", "event_type"])
+            .reset_index(drop=True)
+        )
+
+    want = daily(events)
+    pd.testing.assert_frame_equal(got, want)
+
+    # the chain is load-bearing: replaying WITH the planted dups
+    # (every DUP_MOD-th event twice) inflates closed-window counts
+    dups = events.union(
+        events.where(F.col("event_id") % DUP_MOD == 0)
+    )
+    leaked = daily(dups)
+    assert (leaked.n > want.n).any()
+    assert leaked.n.sum() > want.n.sum()
