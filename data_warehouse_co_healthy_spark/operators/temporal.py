@@ -2440,6 +2440,89 @@ def stream_chained_state_drain(
     )
 
 
+def stream_merge_snapshot_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades the FOREACHBATCH → VERSIONED-SNAPSHOT MERGE last
+    mile — the streaming→warehouse sink surface none of the memory-sink
+    drains touch: each of four ordered micro-batches is handed to a
+    batch writer that READS the current snapshot version, full-outer
+    upserts the batch's per-user aggregates into it (matched users
+    accumulate, new users insert), and commits a NEW atomic version —
+    the exactly-once-per-batch pattern behind every Delta/Iceberg
+    `MERGE INTO` streaming sink (with a native MERGE the join below is
+    one engine call and the dataflow is unchanged; cites
+    merge_user_totals_sink, the float-state original this grades an
+    exact twin of). The graded surface: foreachBatch invocation per
+    micro-batch, snapshot read-modify-write across versions, and the
+    version-pointer flip readers never see half-written.
+
+    Determinism: the accumulator is EXACT integer cents (per-element
+    round(value·100), the running_user_totals_exact argument), so the
+    final snapshot equals the plain batch aggregate REGARDLESS of how
+    the stream was split into batches — the DuckDB oracle. Four
+    versions are committed (one per batch); the returned frame is the
+    final version's contents.
+
+    At 100 TB: the per-batch cost is the batch-sized partial agg plus
+    a join against the CURRENT snapshot keyed on user_id (entity
+    grain, not event grain); batch_id is the idempotence key on
+    checkpoint replay. The full-outer-join-then-rewrite is the
+    parquet-only stand-in — a real lakehouse MERGE touches only
+    matched files."""
+    from ..sources.writers import (  # noqa: PLC0415
+        read_version,
+        write_versioned,
+    )
+    from ..streaming.docs import fresh_tmpdir  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        read_events_stream_ordered,
+        run_foreach_batch,
+    )
+
+    target = fresh_tmpdir("merge_snap_")
+    raw = read_events_stream_ordered(spark, sf_dir, n_parts=4)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents"),
+        )
+        try:
+            cur = read_version(spark, target).select(
+                "user_id",
+                F.col("n_events").alias("old_n"),
+                F.col("cents").alias("old_c"),
+            )
+        except Exception:  # noqa: BLE001 - first batch: no snapshot yet
+            merged = agg
+        else:
+            merged = cur.join(
+                agg, on="user_id", how="full_outer"
+            ).select(
+                "user_id",
+                (
+                    F.coalesce("old_n", F.lit(0))
+                    + F.coalesce("n_events", F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce("old_c", F.lit(0))
+                    + F.coalesce("cents", F.lit(0))
+                ).alias("cents"),
+            )
+        write_versioned(merged, target)
+
+    q = run_foreach_batch(raw, sink, output_mode="append")
+    q.stop()
+    return read_version(spark, target).select(
+        "user_id",
+        "n_events",
+        (F.col("cents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function (lags 1..ACF_MAX_LAG) of the daily
     order-revenue series — the diagnostic every forecaster runs before
@@ -2533,6 +2616,7 @@ QUERIES = {
     "stream_outer_join_drain": stream_outer_join_drain,
     "stream_idle_flush_drain": stream_idle_flush_drain,
     "stream_chained_state_drain": stream_chained_state_drain,
+    "stream_merge_snapshot_drain": stream_merge_snapshot_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -3776,4 +3860,12 @@ ORACLES["stream_chained_state_drain"] = """
     FROM events
     GROUP BY 1, 2
     HAVING day + INTERVAL 1 DAY <= (SELECT w FROM wm)
+"""
+
+# Merge-snapshot replay: exact integer-cent accumulation commutes, so
+# four batch-wise upserts equal the one-shot aggregate.
+ORACLES["stream_merge_snapshot_drain"] = """
+    SELECT user_id, count(*)::BIGINT AS n_events,
+           (sum(round(value * 100)::BIGINT) / 100.0) AS total_value
+    FROM events GROUP BY user_id
 """

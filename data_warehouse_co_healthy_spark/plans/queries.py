@@ -430,7 +430,10 @@ PRIORITY: tuple[str, ...] = (
 # TWELFTH: chained stateful operators — dedup state store feeding a
 # windowed-agg state store in one plan with watermark propagation
 # between them, SPARK-42376; chain sensitivity test-pinned, MATCH at
-# all 3 sfs). Obvious rotate-outs:
+# all 3 sfs), stream_merge_snapshot_drain (the foreachBatch →
+# versioned-snapshot MERGE last mile: per-batch read-modify-write
+# upserts committing atomic versions, exact-cents split-independence,
+# 4-version ledger test-pinned, MATCH at all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

@@ -222,6 +222,26 @@ def _staged_dir(kind: str, sf_dir: str, prefix: str, build, src: str) -> str:
     return d
 
 
+def fresh_tmpdir(prefix: str) -> str:
+    """A fresh (never cached) temp dir that rides the shared atexit
+    cleanup — for sinks that MUTATE across a stream's lifetime (e.g.
+    versioned-snapshot merge targets), where reusing a cached dir
+    would replay on top of a previous call's history."""
+    import atexit  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _STAGED_ALL:
+        atexit.register(
+            lambda: [
+                shutil.rmtree(p, ignore_errors=True) for p in _STAGED_ALL
+            ]
+        )
+    _STAGED_ALL.append(d)
+    return d
+
+
 def clear_staged_dirs() -> None:
     """Drop (and delete) every cached staged dir — the test hook
     mirroring llm.training.clear_probe_cache."""

@@ -1398,3 +1398,56 @@ def test_stream_chained_state_drain_dedup_feeds_agg(spark):
     leaked = daily(dups)
     assert (leaked.n > want.n).any()
     assert leaked.n.sum() > want.n.sum()
+
+
+def test_stream_merge_snapshot_drain_version_ledger(spark):
+    """The foreachBatch MERGE drain must leave a real version ledger:
+    four committed snapshots (one per micro-batch), each a superset of
+    the previous (users only accumulate), event counts strictly
+    increasing to the table total, and the final version equal to the
+    one-shot batch aggregate in exact cents."""
+    from pyspark.sql import functions as F
+
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_merge_snapshot_drain,
+    )
+    from data_warehouse_co_healthy_spark.sources import hadoopfs
+    from data_warehouse_co_healthy_spark.sources.writers import read_version
+    from data_warehouse_co_healthy_spark.streaming.docs import _STAGED_ALL
+
+    got = (
+        stream_merge_snapshot_drain(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    target = [d for d in _STAGED_ALL if "merge_snap_" in d][-1]
+    versions = hadoopfs.versions_in(spark, target)
+    assert len(versions) == 4
+
+    events = load_table(spark, SF_DIR, "events")
+    total_events = events.count()
+    prev_users, prev_sum = set(), 0
+    for v in versions:
+        snap = read_version(spark, target, v).toPandas()
+        users = set(snap.user_id)
+        assert prev_users <= users
+        s = int(snap.n_events.sum())
+        assert s > prev_sum
+        prev_users, prev_sum = users, s
+    assert prev_sum == total_events
+
+    want = (
+        events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                / F.lit(100.0)
+            ).alias("total_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
