@@ -2523,6 +2523,52 @@ def stream_merge_snapshot_drain(
     )
 
 
+def stream_static_join_drain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-grades the STREAM-STATIC JOIN — the streaming analog of
+    the reference's fact-to-dim star joins
+    (medical_formula_process.py:116-119) and the one join flavor the
+    stream-stream drains don't execute: each of four ordered
+    micro-batches BROADCAST-joins against a static dimension (the
+    customer table's market segment, keyed ``user_id = c_custkey − 1``
+    — a real dim, not a derived column), then feeds hourly windowed
+    counts per segment in complete mode. The static side is stateless
+    by definition (re-resolved per micro-batch, no join state store),
+    which is exactly the surface to certify: the join must produce
+    batch-identical enrichment on every trigger, and the complete-mode
+    aggregate over the enriched stream must equal the one-shot batch
+    join + window aggregate — the DuckDB oracle (inner join keeps
+    every event: each user_id maps to an existing customer at every
+    scale factor, pinned in tests together with all 5 segments
+    appearing).
+
+    At 100 TB: the dim broadcasts (dimension tables are
+    executor-memory-sized by star-schema construction — same argument
+    as every batch star in pipelines/), the stream side never
+    shuffles for the join, and the only exchange is the window
+    aggregate's segment-grain one."""
+    from ..streaming.events import (  # noqa: PLC0415
+        enriched_counts,
+        read_events_stream_ordered,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        (F.col("c_custkey") - 1).alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    res = enriched_counts(
+        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        dim,
+        window="1 hour",
+        watermark="48 hours",
+    )
+    return _drain_bounded(
+        spark, res, "stream_static_join_sink", "complete"
+    )
+
+
 def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function (lags 1..ACF_MAX_LAG) of the daily
     order-revenue series — the diagnostic every forecaster runs before
@@ -2617,6 +2663,7 @@ QUERIES = {
     "stream_idle_flush_drain": stream_idle_flush_drain,
     "stream_chained_state_drain": stream_chained_state_drain,
     "stream_merge_snapshot_drain": stream_merge_snapshot_drain,
+    "stream_static_join_drain": stream_static_join_drain,
     "asof_join": asof_join,
     "kaplan_meier_churn": kaplan_meier_churn,
     "attribution_report": attribution_report,
@@ -3868,4 +3915,16 @@ ORACLES["stream_merge_snapshot_drain"] = """
     SELECT user_id, count(*)::BIGINT AS n_events,
            (sum(round(value * 100)::BIGINT) / 100.0) AS total_value
     FROM events GROUP BY user_id
+"""
+
+# Stream-static replay: complete mode emits every window; the
+# broadcast dim join is stateless, so the drained snapshot equals the
+# batch join + hourly aggregate verbatim.
+ORACLES["stream_static_join_drain"] = """
+    SELECT date_trunc('hour', e.ts)::TIMESTAMP AS bucket,
+           c.c_mktsegment AS segment,
+           count(*)::BIGINT AS n
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY 1, 2
 """

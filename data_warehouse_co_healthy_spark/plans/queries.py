@@ -433,7 +433,10 @@ PRIORITY: tuple[str, ...] = (
 # all 3 sfs), stream_merge_snapshot_drain (the foreachBatch →
 # versioned-snapshot MERGE last mile: per-batch read-modify-write
 # upserts committing atomic versions, exact-cents split-independence,
-# 4-version ledger test-pinned, MATCH at all 3 sfs). Obvious rotate-outs:
+# 4-version ledger test-pinned, MATCH at all 3 sfs),
+# stream_static_join_drain (the stream-static BROADCAST join against a
+# real dim — customer market segment — stateless per-trigger
+# re-resolution, nothing-dropped pin, MATCH at all 3 sfs). Obvious rotate-outs:
 # the longest-green of ks_two_sample / chi2_source_lang /
 # burstiness_by_type (stats screens keep two), conversion_latency,
 # langid_confusion, dedup_exact-family redundancy per the family sets

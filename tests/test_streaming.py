@@ -1451,3 +1451,19 @@ def test_stream_merge_snapshot_drain_version_ledger(spark):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_static_join_drain_keeps_every_event(spark):
+    """The graded stream-static join's docstring claims: the inner
+    join against the customer dim drops NOTHING (every user_id maps to
+    an existing c_custkey) and all 5 market segments appear — pin
+    both, plus the complete-mode snapshot totals."""
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        stream_static_join_drain,
+    )
+
+    got = stream_static_join_drain(spark, SF_DIR).toPandas()
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert int(got.n.sum()) == n_events
+    assert got.segment.nunique() == 5
+    assert got.groupby(["bucket", "segment"]).size().max() == 1
