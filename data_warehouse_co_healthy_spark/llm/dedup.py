@@ -114,16 +114,16 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     17-column row per document. Higher-order lambdas are deliberately
     kept off the hot path — Spark interprets them per element.
 
-    CACHING: the wide signature matrix is ``persist()``-ed with
-    session lifetime (N_PERM longs per doc — sketch-sized at any
-    corpus scale): composed consumers (minhash_jaccard_estimate's two
-    join legs, lsh_eval_vs_exact's LSH-vs-exact comparison,
-    incremental_lsh_pairs' old/new snapshots) each re-ran the whole
-    shingle + minhash build per instantiation before round 10; Spark's
-    CacheManager dedups the identical canonicalized plan across
-    queries, so repeated calls share ONE entry. Loop callers release
-    it with ``spark.catalog.clearCache()``, exactly as bench.py's
-    cold-per-run protocol does."""
+    CACHING (round-10 optimization pass): deliberately NOT persisted
+    here. The round-10 build persisted this frame at the producer, but
+    every single-consumer query (minhash_signatures, minhash_lsh_pairs
+    and the graph queries stacked on it) then paid a cache
+    materialization per cold run for a subtree it instantiates exactly
+    once — measured +19–25% on the cold-per-run bench (interleaved A/B
+    vs the round-9 code, OPTIMIZATION_r10.md). Consumers that
+    genuinely instantiate the signature build more than once in ONE
+    plan (minhash_jaccard_estimate) persist the wide frame themselves
+    and compose via the ``*_from_wide`` helpers below."""
     d = spread(load_table(spark, sf_dir, "documents"))
     canon = d.select("doc_id", F.expr(_CANON_EXPR).alias("canon"))
     shingled = canon.selectExpr(
@@ -142,23 +142,28 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias(f"m{i}")
         for i in range(N_PERM)
     ]
-    return hashed.groupBy("doc_id").agg(*mins).persist()
+    return hashed.groupBy("doc_id").agg(*mins)
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix: for permutation i, min over shingles of
-    (a_i*h + b_i) mod PRIME — (doc_id, perm, minhash) rows."""
-    wide = _signature_wide(spark, sf_dir)
+def _signatures_from_wide(wide: DataFrame) -> DataFrame:
+    """Long-form (doc_id, perm, minhash) rows off a wide signature
+    frame — split out so multi-consumer queries can share one
+    persisted wide frame across every derivation."""
     pairs = ", ".join(f"{i}, m{i}" for i in range(N_PERM))
     return wide.selectExpr(
         "doc_id", f"stack({N_PERM}, {pairs}) AS (perm, minhash)"
     )
 
 
-def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix: for permutation i, min over shingles of
+    (a_i*h + b_i) mod PRIME — (doc_id, perm, minhash) rows."""
+    return _signatures_from_wide(_signature_wide(spark, sf_dir))
+
+
+def _band_keys_from_wide(wide: DataFrame) -> DataFrame:
     """Band keys straight off the wide signature row — zero extra
     shuffle (the old long-form groupBy(doc_id, band) is gone)."""
-    wide = _signature_wide(spark, sf_dir)
     rows = []
     for j in range(N_BANDS):
         cols = ", ".join(
@@ -171,18 +176,15 @@ def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: docs sharing any band key. Buckets larger
-    than MAX_BUCKET are dropped (boilerplate/skew guard) — the
-    100 TB-critical step.
+def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band keys for the corpus (see ``_band_keys_from_wide``)."""
+    return _band_keys_from_wide(_signature_wide(spark, sf_dir))
 
-    Pairs are generated IN-bucket (collect_list + combination
-    expansion), not by self-joining the bucket table: a self-join would
-    recompute the whole signature pipeline for each side (Spark does
-    not share unaliased subplans) and shuffle it twice; here signatures
-    are computed once and one groupBy builds every bucket, whose pair
-    fan-out is bounded by the MAX_BUCKET cap."""
-    bands = _band_keys(spark, sf_dir)
+
+def _lsh_pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """In-bucket pair expansion over a band-key frame (see
+    ``minhash_lsh_pairs``) — split out so multi-consumer queries can
+    derive pairs from a shared persisted signature frame."""
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -201,6 +203,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .dropDuplicates()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing any band key. Buckets larger
+    than MAX_BUCKET are dropped (boilerplate/skew guard) — the
+    100 TB-critical step.
+
+    Pairs are generated IN-bucket (collect_list + combination
+    expansion), not by self-joining the bucket table: a self-join would
+    recompute the whole signature pipeline for each side (Spark does
+    not share unaliased subplans) and shuffle it twice; here signatures
+    are computed once and one groupBy builds every bucket, whose pair
+    fan-out is bounded by the MAX_BUCKET cap."""
+    return _lsh_pairs_from_bands(_band_keys(spark, sf_dir))
 
 
 def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,19 +1692,28 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python power-iteration equivalence test (tests/test_llm.py)
     stays as the third implementation."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # persist(): the pair graph feeds both wedge sides, the closing
-    # join and both degree projections — 5 consumers of an unaliased
-    # multi-shuffle pipeline (the cache-deduped audit showed the LSH
-    # subtree instantiating 5x -> 22 static exchanges without this)
-    pairs = minhash_lsh_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b"
-    ).persist()
+    # Symmetrize WITHOUT a union of two pair-subtree instantiations
+    # and WITHOUT a distinct exchange (round-10 optimization pass):
+    # LSH pairs are unique with doc_a < doc_b by construction (sorted
+    # bucket arrays + dropDuplicates), so exploding both directions
+    # from ONE pair row yields an already-distinct symmetric edge
+    # list — the old union+distinct re-ran the whole LSH pipeline per
+    # leg (unaliased subplans are not shared) and paid a full edge
+    # shuffle to dedup a set that was never duplicated. localCheckpoint
+    # materializes the edge list once for its two consumers (degree
+    # aggregate + weight join), replacing the round-9 pairs.persist().
     edges = (
-        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("d"))
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(doc_a AS s, doc_b AS d), "
+                    "struct(doc_b AS s, doc_a AS d))"
+                )
+            ).alias("e")
         )
-        .distinct()
+        .select("e.s", "e.d")
+        .localCheckpoint()
     )
     deg = edges.groupBy("s").agg(F.count("*").alias("deg"))
     edges_w = (
@@ -1702,15 +1727,26 @@ def pagerank_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of dividing by zero at plan-build time
         return spark.createDataFrame([], "doc_id long, rank double")
     nodes = docs.select(F.col("doc_id").alias("node")).localCheckpoint()
-    linked = edges_w.select(F.col("s").alias("node")).distinct()
+    # the dangling (edge-less) node set is LOOP-INVARIANT: compute it
+    # once instead of paying a distinct + anti-join per round (round-10
+    # optimization pass — the old loop re-derived `linked` from the
+    # checkpointed edges and anti-joined full ranks every iteration)
+    dangling_nodes = nodes.join(
+        edges_w.select(F.col("s").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(PR_ITERS):
-        ranks = ranks.localCheckpoint()
+        # lazy checkpoint: materializes inside the dangling-sum job
+        # below (one job per round, not two) while still truncating
+        # the lineage before the next round's join
+        ranks = ranks.localCheckpoint(eager=False)
         # rank mass parked on dangling (edge-less) nodes redistributes
         # uniformly — one scalar to the driver per round; EXACT decimal
         # sum so the scalar is independent of partition order
         drow = (
-            ranks.join(linked, "node", "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.sum(F.col("rank").cast("decimal(38,30)")))
             .first()[0]
         )
@@ -1769,11 +1805,23 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py is the third independent implementation. Fails
     loudly on cap exhaustion — a silently partial peel would overstate
     core sizes."""
-    pairs = minhash_lsh_pairs(spark, sf_dir)
+    # single-instantiation symmetrize, no distinct: LSH pairs are
+    # unique with doc_a < doc_b by construction, so exploding both
+    # directions from one pair row is already a distinct symmetric
+    # edge list — the old union re-ran the whole LSH pipeline per leg
+    # and the distinct paid a full edge shuffle for nothing (round-10
+    # optimization pass; same rewrite as pagerank_near_dup)
     edges = (
-        pairs.selectExpr("doc_a AS s", "doc_b AS d")
-        .unionByName(pairs.selectExpr("doc_b AS s", "doc_a AS d"))
-        .distinct()
+        minhash_lsh_pairs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(doc_a AS s, doc_b AS d), "
+                    "struct(doc_b AS s, doc_a AS d))"
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .localCheckpoint()
     )
     prev = edges.count()

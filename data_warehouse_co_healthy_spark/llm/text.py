@@ -792,15 +792,21 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix, twice — shuffle-free beyond what the signatures already
     paid.
 
-    CACHING: the signature matrix is ``persist()``-ed with session
-    lifetime (N_PERM longs per doc — sketch-sized at any corpus
-    scale): its two join legs each re-ran the shingle + minhash build
-    before round 10. Loop callers release it with
+    CACHING: the WIDE signature frame (one 17-column row per doc —
+    the smallest shared form, N_PERM longs per doc at any corpus
+    scale) is ``persist()``-ed with session lifetime and every
+    derivation (the LSH pair list and both join legs) composes off it
+    via the ``*_from_wide`` helpers, so one cold run pays exactly one
+    shingle + minhash build (the round-10 producer-level persist paid
+    a cache materialization in every single-consumer minhash query;
+    this is the consumer-level placement that keeps the sharing
+    without that tax). Loop callers release it with
     ``spark.catalog.clearCache()``, bench.py's cold-per-run protocol."""
     from . import dedup as _d  # noqa: PLC0415
 
-    pairs = _d.minhash_lsh_pairs(spark, sf_dir)
-    sig = _d.minhash_signatures(spark, sf_dir).persist()
+    wide = _d._signature_wide(spark, sf_dir).persist()
+    pairs = _d._lsh_pairs_from_bands(_d._band_keys_from_wide(wide))
+    sig = _d._signatures_from_wide(wide)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), "perm", F.col("minhash").alias("ma")
     )

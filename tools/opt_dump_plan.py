@@ -1,0 +1,50 @@
+"""Round-10 optimization instrument: dump ``explain("formatted")`` for
+named registry queries to plans/r10/<query>_<tag>.txt (the judge-facing
+before/after plan evidence).
+
+Usage: python tools/opt_dump_plan.py <tag> <query> [query ...]
+       (sf dir from $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from data_warehouse_co_healthy_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        "r10",
+    )
+    os.makedirs(outdir, exist_ok=True)
+    spark = get_spark("opt-dump-plan")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for name in names:
+        df = queries[name](spark, sf_dir)
+        txt = df._jdf.queryExecution().explainString(mode)
+        path = os.path.join(outdir, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(txt)
+        print(f"wrote {path} ({txt.count('Exchange')} Exchange lines)")
+
+
+if __name__ == "__main__":
+    main()
