@@ -183,7 +183,7 @@ def stream_url_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical", "host")
     )
     return _drain_bounded(
-        spark, res, "stream_url_frontier_sink", "append"
+        spark, res, "stream_url_frontier_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -307,7 +307,10 @@ def stream_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    snap = _drain_bounded(spark, res, "stream_topk_sink", "update")
+    snap = _drain_bounded(
+        spark, res, "stream_topk_sink", "update",
+        sf_dir=sf_dir, python_stateful=True,
+    )
     final_seen = F.max("n_seen").over(Window.partitionBy("source"))
     return (
         snap.withColumn("mx", final_seen)

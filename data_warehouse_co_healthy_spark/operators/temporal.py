@@ -1904,16 +1904,66 @@ def ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _state_partitions(
+    spark: SparkSession,
+    sf_dir: str | None,
+    python_stateful: bool,
+) -> int:
+    """State-store partition count for a drain — the count frozen into
+    the checkpoint at query start, i.e. the REAL production sizing
+    knob for a stateful stream. Round-10 optimization pass: the pinned
+    constant 8 was replaced with a shape- and scale-aware default,
+    measured per operator family (OPTIMIZATION_r10.md):
+
+    - JVM built-in state (window aggs, dropDuplicates, stream-stream
+      joins): per-partition state-store lifecycle (load + delta-file
+      commit, ×4 stores per partition for a symmetric join) dominates
+      at harness scale — 8→4 partitions cut stream_join_multibatch
+      17% and never hurt; the input-bytes term (one state partition
+      per 64 MB of source) restores fan-out the moment data justifies
+      it, so this is NOT a local[32]-only constant.
+    - Python group-state (applyInPandasWithState): per-GROUP Python
+      work dominates, so parallelism wins — floor at half the cores
+      (8→16 on local[32] cut stream_stateful_totals ~12%; 4 or fewer
+      was 1.4–3.9× slower). Scales down with the driver's low-core
+      bench automatically and up with input bytes.
+
+    $SPARK_GRAFT_STATE_PARTS overrides both (the production escape
+    hatch: size to state volume, not to this heuristic)."""
+    import os  # noqa: PLC0415
+
+    env = os.environ.get("SPARK_GRAFT_STATE_PARTS")
+    if env:
+        return int(env)
+    by_bytes = 0
+    if sf_dir:
+        try:
+            by_bytes = os.path.getsize(
+                os.path.join(sf_dir, "events.parquet")
+            ) // (64 << 20)
+        except OSError:
+            by_bytes = 0
+    cores = spark.sparkContext.defaultParallelism
+    floor = max(4, cores // 2) if python_stateful else 4
+    return max(floor, by_bytes)
+
+
 def _drain_bounded(
-    spark: SparkSession, res: DataFrame, name: str, output_mode: str
+    spark: SparkSession,
+    res: DataFrame,
+    name: str,
+    output_mode: str,
+    sf_dir: str | None = None,
+    python_stateful: bool = False,
 ) -> DataFrame:
     """Shared drain scaffolding for the graded streaming queries: pin a
     bounded state-store partition count for the stream's lifetime (the
     count is frozen from spark.sql.shuffle.partitions at query START —
     a real production sizing knob; the vanilla session's default 200
-    costs 200 state tasks per micro-batch against ~150-key fixtures),
-    drain synchronously, stop, restore the session conf, and return
-    the drained sink table. Stop-on-error lives in run_to_memory.
+    costs 200 state tasks per micro-batch against ~150-key fixtures;
+    sizing heuristic in ``_state_partitions``), drain synchronously,
+    stop, restore the session conf, and return the drained sink table.
+    Stop-on-error lives in run_to_memory.
 
     NOTE: the override mutates the SESSION-global shuffle.partitions
     for the drain's duration — fine for the single-threaded harness
@@ -1924,7 +1974,10 @@ def _drain_bounded(
     from ..streaming.events import run_to_memory  # noqa: PLC0415
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_state_partitions(spark, sf_dir, python_stateful)),
+    )
     try:
         q = run_to_memory(res, name, output_mode=output_mode)
         q.stop()
@@ -1955,7 +2008,7 @@ def stream_ohlc_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = ohlc_daily_stream(read_events_stream(spark, sf_dir))
     return _drain_bounded(
-        spark, res, "stream_ohlc_drain_sink", "complete"
+        spark, res, "stream_ohlc_drain_sink", "complete", sf_dir=sf_dir
     )
 
 
@@ -1984,7 +2037,7 @@ def stream_stateful_totals_drain(
         read_events_stream_parts(spark, sf_dir, n_parts=4)
     )
     snap = _drain_bounded(
-        spark, res, "stream_stateful_totals_sink", "update"
+        spark, res, "stream_stateful_totals_sink", "update", sf_dir=sf_dir, python_stateful=True
     )
     return snap.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -2016,7 +2069,7 @@ def stream_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = purchase_attribution(read_events_stream(spark, sf_dir))
     return _drain_bounded(
-        spark, res, "stream_join_drain_sink", "append"
+        spark, res, "stream_join_drain_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2053,7 +2106,7 @@ def stream_join_multibatch_drain(
         watermark="48 hours",
     )
     return _drain_bounded(
-        spark, res, "stream_join_multibatch_sink", "append"
+        spark, res, "stream_join_multibatch_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2080,7 +2133,7 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="48 hours",
     )
     return _drain_bounded(
-        spark, res, "stream_dedup_sink", "append"
+        spark, res, "stream_dedup_sink", "append", sf_dir=sf_dir
     ).select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
@@ -2119,7 +2172,7 @@ def stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_outer",
     )
     return _drain_bounded(
-        spark, res, "stream_outer_join_sink", "append"
+        spark, res, "stream_outer_join_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2168,7 +2221,7 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_bounded(
-        spark, res, "stream_session_sink", "append"
+        spark, res, "stream_session_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2224,7 +2277,7 @@ def stream_late_drop_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_bounded(
-        spark, res, "stream_late_drop_sink", "append"
+        spark, res, "stream_late_drop_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2281,7 +2334,7 @@ def stream_join_late_drop_drain(
         watermark="24 hours",
     )
     return _drain_bounded(
-        spark, res, "stream_join_late_drop_sink", "append"
+        spark, res, "stream_join_late_drop_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2379,7 +2432,7 @@ def stream_idle_flush_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain_bounded(
-        spark, res, "stream_idle_flush_sink", "update"
+        spark, res, "stream_idle_flush_sink", "update", sf_dir=sf_dir, python_stateful=True
     )
 
 
@@ -2436,7 +2489,7 @@ def stream_chained_state_drain(
         F.col("w.start").alias("day"), "event_type", "n", "cents"
     )
     return _drain_bounded(
-        spark, res, "stream_chained_state_sink", "append"
+        spark, res, "stream_chained_state_sink", "append", sf_dir=sf_dir
     )
 
 
@@ -2565,7 +2618,7 @@ def stream_static_join_drain(
         watermark="48 hours",
     )
     return _drain_bounded(
-        spark, res, "stream_static_join_sink", "complete"
+        spark, res, "stream_static_join_sink", "complete", sf_dir=sf_dir
     )
 
 
