@@ -590,19 +590,26 @@ def _bpe_merges_from_counts(
     out so consumers that already paid a corpus word-count shuffle
     (``bpe_segment``'s per-source rollup) can train the rules off it
     instead of scanning the corpus a second time."""
-    vocab = (
-        word_counts.select(
-            F.expr("transform(split(word, ''), x -> x)").alias("s"),
-            "cnt",
-        )
-        .filter(F.size("s") > 0)
-        .localCheckpoint()
-    )
-    n_vocab = vocab.count()
-    if n_vocab <= BPE_DRIVER_VOCAB_MAX:
-        rows = [(tuple(r["s"]), int(r["cnt"])) for r in vocab.collect()]
+    vocab = word_counts.select(
+        F.expr("transform(split(word, ''), x -> x)").alias("s"),
+        "cnt",
+    ).filter(F.size("s") > 0)
+    # Size-probe with ONE bounded action (round-10 optimization pass):
+    # head(MAX + 1) either returns the ENTIRE vocabulary (≤ MAX rows →
+    # the driver fast-path already has every row it needs, no
+    # checkpoint, no count, no second collect — the old sequence paid
+    # three near-empty jobs here) or proves the vocabulary is big, in
+    # which case the distributed loop pays the checkpoint it actually
+    # needs. The Python merge loop is row-order independent (Counter
+    # accumulation + explicit (count desc, pair asc) tie-break), so
+    # head()'s partition order is as good as collect()'s.
+    probe = vocab.head(BPE_DRIVER_VOCAB_MAX + 1)
+    if len(probe) <= BPE_DRIVER_VOCAB_MAX:
+        rows = [(tuple(r["s"]), int(r["cnt"])) for r in probe]
         merges = _bpe_merge_rules_python(rows, BPE_MERGES)
         return _merges_df(spark, merges)
+    vocab = vocab.localCheckpoint()
+    n_vocab = vocab.count()
     # Distributed path: right-size the iteration frame — the vocab
     # inherits the corpus groupBy's full shuffle width, so without a
     # coalesce each fixed round schedules a full task fan-out over
@@ -751,7 +758,12 @@ def bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word") > 0)
         .groupBy("source", "word")
         .agg(F.count("*").alias("n_occ"))
-        .localCheckpoint()
+        # lazy: materializes inside the trainer's vocabulary probe (the
+        # first action over this frame) instead of as its own job; the
+        # checkpoint still makes the rollup run once for its two
+        # consumers (trainer + segmentation) and keeps the fold plan's
+        # lineage flat (round-10 optimization pass)
+        .localCheckpoint(eager=False)
     )
     # train the rules off the SAME rollup (summed over source) — the
     # trainer's word counts are identical, and the corpus is scanned
