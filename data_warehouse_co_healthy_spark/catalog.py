@@ -32,13 +32,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — float division would round-trip epoch
-        # nanos through a double (53-bit mantissa) and corrupt the µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = spark.read.parquet(path)
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            # integer division — float division would round-trip epoch
+            # nanos through a double (53-bit mantissa) and corrupt the µs
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    try:
+        # source-size hint for spread(): lets the fan-out guard decide
+        # arithmetically instead of forcing a physical plan (df.rdd
+        # costs ~35 ms of driver planning PER CALL — round-10
+        # optimization pass; 86 call sites pay it at every plan build)
+        df._sg_src_bytes = os.path.getsize(path)
+    except OSError:
+        pass
     return df
 
 
@@ -55,6 +66,28 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    src_bytes = getattr(df, "_sg_src_bytes", None)
+    if src_bytes is not None:
+        # Arithmetic split estimate off the load_table size hint —
+        # same decision as counting scan partitions (a single file
+        # yields ceil(size / maxPartitionBytes) splits) without the
+        # ~35 ms physical-planning cost of df.rdd per plan build
+        # (round-10 optimization pass). Falls back to the exact
+        # partition count for frames without the hint.
+        max_split = None
+        try:
+            max_split = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.files.maxPartitionBytes", "134217728"
+                )
+            )
+        except (ValueError, TypeError):
+            max_split = None  # unit-suffixed ("128MB"): use exact path
+        except Exception:  # noqa: BLE001 - heuristic, never fatal
+            max_split = None
+        if max_split and max_split > 0:
+            est = max(1, -(-src_bytes // max_split))
+            return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
