@@ -63,6 +63,22 @@ def spread(df: DataFrame) -> DataFrame:
     thousands of splits, so this round-robin repartition is skipped
     (no-op guard: only fires when the scan has fewer partitions than
     cores); it never becomes a petabyte-scale shuffle.
+
+    INVARIANT (ADVICE r10): the ``_sg_src_bytes`` hint is an ad-hoc
+    Python attribute that survives only on the frame ``load_table``
+    returned — any transformation drops it. Call as
+    ``spread(load_table(...))`` directly (every in-repo call site
+    does); a transformed frame silently falls back to the exact
+    ``df.rdd.getNumPartitions()`` path, which is correct but pays the
+    ~35 ms physical-planning cost the hint exists to avoid.
+
+    The arithmetic estimate ignores Spark's dynamic maxSplitBytes
+    floor (min with max(openCostInBytes, bytes/defaultParallelism)),
+    so ``est`` is a LOWER bound on actual scan partitions: the skip
+    branch (est >= cores) is always safe, and the repartition branch
+    can at worst fire redundantly on an input Spark would already have
+    split further — a no-op-sized shuffle, accepted and documented
+    rather than re-deriving Spark's split packing here.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism

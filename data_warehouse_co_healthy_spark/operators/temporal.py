@@ -1934,7 +1934,13 @@ def _state_partitions(
 
     env = os.environ.get("SPARK_GRAFT_STATE_PARTS")
     if env:
-        return int(env)
+        try:
+            return max(1, int(env))
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_STATE_PARTS must be an integer state-"
+                f"partition count, got {env!r}"
+            ) from exc
     by_bytes = 0
     if sf_dir:
         try:
@@ -1971,7 +1977,10 @@ def _drain_bounded(
     query planned CONCURRENTLY in the same SparkSession would silently
     pick up the reduced count. Scope per-query before ever running
     drains under parallel test execution."""
-    from ..streaming.events import run_to_memory  # noqa: PLC0415
+    from ..streaming.events import (  # noqa: PLC0415
+        release_checkpoint,
+        run_to_memory,
+    )
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -1981,6 +1990,9 @@ def _drain_bounded(
     try:
         q = run_to_memory(res, name, output_mode=output_mode)
         q.stop()
+        # drop the checkpoint tree at query stop, not interpreter exit
+        # (ADVICE r10: /dev/shm accumulation across many drains)
+        release_checkpoint(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
@@ -2530,6 +2542,7 @@ def stream_merge_snapshot_drain(
     from ..streaming.docs import fresh_tmpdir  # noqa: PLC0415
     from ..streaming.events import (  # noqa: PLC0415
         read_events_stream_ordered,
+        release_checkpoint,
         run_foreach_batch,
     )
 
@@ -2569,6 +2582,7 @@ def stream_merge_snapshot_drain(
 
     q = run_foreach_batch(raw, sink, output_mode="append")
     q.stop()
+    release_checkpoint(q)
     return read_version(spark, target).select(
         "user_id",
         "n_events",

@@ -28,7 +28,7 @@ CONCAT_WS_IN_HASH_OK = {
     ("operators/warehouse.py", "table_checksum"):
         "every argument is coalesce(cast(c AS string), NUL-sentinel) — "
         "NULL renders unambiguously on both engines by construction",
-    ("llm/dedup.py", "_band_keys"):
+    ("llm/dedup.py", "_band_keys_from_wide"):
         "minhash signature columns m0..mN are min() over the per-doc "
         "shingle set; docs with zero shingles are excluded upstream, "
         "so every argument is non-null by construction (oracle uses "
