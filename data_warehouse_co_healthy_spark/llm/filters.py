@@ -170,9 +170,18 @@ def stream_url_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         src=os.path.join(sf_dir, "documents.parquet"),
     )
+    from ..operators.temporal import (  # noqa: PLC0415
+        DRAIN_FILES_PER_TRIGGER,
+    )
+
     raw = (
         spark.readStream.schema(feed.schema)
-        .option("maxFilesPerTrigger", 1)
+        # 2 variant-range files per trigger (round-11 trigger
+        # coarsening — rationale at DRAIN_FILES_PER_TRIGGER): the
+        # emitted universe is batching-independent, and re-arrivals
+        # still cross the remaining batch boundary (every canonical
+        # resource appears in BOTH batches' spelling ranges)
+        .option("maxFilesPerTrigger", DRAIN_FILES_PER_TRIGGER)
         .format("parquet")
         .load(staged)
     )
@@ -294,9 +303,18 @@ def stream_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    from ..operators.temporal import (  # noqa: PLC0415
+        DRAIN_FILES_PER_TRIGGER,
+    )
+
     raw = (
         spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
+        # 2 doc_id-hash files per trigger (round-11 trigger coarsening
+        # — rationale at DRAIN_FILES_PER_TRIGGER): top-K merge is
+        # associative so the final podium is batching-independent, and
+        # the hash split still scatters every source's contenders
+        # across both batches
+        .option("maxFilesPerTrigger", DRAIN_FILES_PER_TRIGGER)
         .format("parquet")
         .load(staged)
     )

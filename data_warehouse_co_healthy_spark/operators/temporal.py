@@ -1954,6 +1954,20 @@ def _state_partitions(
     return max(floor, by_bytes)
 
 
+#: Trigger granularity for drains whose RESULT is batching-independent
+#: (round-11 optimization pass, VERDICT r10 item 2): the 4 staged files
+#: flow as 2 micro-batches of 2 ordered files instead of 4 of 1 — the
+#: fixed per-batch scaffolding (incremental planning + offset WAL +
+#: state-store commits, ~0.6–1.1 s regardless of input size at sf0.1)
+#: is paid twice instead of four times, while cross-batch state is
+#: still genuinely exercised (≥2 batches; the cross-trigger straddle
+#: is pinned in tests/test_streaming.py). Drains whose ORACLE models
+#: per-file batch boundaries (late-drop cohorts, idle-flush quartiles,
+#: the merge-snapshot version ledger) do NOT use this — they keep one
+#: file per trigger.
+DRAIN_FILES_PER_TRIGGER = 2
+
+
 def _drain_bounded(
     spark: SparkSession,
     res: DataFrame,
@@ -2029,8 +2043,9 @@ def stream_stateful_totals_drain(
 ) -> DataFrame:
     """Driver-grades the ARBITRARY-STATEFUL streaming path
     (applyInPandasWithState + state store) across MULTIPLE
-    micro-batches: the events table re-staged as 4 files, one file per
-    trigger, flows through ``running_user_totals_exact`` (per-user
+    micro-batches: the events table re-staged as 4 files (two per
+    trigger — DRAIN_FILES_PER_TRIGGER), flows through
+    ``running_user_totals_exact`` (per-user
     running count + exact integer-cent totals), update-mode memory
     sink. The sink then holds one snapshot row per (user, batch); the
     FINAL snapshot per user is the max of the monotone counters, and
@@ -2046,7 +2061,12 @@ def stream_stateful_totals_drain(
     )
 
     res = running_user_totals_exact(
-        read_events_stream_parts(spark, sf_dir, n_parts=4)
+        read_events_stream_parts(
+            spark,
+            sf_dir,
+            n_parts=4,
+            files_per_trigger=DRAIN_FILES_PER_TRIGGER,
+        )
     )
     snap = _drain_bounded(
         spark, res, "stream_stateful_totals_sink", "update", sf_dir=sf_dir, python_stateful=True
@@ -2089,9 +2109,10 @@ def stream_join_multibatch_drain(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Driver-grades CROSS-BATCH stream-stream join state: the
-    purchase→click attribution join executed over FOUR event-time-
-    ordered micro-batches (events range-partitioned on ts, one file
-    per trigger in ts order — read_events_stream_ordered). Under
+    purchase→click attribution join executed over event-time-ordered
+    micro-batches (events range-partitioned on ts into 4 files, two
+    ordered files per trigger since the round-11 trigger coarsening —
+    read_events_stream_ordered / DRAIN_FILES_PER_TRIGGER). Under
     ordered arrival no input is ever late, and an inner join whose
     event-time horizon (24 h here — wide enough that matches straddle
     the fixture's batch boundaries, verified in tests) is below the
@@ -2113,7 +2134,12 @@ def stream_join_multibatch_drain(
     )
 
     res = purchase_attribution(
-        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        read_events_stream_ordered(
+            spark,
+            sf_dir,
+            n_parts=4,
+            files_per_trigger=DRAIN_FILES_PER_TRIGGER,
+        ),
         horizon_min=24 * 60,
         watermark="48 hours",
     )
@@ -2127,8 +2153,9 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dropDuplicatesWithinWatermark): the events table with planted
     exact duplicates (every DUP_MOD-th event appears twice — full-row
     copies, so the kept row is identical whichever copy wins) flows
-    through four event-time-ordered micro-batches and the dedup state
-    store drops the second copies; the drained append-mode output is
+    through event-time-ordered micro-batches (4 staged files, two per
+    trigger — DRAIN_FILES_PER_TRIGGER) and the dedup state store
+    drops the second copies; the drained append-mode output is
     therefore EXACTLY the original events table — the oracle. Ordered
     arrival means no input is late (nothing silently dropped as late
     data), duplicate copies share the original's event time so both
@@ -2141,7 +2168,12 @@ def stream_dedup_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     res = dedup_within_watermark(
-        read_events_stream_ordered_with_dups(spark, sf_dir, n_parts=4),
+        read_events_stream_ordered_with_dups(
+            spark,
+            sf_dir,
+            n_parts=4,
+            files_per_trigger=DRAIN_FILES_PER_TRIGGER,
+        ),
         watermark="48 hours",
     )
     return _drain_bounded(
@@ -2154,7 +2186,8 @@ def stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — the seventh streaming state behavior (windowed, custom,
     join, dedup, late-drop, session, and now watermark-DELAYED outer
     results): the purchase→click attribution join as LEFT OUTER over
-    four event-time-ordered micro-batches. Inner matches emit on
+    event-time-ordered micro-batches (4 staged files, two per
+    trigger — DRAIN_FILES_PER_TRIGGER). Inner matches emit on
     arrival; an unattributed purchase's null-click row is emitted
     only when the watermark proves no matching click can still
     arrive — the correctness/latency trade every streaming outer
@@ -2178,7 +2211,12 @@ def stream_outer_join_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     res = purchase_attribution(
-        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        read_events_stream_ordered(
+            spark,
+            sf_dir,
+            n_parts=4,
+            files_per_trigger=DRAIN_FILES_PER_TRIGGER,
+        ),
         horizon_min=24 * 60,
         watermark="48 hours",
         how="left_outer",
@@ -2192,8 +2230,8 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-grades the SESSION-WINDOW state operator — the sixth
     streaming state path (after windowed, custom, join, dedup and
     late-drop): gap-based per-user sessions via ``session_window``
-    executed over four event-time-ordered micro-batches, append-mode
-    drain. Session state MERGES (an in-gap event extends the window
+    executed over event-time-ordered micro-batches (4 staged files,
+    two per trigger — DRAIN_FILES_PER_TRIGGER), append-mode drain. Session state MERGES (an in-gap event extends the window
     and fuses adjacent windows), which no tumbling-window grade
     exercises; ordered arrival means no event is late, so the final
     emitted set is a deterministic function of the table: every
@@ -2212,7 +2250,9 @@ def stream_session_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream_ordered,
     )
 
-    raw = read_events_stream_ordered(spark, sf_dir, n_parts=4)
+    raw = read_events_stream_ordered(
+        spark, sf_dir, n_parts=4, files_per_trigger=DRAIN_FILES_PER_TRIGGER
+    )
     res = (
         raw.withWatermark("ts", "48 hours")
         .groupBy(
@@ -2486,7 +2526,7 @@ def stream_chained_state_drain(
     )
 
     raw = read_events_stream_ordered_with_dups(
-        spark, sf_dir, n_parts=4
+        spark, sf_dir, n_parts=4, files_per_trigger=DRAIN_FILES_PER_TRIGGER
     )
     dd = dedup_within_watermark(raw, watermark="48 hours")
     agg = dd.groupBy(
@@ -2596,8 +2636,9 @@ def stream_static_join_drain(
     """Driver-grades the STREAM-STATIC JOIN — the streaming analog of
     the reference's fact-to-dim star joins
     (medical_formula_process.py:116-119) and the one join flavor the
-    stream-stream drains don't execute: each of four ordered
-    micro-batches BROADCAST-joins against a static dimension (the
+    stream-stream drains don't execute: each ordered micro-batch (4
+    staged files, two per trigger — DRAIN_FILES_PER_TRIGGER)
+    BROADCAST-joins against a static dimension (the
     customer table's market segment, keyed ``user_id = c_custkey − 1``
     — a real dim, not a derived column), then feeds hourly windowed
     counts per segment in complete mode. The static side is stateless
@@ -2626,7 +2667,12 @@ def stream_static_join_drain(
         F.col("c_mktsegment").alias("segment"),
     )
     res = enriched_counts(
-        read_events_stream_ordered(spark, sf_dir, n_parts=4),
+        read_events_stream_ordered(
+            spark,
+            sf_dir,
+            n_parts=4,
+            files_per_trigger=DRAIN_FILES_PER_TRIGGER,
+        ),
         dim,
         window="1 hour",
         watermark="48 hours",
@@ -3076,8 +3122,8 @@ ORACLES["stream_join_drain"] = """
 """
 
 # the multi-batch drain replays the same batch-join semantics through
-# four ordered micro-batches with a 24-h horizon (no-late-input proof
-# in its docstring; wide horizon so matches straddle batch boundaries)
+# ordered micro-batches with a 24-h horizon (no-late-input proof in
+# its docstring; wide horizon so matches straddle batch boundaries)
 ORACLES["stream_join_multibatch_drain"] = """
     SELECT p.event_id AS event_id, p.user_id AS user_id,
            p.ts AS purchase_ts,

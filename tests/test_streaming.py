@@ -252,11 +252,18 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
-    # (b): at least one match joins events from two different staged
-    # files (micro-batches)
+    # (b): at least one match joins events from two different
+    # MICRO-BATCHES — files are grouped DRAIN_FILES_PER_TRIGGER per
+    # trigger (round-11 coarsening), so the straddle check groups the
+    # staged files the same way the FileStreamSource does (ascending
+    # mtime order, fixed group size); a file-level straddle alone
+    # would not prove cross-batch join state anymore
     # key on sf_dir too: the degenerate/empty-warehouse sweeps stage
     # their own events_ordered4 dirs under other sf_dirs in the same
     # session, and picking one of those made this assert vacuous-false
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        DRAIN_FILES_PER_TRIGGER,
+    )
     d = [
         v
         for k, v in _STAGED_DIRS.items()
@@ -268,7 +275,9 @@ def test_multibatch_join_crosses_batches_and_matches_batch(spark):
     batched = reduce(
         lambda a, b: a.unionByName(b),
         [
-            spark.read.parquet(f).withColumn("b", F.lit(i))
+            spark.read.parquet(f).withColumn(
+                "b", F.lit(i // DRAIN_FILES_PER_TRIGGER)
+            )
             for i, f in enumerate(files)
         ],
     ).withColumn("ts", F.col("ts").cast("timestamp"))

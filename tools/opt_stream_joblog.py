@@ -30,6 +30,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            # plain single-file log: the Spark 4 default writes a
+            # zstd-compressed rolling dir this parser can't read
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -46,11 +50,20 @@ def main() -> None:
     spark.stop()  # closes and flushes the event log
 
     ev = sorted(glob.glob(os.path.join(evdir, "*")))[-1]
+    if os.path.isdir(ev):
+        # Spark 4 rolling event log: a directory of events_* part files
+        paths = sorted(glob.glob(os.path.join(ev, "events_*")))
+    else:
+        paths = [ev]
+    lines = []
+    for p in paths:
+        with open(p) as f:
+            lines.extend(f)
     jobs = {}
     stages = {}
     tasks_ms = {}
-    with open(ev) as f:
-        for line in f:
+    if True:
+        for line in lines:
             try:
                 e = json.loads(line)
             except Exception:  # noqa: BLE001
