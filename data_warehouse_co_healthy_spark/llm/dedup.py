@@ -1077,14 +1077,22 @@ def _non_star_count(e: DataFrame) -> int:
       disjoint stars (a hypothesis-found counterexample; checking
       roles alone terminated one round early with split labels).
 
-    One role-tagged union + one groupBy — a single shuffle per call:
+    One role-tagged explode + one groupBy — a single shuffle per call:
     sum of child-tags per node counts its parent edges (e is
-    distinct), max of each role tag detects double-role nodes."""
+    distinct), max of each role tag detects double-role nodes. The
+    role rows come from ONE explode over each edge row, not a union
+    of two selects (round-11 optimization pass): Spark does not share
+    unaliased subplans, so the union instantiated the whole edge
+    subtree twice — which matters now that the per-round edges are
+    lazily checkpointed and THIS job is what materializes them."""
     flat = e.select(
-        F.col("s").alias("n"), F.lit(1).alias("c"), F.lit(0).alias("p")
-    ).unionByName(
-        e.select(F.col("d").alias("n"), F.lit(0).alias("c"), F.lit(1).alias("p"))
-    )
+        F.explode(
+            F.expr(
+                "array(struct(s AS n, 1 AS c, 0 AS p), "
+                "struct(d AS n, 0 AS c, 1 AS p))"
+            )
+        ).alias("r")
+    ).select("r.n", "r.c", "r.p")
     return (
         flat.groupBy("n")
         .agg(
@@ -1104,16 +1112,25 @@ def _large_star(sym: DataFrame) -> DataFrame:
     """Large-star (Kiveris et al., 'Connected Components in MapReduce
     and Beyond', SoCC 2014): every node links its LARGER neighbors to
     the minimum of its closed neighborhood. Input is the symmetric
-    edge list; output directed child→parent edges (s > d)."""
-    mins = sym.groupBy("s").agg(F.min("d").alias("mn"))
-    mins = mins.select("s", F.least("s", "mn").alias("m"))
-    # No distinct here: duplicate (s, m) rows are harmless to the min
-    # aggregates downstream and are collapsed by _small_star's final
-    # distinct — skipping the dedup saves one full shuffle of the edge
-    # frame per round (the groupBy's map-side partial agg does the real
-    # reduction either way).
+    edge list; output directed child→parent edges (s > d).
+
+    The neighborhood minimum rides a WINDOW over partitionBy(s)
+    (round-11 optimization pass, guide §2.4): the old groupBy+join
+    pair shuffled the edge frame twice per pass (the aggregate's
+    exchange plus the join's re-shuffle of the edge side) and
+    instantiated the un-checkpointed input once per join leg; the
+    window computes the same per-s min in ONE edge-frame exchange
+    with a single instantiation. Duplicate (s, m) rows remain
+    harmless — _small_star's final distinct collapses them."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     return (
-        sym.join(mins, "s")
+        sym.withColumn(
+            "m",
+            F.least(
+                F.col("s"), F.min("d").over(Window.partitionBy("s"))
+            ),
+        )
         .filter(F.col("d") > F.col("s"))
         .select(F.col("d").alias("s"), F.col("m").alias("d"))
     )
@@ -1122,12 +1139,31 @@ def _large_star(sym: DataFrame) -> DataFrame:
 def _small_star(edges: DataFrame) -> DataFrame:
     """Small-star: every node links its SMALLER-or-equal neighbors
     (and itself) to the minimum among them. Input/output directed
-    child→parent edges (s > d)."""
-    mins = edges.groupBy("s").agg(F.min("d").alias("m"))
+    child→parent edges (s > d).
+
+    Same round-11 window rewrite as _large_star, and the two output
+    legs — (d → m) per edge plus (s → m) per node — explode from ONE
+    struct array per edge row instead of a union of two selects, so
+    the upstream large-star pass is computed once, not twice (Spark
+    does not share unaliased subplans). The (s → m) leg appears once
+    per edge rather than once per s; the final distinct collapses
+    exactly those duplicates, as it already did for duplicate large-
+    star output rows."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    t = edges.withColumn(
+        "m", F.min("d").over(Window.partitionBy("s"))
+    )
     return (
-        edges.join(mins, "s")
-        .select(F.col("d").alias("s"), F.col("m").alias("d"))
-        .unionByName(mins.select("s", F.col("m").alias("d")))
+        t.select(
+            F.explode(
+                F.expr(
+                    "array(struct(d AS s, m AS d), "
+                    "struct(s AS s, m AS d))"
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
@@ -1135,8 +1171,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 MAX_STAR_ROUNDS = 25  # LS+SS rounds ≈ O(log² n) — generous for any n
 
+#: Driver fast-path bound for star_contraction: graphs at or under
+#: this many (deduped, oriented) edges are solved by an in-process
+#: union-find off ONE bounded fetch instead of ~5 Spark jobs of
+#: distributed contraction. 200k two-long rows ≈ 3 MB via Arrow /
+#: tens of MB as pickled rows — bounded either way; the distributed
+#: path is unchanged above the cap (and remains the 100 TB story).
+CC_DRIVER_EDGE_MAX = 200_000
 
-def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
+
+def star_contraction(
+    edges: DataFrame, assume_canonical: bool = False
+) -> tuple[DataFrame, int]:
     """Connected components by ALTERNATING large-star/small-star
     contraction — the scale path beside the fixpoint label propagation
     of ``dedup_connected_components``: label propagation needs
@@ -1156,15 +1202,73 @@ def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
     directly instead of edge-set equality saves the no-change
     confirming round a signature comparison needs, and doubles as the
     correctness guard: labels ship only from a verified star
-    forest)."""
-    e = (
-        edges.select(
-            F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
-        )
-        .filter(F.col("s") != F.col("d"))
-        .distinct()
-        .localCheckpoint()
-    )
+    forest).
+
+    ``assume_canonical=True`` (round-11 optimization pass): the caller
+    vouches the input is already an undirected-unique, self-loop-free
+    pair list — exactly what minhash_lsh_pairs emits (doc_a < doc_b,
+    sorted bucket arrays + dropDuplicates) — so the input-normalization
+    ``distinct`` (a full exchange stacked on the caller's whole
+    upstream plan) is skipped; the orientation select and the
+    checkpoint stay. The generic default keeps the distinct: arbitrary
+    edge lists (tests feed duplicates and self-loops) still normalize.
+
+    Per round ONE job (round-11): the round's edge set is lazily
+    localCheckpoint-ed and materialized inside the non-star-count job
+    (the pagerank recipe), and every round subtree instantiates its
+    input exactly once — large-star/small-star ride windows instead of
+    groupBy+join pairs, and both union-shaped expansions (small-star's
+    two legs, the count's two role rows) explode from one struct array
+    per row."""
+    e = edges.select(
+        F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    if not assume_canonical:
+        e = e.distinct()
+    # eager: e seeds round 1's symmetrize (two instantiations), so the
+    # caller's upstream plan must be materialized exactly once here
+    e = e.localCheckpoint()
+    # Driver fast path (round-11 optimization pass — the BPE trainer's
+    # round-10 probe recipe, guide §5): ONE bounded fetch off the
+    # already-checkpointed edge set either returns the whole graph
+    # (≤ CC_DRIVER_EDGE_MAX edges → path-compressed union-find on the
+    # driver, microseconds, zero further jobs) or proves it big and
+    # the distributed loop below takes over. Labels are identical by
+    # construction — both paths map every non-root node to its
+    # component minimum (pinned by the forced-both-paths equivalence
+    # test) — and driver memory is capped at MAX+1 two-long rows. At
+    # 100 TB the candidate-pair graph blows past the cap and the
+    # O(log² n) contraction runs exactly as before; what the cap
+    # buys is not paying ~5 Spark jobs to label a residual graph an
+    # in-process union-find solves outright.
+    probe = e.limit(CC_DRIVER_EDGE_MAX + 1).toPandas()
+    if len(probe) <= CC_DRIVER_EDGE_MAX:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s_v, d_v in zip(probe["s"], probe["d"]):
+            ra, rb = find(int(s_v)), find(int(d_v))
+            if ra != rb:
+                # union by MIN root: the surviving root is the
+                # component minimum, matching the contraction's labels
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [
+            (n, find(n)) for n in list(parent) if find(n) != n
+        ]
+        spark = edges.sparkSession
+        out = spark.createDataFrame(rows, "node long, root long")
+        # ≤ CC_DRIVER_EDGE_MAX two-long rows by construction: hint the
+        # broadcast so the caller's docs-side join plans exchange-free
+        # (a local relation's default size estimate blocks the
+        # automatic conversion)
+        return F.broadcast(out), 0
     rounds = 0
     converged = False
     # do-while, not while: a star forest is a FIXPOINT of LS∘SS (the
@@ -1176,7 +1280,10 @@ def star_contraction(edges: DataFrame) -> tuple[DataFrame, int]:
         sym = e.unionByName(
             e.select(F.col("d").alias("s"), F.col("s").alias("d"))
         )
-        e = _small_star(_large_star(sym)).localCheckpoint()
+        # lazy: materializes inside the count job below — one job per
+        # round, not two; _non_star_count touches e once by
+        # construction, so the round subtree is computed exactly once
+        e = _small_star(_large_star(sym)).localCheckpoint(eager=False)
         rounds += 1
         converged = _non_star_count(e) == 0
     if not converged:
@@ -1200,7 +1307,13 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("s"), F.col("doc_b").alias("d")
     )
-    parents, _rounds = star_contraction(pairs)
+    # assume_canonical: LSH pairs are undirected-unique with
+    # doc_a < doc_b by construction (sorted bucket arrays +
+    # dropDuplicates) and never self-paired — the input-normalization
+    # distinct was a full exchange stacked on the whole LSH pipeline
+    # for a set that was never duplicated (round-11 optimization pass;
+    # same argument as pagerank's round-10 symmetrize shave)
+    parents, _rounds = star_contraction(pairs, assume_canonical=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(
         parents, docs.doc_id == parents.node, "left"
@@ -1824,6 +1937,35 @@ def kcore_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("e.s", "e.d")
         .localCheckpoint()
     )
+    # Driver fast path (round-11, same bounded-probe recipe as
+    # star_contraction / the BPE trainer): one bounded fetch off the
+    # checkpointed symmetric edge list either returns the whole graph
+    # (≤ CC_DRIVER_EDGE_MAX rows → in-process simultaneous peel,
+    # zero further jobs) or proves it big and the distributed loop
+    # below runs unchanged. The k-core is the UNIQUE maximal subgraph
+    # with min degree ≥ k — any peel schedule reaches it — and the
+    # simultaneous-removal rounds below mirror the distributed
+    # keep/semi-join rounds exactly; the forced-both-paths test pins
+    # equality on the fixture. Pairs are unique, so adjacency-set
+    # sizes equal the distributed count(*) degrees.
+    probe = edges.limit(CC_DRIVER_EDGE_MAX + 1).toPandas()
+    if len(probe) <= CC_DRIVER_EDGE_MAX:
+        adj: dict[int, set[int]] = {}
+        for s_v, d_v in zip(probe["s"], probe["d"]):
+            adj.setdefault(int(s_v), set()).add(int(d_v))
+        while True:
+            low = {n for n, nb in adj.items() if len(nb) < KCORE_K}
+            if not low:
+                break
+            adj = {
+                n: nb - low
+                for n, nb in adj.items()
+                if n not in low
+            }
+        rows = [(n, len(nb)) for n, nb in adj.items()]
+        return spark.createDataFrame(
+            rows, "doc_id long, core_degree long"
+        )
     prev = edges.count()
     converged = prev == 0
     for _ in range(MAX_KCORE_ITERS):

@@ -426,22 +426,57 @@ def test_star_contraction_equals_fixpoint_labels(spark):
     assert (a.cluster_id == b.cluster_id).all()
 
 
-def test_star_contraction_bridge_node_not_a_premature_star(spark):
+def _force_distributed_star(monkeypatch):
+    """Route star_contraction around the round-11 driver fast path so
+    the distributed LS/SS machinery itself is what the test runs."""
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_MAX", -1)
+
+
+def test_star_contraction_driver_and_distributed_paths_agree(
+    spark, monkeypatch
+):
+    """Round-11 driver fast path (bounded union-find off one fetch)
+    must produce exactly the distributed contraction's labels on the
+    fixture graph — the BPE both-paths equivalence recipe."""
+    fast = (
+        dedup.dedup_cc_star(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    _force_distributed_star(monkeypatch)
+    dist = (
+        dedup.dedup_cc_star(spark, SF_DIR)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (fast.doc_id == dist.doc_id).all()
+    assert (fast.cluster_id == dist.cluster_id).all()
+
+
+def test_star_contraction_bridge_node_not_a_premature_star(
+    spark, monkeypatch
+):
     """Regression (hypothesis-found): edges {(0,2), (1,2)} have no
     node in both child and parent roles, yet node 2 bridges 0 and 1 —
     the termination check must ALSO require one parent per child, or
     contraction stops a round early with split labels."""
+    _force_distributed_star(monkeypatch)
     edges = spark.createDataFrame([(0, 2), (1, 2)], "s long, d long")
     parents, _ = dedup.star_contraction(edges)
     got = {int(r["node"]): int(r["root"]) for r in parents.collect()}
     assert got == {1: 0, 2: 0}
 
 
-def test_star_contraction_chain_converges_logarithmically(spark):
+def test_star_contraction_chain_converges_logarithmically(
+    spark, monkeypatch
+):
     """Adversarial high-diameter component: a 200-link chain. Label
     propagation would need ~200 rounds (beyond its cap); star
     contraction must converge in <10 LS+SS rounds and still label
     every node with the chain's minimum."""
+    _force_distributed_star(monkeypatch)
     n = 201
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)] + [(500, 501), (502, 502)],
@@ -1278,9 +1313,12 @@ def test_fellegi_sunter_score_recompute_and_em_consistency(spark):
         ) < 6e-6
 
 
-def test_kcore_matches_python_peel(spark):
+def test_kcore_matches_python_peel(spark, monkeypatch):
     """k-core survivors + degrees vs an independent pure-Python peel
-    over the same (oracle-checked) LSH pair list."""
+    over the same (oracle-checked) LSH pair list — run against BOTH
+    the round-11 driver fast path (default at fixture scale) and the
+    forced distributed peel loop, which must agree with the reference
+    and therefore each other."""
     from data_warehouse_co_healthy_spark.llm import dedup
 
     pairs = [
@@ -1306,6 +1344,12 @@ def test_kcore_matches_python_peel(spark):
         for r in dedup.kcore_near_dup(spark, SF_DIR).collect()
     }
     assert got == want
+    monkeypatch.setattr(dedup, "CC_DRIVER_EDGE_MAX", -1)
+    got_dist = {
+        r["doc_id"]: r["core_degree"]
+        for r in dedup.kcore_near_dup(spark, SF_DIR).collect()
+    }
+    assert got_dist == want
     # independent CHARACTERIZATION of the k-core, not just peel replay:
     # (soundness) every survivor keeps >= K neighbors among survivors;
     # (maximality) every REMOVED node has < K surviving neighbors, so

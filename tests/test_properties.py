@@ -157,8 +157,21 @@ def test_connected_components_labels_are_roots(spark, data):
 def test_star_contraction_matches_union_find(spark, data):
     """Large-star/small-star contraction on arbitrary small graphs must
     produce exactly the components of a reference union-find, labeled
-    by each component's minimum node."""
+    by each component's minimum node. Forces the DISTRIBUTED path (the
+    round-11 driver fast path would otherwise run the same union-find
+    as the reference below, testing nothing)."""
+    from data_warehouse_co_healthy_spark.llm import dedup as _dedup
     from data_warehouse_co_healthy_spark.llm.dedup import star_contraction
+
+    saved = _dedup.CC_DRIVER_EDGE_MAX
+    _dedup.CC_DRIVER_EDGE_MAX = -1
+    try:
+        return _star_vs_union_find(spark, data, star_contraction)
+    finally:
+        _dedup.CC_DRIVER_EDGE_MAX = saved
+
+
+def _star_vs_union_find(spark, data, star_contraction):
 
     edges = [(a, b) for a, b in data if a != b]
     nodes = sorted({n for e in edges for n in e})

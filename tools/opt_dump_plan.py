@@ -25,7 +25,7 @@ def main() -> None:
     outdir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r11"),
     )
     os.makedirs(outdir, exist_ok=True)
     spark = get_spark("opt-dump-plan")
