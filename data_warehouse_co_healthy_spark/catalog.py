@@ -9,6 +9,7 @@ column pruning reach the scan (Catalyst pushdown), nothing is collected.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +18,21 @@ from pyspark.sql import types as T
 from .schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Per-session catalog of loaded-table DataFrames, keyed on (path,
+#: mtime_ns, size) — the table-METADATA cache every catalog-backed
+#: ``spark.table()`` has and a bare-path ``read.parquet`` lacks
+#: (round-11 optimization pass, guide §6 "file listing is cached per
+#: session"). Each ``spark.read.parquet`` call costs ~90 ms of driver
+#: time (DataSource resolution + file listing + footer schema read)
+#: BEFORE any data moves; multi-table stars paid it 4× per plan build.
+#: What is cached is an UNEXECUTED scan plan — every action still
+#: reads the parquet bytes (the bench's cold-per-run clearCache only
+#: clears data caches, which this is not); the source fingerprint in
+#: the key makes a rewritten fixture rebuild instead of serving a
+#: stale schema, mirroring streaming.docs._staged_dir. WeakKey on the
+#: session: a stopped session's plans die with it.
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -31,6 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     value-matches.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        fp = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if fp is not None and fp in per_session:
+        return per_session[fp]
     if name != "events":
         df = spark.read.parquet(path)
     else:
@@ -50,6 +74,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df._sg_src_bytes = os.path.getsize(path)
     except OSError:
         pass
+    if fp is not None:
+        per_session[fp] = df
     return df
 
 
