@@ -142,9 +142,13 @@ def stream_url_frontier_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob  # noqa: PLC0415
     import os  # noqa: PLC0415
 
-    from ..operators.temporal import _drain_bounded  # noqa: PLC0415
+    from ..operators.temporal import (  # noqa: PLC0415
+        _drain_bounded,
+        _drain_session,
+    )
     from ..streaming.docs import _staged_dir  # noqa: PLC0415
 
+    spark = _drain_session(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     feed = _planted_urls(docs).withColumn(
         "crawl_ts",
@@ -238,9 +242,13 @@ def stream_topk_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: PLC0415
     from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
 
-    from ..operators.temporal import _drain_bounded  # noqa: PLC0415
+    from ..operators.temporal import (  # noqa: PLC0415
+        _drain_bounded,
+        _drain_session,
+    )
     from ..streaming.docs import _staged_dir  # noqa: PLC0415
 
+    spark = _drain_session(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )

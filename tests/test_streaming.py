@@ -1279,7 +1279,13 @@ def test_stream_topk_drain_cross_batch_ranked_state(spark):
     # update-mode snapshot ledger: one snapshot per (source, batch
     # carrying that source), n_seen strictly increasing to the
     # source's total row count
-    snap = spark.table("stream_topk_sink").toPandas()
+    # the drain runs in the reserved drain child session (round-11
+    # conf-isolation) — the memory sink registers in ITS catalog
+    from data_warehouse_co_healthy_spark.operators.temporal import (
+        _drain_session,
+    )
+
+    snap = _drain_session(spark).table("stream_topk_sink").toPandas()
     totals = (
         docs.groupBy("source").count().toPandas().set_index("source")
     )["count"]
