@@ -111,24 +111,38 @@ def spread(df: DataFrame) -> DataFrame:
     src_bytes = getattr(df, "_sg_src_bytes", None)
     if src_bytes is not None:
         # Arithmetic split estimate off the load_table size hint —
-        # same decision as counting scan partitions (a single file
-        # yields ceil(size / maxPartitionBytes) splits) without the
+        # same decision as counting scan partitions without the
         # ~35 ms physical-planning cost of df.rdd per plan build
-        # (round-10 optimization pass). Falls back to the exact
-        # partition count for frames without the hint.
-        max_split = None
-        try:
-            max_split = int(
-                df.sparkSession.conf.get(
-                    "spark.sql.files.maxPartitionBytes", "134217728"
-                )
-            )
-        except (ValueError, TypeError):
-            max_split = None  # unit-suffixed ("128MB"): use exact path
-        except Exception:  # noqa: BLE001 - heuristic, never fatal
-            max_split = None
-        if max_split and max_split > 0:
-            est = max(1, -(-src_bytes // max_split))
+        # (round-10 optimization pass). Round 11 (ADVICE r10 item 1):
+        # the estimate now replicates Spark's DYNAMIC split sizing for
+        # a single file — maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, (size + openCost) / defaultParallelism))
+        # (FilePartition.maxSplitBytes) — instead of the static
+        # ceil(size / maxPartitionBytes) lower bound, which undercounted
+        # splits for files in the 128 MB–4 GB band (bytesPerCore < 128 MB
+        # shrinks the split) and fired a redundant full-shuffle
+        # repartition on input Spark had already fanned out; verified
+        # against df.rdd.getNumPartitions() at 50 MB/300 MB/tiny in
+        # SCALING_MEASURED.md. Falls back to the exact partition count
+        # for frames without the hint or unit-suffixed conf values.
+        def _conf_bytes(key: str, default: str) -> int | None:
+            try:
+                return int(df.sparkSession.conf.get(key, default))
+            except (ValueError, TypeError):
+                return None  # unit-suffixed ("128MB"): use exact path
+            except Exception:  # noqa: BLE001 - heuristic, never fatal
+                return None
+
+        max_split = _conf_bytes(
+            "spark.sql.files.maxPartitionBytes", "134217728"
+        )
+        open_cost = _conf_bytes(
+            "spark.sql.files.openCostInBytes", "4194304"
+        )
+        if max_split and max_split > 0 and open_cost is not None:
+            bytes_per_core = (src_bytes + open_cost) // max(1, target)
+            split = min(max_split, max(open_cost, bytes_per_core))
+            est = max(1, -(-src_bytes // max(1, split)))
             return df.repartition(target) if est < target else df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
